@@ -1,0 +1,784 @@
+"""Relational operator surface (SURVEY.md §2.2 E1–E13).
+
+Every query is declarative DataFrame code — Catalyst gets full visibility
+for predicate pushdown, column pruning, broadcast-join selection and AQE.
+Scale notes are on each query: which joins broadcast, where the shuffles
+are, and why the plan survives a 100× scale-up.
+
+Aggregates are rounded (2–4 decimals) on BOTH the Spark and oracle side so
+double-precision sum ordering differences can't flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# E1 parquet scan + E2 projection/cast + E3 filter + E7 agg + E9 sort
+# --------------------------------------------------------------------------
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                          AS sum_qty,
+           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
+           round(avg(l_quantity), 2)                                          AS avg_qty,
+           round(avg(l_extendedprice), 2)                                     AS avg_price,
+           round(avg(l_discount), 4)                                          AS avg_disc,
+           count(*)                                                           AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (full scan -> hash agg).
+
+    Scale: single shuffle on a 6-value grouping key; partial (map-side)
+    aggregation collapses ~100% of rows before the exchange, so the
+    shuffle payload is O(partitions * 6) regardless of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 filter: BETWEEN / IN / LIKE, pushed to the parquet scan
+# --------------------------------------------------------------------------
+@query(
+    "q02_filtered_scan",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#12', 'Brand#23')
+      AND p_name LIKE '%red%'
+    ORDER BY p_partkey
+    """,
+)
+def q02_filtered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate variety (BETWEEN / IN / LIKE) on a projected scan.
+
+    Scale: no shuffle at all (narrow plan); BETWEEN and IN reach the
+    parquet reader as PushedFilters, LIKE is evaluated in the scan stage.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+        .filter(
+            F.col("p_size").between(10, 30)
+            & F.col("p_brand").isin("Brand#1", "Brand#12", "Brand#23")
+            & F.col("p_name").like("%red%")
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E4 inner equi-join chain (fact ⋈ fact ⋈ dim)
+# --------------------------------------------------------------------------
+@query(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style join + agg + top-k.
+
+    Scale: customer (filtered to one segment) broadcasts into orders;
+    orders⋈lineitem is the one real shuffle, on the join key both sides
+    already aggregate on. Top-k via orderBy+limit becomes TakeOrdered —
+    no global sort materialization.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 semi join (EXISTS with correlated predicate)
+# --------------------------------------------------------------------------
+@query(
+    "q04_order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q04_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS -> left-semi join with a non-equi residual.
+
+    Scale: semi join shuffles both sides once on the order key and never
+    materializes the (order x lineitem) multiplicity — output ≤ orders.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# E4 star join through broadcast dimensions
+# --------------------------------------------------------------------------
+@query(
+    "q05_supplier_region_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q05_supplier_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact table joined through 3 broadcast dimensions.
+
+    Scale: supplier/nation/region are broadcast (no shuffle of lineitem
+    for any join); the only exchange is the final 25-key aggregation,
+    collapsed map-side first. This is the canonical 100TB-safe star plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = supp.join(
+        F.broadcast(nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# E3 pure filter + global agg (no grouping key)
+# --------------------------------------------------------------------------
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: tight filter + scalar aggregate.
+
+    Scale: all four predicates push to the scan; the global sum is a
+    two-stage partial/final agg moving one double per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# E5 outer join preserving unmatched left side
+# --------------------------------------------------------------------------
+@query(
+    "q07_customer_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey)                         AS order_count,
+           round(coalesce(sum(o_totalprice), 0), 2)  AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY c_custkey
+    """,
+)
+def q07_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join keeping customers with zero orders.
+
+    Scale: shuffle join on custkey (both sides large at scale); the
+    aggregation reuses the same key so AQE can avoid a second exchange.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E6 anti join (NOT EXISTS)
+# --------------------------------------------------------------------------
+@query(
+    "q08_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def q08_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E7 hash aggregation with count(distinct)
+# --------------------------------------------------------------------------
+@query(
+    "q09_status_distinct_customers",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)     AS n_customers,
+           count(*)                      AS n_orders,
+           round(sum(o_totalprice), 2)   AS sum_price,
+           round(max(o_totalprice), 2)   AS max_price,
+           round(min(o_totalprice), 2)   AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q09_status_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY with count(distinct) + min/max/sum in one pass.
+
+    Scale: Spark expands distinct aggregation into a two-level agg
+    (Expand + partial agg) — no driver-side distinct set.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# E8 rollup (subtotal lattice)
+# --------------------------------------------------------------------------
+@query(
+    "q10_rollup_quantities",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           count(*)                  AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def q10_rollup_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals: (flag, status), (flag), ()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n_rows"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@query(
+    "q11_cube_volumes",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q11_cube_volumes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (all 4 grouping sets)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy(F.col("o_orderstatus").asc_nulls_first(), F.col("o_orderpriority").asc_nulls_first())
+    )
+
+
+# --------------------------------------------------------------------------
+# E9 multi-key sort + limit (top-k)
+# --------------------------------------------------------------------------
+@query(
+    "q12_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q12_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort, O(k) driver memory."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# E10 window functions: ranking
+# --------------------------------------------------------------------------
+@query(
+    "q13_top_customers_per_nation",
+    oracle="""
+    SELECT n_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, rn
+    FROM (
+      SELECT c_nationkey AS n_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    )
+    WHERE rn <= 3
+    ORDER BY n_nationkey, rn
+    """,
+)
+def q13_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number ranking window; deterministic tiebreak on custkey.
+
+    Scale: one shuffle on the partition key; rank filter prunes to 3
+    rows/nation before any further stage.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c_nationkey").alias("n_nationkey"),
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "rn",
+        )
+        .orderBy("n_nationkey", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# E10 window functions: running frame + lag
+# --------------------------------------------------------------------------
+@query(
+    "q14_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           round(coalesce(lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0), 2) AS prev_price
+    FROM orders
+    WHERE o_custkey <= 100
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+)
+def q14_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum frame (ROWS UNBOUNDED PRECEDING) + lag, deterministic
+    tiebreak on orderkey so replays hash identically."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2).alias(
+                "running_spend"
+            ),
+            F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E11 set operations
+# --------------------------------------------------------------------------
+@query(
+    "q15_union_all_counts",
+    oracle="""
+    SELECT nationkey, count(*) AS n_entities
+    FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    GROUP BY nationkey
+    ORDER BY nationkey
+    """,
+)
+def q15_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag semantics) of two relations + agg."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionAll(supp).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n_entities")).orderBy("nationkey")
+
+
+@query(
+    "q16_intersect_except",
+    oracle="""
+    SELECT 'both' AS src, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'cust_only' AS src, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey AS nationkey FROM supplier
+    )
+    ORDER BY src, nationkey
+    """,
+)
+def q16_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT (set semantics) tagged and unioned."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cust.intersect(supp).select(F.lit("both").alias("src"), "nationkey")
+    cust_only = cust.subtract(supp).select(F.lit("cust_only").alias("src"), "nationkey")
+    return both.unionAll(cust_only).orderBy("src", "nationkey")
+
+
+# --------------------------------------------------------------------------
+# E12 scalar functions: strings
+# --------------------------------------------------------------------------
+@query(
+    "q17_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                       AS name_upper,
+           substr(p_name, 1, 4)                AS name_prefix,
+           concat(p_brand, '/', p_type)        AS brand_type,
+           length(p_name)                      AS name_len,
+           replace(p_name, ' ', '_')           AS name_snake,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS is_red
+    FROM part
+    WHERE p_size <= 25
+    ORDER BY p_partkey
+    """,
+)
+def q17_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar library: upper/substr/concat/length/replace/LIKE."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_size") <= 25)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.substring("p_name", 1, 4).alias("name_prefix"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.length("p_name").alias("name_len"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+            F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("is_red"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E12 scalar functions: dates
+# --------------------------------------------------------------------------
+@query(
+    "q18_date_functions",
+    oracle="""
+    SELECT year(o_orderdate)                         AS o_year,
+           month(o_orderdate)                        AS o_month,
+           count(*)                                  AS n_orders,
+           round(sum(o_totalprice), 2)               AS sum_price
+    FROM orders
+    GROUP BY year(o_orderdate), month(o_orderdate)
+    ORDER BY o_year, o_month
+    """,
+)
+def q18_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction (year/month) + agg per calendar month."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .orderBy("o_year", "o_month")
+    )
+
+
+@query(
+    "q19_ship_delay",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           date_diff('day', o_orderdate, l_shipdate) AS ship_delay_days,
+           CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q19_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datediff + date_trunc across a join (order date -> ship date lag)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("long").alias("ship_delay_days"),
+            F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# E12 scalar functions: math + conditional
+# --------------------------------------------------------------------------
+@query(
+    "q20_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           round(abs(l_discount - 0.05), 4)   AS disc_dev,
+           ceil(l_quantity / 10.0)            AS qty_decile,
+           floor(l_extendedprice / 1000.0)    AS price_kbucket,
+           mod(l_orderkey, 7)                 AS key_mod,
+           round(sqrt(l_quantity), 4)         AS qty_sqrt
+    FROM lineitem
+    WHERE l_orderkey <= 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q20_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar library: round/abs/ceil/floor/mod/sqrt."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
+            F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+            F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
+            F.floor(F.col("l_extendedprice") / 1000.0).alias("price_kbucket"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+            F.round(F.sqrt(F.col("l_quantity")), 4).alias("qty_sqrt"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# --------------------------------------------------------------------------
+# E12 array functions over the embeddings table
+# --------------------------------------------------------------------------
+@query(
+    "q21_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                   AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 4)           AS first_component,
+           round((SELECT sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM unnest(embedding) AS t(x)), 4) AS sq_norm,
+           label
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops: size, element_at, aggregate (fold) for squared norm —
+    all JVM-side higher-order functions, no Python."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    x = F.col("embedding")
+    sq_norm = F.aggregate(
+        x, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    return emb.select(
+        "vec_id",
+        F.size(x).alias("dim"),
+        F.round(F.element_at(x, 1).cast("double"), 4).alias("first_component"),
+        F.round(sq_norm, 4).alias("sq_norm"),
+        "label",
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# E12 JSON functions over events.props
+# --------------------------------------------------------------------------
+@query(
+    "q22_json_functions",
+    oracle="""
+    SELECT event_type,
+           count(*)                                              AS n_events,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q22_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction (get_json_object) feeding aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# E13 approximate distinct (exact at low cardinality, HLL sparse mode)
+# --------------------------------------------------------------------------
+@query(
+    "q23_approx_distinct",
+    oracle="""
+    SELECT count(DISTINCT l_returnflag)  AS approx_flags,
+           count(DISTINCT l_linestatus)  AS approx_status,
+           count(DISTINCT l_returnflag)  AS exact_flags,
+           count(DISTINCT l_linestatus)  AS exact_status
+    FROM lineitem
+    """,
+)
+def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) checked against exact counts.
+
+    At these cardinalities (3) HLL++ sparse mode is exact, so the oracle
+    can assert equality; at high cardinality the same operator degrades
+    gracefully (bench exercises l_partkey separately).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_returnflag").alias("approx_flags"),
+        F.approx_count_distinct("l_linestatus").alias("approx_status"),
+        F.countDistinct("l_returnflag").alias("exact_flags"),
+        F.countDistinct("l_linestatus").alias("exact_status"),
+    )
+
+
+# --------------------------------------------------------------------------
+# E12 explode (array -> rows) with posexplode
+# --------------------------------------------------------------------------
+@query(
+    "q24_explode_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (
+      SELECT unnest(string_split(p_name, ' ')) AS token FROM part
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    """,
+)
+def q24_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split + explode: array-to-rows generator feeding an aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_name", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+    )
