@@ -1,0 +1,36 @@
+"""Engine configuration (SURVEY.md R19, R20).
+
+The reference defines six typed config keys with defaults and validates
+write.mode against an enum at deploy time (reference:
+BigqueryStreamWriteSinkConfig.java:51-69;
+BigqueryStorageWriteSinkConnector.java:48-59). The Spark restatement is a
+dataclass validated at pipeline build; task parallelism (tasks.max,
+BigqueryStorageWriteSinkConnector.java:30-36) is absorbed by Spark's own
+executor/task scheduling and appears here only as an optional partition
+hint.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+WRITE_MODES = ("committed", "pending")
+DEFAULT_BUFFER_SIZE = 1000  # rows per append batch, reference default
+
+
+@dataclass
+class PipelineConfig:
+    sink_path: str
+    dlq_path: str | None = None
+    checkpoint_path: str | None = None
+    write_mode: str = "committed"
+    buffer_size: int = DEFAULT_BUFFER_SIZE
+    parallelism_hint: int | None = None  # tasks.max analogue; None = let Spark decide
+
+    def __post_init__(self) -> None:
+        if self.write_mode not in WRITE_MODES:
+            raise ValueError(f"write.mode must be one of {WRITE_MODES}, got {self.write_mode!r}")
+        if self.buffer_size <= 0:
+            raise ValueError(f"buffer.size must be positive, got {self.buffer_size}")
+        if self.parallelism_hint is not None and self.parallelism_hint <= 0:
+            raise ValueError("parallelism hint must be positive when set")

@@ -1,0 +1,212 @@
+"""Manifest-committed parquet sink table (SURVEY.md R9, R13, R14, R17).
+
+The reference appends row batches to a BigQuery write stream whose
+visibility depends on the write mode: COMMITTED (visible per append,
+at-least-once) vs PENDING (invisible until an atomic finalize+commit at
+offset-commit time) — reference: BigqueryStreamWriter.java:60-63,196,
+299-345; BigqueryStorageWriteSinkTask.java:148-245.
+
+Spark restatement: a directory table whose visible contents are defined
+by manifest marker files, not by which parquet files exist.
+
+    <root>/_schema.json              frozen table schema (first write wins)
+    <root>/data/batch=<id>/*.parquet physical rows for one micro-batch
+    <root>/_staged/<id>.marker       batch written but invisible (pending)
+    <root>/_commits/batch-<id>.marker  batch visible (committed mode)
+    <root>/_commits/epoch-<n>.json   atomic publish of staged batch ids
+
+- COMMITTED mode: write data dir, then rename a marker into _commits —
+  rows visible as soon as the append lands.
+- PENDING mode: marker goes to _staged; ``commit()`` publishes ALL staged
+  ids in ONE epoch file (tmp + atomic rename) — the whole epoch becomes
+  visible at once, mirroring finalize+batchCommitWriteStreams.
+  ``reset()`` discards staged markers (finalize-only path,
+  BigqueryStreamWriter.java:334-337).
+- Idempotence (R14): a batch id that is already staged or committed is
+  skipped and reported ALREADY_EXISTS — replays under Structured
+  Streaming checkpointing (identical batch ids by construction) are
+  therefore exactly-once, like the reference's offset-stamped appends
+  (BigqueryStreamWriter.java:281,157-160).
+
+Scale: readers list manifest files (tiny) and read only committed batch
+directories; no listing of the data tree, no eventual-consistency window.
+Writers never rewrite existing files, so concurrent epochs on a real
+cluster contend only on the manifest rename, which the filesystem makes
+atomic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class UnretryableSinkError(Exception):
+    """Append failed with a non-retriable cause; rows become corrupt offsets."""
+
+
+# The reference classifies gRPC codes INTERNAL, ABORTED, CANCELLED,
+# FAILED_PRECONDITION, DEADLINE_EXCEEDED, UNAVAILABLE as retriable
+# (BigqueryStreamWriter.java:120-127). The filesystem analogue: transient
+# IO/timeouts are retriable, logical errors (schema mismatch, bad path,
+# permission) are not.
+_RETRIABLE_EXC = (TimeoutError, ConnectionError, InterruptedError, BlockingIOError)
+_RETRIABLE_MARKERS = ("timeout", "temporarily unavailable", "connection reset", "deadline")
+
+
+def classify_retriable(exc: BaseException) -> bool:
+    if isinstance(exc, _RETRIABLE_EXC):
+        return True
+    msg = str(exc).lower()
+    return any(m in msg for m in _RETRIABLE_MARKERS)
+
+
+@dataclass
+class RetryPolicy:
+    max_attempts: int = 3
+    backoff_s: float = 0.5
+
+    def run(self, fn):
+        attempt = 0
+        while True:
+            attempt += 1
+            try:
+                return fn()
+            except BaseException as exc:  # noqa: BLE001 - classified below
+                if not classify_retriable(exc) or attempt >= self.max_attempts:
+                    raise UnretryableSinkError(str(exc)) from exc
+                time.sleep(self.backoff_s * (2 ** (attempt - 1)))
+
+
+@dataclass
+class AppendResult:
+    batch_id: int
+    rows: int
+    already_exists: bool = False
+    staged: bool = False
+
+
+@dataclass
+class ManifestSinkTable:
+    root: str
+    write_mode: str = "committed"  # committed | pending
+    retry: RetryPolicy = field(default_factory=RetryPolicy)
+
+    def __post_init__(self) -> None:
+        if self.write_mode not in ("committed", "pending"):
+            raise ValueError(f"write.mode must be committed|pending, got {self.write_mode!r}")
+        for d in ("data", "_staged", "_commits"):
+            os.makedirs(os.path.join(self.root, d), exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _data_dir(self, batch_id: int) -> str:
+        return os.path.join(self.root, "data", f"batch={batch_id}")
+
+    def _staged_marker(self, batch_id: int) -> str:
+        return os.path.join(self.root, "_staged", f"{batch_id}.marker")
+
+    def _commit_marker(self, batch_id: int) -> str:
+        return os.path.join(self.root, "_commits", f"batch-{batch_id}.marker")
+
+    def _schema_path(self) -> str:
+        return os.path.join(self.root, "_schema.json")
+
+    def _atomic_write(self, path: str, payload: str) -> None:
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.rename(tmp, path)
+
+    # -- bookkeeping --------------------------------------------------------
+    def staged_ids(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(os.path.join(self.root, "_staged")) if f.endswith(".marker")
+        )
+
+    def committed_ids(self) -> list[int]:
+        ids: set[int] = set()
+        for f in os.listdir(os.path.join(self.root, "_commits")):
+            if f.startswith("batch-") and f.endswith(".marker"):
+                ids.add(int(f[len("batch-") : -len(".marker")]))
+            elif f.startswith("epoch-") and f.endswith(".json"):
+                with open(os.path.join(self.root, "_commits", f)) as fh:
+                    ids.update(json.load(fh)["batch_ids"])
+        return sorted(ids)
+
+    def _is_known(self, batch_id: int) -> bool:
+        return os.path.exists(self._staged_marker(batch_id)) or batch_id in set(self.committed_ids())
+
+    def _freeze_schema(self, df: DataFrame) -> None:
+        if not os.path.exists(self._schema_path()):
+            self._atomic_write(self._schema_path(), df.schema.json())
+
+    def schema(self) -> T.StructType | None:
+        if not os.path.exists(self._schema_path()):
+            return None
+        with open(self._schema_path()) as f:
+            return T.StructType.fromJson(json.load(f))
+
+    # -- write path ---------------------------------------------------------
+    def write_batch(self, df: DataFrame, batch_id: int) -> AppendResult:
+        """Append one micro-batch; idempotent per batch_id (R14)."""
+        if self._is_known(batch_id):
+            return AppendResult(batch_id=batch_id, rows=0, already_exists=True)
+        self._freeze_schema(df)
+        data_dir = self._data_dir(batch_id)
+
+        def _append() -> None:
+            # overwrite handles a half-written dir from a failed attempt:
+            # data files are only made visible by the marker written after
+            df.write.mode("overwrite").parquet(data_dir)
+
+        self.retry.run(_append)
+        rows = -1  # row count not recomputed here; callers count upstream if needed
+        if self.write_mode == "pending":
+            self._atomic_write(self._staged_marker(batch_id), json.dumps({"batch_id": batch_id}))
+            return AppendResult(batch_id=batch_id, rows=rows, staged=True)
+        self._atomic_write(self._commit_marker(batch_id), json.dumps({"batch_id": batch_id}))
+        return AppendResult(batch_id=batch_id, rows=rows)
+
+    def commit(self) -> list[int]:
+        """Pending mode: atomically publish every staged batch (R17).
+
+        No-op in committed mode, exactly like the reference's guarded
+        commit (BigqueryStreamWriter.java:339-345).
+        """
+        if self.write_mode != "pending":
+            return []
+        staged = self.staged_ids()
+        if not staged:
+            return []
+        epoch = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")])
+        self._atomic_write(
+            os.path.join(self.root, "_commits", f"epoch-{epoch}.json"),
+            json.dumps({"batch_ids": staged}),
+        )
+        for b in staged:
+            os.remove(self._staged_marker(b))
+        return staged
+
+    def reset(self) -> list[int]:
+        """Discard staged-but-uncommitted batches (finalize-only reset)."""
+        staged = self.staged_ids()
+        for b in staged:
+            os.remove(self._staged_marker(b))
+        return staged
+
+    # -- read path ------------------------------------------------------------
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Visible rows = union of committed batch directories only."""
+        ids = self.committed_ids()
+        schema = self.schema()
+        if not ids:
+            if schema is None:
+                raise ValueError(f"sink table at {self.root} has never been written")
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*[self._data_dir(i) for i in ids])

@@ -1,0 +1,161 @@
+"""End-to-end ingest pipeline (SURVEY.md R1–R17 recomposed; E20).
+
+The reference's whole dataflow — Kafka records -> per-partition buffers ->
+schema-mapped JSON conversion -> async appends -> dead-lettering ->
+offset-aligned commit (reference: BigqueryStorageWriteSinkTask.java:98-245,
+BigqueryStreamWriter.java:213-345) — restated on Structured Streaming:
+
+    source (kafka-shaped columns) --from_json--> struct value
+      --convert_and_validate (R5,R6)--> _errors column
+      --split (R10,R11)--> good -> ManifestSinkTable.write_batch (R9,R14,R17)
+                           bad  -> DeadLetterQueue (R12)
+
+What the runtime absorbs (and we therefore do NOT re-implement):
+- R15 offset rewind / R16 retry-boundary alignment: checkpointed offset
+  ranges make replayed micro-batches identical by construction;
+- R18 rebalance filtering: the driver owns offsets;
+- R2 partition fan-out: source partitions map to tasks natively.
+
+Works in both execution modes: ``start_stream`` attaches the pipeline as a
+foreachBatch sink with checkpointing; ``run_batch`` pushes one batch
+DataFrame through the identical path (used by tests, bench, and backfill).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+from kafka_connect_bigquery_storage_write_spark.schema.convert import ERROR_COL, convert_and_validate, project_to_sink_schema, split_valid
+from kafka_connect_bigquery_storage_write_spark.sinks.dlq import DeadLetterQueue
+from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+KAFKA_ENVELOPE = ("topic", "partition", "offset", "key", "value")
+
+
+def kafka_shaped(df: DataFrame, topic: str, key_col: str, partitions: int = 4) -> DataFrame:
+    """Re-encode any DataFrame as Kafka-shaped records.
+
+    Produces the columns a kafka source would yield (topic, partition,
+    offset, key, value=JSON payload) so batch fixtures can stand in for a
+    broker. Offsets are assigned per partition in key order —
+    monotonically increasing within a partition like Kafka's.
+    """
+    from pyspark.sql import Window as W
+
+    keyed = df.withColumn("key", F.col(key_col).cast("string")).withColumn(
+        "partition", F.pmod(F.xxhash64(F.col(key_col)), F.lit(partitions)).cast("int")
+    )
+    w = W.partitionBy("partition").orderBy("key")
+    return keyed.select(
+        F.lit(topic).alias("topic"),
+        "partition",
+        (F.row_number().over(w) - 1).cast("long").alias("offset"),
+        "key",
+        F.to_json(F.struct(*[c for c in df.columns])).alias("value"),
+    )
+
+
+@dataclass
+class BatchStats:
+    batch_id: int
+    input_rows: int
+    written_rows: int
+    dlq_rows: int
+    already_exists: bool = False
+
+
+@dataclass
+class IngestPipeline:
+    config: PipelineConfig
+    value_schema: T.StructType
+    sink_schema: T.StructType | None = None  # defaults to value_schema ("ignore unknown fields" is a no-op)
+    _sink: ManifestSinkTable = field(init=False)
+    _dlq: DeadLetterQueue | None = field(init=False, default=None)
+    stats: list[BatchStats] = field(init=False, default_factory=list)
+
+    def __post_init__(self) -> None:
+        self._sink = ManifestSinkTable(self.config.sink_path, write_mode=self.config.write_mode)
+        if self.config.dlq_path:
+            self._dlq = DeadLetterQueue(self.config.dlq_path)
+        if self.sink_schema is None:
+            self.sink_schema = self.value_schema
+
+    # -- the one true batch path (streaming foreachBatch calls this too) ----
+    def process_batch(self, df: DataFrame, batch_id: int) -> BatchStats:
+        # PERMISSIVE parse with a corrupt-record marker so non-struct payloads
+        # are detectable (R4) instead of silently becoming all-null structs
+        parse_schema = T.StructType(list(self.value_schema.fields) + [T.StructField("_corrupt", T.StringType(), True)])
+        parsed = df.withColumn(
+            "_value_struct",
+            F.from_json(
+                F.col("value").cast("string"),
+                parse_schema,
+                {"columnNameOfCorruptRecord": "_corrupt", "mode": "PERMISSIVE"},
+            ),
+        )
+        validated = convert_and_validate(parsed, "_value_struct", self.value_schema, corrupt_field="_corrupt")
+        good, bad = split_valid(validated)
+
+        # cache: the split is consumed twice (sink write + dlq write + counts)
+        validated = validated.persist()
+        try:
+            n_input = validated.count()
+            good_rows = project_to_sink_schema(good, "_value_struct", self.sink_schema)
+            if self.config.parallelism_hint:
+                good_rows = good_rows.repartition(self.config.parallelism_hint)
+            result = self._sink.write_batch(good_rows, batch_id)
+            n_bad = 0
+            if self._dlq is not None and not result.already_exists:
+                bad_out = bad.select(
+                    "topic", "partition", "offset", "key", F.col("value").cast("string").alias("value"), ERROR_COL
+                ) if set(KAFKA_ENVELOPE) <= set(bad.columns) else bad.drop("_value_struct")
+                n_bad = bad_out.count()
+                if n_bad:
+                    self._dlq.write(bad_out, batch_id)
+            stats = BatchStats(
+                batch_id=batch_id,
+                input_rows=n_input,
+                written_rows=0 if result.already_exists else n_input - n_bad,
+                dlq_rows=n_bad,
+                already_exists=result.already_exists,
+            )
+            self.stats.append(stats)
+            return stats
+        finally:
+            validated.unpersist()
+
+    # -- batch entry (tests/backfill/bench) ---------------------------------
+    def run_batch(self, df: DataFrame, batch_id: int = 0) -> BatchStats:
+        return self.process_batch(df, batch_id)
+
+    # -- streaming entry ------------------------------------------------------
+    def start_stream(self, stream_df: DataFrame, trigger_once: bool = False, **trigger_kwargs) -> StreamingQuery:
+        if not self.config.checkpoint_path:
+            raise ValueError("checkpoint_path is required for streaming mode")
+        writer = (
+            stream_df.writeStream.foreachBatch(lambda d, i: self.process_batch(d, i))
+            .option("checkpointLocation", self.config.checkpoint_path)
+            .queryName("kafka_connect_bigquery_storage_write_spark-ingest")
+        )
+        if trigger_once:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        return writer.start()
+
+    # -- commit protocol (R17) -----------------------------------------------
+    def commit(self) -> list[int]:
+        """Pending mode: atomically publish all staged batches."""
+        return self._sink.commit()
+
+    def reset(self) -> list[int]:
+        return self._sink.reset()
+
+    def read_sink(self, spark) -> DataFrame:
+        return self._sink.read(spark)

@@ -1,0 +1,123 @@
+"""End-to-end ingest pipeline tests (SURVEY.md R1–R17 recomposed, E20).
+
+Batch-path poison-row salvage mirrors the reference's serialization-error
+test (3 rows in, row 1 bad -> rows 0,2 land, row 1 to DLQ); streaming
+tests cover checkpointed replay idempotence and both commit modes.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+from kafka_connect_bigquery_storage_write_spark.streaming import IngestPipeline, kafka_shaped
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("int_value", T.LongType(), False),
+    ]
+)
+
+
+def _envelope(spark, payloads):
+    rows = [("t", 0, i, f"key-{i}", json.dumps(p) if isinstance(p, dict) else p) for i, p in enumerate(payloads)]
+    return spark.createDataFrame(rows, "topic string, partition int, offset long, key string, value string")
+
+
+def _pipeline(tmp_path, mode="committed", dlq=True):
+    cfg = PipelineConfig(
+        sink_path=str(tmp_path / "sink"),
+        dlq_path=str(tmp_path / "dlq") if dlq else None,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        write_mode=mode,
+    )
+    return IngestPipeline(config=cfg, value_schema=KV_SCHEMA)
+
+
+def test_poison_row_salvage(spark, tmp_path):
+    """3 rows, middle one invalid -> 2 land in sink, 1 in DLQ with reason."""
+    p = _pipeline(tmp_path)
+    df = _envelope(spark, [{"id": "id-0", "int_value": 1}, {"id": None, "int_value": 2}, {"id": "id-2", "int_value": 3}])
+    stats = p.run_batch(df, 0)
+    assert (stats.input_rows, stats.written_rows, stats.dlq_rows) == (3, 2, 1)
+    assert sorted(r.id for r in p.read_sink(spark).collect()) == ["id-0", "id-2"]
+    dlq = p._dlq.read(spark)
+    bad = dlq.collect()[0]
+    assert bad.offset == 1 and "id" in bad._dlq_errors[0]
+
+
+def test_pending_mode_commit_protocol(spark, tmp_path):
+    p = _pipeline(tmp_path, mode="pending")
+    df = _envelope(spark, [{"id": "a", "int_value": 1}, {"id": "b", "int_value": 2}])
+    p.run_batch(df, 0)
+    assert p.read_sink(spark).count() == 0  # invisible before commit
+    assert p.commit() == [0]
+    assert p.read_sink(spark).count() == 2
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    p = _pipeline(tmp_path)
+    df = _envelope(spark, [{"id": "a", "int_value": 1}])
+    p.run_batch(df, 0)
+    stats = p.run_batch(df, 0)  # replay same batch id
+    assert stats.already_exists and stats.written_rows == 0
+    assert p.read_sink(spark).count() == 1
+
+
+def test_streaming_file_source_end_to_end(spark, tmp_path):
+    """Kafka-shaped file stream -> pipeline -> sink, availableNow trigger."""
+    src_dir = tmp_path / "src"
+    payloads = [{"id": f"id-{i}", "int_value": i} for i in range(50)]
+    env = _envelope(spark, payloads)
+    env.write.mode("overwrite").json(str(src_dir))
+
+    p = _pipeline(tmp_path)
+    stream = (
+        spark.readStream.schema("topic string, partition int, offset long, key string, value string")
+        .json(str(src_dir))
+    )
+    q = p.start_stream(stream, trigger_once=True)
+    q.awaitTermination(120)
+    assert p.read_sink(spark).count() == 50
+
+
+def test_streaming_restart_does_not_duplicate(spark, tmp_path):
+    """Restarting from the same checkpoint replays no committed batch (R14/R15)."""
+    src_dir = tmp_path / "src"
+    env = _envelope(spark, [{"id": f"id-{i}", "int_value": i} for i in range(10)])
+    env.write.mode("overwrite").json(str(src_dir))
+
+    p = _pipeline(tmp_path)
+    schema = "topic string, partition int, offset long, key string, value string"
+    q = p.start_stream(spark.readStream.schema(schema).json(str(src_dir)), trigger_once=True)
+    q.awaitTermination(120)
+    n1 = p.read_sink(spark).count()
+
+    # restart with same checkpoint: no new input -> no duplicates
+    q2 = p.start_stream(spark.readStream.schema(schema).json(str(src_dir)), trigger_once=True)
+    q2.awaitTermination(120)
+    assert p.read_sink(spark).count() == n1 == 10
+
+
+def test_kafka_shaped_envelope(spark, sf_dir):
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(100)
+    env = kafka_shaped(ev, topic="events", key_col="event_id", partitions=4)
+    assert set(env.columns) == {"topic", "partition", "offset", "key", "value"}
+    # offsets are dense per partition starting at 0 (Kafka-like)
+    mins = env.groupBy("partition").agg(F.min("offset").alias("m")).collect()
+    assert all(r.m == 0 for r in mins)
+    assert env.count() == 100
+
+
+def test_config_validation():
+    with pytest.raises(ValueError, match="write.mode"):
+        PipelineConfig(sink_path="/tmp/x", write_mode="exactly_once")
+    with pytest.raises(ValueError, match="buffer.size"):
+        PipelineConfig(sink_path="/tmp/x", buffer_size=0)

@@ -1,0 +1,99 @@
+"""Sink-table semantics (SURVEY.md §5 tier 3 restated locally).
+
+Mirrors the reference's emulator integration test: committed mode visible
+immediately; pending mode invisible until commit; idempotent replay
+(ALREADY_EXISTS); reset discards staged batches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.sinks import AppendResult, ManifestSinkTable, RetryPolicy, UnretryableSinkError, classify_retriable
+
+
+@pytest.fixture
+def kv_df(spark):
+    return spark.createDataFrame([("id-0", 123), ("id-1", 123)], "id string, int_value long")
+
+
+def test_committed_mode_visible_immediately(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(kv_df, 0)
+    assert sink.read(spark).count() == 2
+    # commit is a no-op in committed mode (reference guarded commit)
+    assert sink.commit() == []
+
+
+def test_pending_mode_invisible_until_commit(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    sink.write_batch(kv_df, 0)
+    assert sink.read(spark).count() == 0  # written but invisible
+    committed = sink.commit()
+    assert committed == [0]
+    assert sink.read(spark).count() == 2  # atomic epoch publish
+
+
+def test_pending_epoch_is_atomic_across_batches(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    sink.write_batch(kv_df, 0)
+    sink.write_batch(kv_df, 1)
+    assert sink.read(spark).count() == 0
+    assert sink.commit() == [0, 1]
+    assert sink.read(spark).count() == 4
+
+
+def test_idempotent_replay(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    first = sink.write_batch(kv_df, 7)
+    replay = sink.write_batch(kv_df, 7)
+    assert not first.already_exists and replay.already_exists
+    assert sink.read(spark).count() == 2  # not doubled
+
+
+def test_reset_discards_staged(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    sink.write_batch(kv_df, 0)
+    assert sink.reset() == [0]
+    assert sink.commit() == []
+    assert sink.read(spark).count() == 0
+
+
+def test_write_mode_validated(tmp_path):
+    with pytest.raises(ValueError, match="committed|pending"):
+        ManifestSinkTable(str(tmp_path / "t"), write_mode="bogus")
+
+
+def test_retry_classification():
+    assert classify_retriable(TimeoutError("x"))
+    assert classify_retriable(RuntimeError("connection reset by peer"))
+    assert not classify_retriable(ValueError("schema mismatch"))
+
+
+def test_retry_policy_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise TimeoutError("transient")
+        return "ok"
+
+    assert RetryPolicy(max_attempts=3, backoff_s=0.0).run(flaky) == "ok"
+    assert calls["n"] == 3
+
+
+def test_retry_policy_unretryable_raises():
+    def broken():
+        raise ValueError("bad schema")
+
+    with pytest.raises(UnretryableSinkError):
+        RetryPolicy(max_attempts=5, backoff_s=0.0).run(broken)
+
+
+def test_schema_frozen_and_empty_read(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    sink.write_batch(kv_df, 0)
+    # still invisible, but read() must produce the frozen schema
+    empty = sink.read(spark)
+    assert empty.columns == ["id", "int_value"] and empty.count() == 0
