@@ -1,0 +1,224 @@
+"""Deduplication operators (SURVEY.md E14): exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design:
+- exact dedup is a single hash-shuffle on the dedup key (or its md5 to
+  keep long texts off the wire);
+- MinHash/LSH never materializes the O(n^2) pair space: docs meet only
+  inside LSH band buckets, and exact Jaccard verification joins only the
+  candidate pairs;
+- all hashing is JVM-side xxhash64/md5 — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key — the one with the smallest id.
+
+    Deterministic alternative to dropDuplicates (whose survivor choice is
+    partition-order dependent and would break replay/oracle comparison).
+    Single shuffle on the key; survivor selection is a min-aggregation,
+    not a window sort, so it map-side combines.
+    """
+    keeper = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keeper, on=key_cols + [id_col], how="left_semi")
+
+
+def word_shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a text column, as array<string>.
+
+    Pure higher-order functions (split/transform/sequence) — stays inside
+    whole-stage codegen.
+    """
+    tokens = F.split(F.col(text_col) if isinstance(text_col, str) else text_col, " ")
+    k = F.size(tokens) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    shingle_at = lambda i: F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])  # noqa: E731
+    return F.array_distinct(F.filter(F.transform(idx, shingle_at), lambda s: s != ""))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(id_col, F.explode(word_shingles(text_col, n)).alias("shingle"))
+
+
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all overlapping pairs.
+
+    pairs(a,b) meet through a shuffle join on shingle value, so only pairs
+    sharing at least one shingle are ever scored — the non-overlapping
+    (and overwhelmingly dominant) part of the n^2 space costs nothing.
+    Columns: id_a, id_b, jaccard.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Per-doc MinHash signature: array<long> of length num_hashes.
+
+    h_j(s) = xxhash64(j, s); the signature is the per-j minimum over the
+    doc's shingles. One explode + one groupBy — signature size is constant
+    per doc regardless of text length.
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    mins = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash"))
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation + exact Jaccard verify.
+
+    Signature is cut into ``bands`` bands of num_hashes/bands rows; docs
+    sharing any band hash become candidates (bucket self-join), then exact
+    n-gram Jaccard filters false positives. With 32 hashes / 8 bands the
+    candidate-recall curve crosses ~50% at J≈0.7 and >96% at J≥0.85 —
+    right for a 0.8 threshold.
+
+    Scale: the only joins are (a) bucket self-join — bounded by bucket
+    skew, which the band hash randomizes — and (b) the verify join on
+    candidate pairs only. Never O(n^2).
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on candidates only
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint from unigram token hashes.
+
+    Each token votes ±1 per bit (weighted by occurrence count via the
+    explode); the fingerprint takes the sign. All bit arithmetic is
+    shiftright/bitwise-and on xxhash64 values — JVM-side, one shuffle.
+    """
+    toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(F.col("tok") != "")
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**j).cast("long") if j < 63 else bit * F.lit(-(2**63)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(id_col, fingerprint.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs via chunk-bucket LSH + exact Hamming verify.
+
+    Pigeonhole: two fingerprints within Hamming distance d < chunks must
+    agree on at least one chunk, so candidate pairs come from chunk-bucket
+    joins, then popcount verifies exactly. ``chunks`` must exceed
+    ``max_hamming`` for exactness; wider chunks = fewer bucket collisions,
+    so use the smallest chunk count the distance budget allows.
+    """
+    if max_hamming >= chunks:
+        raise ValueError(f"pigeonhole requires chunks > max_hamming ({chunks} <= {max_hamming})")
+    if 64 % chunks != 0:
+        raise ValueError("chunks must divide 64")
+    fp = simhash(df, id_col, text_col)
+    width = 64 // chunks
+    chunk_arr = F.array(
+        *[
+            (F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit((1 << width) - 1))).alias(f"c{c}")
+            for c in range(chunks)
+        ]
+    )
+    buckets = fp.select(id_col, "simhash", F.posexplode(chunk_arr).alias("chunk", "val"))
+    l = buckets.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "val")
+    r = buckets.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "val")
+    cand = (
+        l.join(r, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (SURVEY.md E15).
+
+Two paths:
+- ``cosine_topk``: brute-force exact top-k — the baseline and the oracle.
+  Dot products run as JVM higher-order functions (zip_with + aggregate),
+  queries broadcast, so the fact side streams through one stage with no
+  shuffle until the per-query top-k.
+- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path. Docs
+  only meet queries sharing a signature band, turning O(N*Q) into
+  O(candidates). Exactness is traded for recall; the tests measure
+  recall against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i * b_i in double precision, JVM-side."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Scale: broadcast(queries) x corpus — no shuffle of the corpus; the
+    only exchange is the per-query top-k (rank window on query_id, a key
+    with |Q| values; skew-free because every query sees every partition).
+    Excludes self-matches when ids collide. Ties break on neighbor id.
+    """
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane signature: bit j = sign(vec · plane_j)."""
+    bits = [F.when(dot(vec_col, F.array(*[F.lit(x) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0)) for p in planes]
+    return F.array(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH band buckets -> exact rescore.
+
+    Corpus vectors are signed once (one narrow pass), bucketed by band;
+    a query probes only its own buckets, so the candidate set — not the
+    corpus — is rescored. Recall tunes with n_planes/bands.
+    """
+    rows_per_band = n_planes // bands
+    if rows_per_band * bands != n_planes:
+        raise ValueError("n_planes must be divisible by bands")
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    def banded(df: DataFrame, ident: str) -> DataFrame:
+        sig = lsh_signature(F.col(vec_col), planes)
+        band_hash = F.array(
+            *[
+                F.xxhash64(F.lit(b), F.concat_ws(",", *[F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]))
+                for b in range(bands)
+            ]
+        )
+        return df.select(F.col(ident), F.col(vec_col), F.posexplode(band_hash).alias("band", "bucket"))
+
+    cb = banded(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id").withColumnRenamed(vec_col, "_cvec")
+    qb = banded(queries.select(query_id_col, vec_col), query_id_col).withColumnRenamed(vec_col, "_qvec")
+    cand = (
+        cb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .select(query_id_col, "neighbor_id", "_qvec", "_cvec")
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (embedding near-dup dedup).
+
+    Exact all-pairs — quadratic, intended for fixture-scale verification
+    and as the verify stage after LSH candidate generation at scale.
+    Normalizes once per side before the pair join so the pair-level work
+    is a single dot product.
+    """
+    normed = df.select(
+        F.col(id_col),
+        F.transform(vec_col, lambda x: x.cast("double") / norm(F.col(vec_col))).alias("_nvec"),
+    )
+    a = normed.select(F.col(id_col).alias("id_a"), F.col("_nvec").alias("_va"))
+    b = normed.select(F.col(id_col).alias("id_b"), F.col("_nvec").alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,93 @@
+"""Text-analysis operators (SURVEY.md E16): tokenization, quality scoring,
+language-ID heuristic, fingerprinting.
+
+All pure Catalyst expressions (split/regexp/md5/higher-order functions) so
+they vectorize and survive at corpus scale — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small English function-word list for the stopword-ratio heuristics
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+
+def tokens(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(col, r"\s+"), lambda t: t != "")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: str | Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND letter/digit/
+    punctuation boundaries — a cheap deterministic proxy for BPE tokenizers
+    when budgeting LLM training data."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.split(col, r"\s+|(?<=[a-zA-Z])(?=[0-9])|(?<=[0-9])(?=[a-zA-Z])|(?=[^\w\s])|(?<=[^\w\s])")
+    return F.size(F.filter(pieces, lambda t: t != ""))
+
+
+def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text_col: str | Column) -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_punct = F.length(col) - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_token_len(text_col: str | Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text_col: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + low punctuation +
+    function-word presence — the standard cheap pre-filter for LLM corpora."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    len_ok = F.when((F.length(col) >= 50) & (F.length(col) <= 20000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(col) <= 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(col) >= 0.05, 1.0).otherwise(0.6)
+    return F.round((len_ok + punct_ok + stop_ok) / 3.0, 6)
+
+
+def langid_en_score(text_col: str | Column) -> Column:
+    """English-likeness score = stopword hit-rate of the token stream.
+
+    N-gram-free heuristic language ID: real language detectors are a
+    model lookup; at pipeline scale the stopword rate is the standard
+    first-pass filter and is fully expressible in SQL for the oracle.
+    """
+    return F.round(stopword_ratio(text_col), 6)
+
+
+def fingerprint(text_col: str | Column) -> Column:
+    """Normalized document fingerprint: md5 over lowercased,
+    whitespace-collapsed text. Stable across engines (oracle-checkable),
+    and the natural key for exact dedup of noisy text."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    normalized = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document stat panel."""
+    return df.select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        F.length(text_col).alias("n_chars_computed"),
+        F.round(mean_token_len(text_col), 6).alias("mean_token_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

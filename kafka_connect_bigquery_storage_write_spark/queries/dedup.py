@@ -1,1 +1,116 @@
-"""Filled in by module-specific build step."""
+"""Dedup query entries (E14) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+    jaccard_near_dup_pairs,
+    minhash_lsh_near_dups,
+    simhash_near_dups,
+)
+from kafka_connect_bigquery_storage_write_spark.operators.text import fingerprint
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+# DuckDB needs the 'g' flag to replace all matches; Spark's regexp_replace is global by default.
+_FP_SQL = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+# shared oracle CTE: distinct 3-word shingles per doc
+_SHINGLE_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' || list_extract(w, i + 2) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+      FROM pairs
+      JOIN cnt ca ON ca.doc_id = id_a
+      JOIN cnt cb ON cb.doc_id = id_b
+    )
+"""
+
+
+@query(
+    "q30_dedup_exact",
+    oracle=f"""
+    SELECT {_FP_SQL}  AS fp,
+           min(doc_id) AS keeper_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY fp
+    ORDER BY keeper_id
+    """,
+)
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the normalized md5 fingerprint.
+
+    Scale: the shuffle key is a 32-char digest, not the document text —
+    the exchange moves O(rows * 32B) no matter how large the documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+@query(
+    "q31_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.8).
+
+    Pairs meet through a join on shingle value — only overlapping pairs
+    are ever scored, never the full n^2 space.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_near_dup_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+@query(
+    "q32_minhash_lsh_near_dups",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.85
+    ORDER BY id_a, id_b
+    """,
+)
+def q32_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates, exact-Jaccard verified at 0.85.
+
+    The oracle is the exhaustive exact computation; the LSH path must find
+    every pair — at J>=0.85 the 8-band miss probability is <3e-4 per pair,
+    and the planted near-dups sit well above 0.9.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_near_dups(docs, num_hashes=32, bands=8, threshold=0.85).orderBy("id_a", "id_b")
+
+
+@query("q33_simhash_near_dups")  # fingerprint bits are engine-specific -> rows-only check
+def q33_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs within Hamming distance 7.
+
+    8 chunks of 8 bits: pigeonhole-exact for d<=7. No SQL oracle: the
+    fingerprint depends on xxhash64 bit patterns. The pytest suite instead
+    asserts consistency with the exact-Jaccard pairs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=7, chunks=8).orderBy("id_a", "id_b")

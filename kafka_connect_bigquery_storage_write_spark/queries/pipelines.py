@@ -1,1 +1,111 @@
-"""Filled in by module-specific build step."""
+"""Ingest-pipeline query entries (E20 + R5): the reference's end-to-end
+surface recomposed as checkable queries over the fixture tables."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+EVENT_VALUE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("ts", T.StringType(), True),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def _encode_envelope(ev: DataFrame) -> DataFrame:
+    """events -> Kafka-shaped records with a JSON value payload (R1 shape)."""
+    payload = F.to_json(
+        F.struct(
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    return ev.select(
+        F.lit("events").alias("topic"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("event_id").cast("string").alias("key"),
+        payload.alias("value"),
+    )
+
+
+@query(
+    "q70_conversion_roundtrip",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q70_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 schema-mapped conversion on real data: events -> JSON envelope ->
+    permissive parse -> validate -> project. Output must equal the source
+    relation bit-for-bit (the conversion layer adds/loses nothing).
+    """
+    from kafka_connect_bigquery_storage_write_spark.schema.convert import convert_and_validate, split_valid
+
+    ev = load_table(spark, sf_dir, "events")
+    env = _encode_envelope(ev)
+    parse_schema = T.StructType(list(EVENT_VALUE_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType(), True)])
+    parsed = env.withColumn(
+        "v", F.from_json("value", parse_schema, {"columnNameOfCorruptRecord": "_corrupt"})
+    )
+    good, _bad = split_valid(convert_and_validate(parsed, "v", EVENT_VALUE_SCHEMA, corrupt_field="_corrupt"))
+    return good.select(
+        F.col("v.event_id").alias("event_id"),
+        F.to_timestamp(F.col("v.ts"), _TS_FMT).alias("ts"),
+        F.col("v.user_id").alias("user_id"),
+        F.col("v.event_type").alias("event_type"),
+        F.col("v.value").alias("value"),
+        F.col("v.props").alias("props"),
+    ).orderBy("event_id")
+
+
+@query(
+    "q71_ingest_pipeline_committed",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q71_ingest_pipeline_committed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full E20 pipeline in batch mode: envelope -> parse -> validate ->
+    committed sink table -> read back. The sink must contain exactly the
+    source rows (all fixture events are valid)."""
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    env = _encode_envelope(ev)
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q71_")
+    cfg = PipelineConfig(sink_path=f"{root}/sink", dlq_path=f"{root}/dlq", write_mode="committed")
+    pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
+    pipe.run_batch(env, batch_id=0)
+    return pipe.read_sink(spark).orderBy("event_id")

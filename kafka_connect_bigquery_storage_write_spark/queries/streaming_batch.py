@@ -1,1 +1,141 @@
-"""Filled in by module-specific build step."""
+"""Event-time window query entries (E17/E18).
+
+Spark's window()/session_window() work identically over batch DataFrames,
+so the oracle can check the *semantics* in plain SQL here; the streaming
+execution path (watermarks, late-data drop, dropDuplicatesWithinWatermark)
+is exercised in tests/test_streaming_windows.py where a real stream runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+
+@query(
+    "q50_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+           event_type,
+           count(*)                AS n_events,
+           round(sum(value), 2)    AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY win_start, event_type
+    """,
+)
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type.
+
+    Scale: identical plan to a groupBy on (hour, type) — fully partial-
+    aggregated map-side; in streaming mode the same expression runs
+    incrementally with watermark-bounded state.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "q51_sliding_window",
+    oracle="""
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - (j * INTERVAL '30 minutes') AS win_start,
+             value
+      FROM events, LATERAL (SELECT unnest([0, 1]) AS j)
+    )
+    SELECT win_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM w
+    GROUP BY win_start
+    ORDER BY win_start
+    """,
+)
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour width, 30-minute slide (each event lands in 2).
+
+    Spark expands the event into its covering windows before the agg —
+    state/shuffle scales with width/slide, which is why the oracle models
+    it as a 2-way unnest.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "q52_session_window",
+    oracle="""
+    WITH marks AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marks
+    )
+    SELECT user_id,
+           min(ts)                               AS session_start,
+           max(ts) + INTERVAL '30 minutes'       AS session_end,
+           count(*)                              AS n_events,
+           round(sum(value), 2)                  AS sum_value
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, per user.
+
+    session_window merges events whose gaps stay under 30min; the window
+    end extends 30min past the last event. The oracle restates this as
+    gaps-and-islands SQL. In streaming this is the canonical stateful op
+    (state = open sessions per user, closed by the watermark).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@query(
+    "q53_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id FROM events ORDER BY event_id
+    """,
+)
+def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of a doubled stream reproduces the original (E18 batch form).
+
+    The streaming form (dropDuplicatesWithinWatermark on event_id) runs in
+    tests/test_streaming_windows.py; here the relation is doubled
+    (simulating at-least-once replay) and dropDuplicates must collapse it
+    back to exactly the source relation — which is the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    doubled = ev.unionAll(ev)
+    return doubled.dropDuplicates(["event_id"]).orderBy("event_id")

@@ -1,1 +1,122 @@
-"""Filled in by module-specific build step."""
+"""Text-analysis query entries (E16) over the documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.operators.text import EN_STOPWORDS, langid_en_score, quality_score, text_stats
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_STOP_RATIO = f"""(len(list_filter({_TOKS}, t -> lower(t) IN ({_SW}))) * 1.0
+                  / greatest(len({_TOKS}), 1))"""
+_PUNCT_RATIO = """((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0
+                   / greatest(length(text), 1))"""
+_MEAN_TOK_LEN = f"""(list_aggregate(list_transform({_TOKS}, t -> length(t)), 'sum') * 1.0
+                    / greatest(len({_TOKS}), 1))"""
+_QUALITY = f"""round((
+      (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END)
+    + (CASE WHEN {_PUNCT_RATIO} <= 0.2 THEN 1.0 ELSE 0.5 END)
+    + (CASE WHEN {_STOP_RATIO} >= 0.05 THEN 1.0 ELSE 0.6 END)) / 3.0, 6)"""
+
+
+@query(
+    "q40_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS})                                            AS n_tokens,
+           length(text)                                            AS n_chars_computed,
+           round({_MEAN_TOK_LEN}, 6)                               AS mean_token_len,
+           round({_STOP_RATIO}, 6)                                 AS stopword_ratio,
+           round({_PUNCT_RATIO}, 6)                                AS punct_ratio,
+           {_QUALITY}                                              AS quality,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stat panel: tokens, lengths, ratios, quality, fingerprint.
+
+    One narrow projection pass — no shuffle at all; every expression is a
+    codegen'd higher-order function over the text column.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs).orderBy("doc_id")
+
+
+@query(
+    "q41_language_histogram",
+    oracle=f"""
+    SELECT lang,
+           count(*)                               AS n_docs,
+           round(avg(n_chars), 2)                 AS avg_chars,
+           round(avg(round({_STOP_RATIO}, 6)), 4) AS avg_en_score
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q41_language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram with the stopword-based English-likeness score.
+
+    The declared-lang column validates the heuristic: 'en' rows should
+    average a much higher score than the rest.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(langid_en_score("text")), 4).alias("avg_en_score"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "q42_top_tokens",
+    oracle=f"""
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+)
+def q42_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term/document frequency top-20 (tokenize -> explode -> agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q43_quality_filter",
+    oracle=f"""
+    SELECT doc_id, lang, {_QUALITY} AS quality, round({_STOP_RATIO}, 6) AS en_score
+    FROM documents
+    WHERE {_QUALITY} >= 0.9 AND round({_STOP_RATIO}, 6) >= 0.03
+    ORDER BY doc_id
+    """,
+)
+def q43_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-corpus pre-filter: keep high-quality, likely-
+    English documents. Narrow filter pass, fully pushed into the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score("text")
+    en = langid_en_score("text")
+    return (
+        docs.select("doc_id", "lang", q.alias("quality"), en.alias("en_score"))
+        .filter((F.col("quality") >= 0.9) & (F.col("en_score") >= 0.03))
+        .orderBy("doc_id")
+    )

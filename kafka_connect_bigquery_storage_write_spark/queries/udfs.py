@@ -1,1 +1,121 @@
-"""Filled in by module-specific build step."""
+"""UDF-surface query entries (E19): scalar Python UDF, Arrow-vectorized
+pandas UDF, and applyInPandas grouped-map — each checked against a pure-SQL
+oracle computing the same function.
+
+UDFs are the deliberate slow path (SURVEY.md steering): everything here is
+also expressible with built-ins — the point of these entries is to verify
+the Python execution surface itself (Arrow batch shape, type mapping,
+grouped-map schema contract).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+
+@pandas_udf(T.DoubleType())
+def _charge_vec(extprice: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Arrow-batched: whole columns arrive as pandas Series."""
+    return (extprice * (1.0 - discount) * (1.0 + tax)).round(2)
+
+
+@query(
+    "q60_pandas_udf_charge",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q60_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas UDF computing the charge expression.
+
+    Scale note: Arrow transfer makes this ~10-100x a row-at-a-time UDF,
+    but it still leaves codegen — the built-in expression (q20) is the
+    production form; this entry verifies the Arrow path end to end.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            _charge_vec("l_extendedprice", "l_discount", "l_tax").alias("charge"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "q61_apply_in_pandas_user_stats",
+    oracle="""
+    SELECT user_id,
+           count(*)                 AS n_events,
+           round(sum(value), 2)     AS sum_value,
+           round(avg(value), 4)     AS avg_value,
+           round(max(value) - min(value), 4) AS value_range
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q61_apply_in_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas computing per-user panel stats.
+
+    The grouped-map contract: each user's rows arrive as one pandas
+    DataFrame; output schema is declared up front. This is the shape every
+    custom stateful/statistical operator takes when built-ins run out.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "sum_value": [round(v.sum(), 2)],
+                "avg_value": [round(v.mean(), 4)],
+                "value_range": [round(v.max() - v.min(), 4)],
+            }
+        )
+
+    out_schema = "user_id long, n_events long, sum_value double, avg_value double, value_range double"
+    return ev.groupBy("user_id").applyInPandas(stats, schema=out_schema).orderBy("user_id")
+
+
+@query(
+    "q62_python_udf_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(substr(o_orderpriority, 1, 1) AS INT) AS priority_rank,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q62_python_udf_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python scalar UDF (the slowest surface, verified last).
+
+    Parses '1-URGENT' -> 1. Deliberately tiny input domain: the UDF runs
+    once per distinct value AFTER the aggregate, not once per row — the
+    pattern to reach for whenever a Python UDF is unavoidable.
+    """
+    parse_rank = F.udf(lambda p: int(p.split("-")[0]) if p else None, T.IntegerType())
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("priority_rank", parse_rank("o_orderpriority"))
+        .select("o_orderpriority", "priority_rank", "n_orders")
+        .orderBy("o_orderpriority")
+    )

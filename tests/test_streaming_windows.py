@@ -1,0 +1,98 @@
+"""Real streaming execution for E17/E18: watermarked tumbling windows with
+late-data drop, and dropDuplicatesWithinWatermark — running as actual
+Structured Streaming queries over a file source."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+EV_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _write_json(spark, rows, path):
+    raw = "event_id long, ts string, user_id long, event_type string, value double"
+    df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("append").json(str(path))
+
+
+def test_watermarked_tumbling_window_drops_late_data(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    # batch 1: events in hour 10 and 11; watermark will advance to 11:00-10min
+    _write_json(
+        spark,
+        [
+            (1, "2024-01-01 10:05:00", 1, "click", 1.0),
+            (2, "2024-01-01 10:55:00", 1, "click", 1.0),
+            (3, "2024-01-01 11:30:00", 2, "click", 1.0),
+        ],
+        src,
+    )
+
+    def run_once():
+        stream = spark.readStream.schema(EV_SCHEMA).json(str(src))
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # batch 2: a very late event for hour 10 (behind the watermark) and a
+    # new event far ahead that closes the 11:00 window
+    _write_json(
+        spark,
+        [
+            (4, "2024-01-01 10:10:00", 3, "click", 1.0),  # LATE -> dropped
+            (5, "2024-01-01 14:00:00", 3, "click", 1.0),
+        ],
+        src,
+    )
+    run_once()
+
+    result = {r.win_start.strftime("%H:%M"): r.n for r in spark.read.parquet(str(out)).collect()}
+    # hour-10 window closed with 2 events: the late event_id=4 was dropped
+    assert result.get("10:00") == 2
+    # hour-11 window closed once the watermark passed it
+    assert result.get("11:00") == 1
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    _write_json(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0),
+            (1, "2024-01-01 10:00:30", 1, "click", 1.0),  # duplicate id within watermark
+            (2, "2024-01-01 10:01:00", 1, "click", 1.0),
+        ],
+        src,
+    )
+    stream = spark.readStream.schema(EV_SCHEMA).json(str(src))
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
+    assert ids == [1, 2]
