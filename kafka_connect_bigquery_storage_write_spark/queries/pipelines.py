@@ -69,6 +69,12 @@ def q70_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = env.withColumn(
         "v", F.from_json("value", parse_schema, {"columnNameOfCorruptRecord": "_corrupt"})
     )
+    # exchange barrier: downstream validation + projection reference the
+    # parsed struct many times, and collapsed projections re-evaluate
+    # from_json per reference (measured 2.5x on this query); the shuffle
+    # materializes the parse once. The streaming pipeline gets the same
+    # effect from its persist() in process_batch.
+    parsed = parsed.repartition(spark.sparkContext.defaultParallelism)
     good, _bad = split_valid(convert_and_validate(parsed, "v", EVENT_VALUE_SCHEMA, corrupt_field="_corrupt"))
     return good.select(
         F.col("v.event_id").alias("event_id"),

@@ -5,7 +5,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs, cosine_topk, lsh_topk
+from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_near_dup_pairs_blocked,
+    cosine_topk,
+    lsh_topk,
+)
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
@@ -66,24 +71,39 @@ def q36_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_embedding_near_dups",
     oracle=f"""
     WITH n AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / {_NORM.format(a='embedding')}) AS nv
-      FROM embeddings
-    )
-    , scored AS (
+      SELECT vec_id, embedding, {_NORM.format(a='embedding')} AS nn
+      FROM embeddings WHERE label <= 2
+    ),
+    scored AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round({_DOT.format(a='a.nv', b='b.nv')}, 6) AS cosine
+             round({_DOT.format(a='a.embedding', b='b.embedding')} / (a.nn * b.nn), 6) AS cosine
       FROM n a JOIN n b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM scored
-    WHERE cosine >= 0.4
+    WHERE cosine >= 0.35
     ORDER BY id_a, id_b
     """,
 )
 def q37_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine >= 0.4), exact all-pairs.
+    """Embedding-cosine near-dup pairs (cosine >= 0.35), exact all-pairs
+    over the label<=2 slice — the serial-fold form whose float semantics
+    the SQL oracle reproduces bit-for-bit.
 
-    Normalization happens once per vector before the pair join, so each
-    pair costs exactly one dot product.
+    The full-corpus scale path is q38 (BLAS-blocked); pytest asserts the
+    two agree. Norms ride as scalar columns so each pair costs one fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") <= 2)
+    return cosine_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+@query("q38_embedding_near_dups_blocked")  # numpy sum order != serial SQL sum -> rows-only
+def q38_embedding_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus embedding near-dup pairs via the BLAS-vectorized kernel.
+
+    ~30x the fold form at 2M pairs; equivalence with the exact fold is
+    asserted in tests (identical pair sets, cosine within 1e-9) rather
+    than by SQL oracle, because matmul reduction order differs from the
+    serial sum in the last ulp.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.4).orderBy("id_a", "id_b")
+    return cosine_near_dup_pairs_blocked(emb, threshold=0.35).orderBy("id_a", "id_b")

@@ -43,6 +43,20 @@ def test_simhash_flags_planted_near_dups(spark, sf_dir):
     assert len(sim) < n * 5
 
 
+def test_blocked_cosine_pairs_match_exact_fold(spark, sf_dir):
+    """The BLAS-vectorized all-pairs kernel must reproduce the expression-
+    tree fold exactly: same pair set, cosines within float-reduction ulps."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs, cosine_near_dup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b): r.cosine for r in cosine_near_dup_pairs(emb, threshold=0.35).collect()}
+    fast = {(r.id_a, r.id_b): r.cosine for r in cosine_near_dup_pairs_blocked(emb, threshold=0.35).collect()}
+    assert set(exact) == set(fast)
+    assert len(exact) > 0
+    for k in exact:
+        assert abs(exact[k] - fast[k]) <= 1e-6
+
+
 def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
