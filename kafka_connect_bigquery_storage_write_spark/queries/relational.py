@@ -762,6 +762,106 @@ def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # E12 explode (array -> rows) with posexplode
 # --------------------------------------------------------------------------
+# --------------------------------------------------------------------------
+# E8 explicit GROUPING SETS through the SQL entry point
+# --------------------------------------------------------------------------
+@query(
+    "q25_grouping_sets_sql",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus)     AS g_status,
+           grouping(o_orderpriority)   AS g_priority,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q25_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS + grouping() markers, via spark.sql.
+
+    Also exercises the engine's third entry point (SQL text -> Catalyst);
+    the DataFrame and SQL APIs compile to identical plans.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS BIGINT)   AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+               count(*)                                  AS n_orders,
+               round(sum(o_totalprice), 2)               AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# E12 map functions over a real MapType column
+# --------------------------------------------------------------------------
+@query(
+    "q26_map_functions",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)                   AS prop_keys,
+           len(json_keys(props))              AS n_keys,
+           CAST(props->>'k' AS BIGINT)        AS k_value
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def q26_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse props into map<string,long>, then
+    map_keys/size/element_at — the reference's MAP lattice entry (string
+    keys enforced by the schema) exercised on real data."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "k").alias("k_value"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# E13 exact percentiles (continuous interpolation)
+# --------------------------------------------------------------------------
+@query(
+    "q27_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.90), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q27_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    `percentile` == DuckDB `quantile_cont`). The approximate form
+    (approx_percentile / Greenwald-Khanna) is the scale path; exactness
+    here gives the oracle check."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 @query(
     "q24_explode_tokens",
     oracle="""

@@ -1,0 +1,104 @@
+"""Micro-batch boundary behavior: multiple trigger batches land as
+separate idempotent batch dirs in the manifest sink (R7/R9/R14), and the
+session window runs as a real streaming stateful aggregation (E17)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+from kafka_connect_bigquery_storage_write_spark.streaming import IngestPipeline
+
+KV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("int_value", T.LongType(), False),
+    ]
+)
+
+
+def test_multiple_microbatches_create_separate_manifest_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over 3 source files -> 3 foreachBatch calls ->
+    3 committed batch ids, each visible, none duplicated."""
+    src = tmp_path / "src"
+    env_schema = "topic string, partition int, offset long, key string, value string"
+    for i in range(3):
+        rows = [("t", 0, i * 10 + j, f"k{i}-{j}", json.dumps({"id": f"id-{i}-{j}", "int_value": j})) for j in range(10)]
+        spark.createDataFrame(rows, env_schema).coalesce(1).write.mode("append").json(str(src))
+
+    cfg = PipelineConfig(
+        sink_path=str(tmp_path / "sink"),
+        dlq_path=str(tmp_path / "dlq"),
+        checkpoint_path=str(tmp_path / "ckpt"),
+        write_mode="committed",
+    )
+    p = IngestPipeline(config=cfg, value_schema=KV_SCHEMA)
+    stream = spark.readStream.schema(env_schema).option("maxFilesPerTrigger", "1").json(str(src))
+    q = p.start_stream(stream, trigger_once=True)
+    q.awaitTermination(180)
+
+    assert p._sink.committed_ids() == [0, 1, 2]
+    assert p.read_sink(spark).count() == 30
+    assert [s.batch_id for s in p.stats] == [0, 1, 2]
+
+
+def test_session_window_streaming_mode(spark, tmp_path):
+    """session_window as a real streaming stateful agg with watermark."""
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    raw = "user_id long, ts string, value double"
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:05:00", 1.0),   # same session (gap 5m < 10m)
+        (1, "2024-01-01 11:00:00", 1.0),   # new session
+        (2, "2024-01-01 10:00:00", 1.0),
+        (9, "2024-01-01 15:00:00", 1.0),   # advances watermark far enough to close all above
+    ]
+    df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").json(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").json(str(src))
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("w.start").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.user_id, r.start.strftime("%H:%M")): r.n for r in spark.read.parquet(str(out)).collect()}
+    assert got[(1, "10:00")] == 2  # merged session
+    assert got[(1, "11:00")] == 1
+    assert got[(2, "10:00")] == 1
+
+
+def test_kafka_builder_options():
+    """Kafka source builders validate knobs without needing a broker."""
+    import pytest
+
+    from kafka_connect_bigquery_storage_write_spark.sources.kafka import kafka_stream
+
+    with pytest.raises(ValueError, match="max_offsets_per_trigger"):
+        kafka_stream(None, "localhost:9092", "t", max_offsets_per_trigger=0)
+
+
+def test_bpe_ish_token_count(spark):
+    from kafka_connect_bigquery_storage_write_spark.operators.text import bpe_ish_token_count, token_count
+
+    df = spark.createDataFrame([("hello world, it's 2024ad!",)], "text string")
+    row = df.select(
+        token_count("text").alias("ws"), bpe_ish_token_count("text").alias("bpe")
+    ).collect()[0]
+    assert row.ws == 4
+    # sub-word splits: hello | world | , | it | ' | s | 2024 | ad | !
+    assert row.bpe > row.ws
