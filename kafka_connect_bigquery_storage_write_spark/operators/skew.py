@@ -1,0 +1,79 @@
+"""Skew mitigation (SURVEY.md scale mandate): salting for hot keys.
+
+AQE's skew-join handling (on in session.py) covers sort-merge joins at
+runtime; these utilities cover the cases AQE can't re-plan — skewed
+aggregations and broadcast-averse joins — with explicit salt columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-stage aggregation through a salt: (key, salt) partial -> key final.
+
+    For decomposable aggregates (sum/count/min/max) on a skewed key, the
+    first stage spreads each hot key over ``salt_buckets`` reducers, the
+    second combines the partials — the classic fix when one key holds 10%
+    of a 100TB table. (Spark's own partial aggregation already does this
+    when the map side can combine; explicit salting matters when the
+    grouping cardinality is low AND skewed, defeating hash-partition
+    balance.)
+
+    aggs: {column: 'sum'|'count'|'min'|'max'} — decomposable only.
+    """
+    combiner = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in combiner:
+            raise ValueError(f"{fn!r} is not decomposable-salting-safe; use sum/count/min/max")
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        *[first[fn](c).alias(f"_p_{c}") for c, fn in aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[combiner[fn](f"_p_{c}").alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the skewed side, replicate the other.
+
+    The skewed side gets a random salt in [0, buckets); the small side is
+    exploded ``buckets`` times so every (key, salt) finds its partner. Use
+    when the build side is too big to broadcast but the probe side has hot
+    keys; replication factor = salt_buckets, so size the bucket count to
+    the skew ratio, not higher.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (skewed side preserved)")
+    salted = skewed.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    replicated = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    out = salted.join(replicated, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def skew_profile(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFrame:
+    """Key-frequency profile: the diagnostic before choosing a strategy.
+    Returns the top-N keys with count and share of total."""
+    total = df.count()
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+        .orderBy(F.col("n_rows").desc())
+        .limit(top_n)
+    )

@@ -763,6 +763,119 @@ def q23_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # E12 explode (array -> rows) with posexplode
 # --------------------------------------------------------------------------
 # --------------------------------------------------------------------------
+# E5 full outer join (both unmatched sides preserved)
+# --------------------------------------------------------------------------
+@query(
+    "q28_full_outer_presence",
+    oracle="""
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(c.n_customers, 0)         AS n_customers,
+           coalesce(s.n_suppliers, 0)         AS n_suppliers
+    FROM (SELECT c_nationkey AS nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+    USING (nationkey)
+    ORDER BY nationkey
+    """,
+)
+def q28_full_outer_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: nations present on either side survive with zero
+    counts on the missing side. Aggregate-before-join keeps both inputs
+    tiny regardless of fact-table scale."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E11 bag-semantics set ops (INTERSECT ALL / EXCEPT ALL)
+# --------------------------------------------------------------------------
+@query(
+    "q29_bag_setops",
+    oracle="""
+    SELECT 'inter_all' AS src, nationkey, count(*) AS n FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT ALL
+      SELECT s_nationkey AS nationkey FROM supplier
+    ) GROUP BY 2
+    UNION ALL
+    SELECT 'except_all' AS src, nationkey, count(*) AS n FROM (
+      SELECT s_nationkey AS nationkey FROM supplier
+      EXCEPT ALL
+      SELECT c_nationkey AS nationkey FROM customer
+    ) GROUP BY 2
+    ORDER BY src, nationkey
+    """,
+)
+def q29_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL: multiplicity-preserving set operations
+    (min / difference of occurrence counts respectively)."""
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = (
+        cust.intersectAll(supp)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("inter_all").alias("src"), "nationkey", "n")
+    )
+    exc = (
+        supp.exceptAll(cust)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("src"), "nationkey", "n")
+    )
+    return inter.unionAll(exc).orderBy("src", "nationkey")
+
+
+# --------------------------------------------------------------------------
+# E7/E12 pivot (wide aggregation)
+# --------------------------------------------------------------------------
+@query(
+    "q34_pivot_status_matrix",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0), 2) AS qty_F,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q34_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns. Explicit value list keeps
+    the plan single-pass (no distinct-value pre-scan) — the only form that
+    scales, since implicit pivot collects the value set on the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+        .select(
+            "l_returnflag",
+            F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+            F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
 # E8 explicit GROUPING SETS through the SQL entry point
 # --------------------------------------------------------------------------
 @query(
