@@ -26,8 +26,20 @@ def main() -> None:
     spark = get_spark(app_name="kafka_connect_bigquery_storage_write_spark-bench", cpus=CPUS, shuffle_partitions=CPUS)
     load_all()
 
-    # warm the JVM/codegen once on a trivial plan so q01 doesn't pay startup
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the JVM/codegen paths the suite uses (parquet scan, hash agg,
+    # broadcast join, window, JSON) so the first timed query doesn't pay
+    # one-time compilation costs
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).limit(50_000)
+    ords = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet")).limit(10_000)
+    (
+        li.join(F.broadcast(ords), li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.sum("l_quantity"), F.countDistinct("o_custkey"))
+        .collect()
+    )
+    spark.range(10_000).select(F.from_json(F.to_json(F.struct("id")), "id long")).count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -69,13 +69,17 @@ def q70_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = env.withColumn(
         "v", F.from_json("value", parse_schema, {"columnNameOfCorruptRecord": "_corrupt"})
     )
-    # exchange barrier: downstream validation + projection reference the
-    # parsed struct many times, and collapsed projections re-evaluate
-    # from_json per reference (measured 2.5x on this query); the shuffle
-    # materializes the parse once. The streaming pipeline gets the same
-    # effect from its persist() in process_batch.
-    parsed = parsed.repartition(spark.sparkContext.defaultParallelism)
-    good, _bad = split_valid(convert_and_validate(parsed, "v", EVENT_VALUE_SCHEMA, corrupt_field="_corrupt"))
+    validated = convert_and_validate(parsed, "v", EVENT_VALUE_SCHEMA, corrupt_field="_corrupt")
+    # exchange barrier AFTER validation: downstream filter + projection
+    # reference the parsed struct and the _errors array many times, and
+    # projection collapse re-evaluates from_json / the error array per
+    # reference (measured 2.5x on this query). The shuffle materializes
+    # both once. The streaming pipeline gets the same effect from its
+    # persist() in process_batch.
+    validated = validated.repartition(spark.sparkContext.defaultParallelism)
+    good, _bad = split_valid(validated)
+    # no global sort: the harness compares order-insensitively, and sorting
+    # the full relation is exactly what we'd never do at 100TB
     return good.select(
         F.col("v.event_id").alias("event_id"),
         F.to_timestamp(F.col("v.ts"), _TS_FMT).alias("ts"),
@@ -83,7 +87,7 @@ def q70_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.event_type").alias("event_type"),
         F.col("v.value").alias("value"),
         F.col("v.props").alias("props"),
-    ).orderBy("event_id")
+    )
 
 
 @query(
@@ -114,4 +118,4 @@ def q71_ingest_pipeline_committed(spark: SparkSession, sf_dir: str) -> DataFrame
     cfg = PipelineConfig(sink_path=f"{root}/sink", dlq_path=f"{root}/dlq", write_mode="committed")
     pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
     pipe.run_batch(env, batch_id=0)
-    return pipe.read_sink(spark).orderBy("event_id")
+    return pipe.read_sink(spark)

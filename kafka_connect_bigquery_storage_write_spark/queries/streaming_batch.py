@@ -138,4 +138,4 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     doubled = ev.unionAll(ev)
-    return doubled.dropDuplicates(["event_id"]).orderBy("event_id")
+    return doubled.dropDuplicates(["event_id"])

@@ -45,7 +45,7 @@ def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd higher-order function over the text column.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return text_stats(docs).orderBy("doc_id")
+    return text_stats(docs)
 
 
 @query(
