@@ -1,0 +1,77 @@
+"""Temporal join query entries: as-of join and range join (custom
+operators Spark lacks, built from compositions per SURVEY's strategy)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.operators.temporal import asof_join
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+PRICE_BANDS = [(0, 0.0, 400.0), (1, 400.0, 800.0), (2, 800.0, 1200.0), (3, 1200.0, 1e9)]
+
+
+@query(
+    "q54_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           round(p.p_value, 2) AS p_value,
+           p.p_ts              AS p_ts
+    FROM clicks c ASOF JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.p_ts
+    ORDER BY c.event_id
+    """,
+)
+def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click matched to the user's most recent
+    purchase at or before it. Implemented as union + single window pass
+    (one shuffle, one sort — no per-row lookups); the oracle is DuckDB's
+    native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.round("value", 2).alias("p_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join(
+        clicks, purchases, by="user_id", left_ts="ts", right_ts="p_ts",
+        right_payload=["p_value", "p_ts"], how="inner",
+    ).select("event_id", "user_id", "p_value", "p_ts").orderBy("event_id")
+
+
+@query(
+    "q55_range_join_bands",
+    oracle="""
+    WITH bands(band_id, lo, hi) AS (
+      VALUES (0, 0.0, 400.0), (1, 400.0, 800.0), (2, 800.0, 1200.0), (3, 1200.0, 1e9)
+    )
+    SELECT band_id, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+    FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band_id
+    ORDER BY band_id
+    """,
+)
+def q55_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: parts classified into price bands.
+
+    The bands relation broadcasts, so the non-equi predicate evaluates
+    stream-side with no shuffle — the right plan for any interval-
+    classification join where one side is small."""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(PRICE_BANDS, "band_id int, lo double, hi double")
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .orderBy("band_id")
+    )
