@@ -133,6 +133,99 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse k-means quantizer ->
+    probe the n_probe nearest lists -> exact rescore on candidates.
+
+    Training runs on a bounded reservoir sample on the driver (numpy
+    k-means, deterministic seed) — at any corpus scale the trained object
+    stays n_lists x dim. Assignment and probing are broadcast matmuls in
+    Arrow batches; the corpus is touched in exactly one narrow pass, and
+    each query rescales only ~n_probe/n_lists of it. Recall tunes with
+    n_probe (= n_lists reproduces brute force).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sample = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    sc = corpus.sparkSession.sparkContext
+    b_cents = sc.broadcast(cents)
+
+    def assign_lists(n_top: int):
+        out_schema = T.StructType(
+            [
+                T.StructField("_id", T.LongType(), False),
+                T.StructField("list_id", T.IntegerType(), False),
+                T.StructField("_vec", T.ArrayType(T.DoubleType()), False),
+            ]
+        )
+
+        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            c = b_cents.value
+            for pdf in batches:
+                v = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+                sims = vn @ c.T
+                top = np.argsort(-sims, axis=1)[:, :n_top]
+                n = len(pdf)
+                # carry the NORMALIZED vector so the rescore dot == cosine
+                yield pd.DataFrame(
+                    {
+                        "_id": np.repeat(pdf.iloc[:, 0].to_numpy(), n_top),
+                        "list_id": top.reshape(-1).astype(np.int32),
+                        "_vec": [vn[i].tolist() for i in np.repeat(np.arange(n), n_top)],
+                    }
+                )
+
+        return kern, out_schema
+
+    ck, cs = assign_lists(1)
+    corpus_lists = corpus.select(id_col, vec_col).mapInPandas(ck, schema=cs).withColumnsRenamed(
+        {"_id": "neighbor_id", "_vec": "_cvec"}
+    )
+    qk, qs = assign_lists(n_probe)
+    query_lists = queries.select(query_id_col, vec_col).mapInPandas(qk, schema=qs).withColumnsRenamed(
+        {"_id": query_id_col, "_vec": "_qvec"}
+    )
+    cand = (
+        corpus_lists.join(F.broadcast(query_lists), "list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("cosine", F.round(dot(F.col("_qvec"), F.col("_cvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs_blocked(
     df: DataFrame,
     threshold: float = 0.3,

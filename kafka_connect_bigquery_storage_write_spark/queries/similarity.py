@@ -55,6 +55,18 @@ def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+@query("q39_ivf_ann_topk")  # approximate by design -> rows-only; recall vs brute force in pytest
+def q39_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: coarse k-means lists (trained on a bounded
+    driver sample), n_probe-list probing, exact rescoring on candidates —
+    the inverted-file scale path alongside LSH (q36)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).orderBy("query_id", "rank")
+
+
 @query("q36_lsh_ann_topk")  # approximate by design -> rows-only; recall vs brute force in pytest
 def q36_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (16 planes, 4 bands).

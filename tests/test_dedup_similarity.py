@@ -57,6 +57,21 @@ def test_blocked_cosine_pairs_match_exact_fold(spark, sf_dir):
         assert abs(exact[k] - fast[k]) <= 1e-6
 
 
+def test_ivf_ann_recall_against_brute_force(spark, sf_dir):
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx_rows = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # full probing must reproduce brute force exactly (pair sets equal)
+    full = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()}
+    assert full == exact
+
+
 def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
