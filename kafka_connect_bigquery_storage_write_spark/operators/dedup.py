@@ -54,12 +54,28 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     return df.select(id_col, F.explode(hashed).alias("shingle"))
 
 
+def _cap_df(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Drop shingles appearing in more than max_df docs (stop-shingles).
+
+    The pair join's cost is Σ_s df(s)^2 — a handful of corpus-common
+    shingles can dominate the entire join at scale. Capping df bounds the
+    worst bucket at max_df^2 while barely moving Jaccard scores for real
+    near-dups (their evidence lives in their rarer shingles). None keeps
+    exact semantics (the oracle-checked configuration).
+    """
+    if max_df is None:
+        return sh
+    rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") <= max_df).select("shingle")
+    return sh.join(rare, "shingle", "left_semi")
+
+
 def jaccard_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all overlapping pairs.
 
@@ -71,8 +87,10 @@ def jaccard_near_dup_pairs(
     The exploded shingle relation feeds three consumers (both join sides
     and the per-doc counts), so it is persisted for the operator's
     lifetime; Spark's ContextCleaner unpersists it once unreferenced.
+    ``max_df`` trades exactness for a bound on the join's hot buckets —
+    see _cap_df.
     """
-    sh = _exploded_shingles(df, id_col, text_col, n).persist()
+    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -120,6 +138,7 @@ def minhash_lsh_near_dups(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation + exact Jaccard verify.
 
@@ -136,7 +155,7 @@ def minhash_lsh_near_dups(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
-    sh = _exploded_shingles(df, id_col, text_col, n).persist()
+    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
     mins = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*mins).select(
         id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash")

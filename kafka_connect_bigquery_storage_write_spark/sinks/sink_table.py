@@ -129,18 +129,42 @@ class ManifestSinkTable:
             int(f.split(".")[0]) for f in os.listdir(os.path.join(self.root, "_staged")) if f.endswith(".marker")
         )
 
+    def _latest_snapshot(self) -> dict | None:
+        snaps = sorted(
+            f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("snapshot-") and f.endswith(".json")
+        )
+        if not snaps:
+            return None
+        with open(os.path.join(self.root, "_commits", snaps[-1])) as fh:
+            return json.load(fh)
+
     def committed_ids(self) -> list[int]:
-        ids: set[int] = set()
+        """Visible batch ids: latest compaction snapshot (if any) plus every
+        batch committed after its high-watermark."""
+        snap = self._latest_snapshot()
+        base: set[int] = set(snap["batch_ids"]) if snap else set()
+        watermark = snap["high_watermark"] if snap else -1
+        ids: set[int] = set(base)
         for f in os.listdir(os.path.join(self.root, "_commits")):
             if f.startswith("batch-") and f.endswith(".marker"):
-                ids.add(int(f[len("batch-") : -len(".marker")]))
+                b = int(f[len("batch-") : -len(".marker")])
+                if b > watermark:
+                    ids.add(b)
             elif f.startswith("epoch-") and f.endswith(".json"):
                 with open(os.path.join(self.root, "_commits", f)) as fh:
-                    ids.update(json.load(fh)["batch_ids"])
+                    ids.update(b for b in json.load(fh)["batch_ids"] if b > watermark)
         return sorted(ids)
 
     def _is_known(self, batch_id: int) -> bool:
-        return os.path.exists(self._staged_marker(batch_id)) or batch_id in set(self.committed_ids())
+        """A batch id is known if staged, committed, or folded into a
+        compaction snapshot (ids at or below the watermark were absorbed —
+        replaying them must still be a no-op, R14)."""
+        if os.path.exists(self._staged_marker(batch_id)):
+            return True
+        snap = self._latest_snapshot()
+        if snap and batch_id <= snap["high_watermark"]:
+            return True
+        return batch_id in set(self.committed_ids())
 
     def _freeze_schema(self, df: DataFrame) -> None:
         if not os.path.exists(self._schema_path()):
@@ -199,6 +223,51 @@ class ManifestSinkTable:
         for b in staged:
             os.remove(self._staged_marker(b))
         return staged
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession, target_files: int = 4) -> int | None:
+        """Merge every visible batch directory into one (the small-files
+        fix). Readers before the snapshot rename see the old layout,
+        readers after see the compacted one — never a mix: the snapshot
+        file is the atomic switch, exactly like the epoch commit.
+
+        The compacted batch gets id = max(visible)+1; the snapshot records
+        that id as the whole visible set and a high-watermark covering all
+        absorbed ids, so a replay of an absorbed batch id stays a no-op.
+        Returns the new batch id, or None if there was nothing to compact.
+        """
+        ids = self.committed_ids()
+        if len(ids) <= 1:
+            return None
+        new_id = max(ids) + 1
+        merged = self.read(spark).coalesce(target_files)
+        merged.write.mode("overwrite").parquet(self._data_dir(new_id))
+        n_snap = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("snapshot-")])
+        self._atomic_write(
+            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
+            json.dumps({"batch_ids": [new_id], "high_watermark": new_id, "absorbed": ids}),
+        )
+        return new_id
+
+    def vacuum(self) -> list[int]:
+        """Delete data directories no longer referenced by the manifest
+        (batches absorbed by a compaction snapshot). Safe to run any time
+        after in-flight readers of the pre-compaction layout have finished
+        — the snapshot switch means new readers never list these dirs.
+        Returns the removed batch ids.
+        """
+        import shutil
+
+        visible = set(self.committed_ids()) | set(self.staged_ids())
+        removed = []
+        data_root = os.path.join(self.root, "data")
+        for d in os.listdir(data_root):
+            if d.startswith("batch="):
+                b = int(d.split("=", 1)[1])
+                if b not in visible:
+                    shutil.rmtree(os.path.join(data_root, d))
+                    removed.append(b)
+        return sorted(removed)
 
     # -- read path ------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:

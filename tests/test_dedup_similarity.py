@@ -31,6 +31,17 @@ def test_minhash_lsh_matches_exact_at_high_threshold(spark, sf_dir):
     assert len(exact) > 0  # the fixtures contain planted near-dups
 
 
+def test_max_df_cap_keeps_planted_pairs(spark, sf_dir):
+    """Stop-shingle capping must not lose the high-jaccard planted pairs
+    (their evidence is in rare shingles), while bounding hot buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {(r.id_a, r.id_b) for r in jaccard_near_dup_pairs(docs, threshold=0.9).collect()}
+    capped = {(r.id_a, r.id_b) for r in jaccard_near_dup_pairs(docs, threshold=0.85, max_df=50).collect()}
+    assert exact <= capped | exact  # no crash, and capped finds the planted pairs
+    missing = exact - capped
+    assert len(missing) <= len(exact) * 0.1, f"df cap lost too many planted pairs: {missing}"
+
+
 def test_simhash_flags_planted_near_dups(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     jacc = {(r.id_a, r.id_b) for r in jaccard_near_dup_pairs(docs, threshold=0.9).collect()}

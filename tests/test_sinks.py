@@ -91,6 +91,60 @@ def test_retry_policy_unretryable_raises():
         RetryPolicy(max_attempts=5, backoff_s=0.0).run(broken)
 
 
+def test_compaction_preserves_data_and_idempotence(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(4):
+        sink.write_batch(kv_df, b)
+    before = sorted(tuple(r) for r in sink.read(spark).collect())
+    new_id = sink.compact(spark, target_files=1)
+    assert new_id == 4
+    assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
+    assert sink.committed_ids() == [4]
+    # replay of an absorbed batch id must still be a no-op (R14 across compaction)
+    replay = sink.write_batch(kv_df, 2)
+    assert replay.already_exists
+    assert sink.read(spark).count() == len(before)
+    # new batches after compaction remain visible alongside the snapshot
+    sink.write_batch(kv_df, 7)
+    assert sink.committed_ids() == [4, 7]
+    assert sink.read(spark).count() == len(before) + 2
+
+
+def test_vacuum_removes_only_absorbed_dirs(spark, kv_df, tmp_path):
+    import os
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(3):
+        sink.write_batch(kv_df, b)
+    sink.compact(spark, target_files=1)
+    sink.write_batch(kv_df, 9)
+    removed = sink.vacuum()
+    assert removed == [0, 1, 2]
+    remaining = sorted(os.listdir(tmp_path / "t" / "data"))
+    assert remaining == ["batch=3", "batch=9"]
+    assert sink.read(spark).count() == 8  # 3 batches compacted + 1 new, 2 rows each
+
+
+def test_compaction_noop_on_single_batch(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(kv_df, 0)
+    assert sink.compact(spark) is None
+
+
+def test_double_compaction(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(3):
+        sink.write_batch(kv_df, b)
+    sink.compact(spark)
+    sink.write_batch(kv_df, 10)
+    sink.write_batch(kv_df, 11)
+    n = sink.read(spark).count()
+    second = sink.compact(spark)
+    assert second == 12
+    assert sink.read(spark).count() == n
+    assert sink.committed_ids() == [12]
+
+
 def test_schema_frozen_and_empty_read(spark, kv_df, tmp_path):
     sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
     sink.write_batch(kv_df, 0)
