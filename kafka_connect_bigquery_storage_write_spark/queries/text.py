@@ -101,6 +101,78 @@ def q42_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q44_train_test_split",
+    oracle="""
+    SELECT split,
+           count(*)                  AS n_docs,
+           sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_tokens
+    FROM (
+      SELECT text,
+             CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 10 < 8
+                  THEN 'train' ELSE 'held_out' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q44_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/held-out split (80/20 by md5 of the
+    doc id) — reproducible across runs, engines, and cluster sizes, unlike
+    randomSplit. The standard way to carve eval sets from a corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    return (
+        docs.withColumn("split", F.when(bucket < 8, "train").otherwise("held_out"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q45_token_budget",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS total FROM per_source)
+    SELECT source, n_tokens,
+           round(n_tokens * 1.0 / total, 6) AS share,
+           round(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0 / total, 6)          AS cum_share
+    FROM per_source, tot
+    ORDER BY n_tokens DESC, source
+    """,
+)
+def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget per source with cumulative corpus share — the query a
+    data-mixing pipeline runs to weight sources. Analytic window over an
+    aggregate; the broadcast scalar total avoids a second scan."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))).alias("n_tokens")
+    )
+    w = W.orderBy(F.col("n_tokens").desc(), F.col("source")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    total_w = W.partitionBy()
+    return (
+        per_source.withColumn("share", F.round(F.col("n_tokens") / F.sum("n_tokens").over(total_w), 6))
+        .withColumn("cum_share", F.round(F.sum("n_tokens").over(w) / F.sum("n_tokens").over(total_w), 6))
+        .select("source", "n_tokens", "share", "cum_share")
+        .orderBy(F.col("n_tokens").desc(), F.col("source"))
+    )
+
+
+@query(
     "q43_quality_filter",
     oracle=f"""
     SELECT doc_id, lang, {_QUALITY} AS quality, round({_STOP_RATIO}, 6) AS en_score
