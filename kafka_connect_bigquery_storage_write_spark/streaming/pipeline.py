@@ -31,7 +31,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
 from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
-from kafka_connect_bigquery_storage_write_spark.schema.convert import ERROR_COL, convert_and_validate, project_to_sink_schema, split_valid
+from kafka_connect_bigquery_storage_write_spark.schema.convert import ERROR_COL, VALID_COL, convert_and_validate, project_to_sink_schema, split_valid
 from kafka_connect_bigquery_storage_write_spark.sinks.dlq import DeadLetterQueue
 from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
 
@@ -105,19 +105,23 @@ class IngestPipeline:
         # cache: the split is consumed twice (sink write + dlq write + counts)
         validated = validated.persist()
         try:
-            n_input = validated.count()
+            # one action for both counts instead of count() per branch
+            counts = validated.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum((~F.col(VALID_COL)).cast("long")), F.lit(0)).alias("nb"),
+            ).collect()[0]
+            n_input, n_bad = counts.n, counts.nb
             good_rows = project_to_sink_schema(good, "_value_struct", self.sink_schema)
             if self.config.parallelism_hint:
                 good_rows = good_rows.repartition(self.config.parallelism_hint)
             result = self._sink.write_batch(good_rows, batch_id)
-            n_bad = 0
-            if self._dlq is not None and not result.already_exists:
+            if result.already_exists:
+                n_bad = 0
+            elif self._dlq is not None and n_bad:
                 bad_out = bad.select(
                     "topic", "partition", "offset", "key", F.col("value").cast("string").alias("value"), ERROR_COL
                 ) if set(KAFKA_ENVELOPE) <= set(bad.columns) else bad.drop("_value_struct")
-                n_bad = bad_out.count()
-                if n_bad:
-                    self._dlq.write(bad_out, batch_id)
+                self._dlq.write(bad_out, batch_id)
             stats = BatchStats(
                 batch_id=batch_id,
                 input_rows=n_input,
