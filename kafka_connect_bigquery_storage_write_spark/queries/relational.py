@@ -639,8 +639,8 @@ def q19_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
            round(abs(l_discount - 0.05), 4)   AS disc_dev,
-           ceil(l_quantity / 10.0)            AS qty_decile,
-           floor(l_extendedprice / 1000.0)    AS price_kbucket,
+           CAST(ceil(l_quantity / 10.0) AS BIGINT)         AS qty_decile,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
            mod(l_orderkey, 7)                 AS key_mod,
            round(sqrt(l_quantity), 4)         AS qty_sqrt
     FROM lineitem
@@ -707,7 +707,7 @@ def q21_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*)                                              AS n_events,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -919,7 +919,7 @@ def q25_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_map_functions",
     oracle="""
     SELECT event_id,
-           json_keys(props)                   AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            len(json_keys(props))              AS n_keys,
            CAST(props->>'k' AS BIGINT)        AS k_value
     FROM events
@@ -930,12 +930,16 @@ def q25_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: parse props into map<string,long>, then
     map_keys/size/element_at — the reference's MAP lattice entry (string
-    keys enforced by the schema) exercised on real data."""
+    keys enforced by the schema) exercised on real data.
+
+    prop_keys is emitted as a sorted comma-joined string (not
+    array<string>) so the driver's pandas canonicalization can sort/hash
+    the column; the map surface itself is still fully exercised."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "k").alias("k_value"),
     ).orderBy("event_id")

@@ -105,7 +105,7 @@ def q42_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT split,
            count(*)                  AS n_docs,
-           sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_tokens
+           CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
     FROM (
       SELECT text,
              CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 10 < 8
@@ -139,7 +139,7 @@ def q44_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH per_source AS (
       SELECT source,
-             sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS n_tokens
+             CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source
     ),
     tot AS (SELECT sum(n_tokens) AS total FROM per_source)
