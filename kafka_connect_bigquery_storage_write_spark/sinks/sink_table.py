@@ -11,9 +11,16 @@ by manifest marker files, not by which parquet files exist.
 
     <root>/_schema.json              frozen table schema (first write wins)
     <root>/data/batch=<id>/*.parquet physical rows for one micro-batch
+    <root>/data/compacted-<n>/*.parquet merged rows from a compaction —
+                                     a SEPARATE namespace from micro-batch
+                                     ids, referenced only by its snapshot
     <root>/_staged/<id>.marker       batch written but invisible (pending)
     <root>/_commits/batch-<id>.marker  batch visible (committed mode)
     <root>/_commits/epoch-<n>.json   atomic publish of staged batch ids
+    <root>/_commits/snapshot-<n>.json compaction snapshot: the compacted
+                                     dir plus the EXPLICIT set of absorbed
+                                     micro-batch ids (no watermark — new
+                                     micro-batch ids are never shadowed)
 
 - COMMITTED mode: write data dir, then rename a marker into _commits —
   rows visible as soon as the append lands.
@@ -78,7 +85,7 @@ class RetryPolicy:
             attempt += 1
             try:
                 return fn()
-            except BaseException as exc:  # noqa: BLE001 - classified below
+            except Exception as exc:  # KeyboardInterrupt/SystemExit propagate
                 if not classify_retriable(exc) or attempt >= self.max_attempts:
                     raise UnretryableSinkError(str(exc)) from exc
                 time.sleep(self.backoff_s * (2 ** (attempt - 1)))
@@ -130,41 +137,53 @@ class ManifestSinkTable:
         )
 
     def _latest_snapshot(self) -> dict | None:
-        snaps = sorted(
-            f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("snapshot-") and f.endswith(".json")
-        )
-        if not snaps:
+        # numeric sort: 'snapshot-10.json' must beat 'snapshot-9.json'
+        # (lexicographic order would pick a stale snapshot from index 10 on)
+        idx = [
+            int(f[len("snapshot-") : -len(".json")])
+            for f in os.listdir(os.path.join(self.root, "_commits"))
+            if f.startswith("snapshot-") and f.endswith(".json")
+        ]
+        if not idx:
             return None
-        with open(os.path.join(self.root, "_commits", snaps[-1])) as fh:
+        with open(os.path.join(self.root, "_commits", f"snapshot-{max(idx)}.json")) as fh:
             return json.load(fh)
 
-    def committed_ids(self) -> list[int]:
-        """Visible batch ids: latest compaction snapshot (if any) plus every
-        batch committed after its high-watermark."""
+    def _snapshot_state(self) -> tuple[list[str], set[int]]:
+        """(compacted data dirs, absorbed micro-batch ids) of the latest
+        snapshot. Absorption is an explicit id set, never a watermark, so
+        fresh micro-batch ids can never collide with compaction state."""
         snap = self._latest_snapshot()
-        base: set[int] = set(snap["batch_ids"]) if snap else set()
-        watermark = snap["high_watermark"] if snap else -1
-        ids: set[int] = set(base)
+        if not snap:
+            return [], set()
+        return list(snap["compacted_dirs"]), set(snap["absorbed_batch_ids"])
+
+    def _marker_ids(self) -> set[int]:
+        """Every micro-batch id ever committed (markers + epoch files).
+        Markers survive compaction, so this set keeps absorbed replays
+        idempotent without any watermark over the shared id space."""
+        ids: set[int] = set()
         for f in os.listdir(os.path.join(self.root, "_commits")):
             if f.startswith("batch-") and f.endswith(".marker"):
-                b = int(f[len("batch-") : -len(".marker")])
-                if b > watermark:
-                    ids.add(b)
+                ids.add(int(f[len("batch-") : -len(".marker")]))
             elif f.startswith("epoch-") and f.endswith(".json"):
                 with open(os.path.join(self.root, "_commits", f)) as fh:
-                    ids.update(b for b in json.load(fh)["batch_ids"] if b > watermark)
-        return sorted(ids)
+                    ids.update(json.load(fh)["batch_ids"])
+        return ids
+
+    def committed_ids(self) -> list[int]:
+        """Micro-batch ids whose batch= directory is currently visible
+        (committed and not yet absorbed into a compaction snapshot)."""
+        _, absorbed = self._snapshot_state()
+        return sorted(self._marker_ids() - absorbed)
 
     def _is_known(self, batch_id: int) -> bool:
-        """A batch id is known if staged, committed, or folded into a
-        compaction snapshot (ids at or below the watermark were absorbed —
-        replaying them must still be a no-op, R14)."""
+        """A batch id is known if staged, committed, or absorbed by a
+        compaction snapshot — replaying any of them is a no-op (R14)."""
         if os.path.exists(self._staged_marker(batch_id)):
             return True
-        snap = self._latest_snapshot()
-        if snap and batch_id <= snap["high_watermark"]:
-            return True
-        return batch_id in set(self.committed_ids())
+        _, absorbed = self._snapshot_state()
+        return batch_id in absorbed or batch_id in self._marker_ids()
 
     def _freeze_schema(self, df: DataFrame) -> None:
         if not os.path.exists(self._schema_path()):
@@ -226,56 +245,77 @@ class ManifestSinkTable:
 
     # -- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 4) -> int | None:
-        """Merge every visible batch directory into one (the small-files
-        fix). Readers before the snapshot rename see the old layout,
-        readers after see the compacted one — never a mix: the snapshot
-        file is the atomic switch, exactly like the epoch commit.
+        """Merge everything visible into one compacted directory (the
+        small-files fix). Readers before the snapshot rename see the old
+        layout, readers after see the compacted one — never a mix: the
+        snapshot file is the atomic switch, exactly like the epoch commit.
 
-        The compacted batch gets id = max(visible)+1; the snapshot records
-        that id as the whole visible set and a high-watermark covering all
-        absorbed ids, so a replay of an absorbed batch id stays a no-op.
-        Returns the new batch id, or None if there was nothing to compact.
+        The compacted data lives under ``data/compacted-<n>`` — a separate
+        namespace from micro-batch ids, so the next live micro-batch
+        (whose id keeps counting up) can never be mistaken for compaction
+        output, and a staged pending batch can never be clobbered. The
+        snapshot records the explicit absorbed-id set; fresh ids above it
+        commit normally. Returns the snapshot index, or None if there was
+        nothing to compact.
         """
-        ids = self.committed_ids()
-        if len(ids) <= 1:
+        batch_ids = self.committed_ids()
+        prior_dirs, absorbed = self._snapshot_state()
+        if len(batch_ids) + len(prior_dirs) <= 1:
             return None
-        new_id = max(ids) + 1
+        snap = self._latest_snapshot()
+        n_snap = (snap["index"] + 1) if snap else 0
+        new_dir = f"compacted-{n_snap}"
         merged = self.read(spark).coalesce(target_files)
-        merged.write.mode("overwrite").parquet(self._data_dir(new_id))
-        n_snap = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("snapshot-")])
+        merged.write.mode("overwrite").parquet(os.path.join(self.root, "data", new_dir))
         self._atomic_write(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
-            json.dumps({"batch_ids": [new_id], "high_watermark": new_id, "absorbed": ids}),
+            json.dumps(
+                {
+                    "index": n_snap,
+                    "compacted_dirs": [new_dir],
+                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
+                }
+            ),
         )
-        return new_id
+        return n_snap
 
-    def vacuum(self) -> list[int]:
-        """Delete data directories no longer referenced by the manifest
-        (batches absorbed by a compaction snapshot). Safe to run any time
-        after in-flight readers of the pre-compaction layout have finished
-        — the snapshot switch means new readers never list these dirs.
-        Returns the removed batch ids.
+    def vacuum(self) -> list[str]:
+        """Delete data directories no longer referenced by the manifest:
+        batch dirs absorbed by a compaction snapshot and compacted dirs
+        superseded by a newer snapshot. Safe to run any time after
+        in-flight readers of the pre-compaction layout have finished —
+        the snapshot switch means new readers never list these dirs.
+        Returns the removed directory names.
         """
         import shutil
 
-        visible = set(self.committed_ids()) | set(self.staged_ids())
+        live_batches = set(self.committed_ids()) | set(self.staged_ids())
+        live_compacted, _ = self._snapshot_state()
         removed = []
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root):
             if d.startswith("batch="):
-                b = int(d.split("=", 1)[1])
-                if b not in visible:
-                    shutil.rmtree(os.path.join(data_root, d))
-                    removed.append(b)
+                if int(d.split("=", 1)[1]) in live_batches:
+                    continue
+            elif d.startswith("compacted-"):
+                if d in live_compacted:
+                    continue
+            else:
+                continue
+            shutil.rmtree(os.path.join(data_root, d))
+            removed.append(d)
         return sorted(removed)
 
     # -- read path ------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
-        """Visible rows = union of committed batch directories only."""
-        ids = self.committed_ids()
+        """Visible rows = latest compaction snapshot's dirs plus committed
+        batch directories not absorbed by it."""
+        compacted, _ = self._snapshot_state()
+        paths = [os.path.join(self.root, "data", d) for d in compacted]
+        paths += [self._data_dir(i) for i in self.committed_ids()]
         schema = self.schema()
-        if not ids:
+        if not paths:
             if schema is None:
                 raise ValueError(f"sink table at {self.root} has never been written")
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*[self._data_dir(i) for i in ids])
+        return spark.read.schema(schema).parquet(*paths)

@@ -114,14 +114,18 @@ class IngestPipeline:
             good_rows = project_to_sink_schema(good, "_value_struct", self.sink_schema)
             if self.config.parallelism_hint:
                 good_rows = good_rows.repartition(self.config.parallelism_hint)
-            result = self._sink.write_batch(good_rows, batch_id)
-            if result.already_exists:
-                n_bad = 0
-            elif self._dlq is not None and n_bad:
+            # DLQ first: if the driver crashes between the two writes, the
+            # replayed batch short-circuits on the sink's ALREADY_EXISTS, so
+            # a sink-first order would lose the bad rows forever. The DLQ
+            # write is idempotent (overwrite of its batch= dir), matching
+            # the reference's report-before-offset-commit ordering
+            # (BigqueryStorageWriteSinkTask.java:86-92).
+            if self._dlq is not None and n_bad:
                 bad_out = bad.select(
                     "topic", "partition", "offset", "key", F.col("value").cast("string").alias("value"), ERROR_COL
                 ) if set(KAFKA_ENVELOPE) <= set(bad.columns) else bad.drop("_value_struct")
                 self._dlq.write(bad_out, batch_id)
+            result = self._sink.write_batch(good_rows, batch_id)
             stats = BatchStats(
                 batch_id=batch_id,
                 input_rows=n_input,

@@ -83,6 +83,14 @@ def test_retry_policy_retries_then_succeeds():
     assert calls["n"] == 3
 
 
+def test_retry_policy_lets_shutdown_signals_propagate():
+    def interrupted():
+        raise KeyboardInterrupt
+
+    with pytest.raises(KeyboardInterrupt):
+        RetryPolicy(max_attempts=3, backoff_s=0.0).run(interrupted)
+
+
 def test_retry_policy_unretryable_raises():
     def broken():
         raise ValueError("bad schema")
@@ -96,18 +104,47 @@ def test_compaction_preserves_data_and_idempotence(spark, kv_df, tmp_path):
     for b in range(4):
         sink.write_batch(kv_df, b)
     before = sorted(tuple(r) for r in sink.read(spark).collect())
-    new_id = sink.compact(spark, target_files=1)
-    assert new_id == 4
+    snap_idx = sink.compact(spark, target_files=1)
+    assert snap_idx == 0
     assert sorted(tuple(r) for r in sink.read(spark).collect()) == before
-    assert sink.committed_ids() == [4]
+    assert sink.committed_ids() == []  # all absorbed into compacted-0
     # replay of an absorbed batch id must still be a no-op (R14 across compaction)
     replay = sink.write_batch(kv_df, 2)
     assert replay.already_exists
     assert sink.read(spark).count() == len(before)
     # new batches after compaction remain visible alongside the snapshot
     sink.write_batch(kv_df, 7)
-    assert sink.committed_ids() == [4, 7]
+    assert sink.committed_ids() == [7]
     assert sink.read(spark).count() == len(before) + 2
+
+
+def test_next_microbatch_after_compaction_not_dropped(spark, kv_df, tmp_path):
+    """The compacted output must not occupy the micro-batch id space: after
+    batches 0..3 are compacted, the stream's next batch id (4) must append
+    normally instead of being swallowed as ALREADY_EXISTS."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(4):
+        sink.write_batch(kv_df, b)
+    sink.compact(spark, target_files=1)
+    nxt = sink.write_batch(kv_df, 4)
+    assert not nxt.already_exists
+    assert sink.committed_ids() == [4]
+    assert sink.read(spark).count() == 10  # 4 compacted batches + batch 4
+
+
+def test_compaction_does_not_clobber_staged_pending_batch(spark, kv_df, tmp_path):
+    """Pending mode: a staged-but-uncommitted batch must survive a
+    compaction of the committed set (the old shared-id allocation could
+    overwrite its data directory)."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    sink.write_batch(kv_df, 0)
+    sink.write_batch(kv_df, 1)
+    assert sink.commit() == [0, 1]
+    sink.write_batch(kv_df, 2)  # staged, invisible
+    sink.compact(spark, target_files=1)
+    assert sink.read(spark).count() == 4  # staged batch still invisible
+    assert sink.commit() == [2]
+    assert sink.read(spark).count() == 6  # staged data intact post-compaction
 
 
 def test_vacuum_removes_only_absorbed_dirs(spark, kv_df, tmp_path):
@@ -119,9 +156,9 @@ def test_vacuum_removes_only_absorbed_dirs(spark, kv_df, tmp_path):
     sink.compact(spark, target_files=1)
     sink.write_batch(kv_df, 9)
     removed = sink.vacuum()
-    assert removed == [0, 1, 2]
+    assert removed == ["batch=0", "batch=1", "batch=2"]
     remaining = sorted(os.listdir(tmp_path / "t" / "data"))
-    assert remaining == ["batch=3", "batch=9"]
+    assert remaining == ["batch=9", "compacted-0"]
     assert sink.read(spark).count() == 8  # 3 batches compacted + 1 new, 2 rows each
 
 
@@ -140,9 +177,28 @@ def test_double_compaction(spark, kv_df, tmp_path):
     sink.write_batch(kv_df, 11)
     n = sink.read(spark).count()
     second = sink.compact(spark)
-    assert second == 12
+    assert second == 1
     assert sink.read(spark).count() == n
-    assert sink.committed_ids() == [12]
+    assert sink.committed_ids() == []
+    # superseded compacted-0 and absorbed batch dirs are vacuumable
+    removed = sink.vacuum()
+    assert "compacted-0" in removed
+    assert sink.read(spark).count() == n
+
+
+def test_snapshot_selection_is_numeric_past_ten(spark, kv_df, tmp_path):
+    """'snapshot-10' must supersede 'snapshot-9' (lexicographic filename
+    sort would pick the stale one and vacuum would then delete the live
+    compacted dir — permanent data loss from the 11th compaction on)."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(kv_df, 0)
+    for i in range(11):  # snapshots 0..10
+        sink.write_batch(kv_df, i + 1)
+        assert sink.compact(spark, target_files=1) == i
+    expected = 2 * 12  # 12 batches of 2 rows, all folded into compacted-10
+    assert sink.read(spark).count() == expected
+    sink.vacuum()
+    assert sink.read(spark).count() == expected
 
 
 def test_schema_frozen_and_empty_read(spark, kv_df, tmp_path):
