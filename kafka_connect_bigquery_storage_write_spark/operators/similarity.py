@@ -231,31 +231,38 @@ def cosine_near_dup_pairs_blocked(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, BLAS-vectorized (the fast path).
 
     The expression-tree form (cosine_near_dup_pairs) evaluates higher-
     order-function folds per pair — measured ~90ns/element, ~14s for 2M
-    pairs. Here each Arrow batch of rows multiplies against the corpus
-    matrix in one numpy matmul (~256M FLOPs -> milliseconds) and only
-    surviving pairs materialize.
+    pairs. Here the corpus is hashed into ``n_blocks`` row blocks, every
+    row is replicated to the block *pairs* containing its block (broadcast
+    join against an n_blocks*(n_blocks+1)/2-row pair relation), and each
+    group multiplies its two blocks in one numpy matmul; only surviving
+    pairs materialize. Every unordered row pair meets in exactly one block
+    pair, so no dedup pass is needed.
 
-    The corpus side rides a broadcast variable (fine to ~10M vectors on a
-    real cluster); beyond that, block both sides: crossJoin row-block ids
-    and run the same matmul kernel per block pair — same Arrow/mapInPandas
-    plumbing, no driver collect.
+    Scale: nothing is collected to the driver. Per-task state is two
+    blocks (~2N/n_blocks vectors); the price is an n_blocks-fold shuffle
+    replication of the corpus — the standard all-pairs trade
+    (communication vs per-task memory). Size n_blocks so a block fits an
+    executor: n_blocks ≈ N*dim*8B / (target block bytes); at fixture
+    scale the default 8 gives 36 parallel groups.
     """
-    from collections.abc import Iterator
-
     import pandas as pd
     from pyspark.sql import types as T
 
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-    sc = df.sparkSession.sparkContext
-    b_ids, b_mat = sc.broadcast(ids), sc.broadcast(mat)
+    spark = df.sparkSession
+    blocks = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
+    )
+    pair_rows = [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)]
+    pairs = spark.createDataFrame(pair_rows, "pa int, pb int")
+    rep = blocks.join(F.broadcast(pairs), (F.col("_blk") == F.col("pa")) | (F.col("_blk") == F.col("pb")))
 
     out_schema = T.StructType(
         [
@@ -264,24 +271,33 @@ def cosine_near_dup_pairs_blocked(
             T.StructField("cosine", T.DoubleType(), False),
         ]
     )
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"), "cosine": pd.Series(dtype="float64")})
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf[id_col].to_numpy()
-            sims = np.round(q @ all_mat.T, 6)  # round before threshold, like the fold path
-            qi, ci = np.nonzero((sims >= threshold) & (qids[:, None] < all_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": qids[qi],
-                    "id_b": all_ids[ci],
-                    "cosine": sims[qi, ci],
-                }
-            )
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = int(pdf["pa"].iloc[0]), int(pdf["pb"].iloc[0])
+        ids = pdf["_id"].to_numpy()
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if pa == pb:
+            sims = np.round(mat @ mat.T, 6)  # round before threshold, like the fold path
+            ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cosine": sims[ai, bi]})
+        amask = pdf["_blk"].to_numpy() == pa
+        if not amask.any() or amask.all():
+            return empty
+        a_ids, b_ids = ids[amask], ids[~amask]
+        sims = np.round(mat[amask] @ mat[~amask].T, 6)
+        ai, bi = np.nonzero(sims >= threshold)
+        ida, idb = a_ids[ai], b_ids[bi]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ida, idb),
+                "id_b": np.maximum(ida, idb),
+                "cosine": sims[ai, bi],
+            }
+        )
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema=out_schema)
+    return rep.groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
 
 
 def cosine_near_dup_pairs(

@@ -101,8 +101,11 @@ def q37_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the label<=2 slice — the serial-fold form whose float semantics
     the SQL oracle reproduces bit-for-bit.
 
-    The full-corpus scale path is q38 (BLAS-blocked); pytest asserts the
-    two agree. Norms ride as scalar columns so each pair costs one fold.
+    ORACLE/VERIFY BASELINE ONLY: this is O(n^2) by construction and must
+    never be the default dedup path. At scale use q32 (MinHash-LSH), q36
+    (hyperplane-LSH), or q38 (block-pair BLAS) — pytest asserts q38
+    agrees with this fold form exactly, which is why it exists. Norms
+    ride as scalar columns so each pair costs one fold.
     """
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") <= 2)
     return cosine_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
@@ -110,7 +113,10 @@ def q37_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q38_embedding_near_dups_blocked")  # numpy sum order != serial SQL sum -> rows-only
 def q38_embedding_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full-corpus embedding near-dup pairs via the BLAS-vectorized kernel.
+    """Full-corpus embedding near-dup pairs via the block-pair BLAS kernel:
+    rows hash into blocks, each block pair meets in one applyInPandas
+    group, one matmul per group — no driver collect, per-task memory
+    bounded by two blocks.
 
     ~30x the fold form at 2M pairs; equivalence with the exact fold is
     asserted in tests (identical pair sets, cosine within 1e-9) rather

@@ -68,6 +68,20 @@ def test_blocked_cosine_pairs_match_exact_fold(spark, sf_dir):
         assert abs(exact[k] - fast[k]) <= 1e-6
 
 
+def test_blocked_cosine_pairs_invariant_to_block_count(spark, sf_dir):
+    """Every unordered pair must meet in exactly one block pair regardless
+    of n_blocks (covers diagonal, off-diagonal, and empty-side groups)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    results = [
+        sorted((r.id_a, r.id_b, r.cosine) for r in cosine_near_dup_pairs_blocked(emb, threshold=0.35, n_blocks=n).collect())
+        for n in (1, 3, 16)
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
 def test_ivf_ann_recall_against_brute_force(spark, sf_dir):
     from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_topk, ivf_topk
 
