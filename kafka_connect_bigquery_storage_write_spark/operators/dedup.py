@@ -175,10 +175,20 @@ def minhash_lsh_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only, reusing the persisted shingle relation
-    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # exact verify on candidates only. The pair semi-join alone cannot be
+    # pushed below the shingle self-join, so first restrict the shingle
+    # relation to candidate DOCS — only their shingles enter the
+    # intersection join, keeping its cost Σ df^2 over candidate docs
+    # instead of the whole corpus (the exact path's bill).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    vsh = sh.join(cand_ids, id_col, "left_semi").persist()
+    counts = vsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = vsh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = vsh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -203,9 +213,20 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     Each token votes ±1 per bit (weighted by occurrence count); the
     fingerprint takes the sign. Hashing stays JVM-side (xxhash64, one
     projection); the 64-bit vote fold runs as a vectorized numpy kernel
-    over Arrow batches of (doc, [hashes]) — the pure-expression form (64
-    conditional aggregates per row) evaluated interpreted and measured
-    ~4x slower at 1M tokens.
+    over Arrow batches — the pure-expression form (64 conditional
+    aggregates per row) evaluated interpreted and measured ~4x slower at
+    1M tokens.
+
+    State is bounded for pathological documents: the numpy kernel runs
+    mapInPandas over the raw (doc, hash) token stream — no per-doc
+    grouping, no collect_list — folding each Arrow batch into PARTIAL
+    vote vectors (64 counters + token count) per doc-id seen in the
+    batch; a JVM-side aggregation then sums the partials and takes the
+    sign. Peak kernel state is one Arrow batch (~10k rows) regardless of
+    document length, where the old per-doc collect_list held every hash
+    of a document in one aggregation cell (fine for web pages, not for
+    book-length docs). The fingerprint is bit-identical to the
+    single-pass fold because vote addition is associative.
     """
     if bits != 64:
         raise ValueError("simhash is fixed at 64 bits (int64 fingerprint)")
@@ -217,28 +238,41 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
 
     toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(F.col("tok") != "")
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
-    grouped = hashed.groupBy(id_col).agg(F.collect_list("h").alias("hs"))
 
-    out_schema = T.StructType(
-        [
-            T.StructField(id_col, df.schema[id_col].dataType, False),
-            T.StructField("simhash", T.LongType(), False),
-        ]
+    partial_schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType, False)]
+        + [T.StructField(f"_o{j}", T.LongType(), False) for j in range(64)]
+        + [T.StructField("_n", T.LongType(), False)]
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def partial_votes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(64, dtype=np.int64)
         for pdf in batches:
-            fps = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["hs"]):
-                h = np.asarray(hs, dtype=np.int64)
-                # arithmetic >> then &1 == logical bit extraction for all 64 bits
-                ones = ((h[:, None] >> shifts) & 1).sum(axis=0)
-                votes = 2 * ones - len(h)
-                fps[i] = (np.uint64((votes > 0).astype(np.uint64) @ (np.uint64(1) << shifts.astype(np.uint64)))).astype(np.int64)
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": fps})
+            h = pdf["h"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            # arithmetic >> then &1 == logical bit extraction for all 64 bits
+            bit_mat = (h[:, None] >> shifts) & 1
+            uids, inv = np.unique(ids, return_inverse=True)
+            ones = np.zeros((len(uids), 64), dtype=np.int64)
+            np.add.at(ones, inv, bit_mat)
+            out = {id_col: uids}
+            for j in range(64):
+                out[f"_o{j}"] = ones[:, j]
+            out["_n"] = np.bincount(inv).astype(np.int64)
+            yield pd.DataFrame(out)
 
-    return grouped.mapInPandas(kernel, schema=out_schema)
+    partials = hashed.mapInPandas(partial_votes, schema=partial_schema)
+    sums = partials.groupBy(id_col).agg(
+        *[F.sum(f"_o{j}").alias(f"_o{j}") for j in range(64)],
+        F.sum("_n").alias("_n"),
+    )
+    # sign per bit: set iff 2*ones_j > n (votes > 0). Bit 63 is the int64
+    # sign bit: two's complement makes its contribution -2^63.
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        contrib = -(1 << 63) if j == 63 else (1 << j)
+        fp = fp + F.when(F.col(f"_o{j}") * 2 > F.col("_n"), F.lit(contrib).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sums.select(id_col, fp.alias("simhash"))
 
 
 def simhash_near_dups(

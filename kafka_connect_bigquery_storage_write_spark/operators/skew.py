@@ -52,15 +52,21 @@ def salted_join(
 ) -> DataFrame:
     """Skew-safe equi-join: salt the skewed side, replicate the other.
 
-    The skewed side gets a random salt in [0, buckets); the small side is
-    exploded ``buckets`` times so every (key, salt) finds its partner. Use
-    when the build side is too big to broadcast but the probe side has hot
-    keys; replication factor = salt_buckets, so size the bucket count to
-    the skew ratio, not higher.
+    The skewed side's salt is a hash of the whole row, NOT rand(): rand
+    is seeded per-partition, so a retried task whose upstream row order
+    shifted would re-draw different salts — replay-unstable plans. A
+    row-content hash assigns every row the same bucket on every replay
+    while still spreading a hot key's (non-identical) rows across
+    buckets. The small side is exploded ``buckets`` times so every
+    (key, salt) finds its partner. Use when the build side is too big to
+    broadcast but the probe side has hot keys; replication factor =
+    salt_buckets, so size the bucket count to the skew ratio, not higher.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (skewed side preserved)")
-    salted = skewed.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    salted = skewed.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)).cast("int")
+    )
     replicated = small.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
     out = salted.join(replicated, [key, "_salt"], how)
     return out.drop("_salt")

@@ -44,6 +44,18 @@ def test_salted_join_matches_plain_join(spark):
     assert {(r.k, r.n) for r in plain} == {(r.k, r.n) for r in salted}
 
 
+def test_salted_join_salt_is_replay_deterministic(spark):
+    """Hash-derived salt: two independent runs (fresh lineage, different
+    partitioning) must produce identical row-level results — rand()-based
+    salting could re-draw under task retry."""
+    dim = spark.range(100).select(F.col("id").alias("k"), F.concat(F.lit("name-"), F.col("id")).alias("name"))
+    run1 = sorted(tuple(r) for r in salted_join(_skewed(spark, 3_000), dim, "k", salt_buckets=8).collect())
+    run2 = sorted(
+        tuple(r) for r in salted_join(_skewed(spark, 3_000).repartition(7), dim, "k", salt_buckets=8).collect()
+    )
+    assert run1 == run2
+
+
 def test_salted_join_rejects_unsupported_how(spark):
     import pytest
 
