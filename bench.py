@@ -40,6 +40,11 @@ def main() -> None:
         .collect()
     )
     spark.range(10_000).select(F.from_json(F.to_json(F.struct("id")), "id long")).count()
+    # spawn the python-worker pool + Arrow serialization once, so the first
+    # Pandas-UDF query isn't billed the per-executor worker startup
+    spark.range(CPUS * 10_000, numPartitions=CPUS).mapInPandas(
+        lambda it: (pdf.assign(id=pdf["id"]) for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
@@ -47,6 +52,9 @@ def main() -> None:
         df = QUERIES[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries are independent: drop any relation an operator persisted
+        # so one query's cache residency can't distort the next timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 WRITE_MODES = ("committed", "pending")
+VALUE_FORMATS = ("json", "avro")
 DEFAULT_BUFFER_SIZE = 1000  # rows per append batch, reference default
 
 
@@ -26,10 +27,14 @@ class PipelineConfig:
     write_mode: str = "committed"
     buffer_size: int = DEFAULT_BUFFER_SIZE
     parallelism_hint: int | None = None  # tasks.max analogue; None = let Spark decide
+    value_format: str = "json"  # payload encoding of the Kafka value column
+    avro_confluent: bool = True  # Schema-Registry wire framing (magic + schema id)
 
     def __post_init__(self) -> None:
         if self.write_mode not in WRITE_MODES:
             raise ValueError(f"write.mode must be one of {WRITE_MODES}, got {self.write_mode!r}")
+        if self.value_format not in VALUE_FORMATS:
+            raise ValueError(f"value.format must be one of {VALUE_FORMATS}, got {self.value_format!r}")
         if self.buffer_size <= 0:
             raise ValueError(f"buffer.size must be positive, got {self.buffer_size}")
         if self.parallelism_hint is not None and self.parallelism_hint <= 0:

@@ -119,3 +119,49 @@ def q71_ingest_pipeline_committed(spark: SparkSession, sf_dir: str) -> DataFrame
     pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
     pipe.run_batch(env, batch_id=0)
     return pipe.read_sink(spark)
+
+
+EVENT_AVRO_SCHEMA = """
+{"type": "record", "name": "Event", "fields": [
+  {"name": "event_id", "type": "long"},
+  {"name": "ts", "type": ["null", "string"], "default": null},
+  {"name": "user_id", "type": "long"},
+  {"name": "event_type", "type": "string"},
+  {"name": "value", "type": ["null", "double"], "default": null},
+  {"name": "props", "type": ["null", "string"], "default": null}]}
+"""
+
+
+@query(
+    "q72_avro_ingest_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def q72_avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's schema-driven record path in Schema-Registry form:
+    events -> Confluent-framed Avro binary envelope -> pure-Python Avro
+    decode (no spark-avro jar in this env; swap from_avro on a cluster
+    that ships it) -> the SAME parse/validate/sink path as q71. The sink
+    must reproduce the source rows exactly — proving the Avro envelope is
+    lossless through the whole pipeline."""
+    from kafka_connect_bigquery_storage_write_spark.schema.avro import avro_encode_from_json
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    env = avro_encode_from_json(_encode_envelope(ev), "value", EVENT_AVRO_SCHEMA)
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q72_")
+    cfg = PipelineConfig(sink_path=f"{root}/sink", dlq_path=f"{root}/dlq", write_mode="committed", value_format="avro")
+    pipe = IngestPipeline.for_avro(cfg, EVENT_AVRO_SCHEMA, sink_schema=sink_schema)
+    pipe.run_batch(env, batch_id=0)
+    return pipe.read_sink(spark)

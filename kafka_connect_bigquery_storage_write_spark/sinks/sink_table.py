@@ -40,6 +40,19 @@ directories; no listing of the data tree, no eventual-consistency window.
 Writers never rewrite existing files, so concurrent epochs on a real
 cluster contend only on the manifest rename, which the filesystem makes
 atomic.
+
+OBJECT-STORE CAVEAT: the atomic switch is ``os.rename`` in
+``_atomic_write`` — atomic on POSIX filesystems and HDFS, NOT on S3-class
+object stores (S3 "rename" is copy+delete; a reader can observe the
+half-state and two concurrent committers can both think they won). On an
+object store, substitute the commit primitive with one the store makes
+atomic — S3 conditional PUT (If-None-Match) on the marker key, a DynamoDB
+/ database conditional insert, or — the production-grade answer — replace
+the whole manifest layer with a real table format (Delta/Iceberg/Hudi),
+whose commit protocols solve exactly this. Everything above the
+``_atomic_write`` seam (idempotence, pending epochs, compaction
+snapshots) is unchanged by that substitution; that is why the primitive
+is a single method.
 """
 
 from __future__ import annotations

@@ -75,6 +75,7 @@ class IngestPipeline:
     config: PipelineConfig
     value_schema: T.StructType
     sink_schema: T.StructType | None = None  # defaults to value_schema ("ignore unknown fields" is a no-op)
+    avro_schema_json: str | None = None  # required when config.value_format == "avro"
     _sink: ManifestSinkTable = field(init=False)
     _dlq: DeadLetterQueue | None = field(init=False, default=None)
     stats: list[BatchStats] = field(init=False, default_factory=list)
@@ -85,9 +86,35 @@ class IngestPipeline:
             self._dlq = DeadLetterQueue(self.config.dlq_path)
         if self.sink_schema is None:
             self.sink_schema = self.value_schema
+        if self.config.value_format == "avro" and not self.avro_schema_json:
+            raise ValueError("avro value.format requires avro_schema_json")
+
+    @classmethod
+    def for_avro(
+        cls,
+        config: PipelineConfig,
+        avro_schema_json: str,
+        sink_schema: T.StructType | None = None,
+    ) -> "IngestPipeline":
+        """Build an Avro-envelope pipeline, deriving the Spark value schema
+        from the Avro schema (the reference's schema-driven path,
+        RecordConverter.java:21-22, in Schema-Registry form)."""
+        from kafka_connect_bigquery_storage_write_spark.schema.avro import avro_schema_to_spark
+
+        value_schema = avro_schema_to_spark(avro_schema_json)
+        if not isinstance(value_schema, T.StructType):
+            raise ValueError("top-level Avro schema must be a record")
+        return cls(config=config, value_schema=value_schema, sink_schema=sink_schema, avro_schema_json=avro_schema_json)
 
     # -- the one true batch path (streaming foreachBatch calls this too) ----
     def process_batch(self, df: DataFrame, batch_id: int) -> BatchStats:
+        if self.config.value_format == "avro":
+            # binary Avro -> canonical JSON string; decode failures become
+            # invalid-JSON markers that the permissive parse dead-letters,
+            # so both envelopes share one conversion/salvage contract
+            from kafka_connect_bigquery_storage_write_spark.schema.avro import avro_decode_to_json
+
+            df = avro_decode_to_json(df, "value", self.avro_schema_json, confluent=self.config.avro_confluent)
         # PERMISSIVE parse with a corrupt-record marker so non-struct payloads
         # are detectable (R4) instead of silently becoming all-null structs
         parse_schema = T.StructType(list(self.value_schema.fields) + [T.StructField("_corrupt", T.StringType(), True)])
