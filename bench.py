@@ -40,11 +40,26 @@ def main() -> None:
         .collect()
     )
     spark.range(10_000).select(F.from_json(F.to_json(F.struct("id")), "id long")).count()
+
     # spawn the python-worker pool + Arrow serialization once, so the first
-    # Pandas-UDF query isn't billed the per-executor worker startup
-    spark.range(CPUS * 10_000, numPartitions=CPUS).mapInPandas(
-        lambda it: (pdf.assign(id=pdf["id"]) for pdf in it), "id long"
-    ).write.format("noop").mode("overwrite").save()
+    # Pandas-UDF query isn't billed the per-executor worker startup; import
+    # numpy/pandas INSIDE the workers (the operators' kernels use both, and
+    # a worker's first import costs ~1s each)
+    def _warm_kernel(batches):
+        import numpy as np  # noqa: F401
+
+        for pdf in batches:
+            yield pdf.assign(id=pdf["id"] + np.int64(0))
+
+    spark.range(CPUS * 10_000, numPartitions=CPUS).mapInPandas(_warm_kernel, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # grouped-map path (applyInPandas) compiles/warms separately
+    spark.range(CPUS * 1_000, numPartitions=CPUS).withColumn("g", F.pmod("id", F.lit(CPUS))).repartition(
+        CPUS, "g"
+    ).groupBy("g").applyInPandas(lambda pdf: pdf.head(1), "id long, g long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

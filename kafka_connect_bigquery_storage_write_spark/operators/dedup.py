@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
+
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep exactly one row per key — the one with the smallest id.
@@ -51,7 +53,9 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> Dat
     length (collision odds at corpus scale: ~n_distinct^2 / 2^65).
     """
     hashed = F.transform(word_shingles(text_col, n), lambda s: F.xxhash64(s))
-    return df.select(id_col, F.explode(hashed).alias("shingle"))
+    # the shingling regex is the CPU hot spot — don't let a single-split
+    # scan serialize it
+    return ensure_compute_parallelism(df).select(id_col, F.explode(hashed).alias("shingle"))
 
 
 def _cap_df(sh: DataFrame, max_df: int | None) -> DataFrame:
@@ -87,10 +91,17 @@ def jaccard_near_dup_pairs(
     The exploded shingle relation feeds three consumers (both join sides
     and the per-doc counts), so it is persisted for the operator's
     lifetime; Spark's ContextCleaner unpersists it once unreferenced.
+    The count() is a deliberate materialization BARRIER, not bookkeeping:
+    Spark submits broadcast/AQE subquery jobs concurrently, and
+    concurrent first consumers of a lazily-cached relation race its
+    cache fill, each recomputing the shingling regex (measured 3-5x
+    duplicated work on this exact DAG). Filling the cache once,
+    sequentially, makes every downstream job a cache read.
     ``max_df`` trades exactness for a bound on the join's hot buckets —
     see _cap_df.
     """
     sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
+    sh.count()
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -155,7 +166,13 @@ def minhash_lsh_near_dups(
     rows_per_band = num_hashes // bands
     if rows_per_band * bands != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    # materialization barrier: the shingle relation feeds the signature
+    # chain, both bucket-join branches, and the verify stage; without an
+    # eager cache fill, the concurrently-submitted broadcast/AQE jobs
+    # race to compute it and duplicate the shingling work (see
+    # jaccard_near_dup_pairs docstring — measured on this DAG).
     sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
+    sh.count()
     mins = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)]
     sig = sh.groupBy(id_col).agg(*mins).select(
         id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash")
@@ -169,12 +186,17 @@ def minhash_lsh_near_dups(
     buckets = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    # second barrier: candidates is broadcast twice below (pair semi-join
+    # and doc semi-join); materializing it here runs the whole candidate
+    # generation exactly once instead of once per broadcast job.
     candidates = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .persist()
     )
+    candidates.count()
     # exact verify on candidates only. The pair semi-join alone cannot be
     # pushed below the shingle self-join, so first restrict the shingle
     # relation to candidate DOCS — only their shingles enter the
@@ -188,6 +210,7 @@ def minhash_lsh_near_dups(
     # broadcast the (small) candidate sides so the semi-joins prune the
     # shingle relation map-side instead of shuffling it
     vsh = sh.join(F.broadcast(cand_ids), id_col, "left_semi").persist()
+    vsh.count()
     counts = vsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = vsh.select(F.col(id_col).alias("id_a"), "shingle")
     b = vsh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -238,6 +261,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     import pandas as pd
     from pyspark.sql import types as T
 
+    # tokenize + hash + the numpy vote kernel all run on the input's
+    # partitioning (mapInPandas is narrow) — widen a single-split scan
+    df = ensure_compute_parallelism(df)
     toks = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok")).filter(F.col("tok") != "")
     hashed = toks.select(id_col, F.xxhash64("tok").alias("h"))
 
@@ -299,7 +325,12 @@ def simhash_near_dups(
         raise ValueError(f"pigeonhole requires chunks > max_hamming ({chunks} <= {max_hamming})")
     if 64 % chunks != 0:
         raise ValueError("chunks must divide 64")
-    fp = simhash(df, id_col, text_col)
+    # barrier: both sides of the chunk-bucket self-join consume the
+    # fingerprint relation; without an eager cache fill the whole
+    # tokenize -> numpy-vote pipeline runs once per branch. The cached
+    # relation is tiny (one int64 per doc).
+    fp = simhash(df, id_col, text_col).persist()
+    fp.count()
     width = 64 // chunks
     chunk_arr = F.array(
         *[

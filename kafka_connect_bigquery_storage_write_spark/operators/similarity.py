@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ a_i * b_i in double precision, JVM-side."""
@@ -48,7 +50,9 @@ def cosine_topk(
     Excludes self-matches when ids collide. Ties break on neighbor id.
     """
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    # the corpus side streams through the broadcast join doing a fold per
+    # (row, query) — CPU-bound, so don't inherit a bytes-sized scan layout
+    c = ensure_compute_parallelism(corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col(query_id_col))
@@ -116,7 +120,9 @@ def lsh_topk(
         )
         return sigged.select(F.col(ident), F.col(vec_col), F.posexplode(band_hash).alias("band", "bucket"))
 
-    cb = banded(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col), "neighbor_id").withColumnRenamed(vec_col, "_cvec")
+    cb = banded(
+        ensure_compute_parallelism(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)), "neighbor_id"
+    ).withColumnRenamed(vec_col, "_cvec")
     qb = banded(queries.select(query_id_col, vec_col), query_id_col).withColumnRenamed(vec_col, "_qvec")
     cand = (
         cb.join(F.broadcast(qb), ["band", "bucket"])
@@ -205,7 +211,7 @@ def ivf_topk(
         return kern, out_schema
 
     ck, cs = assign_lists(1)
-    corpus_lists = corpus.select(id_col, vec_col).mapInPandas(ck, schema=cs).withColumnsRenamed(
+    corpus_lists = ensure_compute_parallelism(corpus.select(id_col, vec_col)).mapInPandas(ck, schema=cs).withColumnsRenamed(
         {"_id": "neighbor_id", "_vec": "_cvec"}
     )
     qk, qs = assign_lists(n_probe)
@@ -255,6 +261,7 @@ def cosine_near_dup_pairs_blocked(
     from pyspark.sql import types as T
 
     spark = df.sparkSession
+    df = ensure_compute_parallelism(df)
     blocks = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -297,7 +304,14 @@ def cosine_near_dup_pairs_blocked(
             }
         )
 
-    return rep.groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
+    # pin the grouped-map fan-out: the block-pair groups are bytes-small
+    # but CPU-heavy (one matmul each), so AQE's byte-based coalescing
+    # would starve the Python workers. An explicit numPartitions
+    # repartition on the group key is preserved by AQE; the groupBy
+    # reuses it without another shuffle.
+    n_pairs = len(pair_rows)
+    n_parts = min(n_pairs, df.sparkSession.sparkContext.defaultParallelism)
+    return rep.repartition(n_parts, "pa", "pb").groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
 
 
 def cosine_near_dup_pairs(
@@ -318,7 +332,12 @@ def cosine_near_dup_pairs(
     pair loop — measured 10x slower at 2M pairs.
     """
     with_norm = df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n"))
-    a = with_norm.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
+    # cartesian parallelism = left parts x right parts; a 1-partition scan
+    # would run the whole O(n^2) fold on ONE task. Widen only the left side
+    # (n x m tasks with m=input layout keeps task count bounded).
+    a = ensure_compute_parallelism(
+        with_norm.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
+    )
     b = with_norm.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
     return (
         a.crossJoin(b)

@@ -10,6 +10,7 @@ from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
     minhash_lsh_near_dups,
     simhash_near_dups,
 )
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.operators.text import fingerprint
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
@@ -58,7 +59,9 @@ def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shuffle key is a 32-char digest, not the document text —
     the exchange moves O(rows * 32B) no matter how large the documents.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # the md5-over-normalized-text fingerprint is per-row CPU — widen a
+    # single-split scan so the partial agg isn't serialized on one task
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(fingerprint("text").alias("fp"), "doc_id")
         .groupBy("fp")

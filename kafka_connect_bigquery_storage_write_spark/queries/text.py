@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.operators.text import EN_STOPWORDS, langid_en_score, quality_score, text_stats
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
@@ -44,7 +45,7 @@ def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow projection pass — no shuffle at all; every expression is a
     codegen'd higher-order function over the text column.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     return text_stats(docs)
 
 
@@ -66,7 +67,7 @@ def q41_language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     The declared-lang column validates the heuristic: 'en' rows should
     average a much higher score than the rest.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy("lang")
         .agg(
@@ -90,7 +91,7 @@ def q41_language_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term/document frequency top-20 (tokenize -> explode -> agg)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
     return (
         toks.groupBy("token")
@@ -121,7 +122,7 @@ def q44_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc id) — reproducible across runs, engines, and cluster sizes, unlike
     randomSplit. The standard way to carve eval sets from a corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
     return (
         docs.withColumn("split", F.when(bucket < 8, "train").otherwise("held_out"))
@@ -158,7 +159,7 @@ def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the broadcast scalar total avoids a second scan."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     per_source = docs.groupBy("source").agg(
         F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))).alias("n_tokens")
     )
@@ -184,7 +185,7 @@ def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical LLM-corpus pre-filter: keep high-quality, likely-
     English documents. Narrow filter pass, fully pushed into the scan."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     q = quality_score("text")
     en = langid_en_score("text")
     return (

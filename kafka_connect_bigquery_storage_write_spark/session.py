@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce toward the runtime's parallelism, not toward 1 MB
+        # partitions: byte-based coalescing starves CPU-heavy stages
+        # (Python grouped-map above all) whose inputs are small in bytes
+        # but expensive per row. parallelismFirst is Spark's default; the
+        # lower floor lets it hold for small-bytes shuffles too. At TB
+        # scale partitions are far above either floor, so this only
+        # changes small-input behavior.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
