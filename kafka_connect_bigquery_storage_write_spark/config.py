@@ -29,6 +29,11 @@ class PipelineConfig:
     parallelism_hint: int | None = None  # tasks.max analogue; None = let Spark decide
     value_format: str = "json"  # payload encoding of the Kafka value column
     avro_confluent: bool = True  # Schema-Registry wire framing (magic + schema id)
+    # Kafka-topic dead-lettering (the reference's errantRecordReporter
+    # surface); both-or-neither, and mutually exclusive with dlq_path —
+    # one batch must have one dead-letter destination.
+    dlq_topic: str | None = None
+    dlq_bootstrap_servers: str | None = None
 
     def __post_init__(self) -> None:
         if self.write_mode not in WRITE_MODES:
@@ -39,3 +44,7 @@ class PipelineConfig:
             raise ValueError(f"buffer.size must be positive, got {self.buffer_size}")
         if self.parallelism_hint is not None and self.parallelism_hint <= 0:
             raise ValueError("parallelism hint must be positive when set")
+        if (self.dlq_topic is None) != (self.dlq_bootstrap_servers is None):
+            raise ValueError("dlq_topic and dlq_bootstrap_servers must be set together")
+        if self.dlq_topic is not None and self.dlq_path is not None:
+            raise ValueError("configure either dlq_path (parquet DLQ) or dlq_topic (Kafka DLQ), not both")

@@ -174,6 +174,50 @@ def q45_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q46_winnow_fingerprints",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i, md5(substring(t, CAST(i AS INT), 8)) AS h
+      FROM normed,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 7, 0))) AS i)
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS fp
+      FROM grams
+    )
+    SELECT doc_id,
+           count(*) AS n_fp,
+           min(fp)  AS min_fp,
+           max(fp)  AS max_fp
+    FROM fps
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint panel per document (rolling k-gram window
+    minima, k=8, w=16 — SIGMOD'03). The fingerprint SET is the operator's
+    product; the panel aggregates it per doc so the oracle compare stays
+    row-bounded while still pinning every fingerprint through count/min/max.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.text import winnow_fingerprints
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    fps = winnow_fingerprints(docs, k=8, w=16)
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"), F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "q43_quality_filter",
     oracle=f"""
     SELECT doc_id, lang, {_QUALITY} AS quality, round({_STOP_RATIO}, 6) AS en_score

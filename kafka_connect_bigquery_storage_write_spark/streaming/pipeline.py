@@ -84,6 +84,11 @@ class IngestPipeline:
         self._sink = ManifestSinkTable(self.config.sink_path, write_mode=self.config.write_mode)
         if self.config.dlq_path:
             self._dlq = DeadLetterQueue(self.config.dlq_path)
+        elif self.config.dlq_topic:
+            # duck-typed alternative: the reference's errant-record topic
+            from kafka_connect_bigquery_storage_write_spark.sinks.kafka_dlq import KafkaDeadLetterTopic
+
+            self._dlq = KafkaDeadLetterTopic(self.config.dlq_bootstrap_servers, self.config.dlq_topic)
         if self.sink_schema is None:
             self.sink_schema = self.value_schema
         if self.config.value_format == "avro" and not self.avro_schema_json:

@@ -1,0 +1,85 @@
+"""Winnowing fingerprint tests: the SIGMOD'03 guarantee and determinism."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kafka_connect_bigquery_storage_write_spark.operators.text import winnow_fingerprints
+
+K, W = 8, 16
+
+
+def _fps(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow_fingerprints(df, k=K, w=W)
+    return {
+        doc: {r.fp for r in grp}
+        for doc, grp in _group(out.collect())
+    }
+
+
+def _group(rows):
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    return by.items()
+
+
+def test_shared_substring_guarantees_shared_fingerprint(spark):
+    """Any common substring of length >= w + k - 1 must yield at least one
+    common fingerprint — the winnowing guarantee that makes the fingerprint
+    set usable for overlap detection."""
+    shared = "the quick brown fox jumps over a lazy dog near the bank"  # 56 chars >= 23
+    a = "PREFIX AAA " + shared + " SUFFIX one"
+    b = "other lead-in text " + shared + " unrelated tail"
+    fps = _fps(spark, [(1, a), (2, b)])
+    assert fps[1] & fps[2], "documents sharing a long substring must share a fingerprint"
+
+
+def test_disjoint_texts_share_nothing(spark):
+    fps = _fps(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"), (2, "0123456789 9876543210 abcdefgh hgfedcba")],
+    )
+    assert not (fps[1] & fps[2])
+
+
+def test_fingerprints_position_invariant(spark):
+    """Winnowing is local: shifting a document inside unrelated padding
+    preserves the interior fingerprints (unlike the global md5)."""
+    body = "consistent interior content that is plenty long for several windows"
+    fps = _fps(spark, [(1, body), (2, "XXXX YYYY ZZZZ " + body)])
+    # every interior fingerprint of doc 1 whose k-grams lie fully in `body`
+    # also appears for doc 2; assert substantial overlap rather than exact
+    # equality (boundary windows differ)
+    inter = fps[1] & fps[2]
+    assert len(inter) >= max(1, len(fps[1]) // 2)
+
+
+def test_deterministic_across_runs(spark):
+    rows = [(i, f"document number {i} with some repeated filler text " * 3) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, winnow_fingerprints(df, k=K, w=W).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(df, k=K, w=W).collect()))
+    assert a == b
+
+
+def test_normalization_collapses_whitespace_and_case(spark):
+    fps = _fps(
+        spark,
+        [(1, "Sphinx of Black Quartz,   Judge my VOW please"), (2, "sphinx of black quartz, judge my vow please")],
+    )
+    assert fps[1] == fps[2]
+
+
+def test_fingerprint_count_bounded_by_grams(spark):
+    text = "a" * 100  # 93 identical k-grams -> all windows share one min
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = winnow_fingerprints(df, k=K, w=W)
+    assert out.count() == 1
+
+
+def test_distinct_output_no_duplicate_rows(spark):
+    df = spark.createDataFrame([(1, "some repeating text " * 10)], "doc_id long, text string")
+    rows = winnow_fingerprints(df, k=K, w=W).collect()
+    assert len(rows) == len({(r.doc_id, r.fp) for r in rows})
