@@ -37,4 +37,4 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every query-defining module (idempotent)."""
-    from kafka_connect_bigquery_storage_write_spark.queries import dedup, multimodal, pipelines, relational, similarity, streaming_batch, temporal, text, udfs  # noqa: F401
+    from kafka_connect_bigquery_storage_write_spark.queries import dedup, multimodal, pipelines, relational, similarity, skew, streaming_batch, temporal, text, udfs  # noqa: F401

@@ -1,0 +1,82 @@
+"""Skew-mitigation query entries: the salted operators, oracle-checked.
+
+Salting must be invisible in the RESULT — only the physical distribution
+changes. These entries pin exactly that: each salted plan's oracle is the
+plain unsalted SQL, so any salt leakage (lost rows, double counts,
+salt-column escape) is a driver hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.operators.skew import salted_agg, salted_join
+from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+
+@query(
+    "q48_salted_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_quantity), 2)       AS sum_l_quantity,
+           CAST(count(l_orderkey) AS BIGINT) AS count_l_orderkey,
+           min(l_discount)                 AS min_l_discount,
+           max(l_extendedprice)            AS max_l_extendedprice
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q48_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation on a low-cardinality skewed key.
+
+    l_returnflag has 3 values over the whole table — the exact shape where
+    hash partitioning degenerates to 3 reducers and salting matters. The
+    oracle is the plain GROUP BY: identical results prove the
+    partial/combine decomposition is exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        key_cols=["l_returnflag"],
+        aggs={"l_quantity": "sum", "l_orderkey": "count", "l_discount": "min", "l_extendedprice": "max"},
+        salt_buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        F.col("count_l_orderkey"),
+        "min_l_discount",
+        "max_l_extendedprice",
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q49_salted_join",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(count(*) AS BIGINT)                          AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (hash-derived replay-stable salt on the skewed
+    side, build side replicated) followed by an aggregate; the oracle is
+    the plain join — identical revenue per brand proves no row is lost or
+    duplicated by the salt replication."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    joined = salted_join(li, part, key="l_partkey", salt_buckets=8)
+    return (
+        joined.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )

@@ -139,3 +139,63 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     doubled = ev.unionAll(ev)
     return doubled.dropDuplicates(["event_id"])
+
+
+@query(
+    "q56_incremental_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(value) AS BIGINT)  AS count_value,
+           round(sum(value), 2)          AS sum_value,
+           avg(value)                    AS avg_value,
+           max(value)                    AS max_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup folded incrementally over three
+    micro-batches (streaming/rollup.py), then read back combined.
+
+    The events relation is split into 3 disjoint micro-batches (by
+    event_id, simulating arrival order); each batch appends per-(hour,
+    event_type) PARTIALS to the manifest-committed rollup table, and the
+    read combines them. The oracle computes the same aggregate directly
+    over all events — equality proves the partial/combine decomposition
+    (incl. avg via shared sum/count partials) is exact across batch
+    boundaries; replay idempotence rides the sink's batch protocol
+    (pinned in tests/test_rollup.py).
+    """
+    import tempfile
+
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = IncrementalRollup(
+        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q56_") + "/rollup",
+        ts_col="ts",
+        window="1 hour",
+        key_cols=["event_type"],
+        aggs=[("value", "count"), ("value", "sum"), ("value", "avg"), ("value", "max")],
+    )
+    for i in range(3):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    return (
+        roll.read(spark)
+        .select(
+            "window_start",
+            "event_type",
+            "count_value",
+            F.round("sum_value", 2).alias("sum_value"),
+            # avg stays UNROUNDED on both sides: engine round() disagrees
+            # at shortest-repr half boundaries (44.64125 -> 44.6413 Spark,
+            # 44.6412 DuckDB); the driver's canonicalization rounds both
+            # floats with the same python rule, where the ~1e-12
+            # associativity drift is far from any 6dp boundary
+            "avg_value",
+            "max_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

@@ -1,0 +1,94 @@
+"""Incremental rollup: partial/combine exactness, replay idempotence,
+compaction invariance, late-data absorption."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
+
+
+def _events(spark):
+    rows = [
+        # (event_id, ts, key, value) — two hour buckets, two keys
+        (1, "2024-01-01 10:05:00", "a", 10.0),
+        (2, "2024-01-01 10:15:00", "a", 20.0),
+        (3, "2024-01-01 10:25:00", "b", 5.0),
+        (4, "2024-01-01 11:05:00", "a", 40.0),
+        (5, "2024-01-01 11:35:00", "b", 1.0),
+        (6, "2024-01-01 11:45:00", "b", 3.0),
+    ]
+    return spark.createDataFrame(rows, "event_id long, ts string, k string, value double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def _rollup(tmp_path):
+    return IncrementalRollup(
+        sink_path=str(tmp_path / "rollup"),
+        ts_col="ts",
+        window="1 hour",
+        key_cols=["k"],
+        aggs=[("value", "count"), ("value", "sum"), ("value", "avg"), ("value", "min"), ("value", "max")],
+    )
+
+
+def _state(roll, spark):
+    return {
+        (str(r.window_start), r.k): (r.count_value, r.sum_value, r.avg_value, r.min_value, r.max_value)
+        for r in roll.read(spark).collect()
+    }
+
+
+EXPECTED = {
+    ("2024-01-01 10:00:00", "a"): (2, 30.0, 15.0, 10.0, 20.0),
+    ("2024-01-01 10:00:00", "b"): (1, 5.0, 5.0, 5.0, 5.0),
+    ("2024-01-01 11:00:00", "a"): (1, 40.0, 40.0, 40.0, 40.0),
+    ("2024-01-01 11:00:00", "b"): (2, 4.0, 2.0, 1.0, 3.0),
+}
+
+
+def test_multi_batch_fold_equals_direct_aggregate(spark, tmp_path):
+    ev = _events(spark)
+    roll = _rollup(tmp_path)
+    for i, pred in enumerate([F.col("event_id") <= 2, F.col("event_id").isin(3, 4), F.col("event_id") >= 5]):
+        roll.process_batch(ev.filter(pred), batch_id=i)
+    assert _state(roll, spark) == EXPECTED
+
+
+def test_replayed_batch_is_absorbed_not_double_counted(spark, tmp_path):
+    ev = _events(spark)
+    roll = _rollup(tmp_path)
+    roll.process_batch(ev.filter(F.col("event_id") <= 3), batch_id=0)
+    before = _state(roll, spark)
+    res = roll.process_batch(ev.filter(F.col("event_id") <= 3), batch_id=0)  # crash-replay
+    assert res.already_exists
+    assert _state(roll, spark) == before
+
+
+def test_late_data_lands_as_new_partial(spark, tmp_path):
+    """No watermark cliff: an hour-10 event arriving in batch 2 combines
+    into the hour-10 bucket — storage-backed state has no retention bound."""
+    ev = _events(spark)
+    roll = _rollup(tmp_path)
+    roll.process_batch(ev.filter(F.col("event_id") != 2), batch_id=0)
+    roll.process_batch(ev.filter(F.col("event_id") == 2), batch_id=1)  # late hour-10 row
+    assert _state(roll, spark) == EXPECTED
+
+
+def test_compaction_preserves_results(spark, tmp_path):
+    ev = _events(spark)
+    roll = _rollup(tmp_path)
+    for i in range(4):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(4)) == i), batch_id=i)
+    before = _state(roll, spark)
+    assert roll.compact(spark) is not None
+    assert _state(roll, spark) == before
+
+
+def test_rejects_non_decomposable_agg(tmp_path):
+    with pytest.raises(ValueError, match="decomposable"):
+        IncrementalRollup(
+            sink_path=str(tmp_path / "r"), ts_col="ts", window="1 hour", key_cols=["k"], aggs=[("value", "median")]
+        )
