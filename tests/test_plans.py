@@ -58,3 +58,51 @@ def test_q06_all_predicates_pushed(spark, sf_dir):
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
     for key in ("l_shipdate", "l_discount", "l_quantity"):
         assert key in pushed, f"{key} missing from PushedFilters: {pushed}"
+
+
+def test_winnow_single_exchange_single_normalization(spark, sf_dir):
+    """winnow_fingerprints: exactly one exchange (the doc-id repartition
+    that the window pass reuses) and exactly one regexp normalization —
+    projection collapse must not re-inline it per k-gram."""
+    from kafka_connect_bigquery_storage_write_spark.operators.text import winnow_fingerprints
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = winnow_fingerprints(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_replace") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_salted_join_broadcasts_replicated_side(spark, sf_dir):
+    """salted_join: the salt-replicated small side still broadcasts when it
+    fits, and the skewed side never sort-merges."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.operators.skew import salted_join
+    from kafka_connect_bigquery_storage_write_spark.plans.inspect import assert_broadcast_join, assert_no_sort_merge_join
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+    out = salted_join(li, part, key="l_partkey", salt_buckets=8)
+    assert_broadcast_join(out)
+    assert_no_sort_merge_join(out)
+
+
+def test_rollup_partials_shrink_before_write(spark, tmp_path):
+    """IncrementalRollup's batch plan aggregates BEFORE the sink write: the
+    written relation is keyed on (window, key), never raw rows."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
+
+    roll = IncrementalRollup(
+        sink_path=str(tmp_path / "r"), ts_col="ts", window="1 hour", key_cols=["k"], aggs=[("v", "sum")]
+    )
+    df = spark.createDataFrame(
+        [(i, "2024-01-01 10:00:00", "a", 1.0) for i in range(100)], "id long, ts string, k string, v double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    roll.process_batch(df, batch_id=0)
+    stored = roll._sink.read(spark)
+    assert stored.count() == 1  # 100 raw rows -> one partial row
+    assert set(stored.columns) == {"window_start", "k", "_p_sum_v"}
