@@ -102,3 +102,53 @@ def test_bpe_ish_token_count(spark):
     assert row.ws == 4
     # sub-word splits: hello | world | , | it | ' | s | 2024 | ad | !
     assert row.bpe > row.ws
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream inner join (E17): impressions joined to
+    clicks within a bounded event-time interval. Both sides carry
+    watermarks + a range condition, so Spark can bound the join state —
+    the only shape where stream-stream joins survive unbounded input."""
+    imp_src, clk_src, out = tmp_path / "imp", tmp_path / "clk", tmp_path / "join_out"
+    imps = [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:10:00"),
+        (3, "2024-01-01 10:20:00"),
+        (99, "2024-01-01 15:00:00"),  # watermark pusher
+    ]
+    clks = [
+        (1, "2024-01-01 10:04:00"),   # within 5m of imp 1 -> joins
+        (2, "2024-01-01 10:30:00"),   # 20m after imp 2 -> outside interval
+        (98, "2024-01-01 15:00:00"),  # watermark pusher
+    ]
+    spark.createDataFrame(imps, "ad_id long, imp_ts string").withColumn(
+        "imp_ts", F.to_timestamp("imp_ts")
+    ).coalesce(1).write.mode("overwrite").parquet(str(imp_src))
+    spark.createDataFrame(clks, "ad_id long, clk_ts string").withColumn(
+        "clk_ts", F.to_timestamp("clk_ts")
+    ).coalesce(1).write.mode("overwrite").parquet(str(clk_src))
+
+    imp_stream = spark.readStream.schema("ad_id long, imp_ts timestamp").parquet(str(imp_src)).withWatermark(
+        "imp_ts", "10 minutes"
+    )
+    clk_stream = spark.readStream.schema("ad_id long, clk_ts timestamp").parquet(str(clk_src)).withWatermark(
+        "clk_ts", "10 minutes"
+    )
+    joined = imp_stream.join(
+        clk_stream,
+        (imp_stream.ad_id == clk_stream.ad_id)
+        & (clk_stream.clk_ts >= imp_stream.imp_ts)
+        & (clk_stream.clk_ts <= imp_stream.imp_ts + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select(imp_stream.ad_id, "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "jckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(out)).collect()
+    assert [(r.ad_id) for r in rows] == [1]  # only the in-interval click
