@@ -83,3 +83,30 @@ def test_distinct_output_no_duplicate_rows(spark):
     df = spark.createDataFrame([(1, "some repeating text " * 10)], "doc_id long, text string")
     rows = winnow_fingerprints(df, k=K, w=W).collect()
     assert len(rows) == len({(r.doc_id, r.fp) for r in rows})
+
+
+def test_winnow_matches_pure_python_reference(spark):
+    """Property check vs an independent reference implementation: for
+    random texts the operator's fingerprint set must equal a direct
+    python transcription of the winnowing definition (hashlib md5,
+    trailing windows included, distinct per doc)."""
+    import hashlib
+    import random
+
+    def reference(text: str, k: int = K, w: int = W) -> set[str]:
+        t = " ".join(text.lower().strip().split())
+        grams = [hashlib.md5(t[i : i + k].encode()).hexdigest() for i in range(max(len(t) - k + 1, 0))]
+        return {min(grams[i : i + w]) for i in range(len(grams))} if grams else set()
+
+    rng = random.Random(7)
+    words = ["alpha", "bravo", "charlie", "Delta", "echo42", "fox-trot", "golf", "HOTEL", "india", "x"]
+    rows = []
+    for doc_id in range(30):
+        n = rng.randint(0, 25)
+        rows.append((doc_id, " ".join(rng.choice(words) for _ in range(n)) + ("   " if rng.random() < 0.3 else "")))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    for doc_id, text in rows:
+        assert got.get(doc_id, set()) == reference(text), f"doc {doc_id}: {text!r}"
