@@ -32,3 +32,21 @@ def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def repartition_for_grouped_map(df: DataFrame, *keys: str, n_groups: int | None = None) -> DataFrame:
+    """Pin the shuffle feeding a groupBy(*keys).applyInPandas.
+
+    Grouped-map inputs are usually small in BYTES but expensive per row
+    (Python + Arrow per group), so AQE's byte-based partition coalescing
+    starves the worker pool — measured collapsing 36 matmul groups onto
+    one worker. An explicit numPartitions repartition on the group keys is
+    preserved by AQE, and the subsequent groupBy on the same keys reuses
+    the partitioning without another shuffle. ``n_groups`` (when the
+    caller knows the group count) caps the fan-out at one partition per
+    group.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if n_groups is not None:
+        target = min(n_groups, target)
+    return df.repartition(target, *keys)

@@ -304,14 +304,11 @@ def cosine_near_dup_pairs_blocked(
             }
         )
 
-    # pin the grouped-map fan-out: the block-pair groups are bytes-small
-    # but CPU-heavy (one matmul each), so AQE's byte-based coalescing
-    # would starve the Python workers. An explicit numPartitions
-    # repartition on the group key is preserved by AQE; the groupBy
-    # reuses it without another shuffle.
-    n_pairs = len(pair_rows)
-    n_parts = min(n_pairs, df.sparkSession.sparkContext.defaultParallelism)
-    return rep.repartition(n_parts, "pa", "pb").groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import repartition_for_grouped_map
+
+    # each block-pair group is one CPU-heavy matmul — pin the fan-out
+    rep = repartition_for_grouped_map(rep, "pa", "pb", n_groups=len(pair_rows))
+    return rep.groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
 
 
 def cosine_near_dup_pairs(

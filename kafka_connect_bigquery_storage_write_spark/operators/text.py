@@ -124,11 +124,22 @@ def winnow_fingerprints(
     # explode POSITIONS, then hash as a flat row expression: md5/substr at
     # the top level compile into whole-stage codegen, where the same
     # expressions inside a transform() lambda evaluate interpreted per
-    # element (the repo's measured ~90ns/element HOF tax)
+    # element (the repo's measured ~90ns/element HOF tax).
+    # The when() guard is load-bearing: docs with fewer than k normalized
+    # chars (incl. empty/NULL text) have NO k-grams, but Spark's
+    # sequence(1, stop) with stop < 1 infers a NEGATIVE step and yields
+    # [1, 0] instead of an empty array — which would hand every short doc
+    # a spurious md5-of-fragment fingerprint and disagree with SQL
+    # generate_series (empty). when-without-otherwise yields NULL, and
+    # posexplode of NULL emits no rows. (A row filter would be wrong too:
+    # pushed below the projection, it re-evaluates the normalization regex
+    # per row — pinned at one evaluation by test_plans.)
     positions = normed.select(
         id_col,
         "_norm",
-        F.posexplode(F.sequence(F.lit(1), F.greatest(F.length("_norm") - (k - 1), F.lit(0)))).alias("_pos", "_i"),
+        F.posexplode(
+            F.when(F.length("_norm") >= k, F.sequence(F.lit(1), F.length("_norm") - (k - 1)))
+        ).alias("_pos", "_i"),
     )
     exploded = positions.select(id_col, "_pos", F.md5(F.col("_norm").substr(F.col("_i"), F.lit(k))).alias("_h"))
     win = W.partitionBy(id_col).orderBy("_pos").rowsBetween(W.currentRow, w - 1)

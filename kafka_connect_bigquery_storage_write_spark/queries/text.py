@@ -208,7 +208,10 @@ def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_connect_bigquery_storage_write_spark.operators.text import winnow_fingerprints
 
-    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    # no ensure_compute_parallelism here: the operator's own keyed
+    # repartition IS the parallelism pin; a round-robin shuffle before it
+    # would just move the corpus twice
+    docs = load_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, k=8, w=16)
     return (
         fps.groupBy("doc_id")

@@ -88,14 +88,11 @@ def q61_apply_in_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFram
             }
         )
 
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import repartition_for_grouped_map
+
     out_schema = "user_id long, n_events long, sum_value double, avg_value double, value_range double"
-    # pin the grouped-map fan-out: AQE coalesces the groupBy shuffle by
-    # BYTES, which starves the Python workers (grouped-map cost is per-row
-    # CPU, not bytes). An explicit numPartitions repartition on the group
-    # key is preserved by AQE and feeds every worker; the groupBy reuses
-    # the partitioning, adding no extra shuffle.
-    n_parts = spark.sparkContext.defaultParallelism
-    return ev.repartition(n_parts, "user_id").groupBy("user_id").applyInPandas(stats, schema=out_schema).orderBy("user_id")
+    ev = repartition_for_grouped_map(ev, "user_id")  # see helper: AQE starves grouped-map stages
+    return ev.groupBy("user_id").applyInPandas(stats, schema=out_schema).orderBy("user_id")
 
 
 @query(

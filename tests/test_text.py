@@ -110,3 +110,14 @@ def test_winnow_matches_pure_python_reference(spark):
         got.setdefault(r.doc_id, set()).add(r.fp)
     for doc_id, text in rows:
         assert got.get(doc_id, set()) == reference(text), f"doc {doc_id}: {text!r}"
+
+
+def test_short_empty_and_null_docs_have_no_fingerprints(spark):
+    """Docs shorter than k (incl. empty/whitespace/NULL text) have no
+    k-grams and must yield ZERO fingerprints — regression for Spark's
+    sequence(1, 0) returning [1, 0] (descending) instead of empty."""
+    rows = [(1, "x"), (2, ""), (3, "   "), (4, None), (5, "seven77"), (6, "exactly8")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = winnow_fingerprints(df, k=K, w=W).collect()
+    assert {r.doc_id for r in got} == {6}  # only the doc with >= k chars
+    assert len(got) == 1
