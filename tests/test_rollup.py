@@ -92,3 +92,34 @@ def test_rejects_non_decomposable_agg(tmp_path):
         IncrementalRollup(
             sink_path=str(tmp_path / "r"), ts_col="ts", window="1 hour", key_cols=["k"], aggs=[("value", "median")]
         )
+
+
+def test_rollup_streaming_mode(spark, tmp_path):
+    """start_stream drives the same fold via foreachBatch: 3 source files
+    with maxFilesPerTrigger=1 -> 3 micro-batches -> combined state equals
+    the direct aggregate."""
+    src = tmp_path / "src"
+    rows = [
+        (1, "2024-01-01 10:05:00", "a", 10.0),
+        (2, "2024-01-01 10:15:00", "a", 20.0),
+        (3, "2024-01-01 10:25:00", "b", 5.0),
+        (4, "2024-01-01 11:05:00", "a", 40.0),
+        (5, "2024-01-01 11:35:00", "b", 1.0),
+        (6, "2024-01-01 11:45:00", "b", 3.0),
+    ]
+    for i in range(3):
+        chunk = [r for r in rows if r[0] % 3 == i]
+        spark.createDataFrame(chunk, "event_id long, ts string, k string, value double").withColumn(
+            "ts", F.to_timestamp("ts")
+        ).coalesce(1).write.mode("append").parquet(str(src))
+
+    roll = _rollup(tmp_path)
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, k string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = roll.start_stream(stream, checkpoint_path=str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination(180)
+    assert roll._sink.committed_ids() == [0, 1, 2]
+    assert _state(roll, spark) == EXPECTED
