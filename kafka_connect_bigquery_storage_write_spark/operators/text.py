@@ -79,6 +79,56 @@ def fingerprint(text_col: str | Column) -> Column:
     return F.md5(normalized)
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    "Repetition removal" — the standard LLM-corpus cleaning family):
+
+    - ``top_unigram_share``: occurrences of the most frequent token /
+      total tokens (a high share marks keyword-stuffed or looping text);
+    - ``dup_token_frac``: 1 - distinct/total tokens;
+    - ``dup_bigram_frac``: 1 - distinct/total word bigrams (catches
+      repeated phrases that unigram stats miss).
+
+    One token explode + two hash aggregations on (doc, token) then (doc);
+    bigram distinctness rides the shingle regex (one pass, no second
+    explode). Everything is exact and engine-portable, so the whole panel
+    is SQL-oracle-checkable.
+    """
+    from pyspark.sql import Window as W
+
+    # one posexploded token stream feeds both aggregations; bigrams come
+    # from a lead() window over (doc, position) — no per-element HOF
+    # lambdas (an element_at-in-transform form re-evaluates the tokenize
+    # per element: O(len^2) per doc), no sequence() edge cases
+    toks = df.select(id_col, F.posexplode(tokens(text_col)).alias("_pos", "_t"))
+    per_token = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_n"))
+    uni = per_token.groupBy(id_col).agg(
+        F.sum("_n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.max("_n").alias("_top_n"),
+    )
+    w = W.partitionBy(id_col).orderBy("_pos")
+    bi = (
+        toks.select(id_col, F.concat("_t", F.lit(" "), F.lead("_t", 1).over(w)).alias("_bi"))
+        .filter(F.col("_bi").isNotNull())  # last token of each doc has no successor
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n_bi"), F.count_distinct("_bi").alias("_n_distinct_bi"))
+    )
+    return (
+        uni.join(bi, id_col, "left")  # docs with < 2 tokens have no bigrams
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_top_n") / F.greatest("n_tokens", F.lit(1)), 6).alias("top_unigram_share"),
+            F.round(1 - F.col("n_distinct_tokens") / F.greatest("n_tokens", F.lit(1)), 6).alias("dup_token_frac"),
+            # a doc with no bigrams (under 2 tokens) has nothing repeated
+            F.when(F.coalesce("_n_bi", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(1 - F.col("_n_distinct_bi") / F.col("_n_bi"), 6))
+            .alias("dup_bigram_frac"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -240,3 +240,49 @@ def q43_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality") >= 0.9) & (F.col("en_score") >= 0.03))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q57_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, t, i
+      FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w FROM documents),
+           LATERAL (SELECT unnest(w) AS t, unnest(generate_series(1, len(w))) AS i)
+    ),
+    per_token AS (SELECT doc_id, t, count(*) AS n FROM toks GROUP BY doc_id, t),
+    uni AS (
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             count(*)               AS n_distinct_tokens,
+             max(n)                 AS top_n
+      FROM per_token GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, count(*) AS n_bi, count(DISTINCT bi) AS n_distinct_bi
+      FROM (
+        SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS bi
+        FROM toks
+      )
+      WHERE bi IS NOT NULL
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           u.n_tokens,
+           round(u.top_n * 1.0 / greatest(u.n_tokens, 1), 6)                       AS top_unigram_share,
+           round(1 - u.n_distinct_tokens * 1.0 / greatest(u.n_tokens, 1), 6)       AS dup_token_frac,
+           CASE WHEN coalesce(b.n_bi, 0) = 0 THEN 0.0
+                ELSE round(1 - b.n_distinct_bi * 1.0 / b.n_bi, 6) END          AS dup_bigram_frac
+    FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+    ORDER BY u.doc_id
+    """,
+)
+def q57_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition panel (top-unigram share, duplicate token /
+    bigram fractions) — the repetition-removal signals every LLM corpus
+    pipeline filters on (Rae et al. 2021 §A1.1). Exact, engine-portable,
+    fully oracle-checked."""
+    from kafka_connect_bigquery_storage_write_spark.operators.text import repetition_signals
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    return repetition_signals(docs).orderBy("doc_id")

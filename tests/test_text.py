@@ -121,3 +121,22 @@ def test_short_empty_and_null_docs_have_no_fingerprints(spark):
     got = winnow_fingerprints(df, k=K, w=W).collect()
     assert {r.doc_id for r in got} == {6}  # only the doc with >= k chars
     assert len(got) == 1
+
+
+def test_repetition_signals_known_values(spark):
+    from kafka_connect_bigquery_storage_write_spark.operators.text import repetition_signals
+
+    rows = [
+        (1, "spam spam spam spam"),          # one token repeated 4x
+        (2, "all tokens here are unique"),   # no repetition
+        (3, "one"),                          # single token: no bigrams
+        (4, "ab cd ab cd ab cd"),            # bigram loop
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].n_tokens == 4 and got[1].top_unigram_share == 1.0 and got[1].dup_token_frac == 0.75
+    assert got[1].dup_bigram_frac == round(1 - 1 / 3, 6)  # 3 bigrams, all "spam spam"
+    assert got[2].dup_token_frac == 0.0 and got[2].dup_bigram_frac == 0.0
+    assert got[3].n_tokens == 1 and got[3].dup_bigram_frac == 0.0  # no bigrams -> 0, not NULL
+    # "ab cd" x3: 5 bigrams, 2 distinct ("ab cd", "cd ab")
+    assert got[4].dup_bigram_frac == round(1 - 2 / 5, 6)
