@@ -49,4 +49,6 @@ def repartition_for_grouped_map(df: DataFrame, *keys: str, n_groups: int | None 
     target = df.sparkSession.sparkContext.defaultParallelism
     if n_groups is not None:
         target = min(n_groups, target)
-    return df.repartition(target, *keys)
+    # floor of 1: a dynamically-computed empty group list must not turn
+    # into repartition(0, ...) (IllegalArgumentException far from cause)
+    return df.repartition(max(target, 1), *keys)

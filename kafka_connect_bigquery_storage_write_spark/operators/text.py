@@ -89,10 +89,14 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
     - ``dup_bigram_frac``: 1 - distinct/total word bigrams (catches
       repeated phrases that unigram stats miss).
 
-    One token explode + two hash aggregations on (doc, token) then (doc);
-    bigram distinctness rides the shingle regex (one pass, no second
-    explode). Everything is exact and engine-portable, so the whole panel
-    is SQL-oracle-checkable.
+    One posexploded token stream feeds two branches: unigram stats via
+    (doc, token) then (doc) hash aggregations, and bigrams via a lead()
+    window over (doc, position) then a (doc) aggregation. The window form
+    was chosen over dedup.word_shingles (whose regex assumes single-space
+    separators) and over element_at-in-transform array lambdas (which
+    re-evaluate the tokenize per element, O(len^2) per doc). Everything
+    is exact and engine-portable, so the whole panel is
+    SQL-oracle-checkable.
     """
     from pyspark.sql import Window as W
 

@@ -210,7 +210,10 @@ def q46_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # no ensure_compute_parallelism here: the operator's own keyed
     # repartition IS the parallelism pin; a round-robin shuffle before it
-    # would just move the corpus twice
+    # would move the corpus twice. The pre-shuffle stage (normalization
+    # projection + shuffle write) does run at scan parallelism — cheap at
+    # single-split corpus sizes and naturally wide at real ones; the
+    # per-k-gram md5 work all happens after the pinned exchange.
     docs = load_table(spark, sf_dir, "documents")
     fps = winnow_fingerprints(docs, k=8, w=16)
     return (

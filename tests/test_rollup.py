@@ -99,19 +99,8 @@ def test_rollup_streaming_mode(spark, tmp_path):
     with maxFilesPerTrigger=1 -> 3 micro-batches -> combined state equals
     the direct aggregate."""
     src = tmp_path / "src"
-    rows = [
-        (1, "2024-01-01 10:05:00", "a", 10.0),
-        (2, "2024-01-01 10:15:00", "a", 20.0),
-        (3, "2024-01-01 10:25:00", "b", 5.0),
-        (4, "2024-01-01 11:05:00", "a", 40.0),
-        (5, "2024-01-01 11:35:00", "b", 1.0),
-        (6, "2024-01-01 11:45:00", "b", 3.0),
-    ]
-    for i in range(3):
-        chunk = [r for r in rows if r[0] % 3 == i]
-        spark.createDataFrame(chunk, "event_id long, ts string, k string, value double").withColumn(
-            "ts", F.to_timestamp("ts")
-        ).coalesce(1).write.mode("append").parquet(str(src))
+    for i in range(3):  # slice the canonical fixture into 3 non-empty files
+        _events(spark).filter(F.pmod("event_id", F.lit(3)) == i).coalesce(1).write.mode("append").parquet(str(src))
 
     roll = _rollup(tmp_path)
     stream = (
