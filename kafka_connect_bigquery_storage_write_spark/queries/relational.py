@@ -999,3 +999,79 @@ def q24_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token"))
     )
+
+
+@query(
+    "q58_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+      AND l.l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q58_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: CORRELATED scalar subquery (per-part average
+    bound). Registered through spark.sql deliberately — the point is
+    Catalyst's decorrelation: the optimizer must rewrite the per-row
+    correlated aggregate into a grouped join (one aggregation over
+    lineitem + one join), not execute it per outer row. The oracle is the
+    identical SQL on DuckDB, whose optimizer performs the same rewrite."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem_v l JOIN part_v p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+          AND l.l_quantity < (
+            SELECT 0.2 * avg(l2.l_quantity) FROM lineitem_v l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@query(
+    "q59_trailing_hour_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(n_1h AS BIGINT) AS n_1h,
+           round(sum_1h, 2)     AS sum_1h
+    FROM (
+      SELECT event_id, user_id,
+             count(value) OVER w AS n_1h,
+             sum(value)   OVER w AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    )
+    WHERE event_id <= 2000
+    ORDER BY event_id
+    """,
+)
+def q59_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the count and sum of
+    values in the trailing hour of EVENT TIME (not row count) — the frame
+    every sessionized-metrics pipeline needs. Ordering and the frame are
+    in exact integer microseconds on both engines (a seconds-granularity
+    cast would disagree with the oracle at sub-second boundaries)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count("value").over(w).alias("n_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_1h"),
+        )
+        .filter(F.col("event_id") <= 2000)
+        .orderBy("event_id")
+    )
