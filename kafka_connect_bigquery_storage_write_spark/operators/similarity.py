@@ -155,9 +155,13 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer ->
     probe the n_probe nearest lists -> exact rescore on candidates.
 
-    Training runs on a bounded reservoir sample on the driver (numpy
+    Training runs on a bounded PREFIX sample on the driver (numpy
     k-means, deterministic seed) — at any corpus scale the trained object
-    stays n_lists x dim. Assignment and probing are broadcast matmuls in
+    stays n_lists x dim. A prefix (limit) sample reads only the corpus
+    head: cheapest possible, but biased if the corpus is ordered by
+    something embedding-correlated; swap in a hash-gated sample
+    (pmod(xxhash64(id), k) == 0) when ingestion order is not exchangeable
+    — it costs a scan of the id column but samples uniformly. Assignment and probing are broadcast matmuls in
     Arrow batches; the corpus is touched in exactly one narrow pass, and
     each query rescales only ~n_probe/n_lists of it. Recall tunes with
     n_probe (= n_lists reproduces brute force).
