@@ -61,25 +61,33 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Two passes, report the per-query MIN. The host this suite runs on
-    # shows large transient noise (same-code totals measured 81s..174s;
-    # individual 1.4s queries spiking to 15s — see BASELINE.md round-2
-    # variance analysis), and a single cold pass also bills per-plan JIT/
-    # codegen warmup to arbitrary queries. The min of two runs is the
-    # engine's steady-state cost — the quantity that scales with a
-    # cluster — while run1/run2 totals stay in the JSON for transparency.
-    runs: list[dict[str, float]] = []
-    for _pass in range(2):
+    def sweep(sf_dir: str) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in sorted(QUERIES):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
+            df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
             # queries are independent: drop any relation an operator
             # persisted so cache residency can't distort the next timings
             spark.catalog.clearCache()
-        runs.append(timings)
+        return timings
+
+    # Two timed passes, reporting the per-query MIN. The host this suite
+    # runs on shows large transient noise (same-code totals measured
+    # 81s..174s; individual 1.4s queries spiking to 15s — see BASELINE.md
+    # round-2 variance analysis), and a single cold pass also bills
+    # per-plan JIT/codegen warmup to arbitrary queries. The min of two
+    # passes is the engine's steady-state cost — the quantity that scales
+    # with a cluster — while the raw pass totals stay in the JSON for
+    # transparency. The second pass is skipped if the first already blew
+    # the budget (slow host), keeping worst-case wall time bounded. (A
+    # small-SF warm sweep was tried instead and rejected: 62 queries x
+    # ~1.5s fixed overhead costs more than the cold effects it removes.)
+    bench_start = time.perf_counter()
+    runs = [sweep(SF_DIR)]
+    if time.perf_counter() - bench_start < 240:
+        runs.append(sweep(SF_DIR))
 
     best = {name: min(r[name] for r in runs) for name in runs[0]}
     total = round(sum(best.values()), 3)
@@ -91,7 +99,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": best,
-                "agg": "min_of_2_runs",
+                "agg": f"min_of_{len(runs)}_runs",
                 "run_totals": [round(sum(r.values()), 3) for r in runs],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
