@@ -116,11 +116,19 @@ class AppendResult:
 class ManifestSinkTable:
     root: str
     write_mode: str = "committed"  # committed | pending
+    # frozen: first batch's schema is the table's schema forever (the
+    #   reference's model — BigQuery tables don't evolve on write).
+    # additive: later batches may ADD nullable columns; the table schema
+    #   grows to the union, old files read the new columns as null. Type
+    #   changes and dropping a required column are always rejected.
+    schema_evolution: str = "frozen"
     retry: RetryPolicy = field(default_factory=RetryPolicy)
 
     def __post_init__(self) -> None:
         if self.write_mode not in ("committed", "pending"):
             raise ValueError(f"write.mode must be committed|pending, got {self.write_mode!r}")
+        if self.schema_evolution not in ("frozen", "additive"):
+            raise ValueError(f"schema_evolution must be frozen|additive, got {self.schema_evolution!r}")
         for d in ("data", "_staged", "_commits"):
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
 
@@ -202,6 +210,41 @@ class ManifestSinkTable:
         if not os.path.exists(self._schema_path()):
             self._atomic_write(self._schema_path(), df.schema.json())
 
+    def _evolve_schema(self, df: DataFrame) -> None:
+        """Additive evolution: grow the table schema to the union.
+
+        Ordering contract: the schema file is updated BEFORE the batch's
+        commit marker, so the moment a batch with new columns becomes
+        visible, readers already know about them. The reverse order would
+        let a reader see the batch's files under the old schema and
+        silently drop the new columns. (A crash between schema update and
+        marker leaves a wider schema with no data in the new columns —
+        harmless: they read as null, and the replayed batch fills them.)
+        """
+        current = self.schema()
+        if current is None:
+            self._atomic_write(self._schema_path(), df.schema.json())
+            return
+        by_name = {f.name: f for f in current.fields}
+        added: list[T.StructField] = []
+        for f in df.schema.fields:
+            known = by_name.get(f.name)
+            if known is None:
+                # new columns are forced nullable: rows already in the
+                # table have no value for them
+                added.append(T.StructField(f.name, f.dataType, nullable=True))
+            elif known.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution is additive-only: column {f.name!r} "
+                    f"changed type {known.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                )
+        incoming = set(df.schema.fieldNames())
+        for f in current.fields:
+            if not f.nullable and f.name not in incoming:
+                raise ValueError(f"batch drops required column {f.name!r}; only nullable columns may be omitted")
+        if added:
+            self._atomic_write(self._schema_path(), T.StructType(list(current.fields) + added).json())
+
     def schema(self) -> T.StructType | None:
         if not os.path.exists(self._schema_path()):
             return None
@@ -213,7 +256,10 @@ class ManifestSinkTable:
         """Append one micro-batch; idempotent per batch_id (R14)."""
         if self._is_known(batch_id):
             return AppendResult(batch_id=batch_id, rows=0, already_exists=True)
-        self._freeze_schema(df)
+        if self.schema_evolution == "additive":
+            self._evolve_schema(df)
+        else:
+            self._freeze_schema(df)
         data_dir = self._data_dir(batch_id)
 
         def _append() -> None:

@@ -1,0 +1,75 @@
+"""Additive schema evolution on the manifest sink."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+
+def _sink(tmp_path, mode="additive"):
+    return ManifestSinkTable(str(tmp_path / "t"), schema_evolution=mode)
+
+
+def test_new_nullable_column_grows_the_table(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink.write_batch(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    sink.write_batch(spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double"), 1)
+    rows = {r.id: r for r in sink.read(spark).collect()}
+    assert set(sink.read(spark).columns) == {"id", "name", "score"}
+    assert rows[1].score is None  # pre-evolution rows backfill null
+    assert rows[2].score == 9.5
+    assert sink.schema()["score"].nullable  # forced nullable on add
+
+
+def test_omitting_a_nullable_column_is_allowed(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink.write_batch(spark.createDataFrame([(1, "a", 1.0)], "id long, name string, score double"), 0)
+    sink.write_batch(spark.createDataFrame([(2, "b")], "id long, name string"), 1)
+    rows = {r.id: r for r in sink.read(spark).collect()}
+    assert rows[2].score is None
+
+
+def test_type_change_rejected(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink.write_batch(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    with pytest.raises(ValueError, match="changed type"):
+        sink.write_batch(spark.createDataFrame([("x", "b")], "id string, name string"), 1)
+
+
+def test_dropping_required_column_rejected(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    sink = _sink(tmp_path)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("name", T.StringType(), True)]
+    )
+    sink.write_batch(spark.createDataFrame([(1, "a")], schema), 0)
+    with pytest.raises(ValueError, match="required column"):
+        sink.write_batch(spark.createDataFrame([("only-name",)], "name string"), 1)
+
+
+def test_frozen_mode_keeps_first_schema(spark, tmp_path):
+    sink = _sink(tmp_path, mode="frozen")
+    sink.write_batch(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    sink.write_batch(spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double"), 1)
+    # the extra column is projected away on read — the reference's model
+    assert set(sink.read(spark).columns) == {"id", "name"}
+
+
+def test_evolution_survives_compaction_and_replay(spark, tmp_path):
+    sink = _sink(tmp_path)
+    sink.write_batch(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    sink.write_batch(spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double"), 1)
+    assert sink.compact(spark) is not None
+    # replayed pre-evolution batch is absorbed, schema unchanged
+    res = sink.write_batch(spark.createDataFrame([(1, "a")], "id long, name string"), 0)
+    assert res.already_exists
+    rows = {r.id: r for r in sink.read(spark).collect()}
+    assert len(rows) == 2 and rows[2].score == 9.5 and rows[1].score is None
+    assert set(sink.read(spark).columns) == {"id", "name", "score"}
+
+
+def test_rejects_unknown_evolution_mode(tmp_path):
+    with pytest.raises(ValueError, match="frozen|additive"):
+        ManifestSinkTable(str(tmp_path / "t"), schema_evolution="mutable")
