@@ -315,6 +315,64 @@ def cosine_near_dup_pairs_blocked(
     return rep.groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
 
 
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 24,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via hyperplane-LSH candidates +
+    exact rescore — the subquadratic member of the near-dup family.
+
+    Role in the trio: cosine_near_dup_pairs (crossJoin) is the O(n^2)
+    oracle baseline; cosine_near_dup_pairs_blocked is exact with an
+    n_blocks-fold replication (still touches every pair, in matmul form);
+    THIS path touches only pairs sharing an LSH band bucket — candidate
+    count scales with bucket occupancy, not n^2, which is the only shape
+    that survives a billion-vector corpus. The price is recall < 1:
+    a true pair is missed iff it disagrees on every band
+    (p_miss = (1 - sim_angular^(planes/bands))^bands; tune n_planes/bands
+    to the threshold). Verified pairs are exact — precision is 1 by
+    construction (pinned in tests together with measured recall).
+
+    Plan: one signature pass, band-bucket self-join, dedup candidates,
+    exact cosine only on candidates.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    rows_per_band = n_planes // bands
+    if rows_per_band * bands != n_planes:
+        raise ValueError("n_planes must be divisible by bands")
+    base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")))
+    sigged = base.select(id_col, vec_col, "_n", lsh_signature(F.col(vec_col), planes).alias("_sig"))
+    band_hash = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",", F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigged.select(id_col, vec_col, "_n", F.posexplode(band_hash).alias("band", "bucket")).persist()
+    buckets.count()  # barrier: both self-join branches read the bucket relation
+    l = buckets.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.3,

@@ -125,3 +125,18 @@ def q38_embedding_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     """
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs_blocked(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+@query("q63_embedding_near_dups_lsh")  # approximate by design (recall < 1) -> rows-only
+def q63_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH candidates + exact
+    rescore — the SUBQUADRATIC member of the near-dup family and the only
+    one that survives a billion-vector corpus (q37 is the O(n^2) oracle
+    baseline, q38 the exact block-pair form that still touches every
+    pair). Precision is exactly 1 (survivors are exactly rescored); recall
+    is tuned by n_planes/bands and pinned against the exact pair set in
+    tests/test_dedup_similarity.py."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_lsh(emb, threshold=0.35).orderBy("id_a", "id_b")
