@@ -140,3 +140,54 @@ def q63_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs_lsh(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+_HOUR_SUMS_SQL = ", ".join(
+    f"round(coalesce(sum(CASE WHEN extract(hour FROM ts) = {h} THEN value END), 0), 4)" for h in range(24)
+)
+
+
+@query(
+    "q64_user_activity_similarity",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, [{_HOUR_SUMS_SQL}] AS e
+      FROM events GROUP BY user_id
+    ),
+    q AS (SELECT user_id AS query_id, e AS qe FROM p WHERE user_id < 20),
+    scored AS (
+      SELECT query_id, p.user_id AS neighbor_id,
+             round({_DOT.format(a='qe', b='p.e')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='p.e')}), 6) AS cosine
+      FROM q CROSS JOIN p
+      WHERE p.user_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q64_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity by composition: each user's 24-hour activity
+    profile (hourly value sums, the windowed-aggregation output) becomes a
+    dense vector, and the exact cosine top-k operator finds behaviorally
+    similar users. The shape every "find accounts like this one" pipeline
+    takes: aggregate -> vectorize -> similarity — no new operator needed,
+    and the whole composition stays oracle-checkable through the fold
+    macros. Hourly sums round to 4dp on BOTH sides before the fold so the
+    engines' aggregation orders cannot diverge the vectors."""
+    ev = load_table(spark, sf_dir, "events")
+    sums = ev.groupBy("user_id").agg(
+        *[
+            F.round(F.coalesce(F.sum(F.when(F.hour("ts") == h, F.col("value"))), F.lit(0.0)), 4).alias(f"_h{h}")
+            for h in range(24)
+        ]
+    )
+    profile = sums.select("user_id", F.array(*[f"_h{h}" for h in range(24)]).alias("embedding"))
+    queries = profile.filter(F.col("user_id") < 20).select(F.col("user_id").alias("query_id"), "embedding")
+    return cosine_topk(profile, queries, k=5, id_col="user_id").orderBy("query_id", "rank")
