@@ -117,3 +117,31 @@ def q33_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return simhash_near_dups(docs, max_hamming=7, chunks=8).orderBy("id_a", "id_b")
+
+
+@query(
+    "q65_incremental_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id <= 250
+    ),
+    fresh AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE doc_id > 250
+    )
+    SELECT f.doc_id, f.fp
+    FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+    WHERE c.fp IS NULL
+    ORDER BY f.doc_id
+    """,
+)
+def q65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production flow: an INCREMENT of new
+    documents is deduplicated against the EXISTING corpus without ever
+    re-scanning corpus text. Both sides reduce to 32-byte fingerprints;
+    the increment anti-joins the corpus fingerprint set (broadcast when it
+    fits, hash-join otherwise — at 100TB the corpus side is a fingerprint
+    TABLE maintained incrementally, not a scan)."""
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    corpus_fp = docs.filter(F.col("doc_id") <= 250).select(fingerprint("text").alias("fp")).distinct()
+    fresh = docs.filter(F.col("doc_id") > 250).select("doc_id", fingerprint("text").alias("fp"))
+    return fresh.join(corpus_fp, "fp", "left_anti").select("doc_id", "fp").orderBy("doc_id")

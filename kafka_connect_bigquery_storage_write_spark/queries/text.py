@@ -289,3 +289,48 @@ def q57_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     return repetition_signals(docs).orderBy("doc_id")
+
+
+# data-mixing weights: downsample every sourceN with N >= 10 to 40%
+# (the "cap the crawl, keep the curated" move), keep the rest whole
+_MIX_KEEP_PCT = "CASE WHEN CAST(substr(source, 4) AS INT) >= 10 THEN 40 ELSE 100 END"
+
+
+@query(
+    "q66_mixture_sampling",
+    oracle=f"""
+    WITH gated AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+      FROM documents
+      WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 100
+            < ({_MIX_KEEP_PCT})
+    )
+    SELECT source,
+           count(*)                      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM gated
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q66_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling — APPLYING the data-mixing decision
+    q45 informs: per-source keep-rates enforced by an md5 hash gate on the
+    doc id, so the sample is reproducible across runs, engines, and
+    cluster sizes (randomSplit/sample are neither), and downstream
+    epochs/ablations see the identical corpus. The gate is a pure
+    projection + filter — pushes to the scan, no shuffle before the
+    per-source accounting aggregate."""
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    keep_pct = F.when(F.substring("source", 4, 10).cast("int") >= 10, F.lit(40)).otherwise(F.lit(100))
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 100
+    return (
+        docs.filter(gate < keep_pct)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))).alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
