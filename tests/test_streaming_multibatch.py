@@ -152,3 +152,30 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(180)
     rows = spark.read.parquet(str(out)).collect()
     assert [(r.ad_id) for r in rows] == [1]  # only the in-interval click
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join (E17): a micro-batch stream enriches against a
+    static dimension; the dimension broadcasts (no stream-side state, no
+    watermark needed — the pattern for slowly-changing reference data)."""
+    src, out = tmp_path / "ev", tmp_path / "enriched"
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string"
+    )
+    spark.createDataFrame(
+        [(10, 1, 5.0), (11, 2, 7.0), (12, 3, 9.0)], "event_id long, user_id long, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema("event_id long, user_id long, value double").parquet(str(src))
+    enriched = stream.join(F.broadcast(dim), "user_id", "left")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "eckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.event_id: r.tier for r in spark.read.parquet(str(out)).collect()}
+    assert got == {10: "gold", 11: "basic", 12: None}
