@@ -335,9 +335,18 @@ def cosine_near_dup_pairs_lsh(
     count scales with bucket occupancy, not n^2, which is the only shape
     that survives a billion-vector corpus. The price is recall < 1:
     a true pair is missed iff it disagrees on every band
-    (p_miss = (1 - sim_angular^(planes/bands))^bands; tune n_planes/bands
-    to the threshold). Verified pairs are exact — precision is 1 by
-    construction (pinned in tests together with measured recall).
+    (p_miss = (1 - p_agree^(planes/bands))^bands with
+    p_agree = 1 - angle/pi; tune n_planes/bands to the threshold).
+    Verified pairs are exact — precision is 1 by construction (pinned in
+    tests together with measured recall).
+
+    Regime note: hyperplane LSH separates well when near-dups are truly
+    near (cosine >= ~0.8, p_agree >= 0.8 vs 0.5 for random pairs) — the
+    real embedding-dedup setting. At LOW thresholds (the fixture's 0.35,
+    barely above random) the recall-preserving config is necessarily
+    permissive and pruning is weak; the operator stays correct but its
+    advantage over the exact block-pair path shrinks. Benchmarks on the
+    fixture reflect that regime, not the production one.
 
     Plan: one signature pass, band-bucket self-join, dedup candidates,
     exact cosine only on candidates.
@@ -359,14 +368,28 @@ def cosine_near_dup_pairs_lsh(
             for b in range(bands)
         ]
     )
-    buckets = sigged.select(id_col, vec_col, "_n", F.posexplode(band_hash).alias("band", "bucket")).persist()
-    buckets.count()  # barrier: both self-join branches read the bucket relation
-    l = buckets.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"), "band", "bucket")
-    r = buckets.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"), "band", "bucket")
-    return (
+    # vectors stay OUT of the pair space: the bucket self-join and the
+    # candidate dedup move only (id, band, bucket) — 24 bytes/row — and
+    # the vectors join back once per surviving candidate side. Carrying
+    # vector payloads through the pair dedup is what must not happen at
+    # 1e9 vectors (pair-space rows would be ~50x wider).
+    sigged = sigged.persist()
+    sigged.count()  # barrier: bucket pass + both rescore joins share the signature relation
+    with_vec = sigged.select(id_col, vec_col, "_n")
+    buckets = sigged.select(id_col, F.posexplode(band_hash).alias("band", "bucket"))
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
         l.join(r, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = with_vec.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
+    vb = with_vec.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cosine", F.round(dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
