@@ -151,6 +151,7 @@ def ivf_topk(
     sample_size: int = 2048,
     seed: int = 42,
     kmeans_iters: int = 10,
+    sample_mode: str = "prefix",  # prefix | hash
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer ->
     probe the n_probe nearest lists -> exact rescore on candidates.
@@ -171,7 +172,16 @@ def ivf_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
-    sample = corpus.select(vec_col).limit(sample_size).collect()
+    if sample_mode == "hash":
+        # unbiased deterministic sample: the sample_size lowest id-hashes
+        # (TakeOrdered — no full sort materializes). Costs a scan of
+        # (id, vec); use when ingestion order correlates with embedding
+        # content and a prefix sample would train a skewed quantizer.
+        sample = corpus.select(vec_col).orderBy(F.xxhash64(F.col(id_col))).limit(sample_size).collect()
+    elif sample_mode == "prefix":
+        sample = corpus.select(vec_col).limit(sample_size).collect()
+    else:
+        raise ValueError(f"sample_mode must be prefix|hash, got {sample_mode!r}")
     x = np.array([r[0] for r in sample], dtype=np.float64)
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

@@ -133,3 +133,31 @@ def test_lsh_pair_precision_exact_and_recall_high(spark, sf_dir):
         assert v == exact[k]  # identical fold arithmetic
     # deterministic (seeded planes, fixed data): measured 0.939
     assert len(lsh) >= 0.85 * len(exact) > 0
+
+
+def test_ivf_hash_sample_mode_recall_and_determinism(spark, sf_dir):
+    """hash sample_mode trains on an order-independent sample: recall
+    stays comparable to brute force and two runs are identical."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_topk, ivf_topk
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    a = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4, sample_mode="hash").collect()
+    b = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=4, sample_mode="hash").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    got = {(r.query_id, r.neighbor_id) for r in a}
+    assert len(got & exact) / len(exact) >= 0.6  # half the lists probed
+
+
+def test_ivf_rejects_unknown_sample_mode(spark, sf_dir):
+    import pytest
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivf_topk
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="sample_mode"):
+        ivf_topk(emb, q, sample_mode="random").count()
