@@ -71,6 +71,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _band_hashes(sig_col: str, n_planes: int, bands: int) -> Column:
+    """array of per-band bucket hashes over a 0/1 signature column.
+
+    Band b hashes its slice of the signature (salted with b so equal
+    slices in different bands cannot share buckets when a caller joins on
+    bucket alone). Shared by every banded-LSH path — the band layout must
+    never diverge between them.
+    """
+    rows_per_band = n_planes // bands
+    if rows_per_band * bands != n_planes:
+        raise ValueError("n_planes must be divisible by bands")
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                F.concat_ws(
+                    ",",
+                    F.transform(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string")),
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
     """Random-hyperplane signature: bit j = sign(vec · plane_j).
 
@@ -101,24 +126,14 @@ def lsh_topk(
     a query probes only its own buckets, so the candidate set — not the
     corpus — is rescored. Recall tunes with n_planes/bands.
     """
-    rows_per_band = n_planes // bands
-    if rows_per_band * bands != n_planes:
-        raise ValueError("n_planes must be divisible by bands")
     planes = _hyperplanes(dim, n_planes, seed)
 
     def banded(df: DataFrame, ident: str) -> DataFrame:
         # compute the signature once per row, then band-hash slices of it
         sigged = df.select(F.col(ident), F.col(vec_col), lsh_signature(F.col(vec_col), planes).alias("_sig"))
-        band_hash = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(b),
-                    F.concat_ws(",", F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
-                )
-                for b in range(bands)
-            ]
+        return sigged.select(
+            F.col(ident), F.col(vec_col), F.posexplode(_band_hashes("_sig", n_planes, bands)).alias("band", "bucket")
         )
-        return sigged.select(F.col(ident), F.col(vec_col), F.posexplode(band_hash).alias("band", "bucket"))
 
     cb = banded(
         ensure_compute_parallelism(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)), "neighbor_id"
@@ -156,13 +171,15 @@ def ivf_topk(
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer ->
     probe the n_probe nearest lists -> exact rescore on candidates.
 
-    Training runs on a bounded PREFIX sample on the driver (numpy
-    k-means, deterministic seed) — at any corpus scale the trained object
-    stays n_lists x dim. A prefix (limit) sample reads only the corpus
-    head: cheapest possible, but biased if the corpus is ordered by
-    something embedding-correlated; swap in a hash-gated sample
-    (pmod(xxhash64(id), k) == 0) when ingestion order is not exchangeable
-    — it costs a scan of the id column but samples uniformly. Assignment and probing are broadcast matmuls in
+    Training runs on a bounded driver sample (numpy k-means,
+    deterministic seed) — at any corpus scale the trained object stays
+    n_lists x dim. ``sample_mode`` picks the sample:
+    - "prefix" (default): ``limit(sample_size)`` — reads only the corpus
+      head, cheapest possible, but biased if ingestion order correlates
+      with embedding content;
+    - "hash": the ``sample_size`` LOWEST xxhash64(id) rows (TakeOrdered —
+      no full sort materializes) — order-independent and deterministic,
+      at the cost of one narrow (id, vec) scan. Assignment and probing are broadcast matmuls in
     Arrow batches; the corpus is touched in exactly one narrow pass, and
     each query rescales only ~n_probe/n_lists of it. Recall tunes with
     n_probe (= n_lists reproduces brute force).
@@ -359,25 +376,16 @@ def cosine_near_dup_pairs_lsh(
     fixture reflect that regime, not the production one.
 
     Plan: one signature pass, band-bucket self-join, dedup candidates,
-    exact cosine only on candidates.
+    exact cosine only on candidates. The signature relation is persisted
+    with an eager cache-fill barrier (same rationale and lifecycle as the
+    dedup operators: concurrent downstream jobs would race a lazy fill;
+    Spark's ContextCleaner unpersists it once the result DataFrame is
+    unreferenced, and bench/test harnesses clearCache between queries).
     """
     planes = _hyperplanes(dim, n_planes, seed)
-    rows_per_band = n_planes // bands
-    if rows_per_band * bands != n_planes:
-        raise ValueError("n_planes must be divisible by bands")
     base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")))
     sigged = base.select(id_col, vec_col, "_n", lsh_signature(F.col(vec_col), planes).alias("_sig"))
-    band_hash = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                F.concat_ws(
-                    ",", F.transform(F.slice("_sig", b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_hash = _band_hashes("_sig", n_planes, bands)
     # vectors stay OUT of the pair space: the bucket self-join and the
     # candidate dedup move only (id, band, bucket) — 24 bytes/row — and
     # the vectors join back once per surviving candidate side. Carrying

@@ -17,7 +17,7 @@ key within each day.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -52,9 +52,17 @@ def partition_filters(df: DataFrame) -> str:
 
 def prunes_partitions(df: DataFrame, column: str) -> bool:
     """True iff some scan in ``df``'s plan has a non-empty PartitionFilters
-    mentioning ``column``."""
+    mentioning ``column``.
+
+    Only the bracketed PartitionFilters list itself is inspected — the
+    FileScan line continues with PushedFilters/ReadSchema text that would
+    otherwise make any column name "match" (a false green for plans that
+    prune nothing).
+    """
     for line in partition_filters(df).splitlines():
-        frag = line.split("PartitionFilters:", 1)[-1].strip()
-        if frag not in ("[]", "") and column in frag:
+        if "PartitionFilters: [" not in line:
+            continue
+        inner = line.split("PartitionFilters: [", 1)[1].split("]", 1)[0].strip()
+        if inner and column in inner:
             return True
     return False

@@ -106,3 +106,19 @@ def test_rollup_partials_shrink_before_write(spark, tmp_path):
     stored = roll._sink.read(spark)
     assert stored.count() == 1  # 100 raw rows -> one partial row
     assert set(stored.columns) == {"window_start", "k", "_p_sum_v"}
+
+
+def test_q58_correlated_subquery_decorrelates(spark, sf_dir):
+    """The TPC-H Q17-shaped correlated scalar subquery must be rewritten
+    into a grouped aggregate + joins — zero per-row subquery nodes. A
+    Spark regression to per-row execution would return identical rows
+    (the oracle can't see it), so the plan itself is the gate."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("_entry", "/root/repo/__spark_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.queries()["q58_small_quantity_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan and "Join" in plan
