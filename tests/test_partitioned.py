@@ -51,3 +51,19 @@ def test_range_predicate_also_prunes(spark, sf_dir, tmp_path):
     ev = load_table(spark, sf_dir, "events")
     expected = ev.filter((F.to_date("ts") >= "2024-01-03") & (F.to_date("ts") < "2024-01-06")).count()
     assert df.count() == expected > 0
+
+
+def test_prunes_partitions_not_fooled_by_pushed_filters(spark, tmp_path):
+    """Regression: a data column whose name contains the partition
+    column's name ('dt' in 'width') appears in PushedFilters/ReadSchema on
+    the same FileScan line; the assertion must inspect only the bracketed
+    PartitionFilters list, not the rest of the line."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("2024-01-01", 10), ("2024-01-02", 20)], "dt string, width int"
+    )
+    df.write.mode("overwrite").partitionBy("dt").parquet(path)
+    only_width = read_partitioned(spark, path).filter(F.col("width") > 5)
+    assert not prunes_partitions(only_width, "dt"), partition_filters(only_width)
+    on_dt = read_partitioned(spark, path).filter(F.col("dt") == "2024-01-01")
+    assert prunes_partitions(on_dt, "dt")
