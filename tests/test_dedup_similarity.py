@@ -161,3 +161,32 @@ def test_ivf_rejects_unknown_sample_mode(spark, sf_dir):
     q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="sample_mode"):
         ivf_topk(emb, q, sample_mode="random").count()
+
+
+def test_lsh_pairs_prune_hard_in_the_high_sim_regime(spark):
+    """The regime claim in cosine_near_dup_pairs_lsh's docstring, measured:
+    with planted near-dups at cosine ~0.95 (the real embedding-dedup
+    setting) a selective config (8 planes/band) finds every planted pair
+    while examining a small fraction of the n^2 pair space."""
+    import numpy as np
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((400, 64))
+    rows, planted = [], []
+    for i, v in enumerate(base):
+        rows.append((i, (v / np.linalg.norm(v)).tolist()))
+    # plant 40 near-dups: tiny perturbations of the first 40 vectors
+    for j in range(40):
+        v = base[j] + 0.18 * rng.standard_normal(64)
+        rows.append((1000 + j, (v / np.linalg.norm(v)).tolist()))
+        planted.append((j, 1000 + j))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_near_dup_pairs_lsh(df, threshold=0.9, n_planes=48, bands=6)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    # analytic recall for this config at cos 0.95 is ~0.965
+    # (p_agree=0.899, miss=(1-0.899^8)^6) — deterministic here (seeded)
+    assert len(got & set(planted)) >= 38, f"missed: {set(planted) - got}"
+    # selectivity: the result space stayed tiny vs the 96k-pair space
+    assert len(got) <= len(planted) + 10
