@@ -199,3 +199,78 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "q67_event_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    ),
+    staged AS (
+      SELECT s1.user_id,
+             CASE WHEN t3 IS NOT NULL THEN 3
+                  WHEN t2 IS NOT NULL THEN 2
+                  WHEN t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_stage
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id
+    )
+    SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_users
+    FROM staged GROUP BY funnel_stage ORDER BY funnel_stage
+    """,
+)
+def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (view -> click -> purchase): each stage's
+    timestamp must follow the previous stage's — min-aggregate chained
+    through two join steps, the standard sessionless funnel shape. The
+    per-user stage table is tiny after the first aggregate, so the chain
+    is two broadcast-sized joins, not three scans of raw events: each
+    step filters events by type BEFORE joining (Catalyst pushes the type
+    predicate into the scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"))
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s1.filter(F.col("t1").isNotNull())), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(s2), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    staged = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("funnel_stage"),
+        )
+    )
+    return (
+        staged.groupBy("funnel_stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("funnel_stage")
+    )
