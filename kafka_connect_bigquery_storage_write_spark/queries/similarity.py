@@ -188,6 +188,7 @@ def q64_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(24)
         ]
     )
-    profile = sums.select("user_id", F.array(*[f"_h{h}" for h in range(24)]).alias("embedding"))
+    profile = sums.select("user_id", F.array(*[f"_h{h}" for h in range(24)]).alias("embedding")).persist()
+    profile.count()  # barrier: the corpus side and the broadcast queries side share this aggregate
     queries = profile.filter(F.col("user_id") < 20).select(F.col("user_id").alias("query_id"), "embedding")
     return cosine_topk(profile, queries, k=5, id_col="user_id").orderBy("query_id", "rank")
