@@ -121,3 +121,36 @@ def test_config_validation():
         PipelineConfig(sink_path="/tmp/x", write_mode="exactly_once")
     with pytest.raises(ValueError, match="buffer.size"):
         PipelineConfig(sink_path="/tmp/x", buffer_size=0)
+
+
+def test_crash_between_dlq_and_sink_never_loses_dead_letters(spark, tmp_path, monkeypatch):
+    """The DLQ write precedes the sink append BY DESIGN: if the driver
+    dies between them, the replayed batch must still deliver the bad rows
+    (a sink-first order would short-circuit on ALREADY_EXISTS and skip
+    dead-lettering forever — the ADVICE-flagged loss)."""
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    p = _pipeline(tmp_path)
+    df = _envelope(
+        spark,
+        [{"id": "id-0", "int_value": 1}, {"id": None, "int_value": 2}, {"id": "id-2", "int_value": 3}],
+    )
+    orig = ManifestSinkTable.write_batch
+    calls = {"n": 0}
+
+    def crash_once(self, frame, batch_id):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated crash after DLQ write, before sink append")
+        return orig(self, frame, batch_id)
+
+    monkeypatch.setattr(ManifestSinkTable, "write_batch", crash_once)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.run_batch(df, batch_id=0)
+    # the DLQ already holds the bad row — it was written before the crash
+    assert p._dlq.read(spark).count() == 1
+    # replay: sink commits, DLQ rewrite is idempotent (no duplicates)
+    stats = p.run_batch(df, batch_id=0)
+    assert not stats.already_exists and stats.written_rows == 2 and stats.dlq_rows == 1
+    assert p._dlq.read(spark).count() == 1
+    assert p.read_sink(spark).count() == 2
