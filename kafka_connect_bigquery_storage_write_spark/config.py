@@ -34,6 +34,11 @@ class PipelineConfig:
     # one batch must have one dead-letter destination.
     dlq_topic: str | None = None
     dlq_bootstrap_servers: str | None = None
+    # sink schema policy across pipeline (re)deployments: "frozen" (the
+    # reference's fixed-schema model) or "additive" (a redeployed pipeline
+    # whose sink_schema gained nullable columns keeps writing to the same
+    # table; earlier batches read the new columns as null)
+    sink_schema_evolution: str = "frozen"
 
     def __post_init__(self) -> None:
         if self.write_mode not in WRITE_MODES:

@@ -81,7 +81,11 @@ class IngestPipeline:
     stats: list[BatchStats] = field(init=False, default_factory=list)
 
     def __post_init__(self) -> None:
-        self._sink = ManifestSinkTable(self.config.sink_path, write_mode=self.config.write_mode)
+        self._sink = ManifestSinkTable(
+            self.config.sink_path,
+            write_mode=self.config.write_mode,
+            schema_evolution=self.config.sink_schema_evolution,
+        )
         if self.config.dlq_path:
             self._dlq = DeadLetterQueue(self.config.dlq_path)
         elif self.config.dlq_topic:

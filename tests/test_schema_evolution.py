@@ -73,3 +73,34 @@ def test_evolution_survives_compaction_and_replay(spark, tmp_path):
 def test_rejects_unknown_evolution_mode(tmp_path):
     with pytest.raises(ValueError, match="frozen|additive"):
         ManifestSinkTable(str(tmp_path / "t"), schema_evolution="mutable")
+
+
+def test_pipeline_redeploy_with_wider_schema(spark, tmp_path):
+    """The deployment scenario: pipeline v2 adds a nullable column to its
+    sink_schema and keeps writing the same sink table (additive mode);
+    v1's batches read the new column as null."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+    from kafka_connect_bigquery_storage_write_spark.streaming import IngestPipeline
+
+    def cfg():
+        return PipelineConfig(sink_path=str(tmp_path / "sink"), sink_schema_evolution="additive")
+
+    env_schema = "topic string, partition int, offset long, key string, value string"
+    v1_schema = T.StructType([T.StructField("id", T.LongType(), False)])
+    v2_schema = T.StructType(
+        [T.StructField("id", T.LongType(), False), T.StructField("tag", T.StringType(), True)]
+    )
+    env1 = spark.createDataFrame([("t", 0, 0, "a", json.dumps({"id": 1}))], env_schema)
+    env2 = spark.createDataFrame([("t", 0, 1, "b", json.dumps({"id": 2, "tag": "x"}))], env_schema)
+
+    IngestPipeline(config=cfg(), value_schema=v1_schema).run_batch(env1, batch_id=0)
+    v2 = IngestPipeline(config=cfg(), value_schema=v2_schema)
+    v2.run_batch(env2, batch_id=1)
+
+    rows = {r.id: r for r in v2.read_sink(spark).collect()}
+    assert rows[1].tag is None and rows[2].tag == "x"
+    assert set(v2.read_sink(spark).columns) == {"id", "tag"}
