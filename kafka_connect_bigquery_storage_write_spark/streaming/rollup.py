@@ -101,3 +101,9 @@ class IncrementalRollup:
         """Merge partial batches (delegates to the sink's snapshot
         compaction); read() results are unchanged, read cost drops."""
         return self._sink.compact(spark, target_files=target_files)
+
+    def vacuum(self) -> list[str]:
+        """Delete partial directories absorbed by compaction snapshots
+        (sink vacuum); run after in-flight readers of the old layout
+        finish."""
+        return self._sink.vacuum()

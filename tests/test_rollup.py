@@ -85,6 +85,9 @@ def test_compaction_preserves_results(spark, tmp_path):
     before = _state(roll, spark)
     assert roll.compact(spark) is not None
     assert _state(roll, spark) == before
+    # vacuum drops the absorbed partial dirs; results still unchanged
+    assert len(roll.vacuum()) == 4
+    assert _state(roll, spark) == before
 
 
 def test_rejects_non_decomposable_agg(tmp_path):
