@@ -49,6 +49,10 @@ class PipelineConfig:
             raise ValueError(f"buffer.size must be positive, got {self.buffer_size}")
         if self.parallelism_hint is not None and self.parallelism_hint <= 0:
             raise ValueError("parallelism hint must be positive when set")
+        if self.sink_schema_evolution not in ("frozen", "additive"):
+            raise ValueError(
+                f"sink_schema_evolution must be frozen|additive, got {self.sink_schema_evolution!r}"
+            )
         if (self.dlq_topic is None) != (self.dlq_bootstrap_servers is None):
             raise ValueError("dlq_topic and dlq_bootstrap_servers must be set together")
         if self.dlq_topic is not None and self.dlq_path is not None:

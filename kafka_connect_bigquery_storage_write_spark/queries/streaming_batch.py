@@ -212,12 +212,14 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.user_id, min(e.ts) AS t2
       FROM events e JOIN s1 ON e.user_id = s1.user_id
       WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 48 HOURS
       GROUP BY e.user_id
     ),
     s3 AS (
       SELECT e.user_id, min(e.ts) AS t3
       FROM events e JOIN s2 ON e.user_id = s2.user_id
       WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s2.t2 + INTERVAL 48 HOURS
       GROUP BY e.user_id
     ),
     staged AS (
@@ -234,13 +236,17 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered event funnel (view -> click -> purchase): each stage's
-    timestamp must follow the previous stage's — min-aggregate chained
-    through two join steps, the standard sessionless funnel shape. The
-    per-user stage table is tiny after the first aggregate, so the chain
-    is two broadcast-sized joins, not three scans of raw events: each
-    step filters events by type BEFORE joining (Catalyst pushes the type
-    predicate into the scan)."""
+    """Ordered, time-bounded event funnel (view -> click within 48h ->
+    purchase within 48h): each stage's timestamp must follow the previous
+    stage's within the conversion window — min-aggregate chained through
+    two join steps, the standard sessionless funnel shape. The window
+    bound is what makes the stage distribution non-trivial (an unbounded
+    funnel saturates on this fixture — every user eventually does
+    everything); stage-boundary semantics are pinned on planted users in
+    tests/test_streaming_multibatch.py. The per-user stage table is tiny
+    after the first aggregate, so the chain is two broadcast-sized joins;
+    each step filters events by type BEFORE joining (pushed to the
+    scan)."""
     ev = load_table(spark, sf_dir, "events")
     # each stage relation feeds BOTH the next stage's broadcast and the
     # final stage assembly — barrier them so the full-scan aggregates
@@ -250,7 +256,7 @@ def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = (
         ev.filter(F.col("event_type") == "click")
         .join(F.broadcast(s1.filter(F.col("t1").isNotNull())), "user_id")
-        .filter(F.col("ts") > F.col("t1"))
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 48 HOURS")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
     ).persist()
@@ -258,7 +264,7 @@ def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(F.broadcast(s2), "user_id")
-        .filter(F.col("ts") > F.col("t2"))
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 48 HOURS")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t3"))
     )

@@ -104,3 +104,10 @@ def test_pipeline_redeploy_with_wider_schema(spark, tmp_path):
     rows = {r.id: r for r in v2.read_sink(spark).collect()}
     assert rows[1].tag is None and rows[2].tag == "x"
     assert set(v2.read_sink(spark).columns) == {"id", "tag"}
+
+
+def test_pipeline_config_validates_evolution_mode_eagerly():
+    from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+
+    with pytest.raises(ValueError, match="sink_schema_evolution"):
+        PipelineConfig(sink_path="/tmp/x", sink_schema_evolution="aditive")

@@ -179,3 +179,37 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination(180)
     got = {r.event_id: r.tier for r in spark.read.parquet(str(out)).collect()}
     assert got == {10: "gold", 11: "basic", 12: None}
+
+
+def test_funnel_stage_boundaries_on_planted_users(spark, monkeypatch, tmp_path):
+    """Every funnel branch exercised on synthetic users: stop-at-each-
+    stage, out-of-order purchase, conversion-window expiry, no-view."""
+    import kafka_connect_bigquery_storage_write_spark.queries.streaming_batch as SB
+
+    rows = [
+        # u1: full funnel inside the windows -> stage 3
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 12:00:00"),
+        (1, "purchase", "2024-01-02 12:00:00"),
+        # u2: view then click, never purchases -> stage 2
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "click", "2024-01-01 11:00:00"),
+        # u3: view only -> stage 1
+        (3, "view", "2024-01-01 10:00:00"),
+        # u4: purchase BEFORE its click -> stage 2 (ordering enforced)
+        (4, "view", "2024-01-01 10:00:00"),
+        (4, "purchase", "2024-01-01 11:00:00"),
+        (4, "click", "2024-01-01 12:00:00"),
+        # u5: click 3 days after view -> window expired -> stage 1
+        (5, "view", "2024-01-01 10:00:00"),
+        (5, "click", "2024-01-04 11:00:00"),
+        # u6: no view at all -> stage 0
+        (6, "click", "2024-01-01 10:00:00"),
+        (6, "purchase", "2024-01-01 11:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    monkeypatch.setattr(SB, "load_table", lambda _spark, _sf, _name: ev)
+    got = {r.funnel_stage: r.n_users for r in SB.q67_event_funnel(spark, "unused").collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
