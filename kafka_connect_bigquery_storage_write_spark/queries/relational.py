@@ -637,7 +637,9 @@ def q19_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_math_functions",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge,
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge,
            round(abs(l_discount - 0.05), 4)   AS disc_dev,
            CAST(ceil(l_quantity / 10.0) AS BIGINT)         AS qty_decile,
            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,
@@ -655,7 +657,17 @@ def q20_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2).alias("charge"),
+            # money product in EXACT decimal on both sides: rounding the
+            # binary double diverges between engines at half boundaries
+            # (Spark rounds the shortest decimal repr, DuckDB the exact
+            # binary) — casting the 2-decimal inputs to DECIMAL first makes
+            # the arithmetic and the round bit-identical everywhere
+            F.round(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                * (F.lit(1) + F.col("l_tax").cast("decimal(18,2)")),
+                2,
+            ).cast("double").alias("charge"),
             F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
             F.ceil(F.col("l_quantity") / 10.0).alias("qty_decile"),
             F.floor(F.col("l_extendedprice") / 1000.0).alias("price_kbucket"),

@@ -148,7 +148,8 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            CAST(count(value) AS BIGINT)  AS count_value,
            round(sum(value), 2)          AS sum_value,
-           avg(value)                    AS avg_value,
+           CAST((2 * CAST(round(sum(value) * 100) AS BIGINT) * 100 + count(value))
+                // (2 * count(value)) AS DOUBLE) / 10000 AS avg_value,
            max(value)                    AS max_value
     FROM events
     GROUP BY window_start, event_type
@@ -189,12 +190,17 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "count_value",
             F.round("sum_value", 2).alias("sum_value"),
-            # avg stays UNROUNDED on both sides: engine round() disagrees
-            # at shortest-repr half boundaries (44.64125 -> 44.6413 Spark,
-            # 44.6412 DuckDB); the driver's canonicalization rounds both
-            # floats with the same python rule, where the ~1e-12
-            # associativity drift is far from any 6dp boundary
-            "avg_value",
+            # exact half-up avg at 4dp from integer cents (values are
+            # 2-decimal): any float rounding of the mean — engine round()
+            # or the driver's 6dp canon — flips at half boundaries that
+            # the engines' ulp-different sums land on opposite sides of
+            (
+                F.expr(
+                    "(2 * CAST(round(sum_value * 100) AS BIGINT) * 100 + count_value)"
+                    " div (2 * count_value)"
+                ).cast("double")
+                / F.lit(10000.0)
+            ).alias("avg_value"),
             "max_value",
         )
         .orderBy("window_start", "event_type")

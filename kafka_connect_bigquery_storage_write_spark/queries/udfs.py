@@ -22,15 +22,31 @@ from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
 @pandas_udf(T.DoubleType())
 def _charge_vec(extprice: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
-    """Arrow-batched: whole columns arrive as pandas Series."""
-    return (extprice * (1.0 - discount) * (1.0 + tax)).round(2)
+    """Arrow-batched: whole columns arrive as pandas Series.
+
+    The arithmetic runs in integer cents: the inputs are 2-decimal money,
+    so price*(1-d)*(1+t) is exact in int64 at scale 1e-6 and the half-up
+    round to cents is deterministic — float round here would diverge from
+    the oracle's exact-decimal rounding at half boundaries (and pandas
+    rounds half-to-even besides).
+    """
+    import numpy as np
+
+    pc = np.round(extprice.to_numpy() * 100).astype(np.int64)
+    dc = np.round(discount.to_numpy() * 100).astype(np.int64)
+    tc = np.round(tax.to_numpy() * 100).astype(np.int64)
+    v = pc * (100 - dc) * (100 + tc)  # exact, scale 1e-6
+    cents = (v + 5_000) // 10_000  # half-up to 2dp (values non-negative)
+    return pd.Series(cents / 100.0)
 
 
 @query(
     "q60_pandas_udf_charge",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge
     FROM lineitem
     WHERE l_orderkey <= 100
     ORDER BY l_orderkey, l_linenumber
@@ -60,7 +76,10 @@ def q60_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            count(*)                 AS n_events,
            round(sum(value), 2)     AS sum_value,
-           round(avg(value), 4)     AS avg_value,
+           -- exact half-up avg at 4dp from integer cents: float round of
+           -- the mean diverges between engines at half boundaries
+           CAST((2 * CAST(round(sum(value) * 100) AS BIGINT) * 100 + count(*))
+                // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value,
            round(max(value) - min(value), 4) AS value_range
     FROM events
     GROUP BY user_id
@@ -77,13 +96,22 @@ def q61_apply_in_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf["value"]
+        # values are 2-decimal and non-negative: integer cents make the
+        # sum exact and the 4dp half-up mean deterministic (float round
+        # of the mean flips at half boundaries, and differently per
+        # engine — see the oracle's mirrored integer form)
+        cents = np.round(v.to_numpy() * 100).astype(np.int64)
+        n, s = len(cents), int(cents.sum())
+        avg4 = ((2 * s * 100 + n) // (2 * n)) / 10000.0
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "sum_value": [round(v.sum(), 2)],
-                "avg_value": [round(v.mean(), 4)],
+                "n_events": [n],
+                "sum_value": [s / 100.0],
+                "avg_value": [avg4],
                 "value_range": [round(v.max() - v.min(), 4)],
             }
         )
