@@ -1,0 +1,44 @@
+"""Cross-engine exact-arithmetic fragments shared by queries and oracles.
+
+Engine round() disagrees at decimal half boundaries (Spark rounds the
+shortest decimal repr of a double, DuckDB the exact binary), and the
+engines' ulp-different float aggregates can land on opposite sides of a
+boundary. For the fixture's 2-decimal money/value columns the airtight
+form is exact arithmetic — DECIMAL casts or integer cents — applied
+IDENTICALLY on both sides. These fragments are that single source of
+truth: every spelling of the charge product and the 4dp half-up mean
+must come from here so the engines can never drift apart one call site
+at a time.
+"""
+
+from __future__ import annotations
+
+# the TPC-H charge product in exact decimal (inputs are 2-decimal money);
+# identical text works in DuckDB and Spark SQL
+CHARGE_DECIMAL_SQL = """CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE)"""
+
+
+def exact_avg4_duckdb(sum_expr: str, cnt_expr: str) -> str:
+    """4dp half-up mean of 2-decimal values via exact integer division
+    (DuckDB `//` floors; operands are non-negative here)."""
+    return (
+        f"CAST((2 * CAST(round(({sum_expr}) * 100) AS BIGINT) * 100 + ({cnt_expr}))"
+        f" // (2 * ({cnt_expr})) AS DOUBLE) / 10000"
+    )
+
+
+def exact_avg4_spark(sum_expr: str, cnt_expr: str) -> str:
+    """Same formula in Spark SQL (`div` is exact integer division and
+    agrees with DuckDB `//` for the non-negative operands used here)."""
+    return (
+        f"CAST((2 * CAST(round(({sum_expr}) * 100) AS BIGINT) * 100 + ({cnt_expr}))"
+        f" div (2 * ({cnt_expr})) AS DOUBLE) / 10000"
+    )
+
+
+def exact_avg4(cents_sum: int, n: int) -> float:
+    """Python spelling for pandas kernels: mean of n values whose exact
+    cent total is cents_sum, rounded half-up at 4dp."""
+    return ((2 * cents_sum * 100 + n) // (2 * n)) / 10000.0

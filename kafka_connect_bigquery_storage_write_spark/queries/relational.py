@@ -16,6 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.queries.parity import CHARGE_DECIMAL_SQL
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
 
@@ -635,11 +636,9 @@ def q19_ship_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "q20_math_functions",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge,
+           {CHARGE_DECIMAL_SQL} AS charge,
            round(abs(l_discount - 0.05), 4)   AS disc_dev,
            CAST(ceil(l_quantity / 10.0) AS BIGINT)         AS qty_decile,
            CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_kbucket,

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.queries.parity import exact_avg4_duckdb, exact_avg4_spark
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
 
@@ -143,13 +144,12 @@ def q53_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q56_incremental_rollup",
-    oracle="""
+    oracle=f"""
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            CAST(count(value) AS BIGINT)  AS count_value,
            round(sum(value), 2)          AS sum_value,
-           CAST((2 * CAST(round(sum(value) * 100) AS BIGINT) * 100 + count(value))
-                // (2 * count(value)) AS DOUBLE) / 10000 AS avg_value,
+           {exact_avg4_duckdb("sum(value)", "count(value)")} AS avg_value,
            max(value)                    AS max_value
     FROM events
     GROUP BY window_start, event_type
@@ -194,13 +194,7 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 2-decimal): any float rounding of the mean — engine round()
             # or the driver's 6dp canon — flips at half boundaries that
             # the engines' ulp-different sums land on opposite sides of
-            (
-                F.expr(
-                    "(2 * CAST(round(sum_value * 100) AS BIGINT) * 100 + count_value)"
-                    " div (2 * count_value)"
-                ).cast("double")
-                / F.lit(10000.0)
-            ).alias("avg_value"),
+            F.expr(exact_avg4_spark("sum_value", "count_value")).alias("avg_value"),
             "max_value",
         )
         .orderBy("window_start", "event_type")

@@ -10,6 +10,7 @@ grouped-map schema contract).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,6 +18,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.queries.parity import CHARGE_DECIMAL_SQL, exact_avg4, exact_avg4_duckdb
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
 
@@ -30,8 +32,6 @@ def _charge_vec(extprice: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.
     the oracle's exact-decimal rounding at half boundaries (and pandas
     rounds half-to-even besides).
     """
-    import numpy as np
-
     pc = np.round(extprice.to_numpy() * 100).astype(np.int64)
     dc = np.round(discount.to_numpy() * 100).astype(np.int64)
     tc = np.round(tax.to_numpy() * 100).astype(np.int64)
@@ -42,11 +42,9 @@ def _charge_vec(extprice: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.
 
 @query(
     "q60_pandas_udf_charge",
-    oracle="""
+    oracle=f"""
     SELECT l_orderkey, l_linenumber,
-           CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                      * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE) AS charge
+           {CHARGE_DECIMAL_SQL} AS charge
     FROM lineitem
     WHERE l_orderkey <= 100
     ORDER BY l_orderkey, l_linenumber
@@ -72,14 +70,11 @@ def q60_pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q61_apply_in_pandas_user_stats",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
            count(*)                 AS n_events,
            round(sum(value), 2)     AS sum_value,
-           -- exact half-up avg at 4dp from integer cents: float round of
-           -- the mean diverges between engines at half boundaries
-           CAST((2 * CAST(round(sum(value) * 100) AS BIGINT) * 100 + count(*))
-                // (2 * count(*)) AS DOUBLE) / 10000 AS avg_value,
+           {exact_avg4_duckdb("sum(value)", "count(value)")} AS avg_value,
            round(max(value) - min(value), 4) AS value_range
     FROM events
     GROUP BY user_id
@@ -96,23 +91,25 @@ def q61_apply_in_pandas_user_stats(spark: SparkSession, sf_dir: str) -> DataFram
     ev = load_table(spark, sf_dir, "events")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         v = pdf["value"]
         # values are 2-decimal and non-negative: integer cents make the
         # sum exact and the 4dp half-up mean deterministic (float round
         # of the mean flips at half boundaries, and differently per
-        # engine — see the oracle's mirrored integer form)
-        cents = np.round(v.to_numpy() * 100).astype(np.int64)
-        n, s = len(cents), int(cents.sum())
-        avg4 = ((2 * s * 100 + n) // (2 * n)) / 10000.0
+        # engine — see the oracle's mirrored integer form). Nulls are
+        # dropped BEFORE the cents cast (np.round(NaN).astype(int64) is
+        # INT64_MIN garbage, not an error); like SQL, sum/avg skip nulls
+        # while n_events counts all rows.
+        valid = v.dropna()
+        cents = np.round(valid.to_numpy() * 100).astype(np.int64)
+        n_valid, s = len(cents), int(cents.sum())
+        avg4 = exact_avg4(s, n_valid) if n_valid else None
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [n],
-                "sum_value": [s / 100.0],
+                "n_events": [len(pdf)],
+                "sum_value": [s / 100.0 if n_valid else None],
                 "avg_value": [avg4],
-                "value_range": [round(v.max() - v.min(), 4)],
+                "value_range": [round(valid.max() - valid.min(), 4) if n_valid else None],
             }
         )
 
