@@ -20,22 +20,30 @@ CHARGE_DECIMAL_SQL = """CAST(round(CAST(l_extendedprice AS DECIMAL(18,2))
                       * (1 + CAST(l_tax AS DECIMAL(18,2))), 2) AS DOUBLE)"""
 
 
-def exact_avg4_duckdb(sum_expr: str, cnt_expr: str) -> str:
-    """4dp half-up mean of 2-decimal values via exact integer division
-    (DuckDB `//` floors; operands are non-negative here)."""
+def exact_avg_cents(cents_expr: str, cnt_expr: str, dp: int, engine: str) -> str:
+    """Half-up mean at ``dp`` decimals of values whose EXACT total in
+    cents is ``cents_expr``, via exact integer division (DuckDB ``//``
+    floors, Spark ``div`` truncates — identical for the non-negative
+    operands used here). dp >= 2 because the inputs carry 2 decimals."""
+    if dp < 2:
+        raise ValueError("dp must be >= 2 (inputs are cent-scaled)")
+    op = "//" if engine == "duckdb" else "div"
+    k = 10**dp // 100  # lift cents to the output scale
     return (
-        f"CAST((2 * CAST(round(({sum_expr}) * 100) AS BIGINT) * 100 + ({cnt_expr}))"
-        f" // (2 * ({cnt_expr})) AS DOUBLE) / 10000"
+        f"CAST((2 * ({cents_expr}) * {k} + ({cnt_expr}))"
+        f" {op} (2 * ({cnt_expr})) AS DOUBLE) / {10**dp}"
     )
+
+
+def exact_avg4_duckdb(sum_expr: str, cnt_expr: str) -> str:
+    """4dp half-up mean of 2-decimal values summed as double (drift-safe
+    cents recovery via round(sum*100))."""
+    return exact_avg_cents(f"CAST(round(({sum_expr}) * 100) AS BIGINT)", cnt_expr, 4, "duckdb")
 
 
 def exact_avg4_spark(sum_expr: str, cnt_expr: str) -> str:
-    """Same formula in Spark SQL (`div` is exact integer division and
-    agrees with DuckDB `//` for the non-negative operands used here)."""
-    return (
-        f"CAST((2 * CAST(round(({sum_expr}) * 100) AS BIGINT) * 100 + ({cnt_expr}))"
-        f" div (2 * ({cnt_expr})) AS DOUBLE) / 10000"
-    )
+    """Spark-SQL twin of exact_avg4_duckdb."""
+    return exact_avg_cents(f"CAST(round(({sum_expr}) * 100) AS BIGINT)", cnt_expr, 4, "spark")
 
 
 def exact_avg4(cents_sum: int, n: int) -> float:

@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.queries import query
-from kafka_connect_bigquery_storage_write_spark.queries.parity import CHARGE_DECIMAL_SQL
+from kafka_connect_bigquery_storage_write_spark.queries.parity import CHARGE_DECIMAL_SQL, exact_avg_cents
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
 
@@ -25,15 +25,18 @@ from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 # --------------------------------------------------------------------------
 @query(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                          AS sum_qty,
-           round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-           round(avg(l_quantity), 2)                                          AS avg_qty,
-           round(avg(l_extendedprice), 2)                                     AS avg_price,
-           round(avg(l_discount), 4)                                          AS avg_disc,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)             AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)        AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+           {exact_avg_cents("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) * 100 AS BIGINT)", "count(*)", 2, "duckdb")} AS avg_qty,
+           {exact_avg_cents("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)", "count(*)", 2, "duckdb")} AS avg_price,
+           {exact_avg_cents("CAST(sum(CAST(l_discount AS DECIMAL(18,2))) * 100 AS BIGINT)", "count(*)", 4, "duckdb")} AS avg_disc,
            count(*)                                                           AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -49,19 +52,44 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle payload is O(partitions * 6) regardless of input size.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact DECIMAL aggregation end to end (inputs are 2-decimal money):
+    # float sums drift by engine-specific ulps, and a drifted sum that
+    # lands near a rounding half boundary flips the last digit between
+    # engines — decimal sums and integer-division means are bit-identical
+    # everywhere (see queries/parity.py)
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    disc_price = price * (1 - disc)
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + tax)), 2).cast("double").alias("sum_charge"),
+            F.sum(qty).alias("_sq"),
+            F.sum(price).alias("_sp"),
+            F.sum(disc).alias("_sd"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            exact_avg_cents("CAST(_sq * 100 AS BIGINT)", "count_order", 2, "spark") + " AS avg_qty",
+            exact_avg_cents("CAST(_sp * 100 AS BIGINT)", "count_order", 2, "spark") + " AS avg_price",
+            exact_avg_cents("CAST(_sd * 100 AS BIGINT)", "count_order", 4, "spark") + " AS avg_disc",
+            "count_order",
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price",
+            "sum_charge", "avg_qty", "avg_price", "avg_disc", "count_order",
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
