@@ -50,3 +50,28 @@ def exact_avg4(cents_sum: int, n: int) -> float:
     """Python spelling for pandas kernels: mean of n values whose exact
     cent total is cents_sum, rounded half-up at 4dp."""
     return ((2 * cents_sum * 100 + n) // (2 * n)) / 10000.0
+
+
+def revenue_decimal_sql(price: str = "l_extendedprice", disc: str = "l_discount") -> str:
+    """Exact-decimal discounted-revenue aggregate (both engines):
+    sum(price * (1 - disc)) over 2-decimal money, rounded at 2dp in
+    decimal, surfaced as DOUBLE."""
+    return (
+        f"CAST(round(sum(CAST({price} AS DECIMAL(18,2))"
+        f" * (1 - CAST({disc} AS DECIMAL(18,2)))), 2) AS DOUBLE)"
+    )
+
+
+def revenue_decimal_col():
+    """Spark Column twin of revenue_decimal_sql (aggregate expression)."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ),
+            2,
+        ).cast("double")
+    )

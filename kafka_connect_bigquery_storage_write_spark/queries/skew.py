@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.skew import salted_agg, salted_join
 from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.queries.parity import revenue_decimal_col, revenue_decimal_sql
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
 
@@ -55,10 +56,10 @@ def q48_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q49_salted_join",
-    oracle="""
+    oracle=f"""
     SELECT p.p_brand,
            CAST(count(*) AS BIGINT)                          AS n_items,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           {revenue_decimal_sql("l.l_extendedprice", "l.l_discount")} AS revenue
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
     ORDER BY p.p_brand
@@ -76,7 +77,7 @@ def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            revenue_decimal_col().alias("revenue"),
         )
         .orderBy("p_brand")
     )
