@@ -92,19 +92,25 @@ def main() -> None:
     best = {name: min(r[name] for r in runs) for name in runs[0]}
     total = round(sum(best.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "query_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": best,
-                "agg": f"min_of_{len(runs)}_runs",
-                "run_totals": [round(sum(r.values()), 3) for r in runs],
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "query_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        # stdout JSON must survive a bounded tail-capture window (round-2's
+        # BENCH artifact was truncated mid-line and unparseable): keys are
+        # the unambiguous qNN prefixes at 2dp, keeping the line ~1KB. The
+        # full-name 3dp detail goes to BENCH_LOCAL.json alongside bench.py.
+        "queries": {name.split("_")[0]: round(t, 2) for name, t in sorted(best.items())},
+        "agg": f"min_of_{len(runs)}_runs",
+        "run_totals": [round(sum(r.values()), 3) for r in runs],
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": "BENCH_LOCAL.json",
+    }
+    detail = dict(payload)
+    detail["queries"] = best
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -353,3 +353,68 @@ def simhash_near_dups(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair relation — the step
+    that turns near-dup PAIRS into dedup CLUSTERS (pick one keeper per
+    component, drop the rest).
+
+    Min-label propagation: every vertex starts labeled with itself; each
+    round a vertex adopts the smallest label among itself and its
+    neighbors; converged when no label changes. Rounds needed = component
+    diameter, and near-dup components are shallow (a dup cluster is a
+    quasi-clique), so 2-4 rounds is typical. Each round is one shuffle
+    join on 8-byte ids — the text never enters the graph.
+
+    The per-round ``count()`` convergence probe aggregates to a single
+    driver scalar (the same pattern GraphX/GraphFrames use); the label
+    relation is re-persisted per round and localCheckpointed every few
+    rounds so the lineage cannot grow unboundedly. For adversarial
+    high-diameter graphs (long chains) switch to large-star/small-star
+    (Kiveris et al., 2014), which converges in O(log^2 n); not needed for
+    dedup-shaped inputs.
+
+    Returns one row per vertex that appears in ``pairs``:
+    (vertex, cluster_id) with cluster_id = min vertex id of the component.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    labels = edges.select(F.col("src").alias("vertex")).distinct().withColumn("label", F.col("vertex"))
+    labels = labels.persist()
+    labels.count()
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.vertex)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+            .select(F.col("src").alias("vertex"), "nmin")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select("vertex", F.least("label", "nmin").alias("label"))
+        )
+        # truncate lineage before it compounds across rounds
+        new_labels = new_labels.localCheckpoint(eager=True) if (i + 1) % 3 == 0 else new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("vertex"), F.col("label").alias("cluster_id"))

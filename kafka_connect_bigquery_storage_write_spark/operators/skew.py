@@ -28,6 +28,14 @@ def salted_agg(
     balance.)
 
     aggs: {column: 'sum'|'count'|'min'|'max'} — decomposable only.
+
+    The salt here is deliberately replay-UNSTABLE (partition id + row
+    position): decomposable aggregates are salt-invariant — any bucket
+    assignment combines to the identical final value — so instability is
+    harmless and the salt stays a cheap narrow expression that spreads
+    even byte-identical duplicate rows. Do NOT copy this salt into join
+    salting: ``salted_join`` must place a row in the SAME bucket on every
+    replay and therefore uses a row-content hash instead.
     """
     combiner = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     for fn in aggs.values():
@@ -61,6 +69,15 @@ def salted_join(
     (key, salt) finds its partner. Use when the build side is too big to
     broadcast but the probe side has hot keys; replication factor =
     salt_buckets, so size the bucket count to the skew ratio, not higher.
+
+    Limitation: rows that are byte-identical duplicates hash to ONE salt
+    bucket, so a hot key made of identical rows gets no spreading (a
+    correctness-preserving worst case, same as unsalted). If that shape
+    is expected, deduplicate first (identical rows join identically — a
+    count column reconstructs multiplicity after the join) or extend the
+    hash with a stable per-row ordinal from the source (e.g. kafka
+    offset, file row index); a synthetic ordinal would reintroduce the
+    replay instability this hash exists to avoid.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (skewed side preserved)")

@@ -63,3 +63,31 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
         *[F.col(f"_match.{c}").alias(c) for c in right_payload],
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Assign gap-based session numbers per key (batch sessionization —
+    the offline analog of E17's session_window).
+
+    A session break happens where the time since the previous event of the
+    same key exceeds ``gap_seconds``; the session number is the running
+    count of breaks. One shuffle on the key, one within-partition sort,
+    two window passes over the same (key, ts) sort order — Catalyst
+    collapses them into a single Window exchange+sort.
+
+    Gap comparison is in exact integer MICROSECONDS (unix_micros), never
+    float seconds, so engines cannot disagree on borderline gaps.
+    Adds column ``session_seq`` (1-based int) to ``df``.
+    """
+    w = W.partitionBy(key).orderBy(ts_col)
+    # NTZ -> TZ cast is identity under the engine's UTC session timezone
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_break = F.when(prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000), 1).otherwise(0)
+    run = W.partitionBy(key).orderBy(ts_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return df.withColumn("session_seq", F.sum(is_break).over(run).cast("int"))

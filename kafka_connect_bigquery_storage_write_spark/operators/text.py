@@ -212,3 +212,35 @@ def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# PII patterns chosen for identical semantics under Java regex (Spark) and
+# RE2 (DuckDB): no lookarounds, no backreferences, ASCII classes only.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+1-[0-9]{3}-[0-9]{4}", "[PHONE]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def pii_counts(text_col: str | Column) -> list[Column]:
+    """Per-pattern match counts (email, phone, ip) — pure Catalyst regex."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return [
+        F.size(F.regexp_extract_all(col, F.lit(pat), 0)).alias(f"n_{name}s")
+        for name, pat, _tok in PII_PATTERNS
+    ]
+
+
+def pii_scrub(text_col: str | Column) -> Column:
+    """Redact PII spans with typed placeholder tokens.
+
+    Patterns apply in declaration order (email before ip so a dotted
+    local-part is consumed as part of the email, not re-matched as an
+    address). Everything is JVM-side regexp_replace — the scrub runs at
+    scan speed with no shuffle and no Python.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    for _name, pat, token in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, token)
+    return col

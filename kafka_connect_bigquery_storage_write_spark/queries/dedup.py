@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+    connected_components,
     jaccard_near_dup_pairs,
     minhash_lsh_near_dups,
     simhash_near_dups,
@@ -145,3 +146,60 @@ def q65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_fp = docs.filter(F.col("doc_id") <= 250).select(fingerprint("text").alias("fp")).distinct()
     fresh = docs.filter(F.col("doc_id") > 250).select("doc_id", fingerprint("text").alias("fp"))
     return fresh.join(corpus_fp, "fp", "left_anti").select("doc_id", "fp").orderBy("doc_id")
+
+
+@query(
+    "q73_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    dup_pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM dup_pairs
+    ),
+    reach(v, w) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+    ),
+    labels AS (SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v)
+    SELECT l.doc_id,
+           l.cluster_id,
+           CAST(c.n AS BIGINT)            AS cluster_size,
+           (l.doc_id = l.cluster_id)      AS is_keeper
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c USING (cluster_id)
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS: connected components over the
+    exact 3-gram Jaccard pair relation (threshold 0.8), cluster id = min
+    member, keeper = the cluster id row. This is the step that turns
+    pairwise similarity into an actionable drop-list: keep `is_keeper`,
+    drop the rest.
+
+    Scale: the component graph holds only 8-byte doc ids (text never
+    enters); min-label propagation converges in diameter rounds — small
+    for dup clusters, which are near-cliques. The oracle computes the
+    same components via recursive transitive closure, tractable at
+    fixture scale precisely because near-dup components are tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).persist()
+    pairs.count()  # barrier: both edge directions consume this relation
+    labels = connected_components(pairs, "id_a", "id_b").select(
+        F.col("vertex").alias("doc_id"), "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -1106,7 +1106,10 @@ def q59_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # NTZ -> TZ cast is identity under the UTC session timezone; this
+        # Spark build reads parquet TIMESTAMP(NANOS) as TIMESTAMP_NTZ, which
+        # unix_micros rejects uncast
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (

@@ -192,3 +192,63 @@ def q64_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile.count()  # barrier: the corpus side and the broadcast queries side share this aggregate
     queries = profile.filter(F.col("user_id") < 20).select(F.col("user_id").alias("query_id"), "embedding")
     return cosine_topk(profile, queries, k=5, id_col="user_id").orderBy("query_id", "rank")
+
+
+@query(
+    "q76_embedding_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, xs,
+             CASE WHEN list_aggregate(list_transform(xs, v -> abs(v)), 'max') = 0.0
+                  THEN 1.0
+                  ELSE list_aggregate(list_transform(xs, v -> abs(v)), 'max') / 127.0
+             END AS scale
+      FROM x
+    ),
+    coded AS (
+      SELECT vec_id, xs, scale,
+             list_transform(xs, v -> CAST(floor(v / scale + 0.5) AS INT)) AS codes
+      FROM scaled
+    )
+    SELECT vec_id,
+           round(scale, 9)                                    AS scale,
+           CAST(len(codes) AS INT)                            AS n_dims,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT)       AS sum_code,
+           CAST(list_aggregate(codes, 'min') AS INT)          AS min_code,
+           CAST(list_aggregate(codes, 'max') AS INT)          AS max_code,
+           round(list_aggregate(
+                   list_transform(list_zip(xs, codes),
+                                  p -> (p[1] - CAST(p[2] AS DOUBLE) * scale)
+                                     * (p[1] - CAST(p[2] AS DOUBLE) * scale)),
+                   'sum') / len(xs), 12)                      AS mse
+    FROM coded
+    ORDER BY vec_id
+    """,
+)
+def q76_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 absmax quantization panel over the embedding corpus: per-vector
+    scale, code statistics, and exact reconstruction MSE. The compression
+    pass (4x vs float32) an ANN serving tier runs ahead of indexing.
+
+    The int codes are bit-identical across engines (floor(x/scale + 0.5)
+    over IEEE ops — see quantize_embeddings); the panel pins them through
+    sum/min/max plus the full-precision MSE serial fold.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        "scale",
+        F.size("codes").alias("n_dims"),
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")).alias("sum_code"),
+        F.array_min("codes").alias("min_code"),
+        F.array_max("codes").alias("max_code"),
+        "mse",
+    ).orderBy("vec_id")

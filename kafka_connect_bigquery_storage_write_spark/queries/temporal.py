@@ -75,3 +75,61 @@ def q55_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
         .orderBy("band_id")
     )
+
+
+@query(
+    "q77_sessionize_events",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 21600000000
+                  THEN 1 ELSE 0 END AS is_break
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS session_seq
+      FROM seq
+    )
+    SELECT user_id,
+           session_seq,
+           count(*)                                              AS n_events,
+           min(ts)                                               AS session_start,
+           CAST((max(epoch_us(ts)) - min(epoch_us(ts))) // 1000000 AS BIGINT) AS duration_s,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def q77_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6h inactivity gap) rolled up to a session
+    panel: events per session, start, duration, value total — the batch
+    form of E17's session_window, product-analytics' core primitive.
+
+    One shuffle on user_id serves the break detection, the running
+    session counter, and (key-prefix) the final rollup; gap math is exact
+    integer microseconds so engines cannot disagree on borderline gaps.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, key="user_id", ts_col="ts", gap_seconds=6 * 3600)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            # integer µs diff, floor-divided: DuckDB `//` twin; both exact
+            F.floor((F.max(us) - F.min(us)) / 1_000_000).cast("long").alias("duration_s"),
+            # exact-decimal sum (queries/parity.py): double sum order differs
+            # across engines; DECIMAL(18,2) over 2-decimal money is exact
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

@@ -334,3 +334,126 @@ def q66_mixture_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q74_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    tf AS (SELECT source, token, count(*) AS tf FROM toks GROUP BY source, token),
+    scored AS (
+      SELECT tf.source, tf.token, tf.tf, df.df,
+             round(tf.tf * round(ln(n.n_docs * 1.0 / df.df), 6), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT source, token, tf, df, tfidf,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored
+    )
+    SELECT source, token, tf, df, tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+)
+def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source characteristic terms by TF-IDF — the corpus-profiling
+    query behind source weighting and contamination triage.
+
+    Parity-critical numerics: idf = ln(N/df) rounds to 6dp BEFORE the
+    tf multiply (ln is the one op here without a cross-engine
+    correct-rounding guarantee; /, * and the final round are IEEE-stable).
+    Plan shape: one tokenize+explode feeds BOTH aggregates through a
+    persisted relation; df (vocab-sized) joins tf on the token — at corpus
+    scale that join shuffles 8-byte-ish tokens, never documents; N arrives
+    as a broadcast scalar.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
+    ).persist()
+    toks.count()  # barrier: tf and df both consume the exploded relation
+    n_docs = docs.count()
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        tf.join(df, "token")
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "token", "tf", "df", "tfidf", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+# Deterministic PII-bearing contact notes synthesized from customer rows:
+# the fixture corpus carries no real PII (by design), so the scrub query
+# constructs its input from fixture fields — the operator under test is
+# the scrub itself, which sees ordinary strings either way.
+_NOTE_SQL = """
+    'Contact ' || c_name || ' <user' || CAST(c_custkey AS VARCHAR)
+    || '@example.com> tel +1-' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+    || '-' || lpad(CAST((c_custkey * 13) % 10000 AS VARCHAR), 4, '0')
+    || ' last seen from 10.' || CAST(c_custkey % 256 AS VARCHAR)
+    || '.' || CAST((c_custkey * 3) % 256 AS VARCHAR)
+    || '.' || CAST((c_custkey * 5) % 256 AS VARCHAR)
+    || ' segment ' || c_mktsegment
+"""
+
+
+@query(
+    "q75_pii_scrub",
+    oracle=f"""
+    WITH notes AS (SELECT c_custkey, {_NOTE_SQL} AS note FROM customer)
+    SELECT c_custkey,
+           len(regexp_extract_all(note, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))      AS n_emails,
+           len(regexp_extract_all(note, '\\+1-[0-9]{{3}}-[0-9]{{4}}'))                             AS n_phones,
+           len(regexp_extract_all(note, '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b')) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(note,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+               '\\+1-[0-9]{{3}}-[0-9]{{4}}', '[PHONE]', 'g'),
+               '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b', '[IP]', 'g')    AS scrubbed
+    FROM notes
+    ORDER BY c_custkey
+    """,
+)
+def q75_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over free text: count and replace email / phone / IP
+    spans with typed placeholders — the compliance pass every training
+    corpus takes before release.
+
+    All Catalyst regexp ops (patterns chosen to mean the same thing under
+    Java regex and RE2): scrub runs at scan speed, no shuffle, no Python.
+    Email scrubs before IP so a dotted email host is consumed as [EMAIL],
+    never re-matched as an address — ordering pinned by PII_PATTERNS.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.text import pii_counts, pii_scrub
+
+    cust = ensure_compute_parallelism(load_table(spark, sf_dir, "customer"))
+    key = F.col("c_custkey")
+    note = F.concat(
+        F.lit("Contact "), F.col("c_name"),
+        F.lit(" <user"), key.cast("string"),
+        F.lit("@example.com> tel +1-"),
+        F.lpad((key % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad(((key * 13) % 10000).cast("string"), 4, "0"),
+        F.lit(" last seen from 10."), (key % 256).cast("string"),
+        F.lit("."), ((key * 3) % 256).cast("string"),
+        F.lit("."), ((key * 5) % 256).cast("string"),
+        F.lit(" segment "), F.col("c_mktsegment"),
+    )
+    notes = cust.select("c_custkey", note.alias("note"))
+    return (
+        notes.select("c_custkey", *pii_counts("note"), pii_scrub("note").alias("scrubbed"))
+        .orderBy("c_custkey")
+    )

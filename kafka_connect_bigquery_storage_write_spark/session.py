@@ -8,10 +8,63 @@ join handling), Arrow for the pandas-UDF path, UTC session time.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# SparkContexts (by id) that already received the package zip via addPyFile.
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def _build_package_zip() -> str:
+    """Zip this package so Python workers can import it (rebuilt when stale).
+
+    Returns a path whose archive root is ``kafka_connect_bigquery_storage_write_spark/`` — exactly the
+    layout ``sparkContext.addPyFile`` prepends to every worker's sys.path.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+
+    sources: list[tuple[str, str]] = []
+    newest_src = 0.0
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if not fn.endswith(".py"):
+                continue
+            full = os.path.join(root, fn)
+            arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+            sources.append((full, arc))
+            newest_src = max(newest_src, os.path.getmtime(full))
+
+    if not (os.path.exists(zip_path) and os.path.getmtime(zip_path) >= newest_src):
+        tmp = zip_path + f".tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for full, arc in sources:
+                zf.write(full, arc)
+        os.replace(tmp, zip_path)  # atomic: concurrent builders race safely
+    return zip_path
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship the engine package to Python workers (idempotent per context).
+
+    Any closure that references this package (``applyInPandas`` kernels in
+    ``queries/udfs.py``, the Avro decode kernel in ``schema/avro.py``, …)
+    unpickles on the Python WORKER and re-imports ``kafka_connect_bigquery_storage_write_spark`` there.
+    Locally that import resolves through the driver's cwd; on a real cluster
+    (or any driver started outside the repo) it does not.  ``addPyFile``
+    distributes the zip and prepends it to every worker's sys.path, making
+    the package self-shipping with no ``--py-files`` requirement.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    sc.addPyFile(_build_package_zip())
+    _SHIPPED_CONTEXTS.add(id(sc))
 
 
 def get_spark(
@@ -59,4 +112,5 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensure_shipped(spark)
     return spark

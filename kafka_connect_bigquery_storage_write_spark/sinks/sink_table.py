@@ -324,7 +324,14 @@ class ManifestSinkTable:
         snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
         new_dir = f"compacted-{n_snap}"
-        merged = self.read(spark).coalesce(target_files)
+        # Merge exactly the single listing captured above — NOT self.read(),
+        # which would re-list committed ids: a batch committed concurrently
+        # between the two listings would be merged into the compacted dir yet
+        # missing from absorbed_batch_ids, double-counting its rows after the
+        # snapshot. One listing drives both the data and the absorbed set.
+        paths = [os.path.join(self.root, "data", d) for d in prior_dirs]
+        paths += [self._data_dir(i) for i in batch_ids]
+        merged = spark.read.schema(self.schema()).parquet(*paths).coalesce(target_files)
         merged.write.mode("overwrite").parquet(os.path.join(self.root, "data", new_dir))
         self._atomic_write(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),

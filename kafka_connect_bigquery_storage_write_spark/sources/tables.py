@@ -37,6 +37,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Externally-built sessions (the correctness driver's harness) enter the
+    # engine here: make sure the package zip is on every worker's sys.path
+    # before any query pickles a package-referencing kernel.
+    from kafka_connect_bigquery_storage_write_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     if name == "events":
         # runtime-settable SQL conf; needed even when the caller's session
         # wasn't built by session.get_spark (e.g. the driver harness)

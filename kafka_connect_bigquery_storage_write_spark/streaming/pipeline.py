@@ -120,9 +120,13 @@ class IngestPipeline:
         if self.config.value_format == "avro":
             # binary Avro -> canonical JSON string; decode failures become
             # invalid-JSON markers that the permissive parse dead-letters,
-            # so both envelopes share one conversion/salvage contract
+            # so both envelopes share one conversion/salvage contract.
+            # The ORIGINAL framed bytes ride along base64-encoded: after a
+            # decode failure the post-decode `value` is only the error
+            # marker, and the DLQ's replay contract needs the real payload.
             from kafka_connect_bigquery_storage_write_spark.schema.avro import avro_decode_to_json
 
+            df = df.withColumn("_raw_value_b64", F.base64(F.col("value").cast("binary")))
             df = avro_decode_to_json(df, "value", self.avro_schema_json, confluent=self.config.avro_confluent)
         # PERMISSIVE parse with a corrupt-record marker so non-struct payloads
         # are detectable (R4) instead of silently becoming all-null structs
@@ -157,9 +161,16 @@ class IngestPipeline:
             # the reference's report-before-offset-commit ordering
             # (BigqueryStorageWriteSinkTask.java:86-92).
             if self._dlq is not None and n_bad:
-                bad_out = bad.select(
-                    "topic", "partition", "offset", "key", F.col("value").cast("string").alias("value"), ERROR_COL
-                ) if set(KAFKA_ENVELOPE) <= set(bad.columns) else bad.drop("_value_struct")
+                if set(KAFKA_ENVELOPE) <= set(bad.columns):
+                    env = ["topic", "partition", "offset", "key", F.col("value").cast("string").alias("value")]
+                    # avro: emit the pre-decode payload too, so undecodable
+                    # records stay replayable (value alone would carry only
+                    # the '!AVRO_DECODE_ERROR ...' marker for those rows)
+                    if "_raw_value_b64" in bad.columns:
+                        env.append(F.col("_raw_value_b64").alias("value_raw_b64"))
+                    bad_out = bad.select(*env, ERROR_COL)
+                else:
+                    bad_out = bad.drop("_value_struct")
                 self._dlq.write(bad_out, batch_id)
             result = self._sink.write_batch(good_rows, batch_id)
             stats = BatchStats(

@@ -214,6 +214,12 @@ def test_avro_pipeline_end_to_end_with_salvage(spark, tmp_path):
     assert sunk == {1, 3}
     dlq = pipe._dlq.read(spark).collect()
     assert len(dlq) == 1 and dlq[0].offset == 2
+    # replay contract: the DLQ row retains the ORIGINAL framed bytes
+    # (post-decode `value` is only the error marker for undecodable rows)
+    import base64
+
+    assert dlq[0].value.startswith("!AVRO_DECODE_ERROR")
+    assert base64.b64decode(dlq[0].value_raw_b64) == b"\x07garbage"
 
 
 def test_avro_config_validation(tmp_path):
