@@ -342,6 +342,43 @@ def cosine_near_dup_pairs_blocked(
     return rep.groupBy("pa", "pb").applyInPandas(kernel, schema=out_schema)
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 24,
+    bands: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate stage, exposed for selectivity measurement: returns
+    (candidate (id_a, id_b) pairs sharing >=1 band bucket, the persisted
+    signature relation carrying (id, vec, _n) for exact rescoring).
+
+    Vectors stay OUT of the pair space: the bucket self-join and the
+    candidate dedup move only (id, band, bucket) — 24 bytes/row — and
+    the vectors join back once per surviving candidate side. Carrying
+    vector payloads through the pair dedup is what must not happen at
+    1e9 vectors (pair-space rows would be ~50x wider).
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")))
+    sigged = base.select(id_col, vec_col, "_n", lsh_signature(F.col(vec_col), planes).alias("_sig"))
+    band_hash = _band_hashes("_sig", n_planes, bands)
+    sigged = sigged.persist()
+    sigged.count()  # barrier: bucket pass + both rescore joins share the signature relation
+    buckets = sigged.select(id_col, F.posexplode(band_hash).alias("band", "bucket"))
+    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    candidates = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return candidates, sigged
+
+
 def cosine_near_dup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.3,
@@ -382,27 +419,10 @@ def cosine_near_dup_pairs_lsh(
     Spark's ContextCleaner unpersists it once the result DataFrame is
     unreferenced, and bench/test harnesses clearCache between queries).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")))
-    sigged = base.select(id_col, vec_col, "_n", lsh_signature(F.col(vec_col), planes).alias("_sig"))
-    band_hash = _band_hashes("_sig", n_planes, bands)
-    # vectors stay OUT of the pair space: the bucket self-join and the
-    # candidate dedup move only (id, band, bucket) — 24 bytes/row — and
-    # the vectors join back once per surviving candidate side. Carrying
-    # vector payloads through the pair dedup is what must not happen at
-    # 1e9 vectors (pair-space rows would be ~50x wider).
-    sigged = sigged.persist()
-    sigged.count()  # barrier: bucket pass + both rescore joins share the signature relation
-    with_vec = sigged.select(id_col, vec_col, "_n")
-    buckets = sigged.select(id_col, F.posexplode(band_hash).alias("band", "bucket"))
-    l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
-    r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
-    candidates = (
-        l.join(r, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    candidates, sigged = lsh_candidate_pairs(
+        df, id_col=id_col, vec_col=vec_col, dim=dim, n_planes=n_planes, bands=bands, seed=seed
     )
+    with_vec = sigged.select(id_col, vec_col, "_n")
     va = with_vec.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), F.col("_n").alias("_na"))
     vb = with_vec.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), F.col("_n").alias("_nb"))
     return (
