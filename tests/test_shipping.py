@@ -44,14 +44,20 @@ def test_worker_import_resolves_to_zip(spark):
         import sys as worker_sys
 
         # simulate a cluster worker: no repo on the path except via the zip
-        saved = list(worker_sys.path)
-        worker_sys.path = [p for p in saved if not p.rstrip("/").endswith("repo")]
-        worker_sys.modules.pop("kafka_connect_bigquery_storage_write_spark", None)
+        # (strip cwd-shaped entries too; long-lived workers reused from
+        # earlier tests may have imported the package from the checkout, so
+        # drop every cached package module before re-importing)
+        saved_path = list(worker_sys.path)
+        saved_mods = {k: v for k, v in worker_sys.modules.items() if k.split(".")[0] == "kafka_connect_bigquery_storage_write_spark"}
+        worker_sys.path = [p for p in saved_path if p and not p.rstrip("/").endswith("repo")]
+        for k in saved_mods:
+            worker_sys.modules.pop(k, None)
         try:
             mod = importlib.import_module("kafka_connect_bigquery_storage_write_spark.queries.parity")
             origin = getattr(mod, "__file__", "") or ""
         finally:
-            worker_sys.path = saved
+            worker_sys.path = saved_path
+            worker_sys.modules.update(saved_mods)
         for pdf in batches:
             pdf = pdf.head(1).copy()
             pdf["origin"] = origin
