@@ -74,6 +74,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q75_pii_scrub",
     "q76_embedding_quantize",
     "q77_sessionize_events",
+    "q78_decontamination",
+    "q79_sequence_packing",
+    "q80_document_chunking",
 )
 
 

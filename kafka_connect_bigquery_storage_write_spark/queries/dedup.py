@@ -203,3 +203,66 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id", "doc_id")
     )
+
+
+# q44's deterministic split gate, shared by the decontamination oracle
+_SPLIT_GATE = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 10"
+
+
+@query(
+    "q78_decontamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' || list_extract(w, i + 2) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+    ),
+    train AS (SELECT doc_id, s FROM sh WHERE ({_SPLIT_GATE}) < 8),
+    held AS (SELECT doc_id, s FROM sh WHERE ({_SPLIT_GATE}) >= 8)
+    SELECT t.doc_id  AS train_id,
+           h.doc_id  AS heldout_id,
+           count(*)  AS n_shared
+    FROM train t JOIN held h ON t.s = h.s
+    GROUP BY train_id, heldout_id
+    HAVING count(*) >= 5
+    ORDER BY train_id, heldout_id
+    """,
+)
+def q78_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination — the check every training corpus runs
+    before release: train-split documents sharing >= 5 distinct 3-gram
+    shingles with any held-out document (split = q44's md5 gate) are
+    contamination candidates.
+
+    Same scale shape as the Jaccard pair join: train and held-out sides
+    meet ONLY through the shingle-hash shuffle (8-byte keys), never as a
+    doc x doc product, and the held-out side is the small one — at
+    production scale it broadcasts. The exploded relation is built once
+    and gate-filtered into both sides.
+    """
+    from pyspark.sql import Column
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = ensure_compute_parallelism(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(r"regexp_extract_all(text, '(?:^|(?<= ))(?=(\\S+ \\S+ \\S+))', 1)")
+            )
+        ).alias("s"),
+    )
+    # 8-byte shingle keys on the wire, never the strings (collision odds
+    # documented at operators/dedup._exploded_shingles)
+    sh = sh.select("doc_id", F.xxhash64("s").alias("shingle")).persist()
+    sh.count()  # barrier: both split sides consume this relation
+    gate: Column = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    train = sh.filter(gate < 8).select(F.col("doc_id").alias("train_id"), "shingle")
+    held = sh.filter(gate >= 8).select(F.col("doc_id").alias("heldout_id"), "shingle")
+    return (
+        train.join(held, "shingle")
+        .groupBy("train_id", "heldout_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+        .orderBy("train_id", "heldout_id")
+    )

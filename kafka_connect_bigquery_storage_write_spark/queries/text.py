@@ -457,3 +457,99 @@ def q75_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         notes.select("c_custkey", *pii_counts("note"), pii_scrub("note").alias("scrubbed"))
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "q79_sequence_packing",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, len({_TOKS}) AS n_tok FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM d
+    )
+    SELECT source,
+           CAST(cum_before // 2048 AS INT)  AS bin_id,
+           count(*)                         AS n_docs,
+           CAST(sum(n_tok) AS BIGINT)       AS n_tokens
+    FROM c
+    GROUP BY source, bin_id
+    ORDER BY source, bin_id
+    """,
+)
+def q79_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: documents stream into
+    2048-token bins per source (deterministic doc_id order, streaming
+    first-fit — the concat-then-cut packing every LLM dataloader does
+    offline). A doc's bin is floor(tokens-before-it / budget); the panel
+    reports per-bin document and token counts.
+
+    One shuffle on source drives both the running token count and the
+    bin rollup; bin ids come from exact integer arithmetic so engines
+    cannot disagree.
+    """
+    from pyspark.sql import Window as W
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    c = docs.select("source", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    )
+    return (
+        c.withColumn("bin_id", F.floor(F.col("cum_before") / 2048).cast("int"))
+        .groupBy("source", "bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("source", "bin_id")
+    )
+
+
+@query(
+    "q80_document_chunking",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tok FROM documents),
+    chunks AS (
+      SELECT doc_id, n_tok, start_tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY start_tok) - 1 AS chunk_idx
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(0, greatest(n_tok - 1, 0), 448)) AS start_tok
+      )
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT)                    AS chunk_idx,
+           CAST(start_tok AS INT)                    AS start_tok,
+           CAST(least(start_tok + 512, n_tok) AS INT) AS end_tok,
+           CAST(least(start_tok + 512, n_tok) - start_tok AS INT) AS n_chunk_tokens
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def q80_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (512-token windows, stride 448 — 64
+    tokens of overlap): the context-window split every RAG indexer and
+    long-document training pipeline applies. Chunk boundaries are pure
+    integer arithmetic over the token count — no text moves until a
+    downstream consumer slices the chosen chunks.
+
+    sequence+posexplode generates boundaries inline (no join, no
+    shuffle); the whole query is a projection pipeline over the scan.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    d = docs.select("doc_id", n_tok.alias("n_tok"))
+    starts = F.sequence(F.lit(0), F.greatest(F.col("n_tok") - 1, F.lit(0)), F.lit(448))
+    return (
+        d.select("doc_id", "n_tok", F.posexplode(starts).alias("chunk_idx", "start_tok"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int"),
+            F.col("start_tok").cast("int"),
+            F.least(F.col("start_tok") + 512, F.col("n_tok")).cast("int").alias("end_tok"),
+            (F.least(F.col("start_tok") + 512, F.col("n_tok")) - F.col("start_tok")).cast("int").alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
