@@ -391,8 +391,9 @@ def connected_components(
     )
     edges.count()
     labels = edges.select(F.col("src").alias("vertex")).distinct().withColumn("label", F.col("vertex"))
-    labels = labels.persist()
-    labels.count()
+    cached = labels.persist()  # handle the cache entry belongs to
+    cached.count()
+    labels = cached
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vertex)
@@ -400,20 +401,20 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .select(F.col("src").alias("vertex"), "nmin")
         )
-        new_labels = (
-            labels.join(neighbor_min, "vertex", "left")
-            .select("vertex", F.least("label", "nmin").alias("label"))
+        # carry old and new label side by side so the convergence probe is
+        # one scan of this (persisted) relation, not a second old-vs-new
+        # self-join per round
+        stepped = labels.join(neighbor_min, "vertex", "left").select(
+            "vertex", "label", F.least("label", "nmin").alias("_new")
         )
         # truncate lineage before it compounds across rounds
-        new_labels = new_labels.localCheckpoint(eager=True) if (i + 1) % 3 == 0 else new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        stepped = stepped.localCheckpoint(eager=True) if (i + 1) % 3 == 0 else stepped.persist()
+        changed = stepped.filter(F.col("_new") != F.col("label")).count()
+        # unpersist the HANDLE, not a projection of it (projections are not
+        # cache-manager entries; unpersisting one would silently leak)
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("vertex", F.col("_new").alias("label"))
         if changed == 0:
             break
     edges.unpersist()

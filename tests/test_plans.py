@@ -122,3 +122,48 @@ def test_q58_correlated_subquery_decorrelates(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Subquery" not in plan, plan
     assert "HashAggregate" in plan and "Join" in plan
+
+
+def _n_nodes(plan: str, node: str) -> int:
+    """Count physical nodes of a type in a formatted plan (the detail
+    section lists each node exactly once as '(N) <node>')."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {node}\b", plan, flags=re.M))
+
+
+def test_q75_pii_scrub_no_shuffle(spark, sf_dir):
+    """The scrub is a pure projection pipeline: any Exchange besides the
+    deliberate compute-parallelism repartition and the final sort means
+    a regression."""
+    plan = _plan(spark, sf_dir, "q75_pii_scrub")
+    # exactly the round-robin widening + the final orderBy's range exchange
+    assert _n_nodes(plan, "Exchange") <= 2, plan
+
+
+def test_q80_chunking_no_join_no_aggregate(spark, sf_dir):
+    """Chunk boundaries are generated inline (sequence+posexplode) — a
+    join- or agg-based implementation would shuffle the corpus."""
+    plan = _plan(spark, sf_dir, "q80_document_chunking")
+    assert "Join" not in plan, plan
+    assert "HashAggregate" not in plan, plan
+
+
+def test_q79_packing_single_shuffle_for_window_and_rollup(spark, sf_dir):
+    """The running token count and the bin rollup must reuse ONE
+    source-keyed exchange (plus compute-parallelism widening and the
+    final sort) — a second data shuffle between window and aggregate
+    would double the corpus movement at scale."""
+    plan = _plan(spark, sf_dir, "q79_sequence_packing")
+    # exchanges: round-robin widen, hashpartitioning(source), range (sort)
+    assert plan.lower().count("hashpartitioning") <= 1, plan
+
+
+def test_q78_decontamination_joins_on_hash_not_text(spark, sf_dir):
+    """Train and held-out sides must meet on the 8-byte shingle hash;
+    shingle STRINGS in the join key would multiply shuffle bytes by the
+    shingle length."""
+    plan = _plan(spark, sf_dir, "q78_decontamination")
+    keys = [l for l in plan.splitlines() if "keys" in l.lower() and "#" in l]
+    assert any("shingle#" in l for l in keys), plan
+    assert not any("s#" in l.replace("shingle#", "") for l in keys), keys
