@@ -419,3 +419,35 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("vertex"), F.col("label").alias("cluster_id"))
+
+
+def decontaminate(
+    train: DataFrame,
+    held: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_shared: int = 5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus n-gram contamination check: (train_id, heldout_id,
+    n_shared) for every pair sharing >= min_shared distinct n-gram
+    shingles — the eval-decontamination pass a training corpus runs
+    against its benchmark suites before release.
+
+    The two corpora meet ONLY through the 8-byte shingle-hash shuffle
+    (never doc x doc); the held side is typically benchmark-sized, so its
+    shingle relation broadcasts under AQE. ``max_df`` (applied to the
+    TRAIN side, where corpus-common shingles live) bounds the join's hot
+    buckets exactly like the Jaccard family; dedup the train corpus first
+    (q30/q65) — exact dup cliques multiply every df and square the join
+    work, as the 10x probe in BASELINE.md measures.
+    """
+    tr = _cap_df(_exploded_shingles(train, id_col, text_col, n), max_df).withColumnRenamed(id_col, "train_id")
+    he = _exploded_shingles(held, id_col, text_col, n).withColumnRenamed(id_col, "heldout_id")
+    return (
+        tr.join(he, "shingle")
+        .groupBy("train_id", "heldout_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

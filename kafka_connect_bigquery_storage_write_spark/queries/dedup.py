@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
     connected_components,
+    decontaminate,
     jaccard_near_dup_pairs,
     minhash_lsh_near_dups,
     simhash_near_dups,
@@ -236,33 +237,14 @@ def q78_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contamination candidates.
 
     Same scale shape as the Jaccard pair join: train and held-out sides
-    meet ONLY through the shingle-hash shuffle (8-byte keys), never as a
-    doc x doc product, and the held-out side is the small one — at
-    production scale it broadcasts. The exploded relation is built once
-    and gate-filtered into both sides.
+    meet ONLY through the shingle-hash shuffle (8-byte keys, see
+    operators/dedup.decontaminate), never as a doc x doc product, and the
+    held-out side is the small one — at production scale it broadcasts.
+    In production the two sides are different tables (corpus vs
+    benchmark suite); here q44's md5 gate splits the fixture corpus.
     """
-    from pyspark.sql import Column
-
     docs = load_table(spark, sf_dir, "documents")
-    sh = ensure_compute_parallelism(docs).select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(r"regexp_extract_all(text, '(?:^|(?<= ))(?=(\\S+ \\S+ \\S+))', 1)")
-            )
-        ).alias("s"),
-    )
-    # 8-byte shingle keys on the wire, never the strings (collision odds
-    # documented at operators/dedup._exploded_shingles)
-    sh = sh.select("doc_id", F.xxhash64("s").alias("shingle")).persist()
-    sh.count()  # barrier: both split sides consume this relation
-    gate: Column = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
-    train = sh.filter(gate < 8).select(F.col("doc_id").alias("train_id"), "shingle")
-    held = sh.filter(gate >= 8).select(F.col("doc_id").alias("heldout_id"), "shingle")
-    return (
-        train.join(held, "shingle")
-        .groupBy("train_id", "heldout_id")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 5)
-        .orderBy("train_id", "heldout_id")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    return decontaminate(docs.filter(gate < 8), docs.filter(gate >= 8), min_shared=5).orderBy(
+        "train_id", "heldout_id"
     )

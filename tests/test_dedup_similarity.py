@@ -206,3 +206,29 @@ def test_lsh_pairs_prune_hard_in_the_high_sim_regime(spark):
     assert n_sel * 10 <= n_total, f"selective config not subquadratic: {n_sel}/{n_total}"
     # selectivity: the result space stayed tiny vs the 96k-pair space
     assert len(got) <= len(planted) + 10
+
+
+def test_decontaminate_finds_planted_overlap_and_max_df_keeps_it(spark):
+    """decontaminate: a held-out doc copied into the train side is found;
+    max_df drops corpus-common stop-shingles without losing the planted
+    pair (its evidence is the rare shared run, exactly like the Jaccard
+    family's cap argument)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import decontaminate
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rare = "zeta theta kappa lambda sigma omicron upsilon phi chi psi"
+    train_rows = [(i, f"{boiler} filler{i} pad{i} more{i} text{i}") for i in range(20)]
+    train_rows.append((99, f"{boiler} {rare}"))  # contaminated: copies the held doc's rare run
+    held_rows = [(1000, f"{boiler} {rare}"), (1001, f"{boiler} unrelated words entirely here now")]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    held = spark.createDataFrame(held_rows, "doc_id long, text string")
+
+    exact = {(r.train_id, r.heldout_id) for r in decontaminate(train, held, min_shared=5).collect()}
+    assert (99, 1000) in exact
+    # every train doc shares the >=5-shingle boilerplate with both held docs
+    assert len(exact) > 2
+
+    # cap df at 5: the 21-doc boilerplate shingles drop, the planted pair
+    # survives on its rare-run shingles alone
+    capped = {(r.train_id, r.heldout_id) for r in decontaminate(train, held, min_shared=5, max_df=5).collect()}
+    assert capped == {(99, 1000)}, capped
