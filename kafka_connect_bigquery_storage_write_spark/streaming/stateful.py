@@ -50,3 +50,77 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT = "user_id long, session_start timestamp, session_end timestamp, n_events long, sum_value double"
+SESSION_STATE = "start_us long, last_us long, n long, cents long"
+
+
+def _make_session_fn(gap_us: int):
+    def fn(key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        closed: list[tuple[int, int, int, int]] = []
+        if state.hasTimedOut:
+            # watermark passed last_event + gap: the open session is final
+            (start_us, last_us, n, cents) = state.get
+            closed.append((start_us, last_us, n, cents))
+            state.remove()
+        else:
+            cur = state.get if state.exists else None
+            rows = []
+            for pdf in pdfs:
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    rows.append((int(pd.Timestamp(ts).value) // 1000, float(v)))
+            rows.sort()
+            for us, v in rows:
+                cents = int(round(v * 100))
+                if cur is None:
+                    cur = (us, us, 1, cents)
+                elif us - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (us, us, 1, cents)
+                else:
+                    cur = (cur[0], max(cur[1], us), cur[2] + 1, cur[3] + cents)
+            if cur is not None:
+                state.update(cur)
+                # close the open session once event time passes last + gap
+                state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [pd.Timestamp(s * 1000) for s, _e, _n, _c in closed],
+                    "session_end": [pd.Timestamp(e * 1000) for _s, e, _n, _c in closed],
+                    "n_events": [n for _s, _e, n, _c in closed],
+                    "sum_value": [c / 100.0 for _s, _e, _n, c in closed],
+                }
+            )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming gap-sessionization as an explicit state machine — the
+    custom-stateful (E18) form of q77's batch sessionize and the built-in
+    session_window's (q52) generalization point: the state cell can carry
+    anything (here exact integer cents and micros; in production, e.g.
+    funnel progress or fraud features).
+
+    Per-user state is the single OPEN session (4 longs — O(active users),
+    not O(events)); a session closes either when a later event arrives
+    past the gap (emitted immediately) or when the event-time watermark
+    passes last_event + gap (timeout path — no event needed). Exact
+    arithmetic end to end: micros for time, integer cents for the value
+    sum, so replays and engines cannot drift.
+    """
+    gap_us = gap_seconds * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_us),
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

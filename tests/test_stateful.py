@@ -37,3 +37,46 @@ def test_state_accumulates_across_microbatches(spark, tmp_path):
         final[r.user_id] = (r.n_events, r.sum_value)  # updates arrive in batch order
     assert final[1] == (3, 7.0)  # 2 events in batch1 + 1 in batch2, state carried over
     assert final[2] == (1, 5.0)
+
+
+def test_stream_sessionizer_closes_by_gap_and_timeout(spark, tmp_path):
+    """sessionize_stream: a gap inside the data closes a session on the
+    next event; the trailing open session closes via event-time TIMEOUT
+    once a later batch's watermark passes last_event + gap — no user-2
+    event needed. Closed sessions carry exact counts/sums."""
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "src"
+    raw = "user_id long, ts string, value double"
+    # user 1: two sessions separated by a 3h gap; user 2: one session
+    batch1 = [
+        (1, "2024-01-01 10:00:00", 1.25),
+        (1, "2024-01-01 10:30:00", 2.50),
+        (1, "2024-01-01 14:00:00", 4.00),  # > 1h gap: closes session A
+        (2, "2024-01-01 09:00:00", 7.75),
+    ]
+    # far-future event advances the watermark past everything + gap,
+    # forcing the remaining open sessions to close by timeout
+    batch2 = [(99, "2024-01-02 12:00:00", 0.01)]
+    for rows in (batch1, batch2):
+        df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").json(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    out = sessionize_stream(stream, gap_seconds=3600, watermark="0 seconds")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessionize_stream_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from sessionize_stream_test order by user_id, session_start").collect()
+    got = [(r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value) for r in rows]
+    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 2, 3.75) in got  # closed by gap
+    assert (1, "2024-01-01 14:00:00", "2024-01-01 14:00:00", 1, 4.0) in got  # closed by timeout
+    assert (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 7.75) in got  # closed by timeout
