@@ -154,6 +154,97 @@ def lsh_topk(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",  # prefix | hash
+) -> "np.ndarray":
+    """Train the IVF coarse quantizer: spherical k-means on a bounded
+    driver sample. The trained object is n_lists x dim regardless of
+    corpus size — persist it (e.g. parquet/npy) and hand it to
+    ``ivf_assign`` incrementally as the corpus grows; retrain only when
+    the embedding distribution drifts.
+    """
+    if sample_mode == "hash":
+        # unbiased deterministic sample: the sample_size lowest id-hashes
+        # (TakeOrdered — no full sort materializes). Costs a scan of
+        # (id, vec); use when ingestion order correlates with embedding
+        # content and a prefix sample would train a skewed quantizer.
+        sample = corpus.select(vec_col).orderBy(F.xxhash64(F.col(id_col))).limit(sample_size).collect()
+    elif sample_mode == "prefix":
+        sample = corpus.select(vec_col).limit(sample_size).collect()
+    else:
+        raise ValueError(f"sample_mode must be prefix|hash, got {sample_mode!r}")
+    x = np.array([r[0] for r in sample], dtype=np.float64)
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cents[c] = v / np.linalg.norm(v)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_top: int = 1,
+) -> DataFrame:
+    """Assign vectors to their n_top nearest IVF lists (broadcast matmul
+    in Arrow batches). Columns: _id, list_id, _vec (the NORMALIZED vector,
+    so a later rescore dot product equals cosine directly).
+
+    This is the INCREMENTAL maintenance path: new vectors are assigned
+    against the frozen centroids and appended to the stored assignment
+    table — the corpus is never rescanned (the ANN analogue of q65's
+    incremental dedup). Assignment is a pure function of (vector,
+    centroids), so increment + append is bit-identical to full
+    reassignment (pinned in tests).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_cents = df.sparkSession.sparkContext.broadcast(centroids)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("_vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cents.value
+        for pdf in batches:
+            v = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = vn @ c.T
+            top = np.argsort(-sims, axis=1)[:, :n_top]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "_id": np.repeat(pdf.iloc[:, 0].to_numpy(), n_top),
+                    "list_id": top.reshape(-1).astype(np.int32),
+                    "_vec": [vn[i].tolist() for i in np.repeat(np.arange(n), n_top)],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kern, schema=out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,69 +275,20 @@ def ivf_topk(
     each query rescales only ~n_probe/n_lists of it. Recall tunes with
     n_probe (= n_lists reproduces brute force).
     """
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql import types as T
-
-    if sample_mode == "hash":
-        # unbiased deterministic sample: the sample_size lowest id-hashes
-        # (TakeOrdered — no full sort materializes). Costs a scan of
-        # (id, vec); use when ingestion order correlates with embedding
-        # content and a prefix sample would train a skewed quantizer.
-        sample = corpus.select(vec_col).orderBy(F.xxhash64(F.col(id_col))).limit(sample_size).collect()
-    elif sample_mode == "prefix":
-        sample = corpus.select(vec_col).limit(sample_size).collect()
-    else:
-        raise ValueError(f"sample_mode must be prefix|hash, got {sample_mode!r}")
-    x = np.array([r[0] for r in sample], dtype=np.float64)
-    x = x / np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.default_rng(seed)
-    cents = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(x @ cents.T, axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                v = members.sum(axis=0)
-                cents[c] = v / np.linalg.norm(v)
-    sc = corpus.sparkSession.sparkContext
-    b_cents = sc.broadcast(cents)
-
-    def assign_lists(n_top: int):
-        out_schema = T.StructType(
-            [
-                T.StructField("_id", T.LongType(), False),
-                T.StructField("list_id", T.IntegerType(), False),
-                T.StructField("_vec", T.ArrayType(T.DoubleType()), False),
-            ]
-        )
-
-        def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            c = b_cents.value
-            for pdf in batches:
-                v = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
-                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-                sims = vn @ c.T
-                top = np.argsort(-sims, axis=1)[:, :n_top]
-                n = len(pdf)
-                # carry the NORMALIZED vector so the rescore dot == cosine
-                yield pd.DataFrame(
-                    {
-                        "_id": np.repeat(pdf.iloc[:, 0].to_numpy(), n_top),
-                        "list_id": top.reshape(-1).astype(np.int32),
-                        "_vec": [vn[i].tolist() for i in np.repeat(np.arange(n), n_top)],
-                    }
-                )
-
-        return kern, out_schema
-
-    ck, cs = assign_lists(1)
-    corpus_lists = ensure_compute_parallelism(corpus.select(id_col, vec_col)).mapInPandas(ck, schema=cs).withColumnsRenamed(
-        {"_id": "neighbor_id", "_vec": "_cvec"}
+    cents = ivf_train(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        sample_size=sample_size,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+        sample_mode=sample_mode,
     )
-    qk, qs = assign_lists(n_probe)
-    query_lists = queries.select(query_id_col, vec_col).mapInPandas(qk, schema=qs).withColumnsRenamed(
+    corpus_lists = ivf_assign(
+        ensure_compute_parallelism(corpus), cents, id_col=id_col, vec_col=vec_col, n_top=1
+    ).withColumnsRenamed({"_id": "neighbor_id", "_vec": "_cvec"})
+    query_lists = ivf_assign(queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe).withColumnsRenamed(
         {"_id": query_id_col, "_vec": "_qvec"}
     )
     cand = (

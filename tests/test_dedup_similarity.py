@@ -232,3 +232,28 @@ def test_decontaminate_finds_planted_overlap_and_max_df_keeps_it(spark):
     # survives on its rare-run shingles alone
     capped = {(r.train_id, r.heldout_id) for r in decontaminate(train, held, min_shared=5, max_df=5).collect()}
     assert capped == {(99, 1000)}, capped
+
+
+def test_ivf_incremental_assign_equals_full_reassign(spark, sf_dir):
+    """Index maintenance without corpus rescans: assigning only the NEW
+    vectors against frozen centroids and appending must equal a full
+    reassignment of the grown corpus — the ANN analogue of incremental
+    dedup (q65). Also pins that ivf_topk's refactor onto
+    ivf_train/ivf_assign preserved recall."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_topk, ivf_assign, ivf_topk, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    cents = ivf_train(old, n_lists=8, sample_mode="hash")
+
+    full = ivf_assign(emb, cents).select("_id", "list_id")
+    incr = ivf_assign(old, cents).select("_id", "list_id").union(
+        ivf_assign(new, cents).select("_id", "list_id")
+    )
+    assert sorted(map(tuple, full.collect())) == sorted(map(tuple, incr.collect()))
+
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
