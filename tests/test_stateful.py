@@ -80,3 +80,58 @@ def test_stream_sessionizer_closes_by_gap_and_timeout(spark, tmp_path):
     assert (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 2, 3.75) in got  # closed by gap
     assert (1, "2024-01-01 14:00:00", "2024-01-01 14:00:00", 1, 4.0) in got  # closed by timeout
     assert (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 7.75) in got  # closed by timeout
+
+
+def test_stream_sessionizer_matches_batch_sessionize(spark, tmp_path, sf_dir):
+    """Cross-form equivalence on real fixture events: once a sentinel
+    batch advances the watermark past every open session, the streaming
+    sessionizer's closed-session panel must equal the batch operator's
+    (q77 shape) session panel exactly — same sessions, same exact-cents
+    sums."""
+    from kafka_connect_bigquery_storage_write_spark.operators.temporal import sessionize
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    # parquet source: the json writer truncates timestamps to millis,
+    # which would shift session boundaries vs the batch operator
+    src = tmp_path / "src"
+    ev.coalesce(1).write.mode("append").parquet(str(src))
+    sentinel = spark.createDataFrame([(10**6, "2030-01-01 00:00:00", 0.0)], "user_id long, ts string, value double")
+    sentinel.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = (
+        sessionize_stream(stream, gap_seconds=6 * 3600, watermark="0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_equiv_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value)
+        for r in spark.sql("select * from sess_equiv_test").collect()
+        if r.user_id < 10**6
+    }
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    batch = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.total_value)
+        for r in sessionize(ev, key="user_id", ts_col="ts", gap_seconds=6 * 3600)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("total_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(batch) > 100
