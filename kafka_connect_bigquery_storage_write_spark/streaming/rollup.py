@@ -23,6 +23,10 @@ Why this shape scales:
   merge (re-aggregation happens on the next read over fewer rows).
 
 avg decomposes as (sum, count) internally and is finalized on read.
+approx_distinct stores a per-partial HLL sketch (datasketches binary,
+~KBs per group regardless of cardinality) and unions sketches on read —
+the only way COUNT DISTINCT can ride an incremental rollup at all, since
+exact distinct is not decomposable into bounded partials.
 """
 
 from __future__ import annotations
@@ -49,14 +53,21 @@ class IncrementalRollup:
 
     def __post_init__(self) -> None:
         for _col, fn in self.aggs:
-            if fn not in (*_PARTIAL, "avg"):
-                raise ValueError(f"{fn!r} is not decomposable; use sum/count/min/max/avg")
+            if fn not in (*_PARTIAL, "avg", "approx_distinct"):
+                raise ValueError(
+                    f"{fn!r} is not decomposable; use sum/count/min/max/avg/approx_distinct"
+                )
         self._sink = ManifestSinkTable(self.sink_path, write_mode="committed")
 
     # -- internal aggregate plans -------------------------------------------
     def _partial_cols(self):
         cols, seen = [], set()
         for c, fn in self.aggs:
+            if fn == "approx_distinct":
+                if (c, fn) not in seen:
+                    seen.add((c, fn))
+                    cols.append(F.hll_sketch_agg(c).alias(f"_p_hll_{c}"))
+                continue
             needed = ("sum", "count") if fn == "avg" else (fn,)
             for p in needed:
                 if (c, p) not in seen:  # avg shares partials with sum/count
@@ -69,6 +80,10 @@ class IncrementalRollup:
         for c, fn in self.aggs:
             if fn == "avg":
                 cols.append((F.sum(f"_p_sum_{c}") / F.sum(f"_p_count_{c}")).alias(f"avg_{c}"))
+            elif fn == "approx_distinct":
+                cols.append(
+                    F.hll_sketch_estimate(F.hll_union_agg(f"_p_hll_{c}")).alias(f"approx_distinct_{c}")
+                )
             else:
                 cols.append(_COMBINE[fn](f"_p_{fn}_{c}").alias(f"{fn}_{c}"))
         return cols

@@ -115,3 +115,40 @@ def test_rollup_streaming_mode(spark, tmp_path):
     q.awaitTermination(180)
     assert roll._sink.committed_ids() == [0, 1, 2]
     assert _state(roll, spark) == EXPECTED
+
+
+def test_approx_distinct_sketches_merge_across_batches(spark, tmp_path):
+    """approx_distinct rides the rollup as an HLL sketch: per-batch
+    partials union on read, so distinct users per window is maintainable
+    incrementally (exact COUNT DISTINCT has no bounded partial form).
+    At fixture cardinalities the datasketches estimate is exact, so the
+    check is equality against a direct count(distinct) — and the 3-batch
+    incremental fold must equal the one-shot aggregate."""
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "user_id"
+    )
+    roll = IncrementalRollup(
+        sink_path=str(tmp_path / "rollup"),
+        ts_col="ts",
+        window="1 day",
+        key_cols=["event_type"],
+        aggs=[("user_id", "approx_distinct"), ("user_id", "count")],
+    )
+    # three increments by event-time thirds (arbitrary split)
+    for i, (lo, hi) in enumerate([(0, 8), (8, 16), (16, 32)]):
+        roll.process_batch(ev.filter((F.dayofmonth("ts") >= lo) & (F.dayofmonth("ts") < hi)), i)
+    got = {
+        (str(r.window_start), r.event_type): (r.approx_distinct_user_id, r.count_user_id)
+        for r in roll.read(spark).collect()
+    }
+    direct = {
+        (str(r.w), r.event_type): (r.nd, r.n)
+        for r in ev.groupBy(
+            F.window("ts", "1 day").getField("start").alias("w"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("nd"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == direct and len(direct) > 50
