@@ -100,3 +100,32 @@ def skew_profile(df: DataFrame, key_cols: list[str], top_n: int = 10) -> DataFra
         .orderBy(F.col("n_rows").desc())
         .limit(top_n)
     )
+
+
+def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
+    """Exact heavy hitters at ``support`` frequency via sketch-then-verify.
+
+    Pass 1: ``freqItems`` (Spark's Misra-Gries streaming summary, ~1/support
+    counters per partition, merged JVM-side) yields a candidate set with NO
+    false negatives — every key above the support threshold is guaranteed
+    present. Pass 2 computes exact counts for the (bounded, <= ~1/support)
+    candidates only and applies the exact threshold, discarding the
+    sketch's false positives. Output is therefore EXACT while never
+    grouping the full key space: the only per-key state is the candidate
+    list, driver-bounded by construction.
+
+    Columns: <col>, n_rows, share (6dp). share/threshold use the exact
+    row count.
+    """
+    if not (0 < support < 1):
+        raise ValueError("support must be in (0, 1)")
+    total = df.count()
+    candidates = df.freqItems([col], support).first()[0]
+    threshold = support * total
+    return (
+        df.filter(F.col(col).isin(list(candidates)))
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") >= threshold)
+        .withColumn("share", F.round(F.col("n_rows") / F.lit(total), 6))
+    )

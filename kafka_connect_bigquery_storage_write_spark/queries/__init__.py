@@ -77,6 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q78_decontamination",
     "q79_sequence_packing",
     "q80_document_chunking",
+    "q81_heavy_hitters",
 )
 
 

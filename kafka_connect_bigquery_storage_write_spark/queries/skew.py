@@ -81,3 +81,37 @@ def q49_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q81_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tot AS (SELECT count(*) AS n FROM toks)
+    SELECT token,
+           count(*) AS n_rows,
+           round(count(*) * 1.0 / tot.n, 6) AS share
+    FROM toks, tot
+    GROUP BY token, tot.n
+    HAVING count(*) >= 0.01 * tot.n
+    ORDER BY token
+    """,
+)
+def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy-hitter tokens (>= 1% of all corpus tokens) via the
+    sketch-then-verify operator: a Misra-Gries freqItems pass yields a
+    no-false-negative candidate list, then exact counts verify only
+    those candidates — the full token key space is never grouped, so the
+    result is EXACT at any corpus size while the per-key state stays
+    driver-bounded at ~1/support entries. The oracle is the naive exact
+    GROUP BY ... HAVING, proving the sketch path loses nothing.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
+    from kafka_connect_bigquery_storage_write_spark.operators.skew import heavy_hitters
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
+    return heavy_hitters(toks, "token", support=0.01).orderBy("token")
