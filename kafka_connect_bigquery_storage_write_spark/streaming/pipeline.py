@@ -204,6 +204,31 @@ class IngestPipeline:
             writer = writer.trigger(**trigger_kwargs)
         return writer.start()
 
+    # -- DLQ replay (the consumer side of R12's contract) --------------------
+    def replay_dlq(self, spark, batch_id: int, fix=None) -> BatchStats:
+        """Re-ingest dead-lettered rows through the SAME validated batch
+        path — the replay consumer the DLQ's lineage exists for.
+
+        Avro pipelines restore the ORIGINAL framed bytes from
+        ``value_raw_b64`` (the post-decode ``value`` is only the error
+        marker for undecodable rows). ``fix`` is the repair step: a
+        callable(DataFrame) -> DataFrame applied to the reconstructed
+        envelope before re-ingestion (patch payloads, drop unfixables).
+        Rows still invalid after the fix dead-letter AGAIN under the new
+        batch id — the replay is the normal pipeline, not a side door, so
+        validation and sink idempotence apply unchanged.
+        """
+        dlq_rows = self._dlq.read(spark)
+        env = [c for c in KAFKA_ENVELOPE if c != "value" and c in dlq_rows.columns]
+        if self.config.value_format == "avro" and "value_raw_b64" in dlq_rows.columns:
+            value = F.unbase64(F.col("value_raw_b64")).alias("value")
+        else:
+            value = F.col("value")
+        df = dlq_rows.select(*env, value)
+        if fix is not None:
+            df = fix(df)
+        return self.process_batch(df, batch_id)
+
     # -- commit protocol (R17) -----------------------------------------------
     def commit(self) -> list[int]:
         """Pending mode: atomically publish all staged batches."""

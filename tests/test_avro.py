@@ -232,3 +232,47 @@ def test_avro_config_validation(tmp_path):
     cfg = PipelineConfig(sink_path=str(tmp_path / "s"), value_format="avro")
     with pytest.raises(ValueError, match="avro_schema_json"):
         IngestPipeline(config=cfg, value_schema=T.StructType([]))
+
+
+def test_dlq_replay_reingests_fixed_avro_rows(spark, tmp_path):
+    """The replay consumer contract end to end: the dead-lettered row's
+    restored original bytes are repaired and re-ingested through the
+    SAME pipeline path, landing in the sink under a new batch id."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+    from kafka_connect_bigquery_storage_write_spark.schema.avro import avro_encode_from_json
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    src = spark.createDataFrame(
+        [(1, "click", 1.5), (2, "view", 2.0), (3, "buy", 3.0)],
+        "event_id long, event_type string, value double",
+    )
+    env = src.select(
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.col("event_id").alias("offset"),
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", F.lit(None).cast("string").alias("ts"), F.lit(9).cast("long").alias("user_id"), "event_type", "value", F.lit(None).cast("string").alias("props"))).alias("value"),
+    )
+    binary = avro_encode_from_json(env, "value", EVENT_AVRO)
+    good_payloads = {r.offset: r.value for r in binary.collect()}
+    poisoned = binary.withColumn(
+        "value", F.when(F.col("offset") == 2, F.lit(b"\x07garbage")).otherwise(F.col("value"))
+    )
+    cfg = PipelineConfig(sink_path=str(tmp_path / "sink"), dlq_path=str(tmp_path / "dlq"), value_format="avro")
+    pipe = IngestPipeline.for_avro(cfg, EVENT_AVRO)
+    assert pipe.run_batch(poisoned, batch_id=0).dlq_rows == 1
+    assert {r.event_id for r in pipe.read_sink(spark).collect()} == {1, 3}
+
+    # repair: swap the broken payload for the correct original encoding
+    fixed_bytes = good_payloads[2]
+
+    def fix(df):
+        return df.withColumn(
+            "value", F.when(F.col("offset") == 2, F.lit(fixed_bytes)).otherwise(F.col("value"))
+        )
+
+    stats = pipe.replay_dlq(spark, batch_id=1, fix=fix)
+    assert (stats.input_rows, stats.written_rows, stats.dlq_rows) == (1, 1, 0)
+    assert {r.event_id for r in pipe.read_sink(spark).collect()} == {1, 2, 3}
