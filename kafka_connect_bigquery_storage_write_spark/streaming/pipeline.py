@@ -218,6 +218,11 @@ class IngestPipeline:
         batch id — the replay is the normal pipeline, not a side door, so
         validation and sink idempotence apply unchanged.
         """
+        if self._dlq is None or not hasattr(self._dlq, "read"):
+            raise ValueError(
+                "replay_dlq needs a readable DLQ (dlq_path parquet table); a "
+                "Kafka DLQ topic is replayed by consuming the topic itself"
+            )
         dlq_rows = self._dlq.read(spark)
         env = [c for c in KAFKA_ENVELOPE if c != "value" and c in dlq_rows.columns]
         if self.config.value_format == "avro" and "value_raw_b64" in dlq_rows.columns:
