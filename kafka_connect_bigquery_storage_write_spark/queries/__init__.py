@@ -78,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q79_sequence_packing",
     "q80_document_chunking",
     "q81_heavy_hitters",
+    "q82_stratified_sample",
 )
 
 

@@ -553,3 +553,46 @@ def q80_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@query(
+    "q82_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             len({_TOKS}) AS n_tokens,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM ranked
+    WHERE rk <= 10
+    ORDER BY source, doc_id
+    """,
+)
+def q82_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: exactly 10 documents per source,
+    chosen by md5-of-id ranking — a stable pseudo-random order, so the
+    quota sample is reproducible across runs, engines, and cluster sizes
+    (df.sample can guarantee neither the quota nor the membership).
+    Complements q66: rate gates scale with the stratum, quotas pin its
+    absolute size (the eval-set / few-shot-pool carve-out).
+
+    One shuffle on source; the per-stratum top-k is a window row_number
+    — at production quota sizes swap in a per-partition heap (the
+    TakeOrdered shape) if strata are huge; at any size the md5 ranking
+    keeps membership deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", n_tok.cast("long").alias("n_tokens"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("source", "doc_id", "n_tokens")
+        .orderBy("source", "doc_id")
+    )
