@@ -140,3 +140,39 @@ def test_repetition_signals_known_values(spark):
     assert got[3].n_tokens == 1 and got[3].dup_bigram_frac == 0.0  # no bigrams -> 0, not NULL
     # "ab cd" x3: 5 bigrams, 2 distinct ("ab cd", "cd ab")
     assert got[4].dup_bigram_frac == round(1 - 2 / 5, 6)
+
+
+def test_pii_scrub_agrees_with_python_re_on_adversarial_strings(spark):
+    """Cross-check the Catalyst regex path against Python re over
+    adversarial embeddings of PII in noise: same counts, same scrubbed
+    text, and no pattern survives its own scrub."""
+    import re
+
+    from kafka_connect_bigquery_storage_write_spark.operators.text import PII_PATTERNS, pii_counts, pii_scrub
+
+    cases = [
+        "plain text with nothing to find",
+        "a@b.co",
+        "x a.b-c_d%e+f@sub.domain-x.org y",
+        "no@tld or @missing and trailing@dot.",
+        "+1-555-0199 and +1-000-0000 but not +2-555-0199",
+        "10.0.0.1 edge 255.255.255.255 not 1234.1.1.1 inner 1.2.3.4.5",
+        "mixed: u1@example.com from 10.1.2.3 call +1-555-1234 twice +1-555-9999",
+        "email-in-url http://u2@example.com/path and ip:8.8.8.8.",
+        "dotted.local.part@x.io beside 192.168.0.10",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, note string")
+    got = {
+        r.i: (r.n_emails, r.n_phones, r.n_ips, r.scrubbed)
+        for r in df.select("i", *pii_counts("note"), pii_scrub("note").alias("scrubbed")).collect()
+    }
+    for i, c in enumerate(cases):
+        expected = c
+        counts = []
+        for _name, pat, token in PII_PATTERNS:
+            counts.append(len(re.findall(pat, expected)))
+            expected = re.sub(pat, lambda _m, t=token: t, expected)
+        assert got[i] == (*counts, expected), (c, got[i], (counts, expected))
+        # nothing PII-shaped survives the scrub
+        for _name, pat, _token in PII_PATTERNS:
+            assert not re.search(pat, got[i][3].replace("[EMAIL]", "").replace("[PHONE]", "").replace("[IP]", ""))
