@@ -79,6 +79,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q80_document_chunking",
     "q81_heavy_hitters",
     "q82_stratified_sample",
+    "q83_incremental_distinct_rollup",
 )
 
 

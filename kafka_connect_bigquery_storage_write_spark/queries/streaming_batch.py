@@ -334,3 +334,51 @@ def q68_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("cohort_day").cast("string").alias("cohort_day"), "day_offset", "n_active")
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@query(
+    "q83_incremental_distinct_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS approx_distinct_user_id,
+           CAST(count(user_id) AS BIGINT)          AS count_user_id
+    FROM events
+    WHERE user_id < 400
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def q83_incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per (day, event_type) maintained INCREMENTALLY: each
+    micro-batch stores an HLL sketch partial (KB-bounded per group), the
+    read unions sketches — the only COUNT DISTINCT that can ride a
+    continuous aggregate, since exact distinct has no bounded partial
+    form. Three disjoint batches fold into the rollup table; the oracle
+    is the exact one-shot count(distinct).
+
+    The user_id < 400 slice bounds per-group cardinality BELOW the
+    datasketches coupon-list threshold at EVERY scale factor, where the
+    estimator is exact — so the sketch path is hash-comparable against
+    exact SQL (verified at sf0.01 and sf0.1; the full-corpus estimate at
+    sf0.1 deviates ~1%, the documented trade at real cardinalities).
+    """
+    import tempfile
+
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    roll = IncrementalRollup(
+        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q83_") + "/rollup",
+        ts_col="ts",
+        window="1 day",
+        key_cols=["event_type"],
+        aggs=[("user_id", "approx_distinct"), ("user_id", "count")],
+    )
+    for i in range(3):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    return (
+        roll.read(spark)
+        .select("window_start", "event_type", "approx_distinct_user_id", "count_user_id")
+        .orderBy("window_start", "event_type")
+    )
