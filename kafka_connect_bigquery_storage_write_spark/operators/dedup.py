@@ -365,12 +365,13 @@ def connected_components(
     that turns near-dup PAIRS into dedup CLUSTERS (pick one keeper per
     component, drop the rest).
 
-    Min-label propagation: every vertex starts labeled with itself; each
-    round a vertex adopts the smallest label among itself and its
-    neighbors; converged when no label changes. Rounds needed = component
-    diameter, and near-dup components are shallow (a dup cluster is a
-    quasi-clique), so 2-4 rounds is typical. Each round is one shuffle
-    join on 8-byte ids — the text never enters the graph.
+    Min-label propagation: each round a vertex adopts the smallest label
+    among itself and its neighbors; converged when no label changes.
+    Round 1 is fused into initialization (label(v) = min(v, neighbors)
+    comes out of the same aggregate that enumerates the vertex set), so
+    cliques — the dedup shape — arrive converged and pay only the
+    verification round. Rounds needed = component diameter. Each round
+    is one shuffle join on 8-byte ids — the text never enters the graph.
 
     The per-round ``count()`` convergence probe aggregates to a single
     driver scalar (the same pattern GraphX/GraphFrames use); the label
@@ -390,7 +391,16 @@ def connected_components(
         .persist()
     )
     edges.count()
-    labels = edges.select(F.col("src").alias("vertex")).distinct().withColumn("label", F.col("vertex"))
+    # seed with propagation round 1 fused into initialization: label(v) =
+    # min(v, direct neighbors) in the same groupBy that enumerates the
+    # vertex set — one aggregate instead of distinct + a full loop round.
+    # Cliques (the dedup shape) arrive CONVERGED; the loop then only pays
+    # its verification round.
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(F.col("src").alias("vertex"), F.least("src", "nmin").alias("label"))
+    )
     cached = labels.persist()  # handle the cache entry belongs to
     cached.count()
     labels = cached

@@ -257,3 +257,18 @@ def test_ivf_incremental_assign_equals_full_reassign(spark, sf_dir):
     exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=5).collect()}
     approx = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()}
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Multi-round convergence guard: a 10-vertex chain (diameter 9,
+    needs the propagation LOOP, not just the fused first round) and a
+    separate triangle must each collapse to their min-vertex label."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)] + [(20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    out = {r.vertex: r.cluster_id for r in connected_components(pairs).collect()}
+    assert all(out[v] == 1 for v in range(1, 11))
+    assert all(out[v] == 20 for v in (20, 21, 22))
