@@ -80,6 +80,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q81_heavy_hitters",
     "q82_stratified_sample",
     "q83_incremental_distinct_rollup",
+    "q84_disjunctive_predicates",
 )
 
 

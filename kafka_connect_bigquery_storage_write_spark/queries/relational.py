@@ -1122,3 +1122,42 @@ def q59_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") <= 2000)
         .orderBy("event_id")
     )
+
+
+@query(
+    "q84_disjunctive_predicates",
+    oracle=f"""
+    SELECT p_brand,
+           {revenue_decimal_sql()} AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25 AND l_quantity BETWEEN 10 AND 35)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def q84_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of per-brand conjunctive bands across BOTH
+    join sides — the optimizer stress case for disjunctive predicates.
+    Catalyst must split the filter: the part-only disjunction
+    (brand/size) prunes the build side and the lineitem-only quantity
+    envelope (derived from the OR) pushes to the fact scan, leaving only
+    the residual cross-side OR on join output. Revenue uses the
+    exact-decimal parity fragment.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bands = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 25) & F.col("l_quantity").between(10, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40) & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bands)
+        .groupBy("p_brand")
+        .agg(revenue_decimal_col().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("p_brand")
+    )
