@@ -87,3 +87,52 @@ def test_chunking_exact_coverage(spark, sf_dir):
     ).count()
     assert bad == 0
     assert per_doc.count() == docs.count()  # every doc chunked
+
+
+def test_quantize_zero_vector_guard(spark):
+    """A zero vector must quantize to all-zero codes with scale 1.0 (the
+    absmax==0 guard) instead of dividing by zero into NaNs."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [3.0, -1.5, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert rows[1].scale == 1.0 and rows[1].codes == [0, 0, 0] and rows[1].mse == 0.0
+    assert rows[2].codes[0] == 127  # absmax element maps to full scale
+
+
+def test_sessionize_single_event_and_empty(spark):
+    """A single-event user forms one session; an empty input yields an
+    empty panel (no window errors)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.temporal import sessionize
+
+    one = spark.createDataFrame([(5, "2024-01-01 10:00:00")], "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(one, key="user_id", ts_col="ts", gap_seconds=60).collect()
+    assert len(out) == 1 and out[0].session_seq == 1
+    empty = one.filter(F.lit(False))
+    assert sessionize(empty, key="user_id", ts_col="ts", gap_seconds=60).count() == 0
+
+
+def test_decontaminate_empty_held_side(spark):
+    """No held-out docs -> no contamination pairs (join degenerates
+    cleanly, no crash)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame([(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    held = train.filter(F.lit(False))
+    assert decontaminate(train, held, min_shared=1).count() == 0
+
+
+def test_heavy_hitters_validates_support(spark):
+    import pytest
+
+    from kafka_connect_bigquery_storage_write_spark.operators.skew import heavy_hitters
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(df, "k", support=0.0)
+    with pytest.raises(ValueError, match="support"):
+        heavy_hitters(df, "k", support=1.5)
