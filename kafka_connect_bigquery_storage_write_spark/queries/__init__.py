@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q82_stratified_sample",
     "q83_incremental_distinct_rollup",
     "q84_disjunctive_predicates",
+    "q85_global_threshold",
 )
 
 

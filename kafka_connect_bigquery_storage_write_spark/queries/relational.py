@@ -1161,3 +1161,54 @@ def q84_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(revenue_decimal_col().alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "q85_global_threshold",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             count(*) AS n_orders
+      FROM orders
+      GROUP BY month
+    ),
+    tot AS (SELECT CAST(sum(CAST(revenue AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                   count(*) AS n_months FROM m)
+    SELECT month, revenue, n_orders
+    FROM m, tot
+    WHERE revenue * n_months > total
+    ORDER BY month
+    """,
+)
+def q85_global_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: keep groups whose aggregate exceeds a GLOBAL
+    scalar computed from the same aggregation (above-average months).
+    Catalyst evaluates the scalar side as a broadcast subquery over the
+    reused month relation, not a second scan chain.
+
+    Parity-critical: the threshold compares revenue * n_months > total —
+    all exact quantities (decimal sums surfaced as exactly-representable
+    doubles, integer month count), so engines cannot disagree at the
+    boundary the way a floating avg() comparison could.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .persist()
+    )
+    m.count()  # barrier: the threshold aggregate and the filter both read m
+    tot = m.agg(
+        F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .filter(F.col("revenue") * F.col("n_months") > F.col("total"))
+        .select("month", "revenue", "n_orders")
+        .orderBy("month")
+    )
