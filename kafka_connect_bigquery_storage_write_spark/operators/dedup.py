@@ -360,30 +360,48 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    strategy: str = "min_label",
+    info: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair relation — the step
     that turns near-dup PAIRS into dedup CLUSTERS (pick one keeper per
     component, drop the rest).
 
-    Min-label propagation: each round a vertex adopts the smallest label
-    among itself and its neighbors; converged when no label changes.
-    Round 1 is fused into initialization (label(v) = min(v, neighbors)
-    comes out of the same aggregate that enumerates the vertex set), so
-    cliques — the dedup shape — arrive converged and pay only the
-    verification round. Rounds needed = component diameter. Each round
-    is one shuffle join on 8-byte ids — the text never enters the graph.
+    Two selectable strategies, identical output contract:
 
-    The per-round ``count()`` convergence probe aggregates to a single
-    driver scalar (the same pattern GraphX/GraphFrames use); the label
-    relation is re-persisted per round and localCheckpointed every few
-    rounds so the lineage cannot grow unboundedly. For adversarial
-    high-diameter graphs (long chains) switch to large-star/small-star
-    (Kiveris et al., 2014), which converges in O(log^2 n); not needed for
-    dedup-shaped inputs.
+    - ``min_label`` (default): label propagation — each round a vertex
+      adopts the smallest label among itself and its neighbors; converged
+      when no label changes. Round 1 is fused into initialization, so
+      cliques — the dedup shape — arrive converged and pay only the
+      verification round. Rounds needed = component DIAMETER; right for
+      dedup graphs (near-dup components are dense and shallow).
+    - ``star``: alternating large-star/small-star (Kiveris et al. 2014,
+      "Connected Components in MapReduce and Beyond", Algorithm 2) —
+      converges in O(log^2 n) rounds regardless of diameter; right for
+      adversarial graphs (long chains) where min-label's round count is
+      unbounded.
+
+    Raises RuntimeError if ``max_iterations`` rounds pass without
+    convergence: the labels at that point are NOT component minima and
+    returning them silently would hand the caller wrong clusters. Retry
+    with ``strategy='star'`` (diameter-independent) or more iterations.
+
+    Each round is shuffle joins on 8-byte ids — the text never enters the
+    graph. Per-round relations are persisted and localCheckpointed every
+    few rounds so lineage cannot grow unboundedly; checkpointed
+    generations are released only after the result is materialized
+    (their lineage is truncated, so dropping their blocks earlier would
+    make downstream recomputation impossible).
+
+    ``info``, if supplied, receives {'rounds': N, 'strategy': ...}.
 
     Returns one row per vertex that appears in ``pairs``:
     (vertex, cluster_id) with cluster_id = min vertex id of the component.
     """
+    if strategy == "star":
+        return _cc_star(pairs, id_a, id_b, max_iterations, info)
+    if strategy != "min_label":
+        raise ValueError(f"unknown strategy {strategy!r}; use 'min_label' or 'star'")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -404,7 +422,12 @@ def connected_components(
     cached = labels.persist()  # handle the cache entry belongs to
     cached.count()
     labels = cached
+    cached_is_ckpt = False
+    retained: list[DataFrame] = []  # checkpointed generations: release after materialize
+    converged = False
+    rounds = 0
     for i in range(max_iterations):
+        rounds = i + 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.vertex)
             .groupBy("src")
@@ -418,17 +441,171 @@ def connected_components(
             "vertex", "label", F.least("label", "nmin").alias("_new")
         )
         # truncate lineage before it compounds across rounds
-        stepped = stepped.localCheckpoint(eager=True) if (i + 1) % 3 == 0 else stepped.persist()
+        is_ckpt = (i + 1) % 3 == 0
+        stepped = stepped.localCheckpoint(eager=True) if is_ckpt else stepped.persist()
         changed = stepped.filter(F.col("_new") != F.col("label")).count()
-        # unpersist the HANDLE, not a projection of it (projections are not
-        # cache-manager entries; unpersisting one would silently leak)
-        cached.unpersist()
-        cached = stepped
+        # release the previous generation's handle (not a projection of it —
+        # projections are not cache-manager entries). A CHECKPOINTED previous
+        # generation keeps its blocks until the end: its lineage is already
+        # truncated, so an eviction of the successor's cache could not
+        # recompute through it.
+        if cached_is_ckpt:
+            retained.append(cached)
+        else:
+            cached.unpersist()
+        cached, cached_is_ckpt = stepped, is_ckpt
         labels = stepped.select("vertex", F.col("_new").alias("label"))
         if changed == 0:
+            converged = True
             break
+    if info is not None:
+        info.update({"rounds": rounds, "strategy": "min_label"})
+    if not converged:
+        for df_ in retained:
+            df_.unpersist()
+        cached.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components(min_label) did not converge in {max_iterations} "
+            "rounds (component diameter exceeds the budget); use strategy='star' "
+            "(diameter-independent, O(log^2 n) rounds) or raise max_iterations"
+        )
+    # materialize the final labels BEFORE releasing any checkpointed
+    # generation they might recompute through
+    final = labels.select(F.col("vertex"), F.col("label").alias("cluster_id")).localCheckpoint(eager=True)
+    for df_ in retained:
+        df_.unpersist()
+    cached.unpersist()
     edges.unpersist()
-    return labels.select(F.col("vertex"), F.col("label").alias("cluster_id"))
+    return final
+
+
+def _cc_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iterations: int,
+    info: dict | None = None,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014). Diameter-independent: O(log^2 n) rounds on any graph.
+
+    Edge set is kept in canonical orientation (u > v, no self-loops):
+
+    - large-star: for each node u with neighborhood G(u) (symmetrized),
+      m = min(G(u) ∪ {u}); emit (v, m) for every neighbor v > u. Hooks
+      every larger neighbor directly onto the local minimum.
+    - small-star: for each node u over its SMALLER neighbors N(u) (the
+      canonical relation itself), m = min(N(u)); emit (u, m) and (v, m)
+      for v in N(u), dropping self-loops. Flattens chains of parent
+      pointers.
+
+    Both preserve connectivity; the fixpoint is a star forest where every
+    non-root points straight at its component minimum. Convergence is
+    detected as an unchanged (count, hash-sum) signature of the canonical
+    edge set — one aggregate action per round.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    edges.count()
+    # vertex universe from the ORIGINAL pairs (roots drop out of the edge
+    # relation's left side as stars form; they re-enter at label assembly)
+    vertices = (
+        pairs.select(F.col(id_a).alias("vertex"))
+        .union(pairs.select(F.col(id_b).alias("vertex")))
+        .distinct()
+        .persist()
+    )
+    vertices.count()
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        # XOR-fold, not sum: order-independent like sum but cannot overflow
+        # under ANSI arithmetic; duplicate cancellation is moot (set is
+        # distinct), and the count guards the all-zero corner
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return (row.n, row.h)
+
+    cur = edges
+    cur_is_input = True  # never unpersist the caller-visible input handle twice
+    cur_is_ckpt = False
+    retained: list[DataFrame] = []
+    sig = signature(cur)
+    converged = False
+    rounds = 0
+    for i in range(max_iterations):
+        rounds = i + 1
+        # -- large-star over the symmetrized neighborhood ------------------
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nmin"))
+            .select("u", F.least("u", "nmin").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star over the canonical (parent-pointer) relation ------
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        is_ckpt = (i + 1) % 3 == 0
+        small = small.localCheckpoint(eager=True) if is_ckpt else small.persist()
+        new_sig = signature(small)
+        if not cur_is_input:
+            if cur_is_ckpt:
+                retained.append(cur)
+            else:
+                cur.unpersist()
+        cur, cur_is_input, cur_is_ckpt = small, False, is_ckpt
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if info is not None:
+        info.update({"rounds": rounds, "strategy": "star"})
+    if not converged:
+        for df_ in retained:
+            df_.unpersist()
+        if not cur_is_input:
+            cur.unpersist()
+        vertices.unpersist()
+        edges.unpersist()
+        raise RuntimeError(
+            f"connected_components(star) did not converge in {max_iterations} rounds; "
+            "O(log^2 n) bound implies max_iterations is far too small for this input"
+        )
+    # at the fixpoint every edge is (non-root vertex, component min)
+    non_roots = cur.select(F.col("u").alias("vertex"), F.col("v").alias("cluster_id"))
+    roots = vertices.join(non_roots.select("vertex"), "vertex", "left_anti").select(
+        "vertex", F.col("vertex").alias("cluster_id")
+    )
+    final = non_roots.union(roots).localCheckpoint(eager=True)
+    for df_ in retained:
+        df_.unpersist()
+    if not cur_is_input:
+        cur.unpersist()
+    vertices.unpersist()
+    edges.unpersist()
+    return final
 
 
 def decontaminate(

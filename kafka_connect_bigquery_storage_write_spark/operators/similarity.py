@@ -550,3 +550,165 @@ def quantize_embeddings(
             F.round(sq_err / F.size(F.col(vec_col)), 12).alias("mse"),
         )
     )
+
+
+def ivf_assign_int8(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The SERVING form of the IVF assignment table: each vector stored as
+    (_id, list_id, scale, codes binary) — int8 absmax quantization of the
+    NORMALIZED vector packed into one byte per dimension, composing q39's
+    inverted lists with q76's quantization (VERDICT r3 next-round #3).
+
+    This is what a 1e9-vector corpus actually serves from: candidate
+    memory is dim bytes/vector vs 4*dim (float32) or 8*dim (the float64
+    arrays ``ivf_assign`` carries) — a 4-8x reduction measured in
+    BASELINE.md. Assignment and quantization happen in ONE Arrow pass over
+    the corpus; like ``ivf_assign``, it is a pure function of (vector,
+    centroids), so incremental append against frozen centroids is
+    bit-identical to full reassignment.
+
+    Quantization matches ``quantize_embeddings`` semantics (scale =
+    absmax/127, q = floor(x/scale + 0.5)) applied to the normalized
+    vector, so dequantized dot products approximate cosine directly.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_cents = df.sparkSession.sparkContext.broadcast(centroids)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("scale", T.DoubleType(), False),
+            T.StructField("codes", T.BinaryType(), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = b_cents.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            lists = np.argmax(vn @ c.T, axis=1).astype(np.int32)
+            absmax = np.abs(vn).max(axis=1)
+            scale = np.where(absmax == 0.0, 1.0, absmax / 127.0)
+            q = np.floor(vn / scale[:, None] + 0.5).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf.iloc[:, 0].to_numpy(),
+                    "list_id": lists,
+                    "scale": scale,
+                    "codes": [q[i].tobytes() for i in range(len(pdf))],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kern, schema=out_schema)
+
+
+def ivf_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    rescore_factor: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",
+) -> DataFrame:
+    """Memory-bounded ANN serving: IVF lists + int8 candidate scoring +
+    exact float rescore of only the top k*rescore_factor.
+
+    The three-stage funnel a production vector index runs:
+    1. probe the n_probe nearest lists (broadcast matmul, as q39);
+    2. score EVERY candidate from its int8 codes (one byte/dim in memory —
+       the 4-8x cheaper representation is the only one the hot path
+       touches), keeping the top k*rescore_factor per query;
+    3. exact-rescore those few from the float vectors (an id-keyed join
+       that moves k*rescore_factor rows per query, not the corpus).
+
+    Recall vs the float IVF path is pinned >=0.95 @ k=5 in pytest; the
+    int8 approximation only has to order the TOP of each list correctly
+    enough that the true top-k survives the rescore_factor cut.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cents = ivf_train(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        sample_size=sample_size,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+        sample_mode=sample_mode,
+    )
+    codes_table = ivf_assign_int8(
+        ensure_compute_parallelism(corpus), cents, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed("_id", "neighbor_id")
+    query_lists = ivf_assign(queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe).withColumnsRenamed(
+        {"_id": query_id_col, "_vec": "_qvec"}
+    )
+    cand = (
+        codes_table.join(F.broadcast(query_lists), "list_id")
+        .filter(F.col("neighbor_id") != F.col(query_id_col))
+        .dropDuplicates([query_id_col, "neighbor_id"])
+    )
+
+    approx_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("approx", T.DoubleType(), False),
+        ]
+    )
+
+    def rescore_int8(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["_qvec"].to_numpy()).astype(np.float64)
+            c8 = np.stack([np.frombuffer(b, dtype=np.int8) for b in pdf["codes"]]).astype(np.float64)
+            approx = (c8 * q).sum(axis=1) * pdf["scale"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    query_id_col: pdf[query_id_col].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "approx": approx,
+                }
+            )
+
+    approx = cand.select(query_id_col, "neighbor_id", "scale", "codes", "_qvec").mapInPandas(
+        rescore_int8, schema=approx_schema
+    )
+    w_a = W.partitionBy(query_id_col).orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    shortlist = approx.withColumn("_arank", F.row_number().over(w_a)).filter(
+        F.col("_arank") <= k * rescore_factor
+    )
+    # exact rescore: only k*rescore_factor rows per query reach the floats
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.join(floats, "neighbor_id")
+        .join(F.broadcast(qvecs), query_id_col)
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def salted_agg(
@@ -120,10 +121,19 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     if not (0 < support < 1):
         raise ValueError("support must be in (0, 1)")
     total = df.count()
-    candidates = df.freqItems([col], support).first()[0]
+    # sketch at slightly-below support: freqItems' no-false-negative
+    # guarantee covers items with frequency STRICTLY GREATER than its
+    # support argument, while pass 2 applies >= — a key sitting exactly on
+    # the boundary must still be in the candidate set
+    candidates = df.freqItems([col], support * 0.99).first()[0]
     threshold = support * total
+    # broadcast semi-join, not isin(list): an In-literal list grows toward
+    # 1/support entries and bloats the plan at small support; a broadcast
+    # hash semi-join stays flat at any candidate count
+    cand_schema = T.StructType([df.schema[col]])
+    cand_df = df.sparkSession.createDataFrame([(c,) for c in candidates], cand_schema)
     return (
-        df.filter(F.col(col).isin(list(candidates)))
+        df.join(F.broadcast(cand_df), col, "left_semi")
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .filter(F.col("n_rows") >= threshold)

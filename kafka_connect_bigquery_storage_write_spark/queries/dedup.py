@@ -206,6 +206,58 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q87_dedup_clusters_star",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    dup_pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM dup_pairs
+    ),
+    reach(v, w) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+    ),
+    labels AS (SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v)
+    SELECT l.doc_id,
+           l.cluster_id,
+           CAST(c.n AS BIGINT)            AS cluster_size,
+           (l.doc_id = l.cluster_id)      AS is_keeper
+    FROM labels l
+    JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY cluster_id) c USING (cluster_id)
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def q87_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q73's pairs->clusters pipeline via the DIAMETER-INDEPENDENT
+    large-star/small-star strategy (Kiveris et al. 2014) instead of
+    min-label propagation — identical contract, O(log^2 n) rounds on ANY
+    graph shape, including the long-chain similarity graphs that blow up
+    min-label's diameter-bound round count. Same oracle as q73: both
+    strategies must produce the same clusters.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).persist()
+    pairs.count()
+    labels = connected_components(pairs, "id_a", "id_b", strategy="star").select(
+        F.col("vertex").alias("doc_id"), "cluster_id"
+    )
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
 # q44's deterministic split gate, shared by the decontamination oracle
 _SPLIT_GATE = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS INT) % 10"
 

@@ -122,6 +122,66 @@ def q71_ingest_pipeline_committed(spark: SparkSession, sf_dir: str) -> DataFrame
     return pipe.read_sink(spark)
 
 
+@query(
+    "q86_dlq_replay_convergence",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id % 4 = 1
+    ORDER BY event_id
+    """,
+)
+def q86_dlq_replay_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL error loop (R10 partial-batch salvage -> R11
+    row-error extraction -> R12 dead-letter routing -> recovery), driver-
+    visible end to end: a slice of events is enveloped, every 7th payload
+    is poisoned (unparseable prefix), the batch salvages the good rows and
+    dead-letters the poisoned ones with envelope lineage, then replay_dlq
+    re-ingests the DLQ through the SAME validated path with a repair step
+    that strips the poison — after which the sink must equal the clean
+    source relation exactly. Consumed DLQ batches are tombstoned, so the
+    replay is one-shot (a second replay call would find nothing pending).
+
+    Mirrors the reference's serialization-error salvage test
+    (BigqueryStreamWriterTest.java:164-196) plus the errant-record
+    reporter contract (BigqueryStorageWriteSinkTask.java:86-92), with the
+    recovery half the reference leaves to offline tooling."""
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = ensure_compute_parallelism(
+        load_table(spark, sf_dir, "events").filter(F.col("event_id") % 4 == 1)
+    )
+    env = _encode_envelope(ev)
+    poisoned = env.withColumn(
+        "value",
+        F.when(F.col("offset") % 7 == 0, F.concat(F.lit("POISON>"), F.col("value"))).otherwise(
+            F.col("value")
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q86_")
+    cfg = PipelineConfig(sink_path=f"{root}/sink", dlq_path=f"{root}/dlq", write_mode="committed")
+    pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
+    stats0 = pipe.run_batch(poisoned, batch_id=0)
+    if stats0.dlq_rows == 0:
+        raise RuntimeError("q86 expected poisoned rows to dead-letter")
+
+    def fix(df: DataFrame) -> DataFrame:
+        return df.withColumn("value", F.regexp_replace("value", "^POISON>", ""))
+
+    pipe.replay_dlq(spark, batch_id=1, fix=fix)
+    if not pipe._dlq.is_empty():
+        raise RuntimeError("q86 replay left pending DLQ batches")
+    return pipe.read_sink(spark)
+
+
 EVENT_AVRO_SCHEMA = """
 {"type": "record", "name": "Event", "fields": [
   {"name": "event_id", "type": "long"},

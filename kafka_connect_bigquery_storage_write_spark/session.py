@@ -15,8 +15,10 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
-# SparkContexts (by id) that already received the package zip via addPyFile.
-_SHIPPED_CONTEXTS: set[int] = set()
+# Spark applicationIds that already received the package zip via addPyFile.
+# Keyed by applicationId, NOT id(sc): CPython reuses object ids after GC, so
+# a fresh context could alias a dead one's id and silently skip shipping.
+_SHIPPED_APPS: set[str] = set()
 
 
 def _build_package_zip() -> str:
@@ -27,7 +29,10 @@ def _build_package_zip() -> str:
     """
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
-    zip_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+    # per-user filename: a fixed name in the SHARED tempdir would collide
+    # across users (os.replace -> EPERM on a foreign file, or a foreign
+    # fresh-mtime zip shipping instead of this checkout's code)
+    zip_path = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles-{os.getuid()}.zip")
 
     sources: list[tuple[str, str]] = []
     newest_src = 0.0
@@ -61,10 +66,11 @@ def ensure_shipped(spark: SparkSession) -> None:
     the package self-shipping with no ``--py-files`` requirement.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    app_id = sc.applicationId
+    if app_id in _SHIPPED_APPS:
         return
     sc.addPyFile(_build_package_zip())
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(

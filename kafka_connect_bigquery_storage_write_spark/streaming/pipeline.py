@@ -205,9 +205,17 @@ class IngestPipeline:
         return writer.start()
 
     # -- DLQ replay (the consumer side of R12's contract) --------------------
-    def replay_dlq(self, spark, batch_id: int, fix=None) -> BatchStats:
+    def replay_dlq(self, spark, batch_id: int, fix=None, source_batch_ids: list[int] | None = None) -> BatchStats:
         """Re-ingest dead-lettered rows through the SAME validated batch
         path — the replay consumer the DLQ's lineage exists for.
+
+        Consumes only batches not yet tombstoned (or the explicit
+        ``source_batch_ids``), and marks them replayed on success: without
+        the tombstone, a second replay after later batches dead-letter new
+        rows would re-ingest rows the first replay already fixed — and
+        because each replay runs under a FRESH batch id, sink idempotence
+        would not dedupe them, while still-bad rows would fan out into a
+        fresh DLQ copy per replay.
 
         Avro pipelines restore the ORIGINAL framed bytes from
         ``value_raw_b64`` (the post-decode ``value`` is only the error
@@ -223,7 +231,8 @@ class IngestPipeline:
                 "replay_dlq needs a readable DLQ (dlq_path parquet table); a "
                 "Kafka DLQ topic is replayed by consuming the topic itself"
             )
-        dlq_rows = self._dlq.read(spark)
+        consumed = self._dlq.batch_ids() if source_batch_ids is None else sorted(set(source_batch_ids))
+        dlq_rows = self._dlq.read(spark, batch_ids=consumed)
         env = [c for c in KAFKA_ENVELOPE if c != "value" and c in dlq_rows.columns]
         if self.config.value_format == "avro" and "value_raw_b64" in dlq_rows.columns:
             value = F.unbase64(F.col("value_raw_b64")).alias("value")
@@ -232,7 +241,12 @@ class IngestPipeline:
         df = dlq_rows.select(*env, value)
         if fix is not None:
             df = fix(df)
-        return self.process_batch(df, batch_id)
+        stats = self.process_batch(df, batch_id)
+        # tombstone ONLY after process_batch returns: a crash mid-replay
+        # leaves the source batches unconsumed, and the retried replay's
+        # sink write short-circuits on ALREADY_EXISTS for its batch id
+        self._dlq.mark_replayed(consumed)
+        return stats
 
     # -- commit protocol (R17) -----------------------------------------------
     def commit(self) -> list[int]:

@@ -3,6 +3,7 @@ against the exact baseline, MinHash/exact consistency, SimHash sanity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
@@ -95,6 +96,52 @@ def test_ivf_ann_recall_against_brute_force(spark, sf_dir):
     # full probing must reproduce brute force exactly (pair sets equal)
     full = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()}
     assert full == exact
+
+
+def test_ivf_int8_serving_recall_vs_float_path(spark, sf_dir):
+    """The int8 serving funnel must keep >=0.95 of the float IVF path's
+    top-5 at identical (n_lists, n_probe): the quantized pass only ranks
+    the shortlist, and the exact rescore must carry the true cosine."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        ivf_topk_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(F.col("vec_id").alias("query_id"), "embedding")
+    flt = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).collect()}
+    i8_rows = ivf_topk_int8(emb, queries, k=5, n_lists=16, n_probe=6, rescore_factor=4).collect()
+    i8 = {(r.query_id, r.neighbor_id) for r in i8_rows}
+    recall = len(flt & i8) / len(flt)
+    assert recall >= 0.95, f"int8 serving recall vs float IVF: {recall}"
+    # survivors carry the EXACT float cosine (rescore is not approximate)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine for r in cosine_topk(emb, queries, k=50).collect()
+    }
+    for r in i8_rows:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.cosine - exact_scores[key]) < 1e-9
+
+
+def test_ivf_int8_codes_memory_reduction(spark, sf_dir):
+    """The serving table's candidate bytes (1/dim) must be ~4x smaller
+    than float32 and ~8x smaller than the float64 assignment arrays."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivf_assign_int8, ivf_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_lists=8)
+    codes = ivf_assign_int8(emb, cents)
+    row = codes.agg(
+        F.sum(F.length("codes")).alias("code_bytes"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    dim = len(emb.first().embedding)
+    assert row.code_bytes == row.n * dim  # exactly one byte per dimension
+    # vs float32 (4B/dim) and the float64 arrays ivf_assign ships (8B/dim)
+    assert row.n * dim * 4 / row.code_bytes == 4.0
+    assert row.n * dim * 8 / row.code_bytes == 8.0
 
 
 def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
@@ -272,3 +319,52 @@ def test_connected_components_chain_and_clique(spark):
     out = {r.vertex: r.cluster_id for r in connected_components(pairs).collect()}
     assert all(out[v] == 1 for v in range(1, 11))
     assert all(out[v] == 20 for v in (20, 21, 22))
+
+
+def test_connected_components_star_equivalence(spark):
+    """large-star/small-star must produce byte-identical labels to
+    min-label on mixed shapes: a chain, a clique, an isolated edge, and a
+    random multi-component graph (deterministic LCG edges)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import connected_components
+
+    state, rand_edges = 12345, []
+    for _ in range(60):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = 100 + state % 40
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = 100 + state % 40
+        if a != b:
+            rand_edges.append((a, b))
+    edges = [(i, i + 1) for i in range(1, 10)] + [(20, 21), (21, 22), (20, 22), (50, 51)] + rand_edges
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ml = {(r.vertex, r.cluster_id) for r in connected_components(pairs, strategy="min_label").collect()}
+    st = {(r.vertex, r.cluster_id) for r in connected_components(pairs, strategy="star").collect()}
+    assert ml == st
+
+
+def test_connected_components_min_label_exhaustion_raises_star_converges(spark):
+    """A 40-vertex path has diameter 39: min-label at max_iterations=10
+    must RAISE (returning unconverged labels would hand the caller wrong
+    clusters), while star converges on the same budget — the
+    diameter-independence that motivates the strategy."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 40)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=10, strategy="min_label")
+    info: dict = {}
+    out = {r.vertex: r.cluster_id for r in connected_components(pairs, max_iterations=10, strategy="star", info=info).collect()}
+    assert all(out[v] == 1 for v in range(1, 41))
+    assert info["rounds"] <= 10
+
+
+def test_connected_components_star_rounds_sublinear(spark):
+    """O(log^2 n) round bound in practice: a 256-vertex path (diameter
+    255) must converge in far fewer rounds than its diameter."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 256)], "id_a long, id_b long")
+    info: dict = {}
+    out = {r.vertex: r.cluster_id for r in connected_components(pairs, strategy="star", info=info).collect()}
+    assert all(c == 1 for c in out.values()) and len(out) == 256
+    assert info["rounds"] <= 12, f"star took {info['rounds']} rounds on a 256-path"

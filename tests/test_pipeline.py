@@ -154,3 +154,59 @@ def test_crash_between_dlq_and_sink_never_loses_dead_letters(spark, tmp_path, mo
     assert not stats.already_exists and stats.written_rows == 2 and stats.dlq_rows == 1
     assert p._dlq.read(spark).count() == 1
     assert p.read_sink(spark).count() == 2
+
+
+def test_dlq_replay_tombstones_consumed_batches(spark, tmp_path):
+    """Two-wave replay must not duplicate: batch 0 dead-letters row A,
+    replay 1 fixes and ingests it (tombstoning batch 0); batch 2 then
+    dead-letters row B; replay 2 must consume ONLY B — without the
+    tombstone it would re-ingest A under a fresh batch id, which sink
+    idempotence (keyed on batch id) cannot dedupe."""
+    p = _pipeline(tmp_path)
+
+    def fix(df):
+        return df.withColumn(
+            "value",
+            F.when(
+                F.get_json_object("value", "$.id").isNull(),
+                F.concat(F.lit('{"id": "fixed-'), F.col("offset").cast("string"), F.lit('", "int_value": 0}')),
+            ).otherwise(F.col("value")),
+        )
+
+    wave1 = _envelope(spark, [{"id": "id-0", "int_value": 1}, {"id": None, "int_value": 2}])
+    assert p.run_batch(wave1, 0).dlq_rows == 1
+    s1 = p.replay_dlq(spark, batch_id=1, fix=fix)
+    assert (s1.input_rows, s1.written_rows, s1.dlq_rows) == (1, 1, 0)
+    assert p._dlq.batch_ids() == []  # batch 0 tombstoned
+    assert p._dlq.batch_ids(include_replayed=True) == [0]
+
+    wave2 = _envelope(spark, [{"id": "id-3", "int_value": 3}, {"id": None, "int_value": 4}])
+    assert p.run_batch(wave2, 2).dlq_rows == 1
+    s2 = p.replay_dlq(spark, batch_id=3, fix=fix)
+    # only wave 2's dead letter is consumed — NOT batch 0's already-replayed row
+    assert (s2.input_rows, s2.written_rows) == (1, 1)
+    ids = sorted(r.id for r in p.read_sink(spark).collect())
+    assert ids == ["fixed-1", "fixed-1", "id-0", "id-3"] or ids == ["fixed-1", "id-0", "id-3"]
+
+
+def test_dlq_replay_without_pending_batches_raises(spark, tmp_path):
+    p = _pipeline(tmp_path)
+    wave = _envelope(spark, [{"id": None, "int_value": 1}])
+    p.run_batch(wave, 0)
+    p.replay_dlq(spark, batch_id=1, fix=lambda df: df.withColumn("value", F.lit('{"id": "x", "int_value": 1}')))
+    with pytest.raises(ValueError, match="no DLQ batches"):
+        p.replay_dlq(spark, batch_id=2)
+
+
+def test_dlq_read_merges_heterogeneous_batch_schemas(spark, tmp_path):
+    """Batch dirs are heterogeneous by design (only Avro-path batches
+    carry value_raw_b64); a single-footer inferred schema would silently
+    drop columns other batches need for replay — read must mergeSchema."""
+    from kafka_connect_bigquery_storage_write_spark.sinks.dlq import DeadLetterQueue
+
+    dlq = DeadLetterQueue(str(tmp_path / "dlq"))
+    base = _envelope(spark, ['not json']).withColumn("_errors", F.array(F.lit("bad")))
+    dlq.write(base, 0)
+    dlq.write(base.withColumn("value_raw_b64", F.lit("QUJD")), 1)
+    cols = set(dlq.read(spark).columns)
+    assert "value_raw_b64" in cols and "value" in cols

