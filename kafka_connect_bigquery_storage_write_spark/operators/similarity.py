@@ -712,3 +712,94 @@ def ivf_topk_int8(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.97,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",
+    chunk_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding corpus, find
+    near-duplicate pairs only WITHIN each cluster, connect them into
+    components, keep the minimum id of every component.
+
+    The scale contract is the SemDeDup design point: pairwise work drops
+    from O(N^2) to O(sum_c |c|^2) ~ O(N^2 / k) with per-task state bounded
+    by ONE cluster's vectors, and the kernel chunks its similarity matmul
+    (``chunk_rows`` x |c| tiles) so task memory never holds |c|^2 floats.
+    Cluster assignment reuses the frozen-centroid IVF path (pure function
+    of vector and centroids — incremental append composes exactly like
+    q65's incremental dedup); components reuse connected_components (the
+    same pairs->clusters machinery as q73), so the whole operator is a
+    composition of already-verified pieces.
+
+    Cross-cluster near-dups are invisible by design (the documented
+    SemDeDup trade); with n_clusters=1 the operator degrades to exact
+    all-pairs dedup, which pytest pins against the blocked-BLAS baseline.
+
+    Returns one row per input vector: (id, keeper_id, is_dup) where
+    keeper_id is the component minimum (= id itself for non-duplicates).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import connected_components
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import repartition_for_grouped_map
+
+    cents = ivf_train(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_clusters,
+        sample_size=sample_size,
+        seed=seed,
+        kmeans_iters=kmeans_iters,
+        sample_mode=sample_mode,
+    )
+    assign = ivf_assign(ensure_compute_parallelism(df), cents, id_col=id_col, vec_col=vec_col)
+
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+        ]
+    )
+
+    def intra_cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["_id"].to_numpy()
+        mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)  # already normalized
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, len(ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(ids))
+            # tile rows [lo:hi) against every row AFTER lo (upper triangle)
+            sims = np.round(mat[lo:hi] @ mat[lo:].T, 6)
+            ai, bi = np.nonzero(sims >= threshold)
+            keep = (bi + lo) > (ai + lo)  # strict upper triangle by position
+            ida, idb = ids[ai[keep] + lo], ids[bi[keep] + lo]
+            out_a.append(np.minimum(ida, idb))
+            out_b.append(np.maximum(ida, idb))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+    grouped = repartition_for_grouped_map(assign, "list_id", n_groups=n_clusters)
+    pairs = grouped.groupBy("list_id").applyInPandas(intra_cluster_pairs, schema=pair_schema).distinct()
+    comps = connected_components(pairs, "id_a", "id_b")
+    ids = df.select(F.col(id_col).cast("long").alias(id_col))
+    return (
+        ids.join(comps, ids[id_col] == comps.vertex, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("keeper_id"),
+            (F.coalesce(F.col("cluster_id"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
+        )
+    )

@@ -84,6 +84,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # new in round 4
     "q86_dlq_replay_convergence",
     "q87_dedup_clusters_star",
+    "q89_large_volume_customers",
+    "q90_waiting_suppliers",
+    "q91_idle_rich_customers",
+    "q93_label_centroids",
 )
 
 

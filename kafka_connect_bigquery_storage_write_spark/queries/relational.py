@@ -1212,3 +1212,186 @@ def q85_global_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "revenue", "n_orders")
         .orderBy("month")
     )
+
+
+@query(
+    "q89_large_volume_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice, b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY b.total_qty DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def q89_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a grouped HAVING filter
+    on the fact table drives the join, not the other way round.
+
+    Scale shape: lineitem aggregates FIRST (map-side partial sums on
+    l_orderkey, exact decimal quantities), the HAVING filter collapses
+    the relation to the rare heavy orders (~1.5% here, rarer at spec
+    thresholds), and only those survivors join orders and customer —
+    broadcast-sized by construction, so neither dimension join shuffles
+    the fact table. The anti-shape (join first, aggregate later) would
+    shuffle every lineitem row twice; this plan shuffles them once, into
+    the aggregation. Mirrors the reference's buffer-then-flush economy
+    (BigqueryStreamWriter.java:56 buffers rows, flushes once) at query
+    scale: reduce before you move.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty_dec"))
+        .filter(F.col("_qty_dec") > 250)
+        .select("l_orderkey", F.col("_qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        F.broadcast(big)
+        .join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "q90_waiting_suppliers",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 365 DAY
+                      THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey, l.l_suppkey
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM li l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late = 1
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late = 1)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q90_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    EXISTS + NOT-EXISTS double correlation, adapted to this schema's
+    dates (late = shipped > 365 days after the order date; the reference
+    schema's receipt/commit dates don't exist here).
+
+    The oracle states it with correlated subqueries; the Spark program
+    decorrelates BY HAND into one extra aggregation: per (order,
+    supplier) compute the late flag, per order compute (n_suppliers,
+    n_late), then a supplier is "waiting" on an order iff its flag is
+    late AND n_suppliers > 1 (the EXISTS) AND n_late = 1 (the NOT
+    EXISTS — it was the only late one). Two grouped passes over the same
+    relation replace two correlated per-row subqueries; at 100 TB that is
+    the difference between two shuffles and a nested-loop disaster. The
+    per-order stats relation is orderkey-keyed like `li`, so AQE sees
+    co-partitioned inputs; the supplier dimension broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    flags = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS"))
+            .cast("int")
+            .alias("_is_late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_is_late").alias("late"))
+        .persist()  # feeds both the per-order stats and the waiter filter
+    )
+    order_stats = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiters = (
+        flags.filter(F.col("late") == 1)
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    out = (
+        waiters.join(F.broadcast(supp), waiters.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+    return out
+
+
+@query(
+    "q91_idle_rich_customers",
+    oracle="""
+    WITH pos AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey, pos
+    WHERE c.c_acctbal * pos.n > pos.total
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def q91_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-lost-customers): customers above the
+    global average positive balance with no urgent orders, grouped by
+    nation (this schema has no phone country codes; every customer here
+    has SOME order, so the anti-join is against the urgent slice).
+
+    Three scale moves: (1) the global average is ONE scalar aggregate
+    broadcast into the filter — stated as c_acctbal * n > total in exact
+    decimal-derived terms so no engine disagrees at the float boundary
+    (same parity trick as q85); (2) the NOT EXISTS is a LEFT ANTI join
+    against only the pre-filtered urgent orders (~20% of the table,
+    pruned at the scan by a pushed predicate); (3) nation broadcasts.
+    The customer table is scanned twice (scalar + main) — at 100 TB the
+    scalar pass reads one column via parquet pruning, which is cheaper
+    than persisting the full relation just to share the scan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("c_acctbal") * F.col("n") > F.col("total"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )

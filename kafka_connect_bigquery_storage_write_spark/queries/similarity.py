@@ -267,3 +267,80 @@ def q88_ivf_int8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return ivf_topk_int8(emb, queries, k=5, n_lists=16, n_probe=6, rescore_factor=4).orderBy("query_id", "rank")
+
+
+@query(
+    "q93_label_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS comp
+      FROM embeddings
+    ),
+    g AS (
+      SELECT label, pos,
+             sum(CAST(floor(CAST(comp AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label,
+           max(n) AS n_vectors,
+           list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid
+    FROM g GROUP BY label ORDER BY label
+    """,
+)
+def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the array-analytics
+    aggregation behind semantic class prototypes, cluster drift checks,
+    and nearest-class-mean classification.
+
+    Exact cross-engine parity for a FLOAT mean: each component is fixed to
+    integer micro-units first (floor(x*1e6 + 0.5) — portable IEEE ops, same
+    trick as q76's quantizer), summed as exact BIGINTs (order-independent,
+    unlike float sums whose value depends on partial-aggregation order),
+    then divided once. Scale shape: posexplode is a projection (no
+    shuffle), one hash aggregation on (label, pos) with map-side partials
+    — 64 * n_labels running sums per executor — then a tiny second
+    aggregation assembles the arrays; the wide relation never shuffles
+    whole vectors, only (label, pos, partial-sum) triples.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "comp"))
+    g = ex.groupBy("label", "pos").agg(
+        F.sum(F.floor(F.col("comp").cast("double") * 1000000.0 + F.lit(0.5)).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        g.select(
+            "label",
+            "pos",
+            "n",
+            F.round(F.col("s") / (F.col("n") * 1000000.0), 6).alias("c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+@query("q92_semantic_dedup")  # cluster boundaries are kmeans-dependent -> rows-only; n_clusters=1 equivalence vs blocked exact pairs pinned in pytest
+def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus: k-means partition, intra-cluster
+    near-dup pairs (chunked BLAS, one cluster per task), connected
+    components, keep each component's min id. The embedding-space member
+    of the dedup family — catches paraphrase-level duplicates that
+    n-gram/MinHash fingerprints miss. Composition of verified pieces:
+    ivf_train/assign (q39) + connected_components (q73)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # production SemDeDup thresholds sit ~0.95+; the fixture embeddings are
+    # random 64-dim vectors whose cosine mass tops out ~0.5, so the query
+    # exercises the same machinery at the selectivity the corpus provides
+    return semantic_dedup(emb, threshold=0.35, n_clusters=16).orderBy("vec_id")

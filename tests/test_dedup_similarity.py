@@ -368,3 +368,58 @@ def test_connected_components_star_rounds_sublinear(spark):
     out = {r.vertex: r.cluster_id for r in connected_components(pairs, strategy="star", info=info).collect()}
     assert all(c == 1 for c in out.values()) and len(out) == 256
     assert info["rounds"] <= 12, f"star took {info['rounds']} rounds on a 256-path"
+
+
+def test_semantic_dedup_single_cluster_equals_exact_pairs(spark, sf_dir):
+    """With n_clusters=1 SemDeDup degrades to exact all-pairs dedup: its
+    drop set must equal connected components over the blocked-BLAS exact
+    pair relation at the same threshold."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import connected_components
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    thr = 0.35  # fixture cosine mass tops out ~0.5; 271 pairs at 0.35
+    sem = semantic_dedup(emb, threshold=thr, n_clusters=1).collect()
+    sem_drop = {r.vec_id for r in sem if r.is_dup}
+    sem_keep_map = {r.vec_id: r.keeper_id for r in sem}
+
+    pairs = cosine_near_dup_pairs_blocked(emb, threshold=thr)
+    comps = {r.vertex: r.cluster_id for r in connected_components(pairs, "id_a", "id_b").collect()}
+    exact_drop = {v for v, c in comps.items() if v != c}
+    assert len(sem_drop) > 0  # fixture must exercise the operator
+    assert sem_drop == exact_drop
+    # keepers agree too: every clustered vector maps to the component min
+    for v, c in comps.items():
+        assert sem_keep_map[v] == c
+    # non-clustered vectors keep themselves
+    n_rows = emb.count()
+    assert len(sem) == n_rows
+    for r in sem:
+        if r.vec_id not in comps:
+            assert r.keeper_id == r.vec_id and not r.is_dup
+
+
+def test_semantic_dedup_clustered_is_subset_of_exact(spark, sf_dir):
+    """With k>1 clusters SemDeDup may only MISS cross-cluster pairs —
+    every drop it makes must be justified by a real above-threshold pair
+    (no false positives), and keepers are component minima (keeper_id <=
+    vec_id always)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
+        cosine_near_dup_pairs_blocked,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    thr = 0.35
+    sem = semantic_dedup(emb, threshold=thr, n_clusters=16).collect()
+    dropped = {r.vec_id for r in sem if r.is_dup}
+    exact_pair_members = set()
+    for r in cosine_near_dup_pairs_blocked(emb, threshold=thr).collect():
+        exact_pair_members.add(r.id_a)
+        exact_pair_members.add(r.id_b)
+    assert dropped <= exact_pair_members
+    for r in sem:
+        assert r.keeper_id <= r.vec_id
