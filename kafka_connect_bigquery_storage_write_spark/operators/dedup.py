@@ -387,11 +387,13 @@ def connected_components(
     with ``strategy='star'`` (diameter-independent) or more iterations.
 
     Each round is shuffle joins on 8-byte ids — the text never enters the
-    graph. Per-round relations are persisted and localCheckpointed every
-    few rounds so lineage cannot grow unboundedly; checkpointed
-    generations are released only after the result is materialized
-    (their lineage is truncated, so dropping their blocks earlier would
-    make downstream recomputation impossible).
+    graph. Every generation is eagerly localCheckpointed: iterative
+    DataFrame loops that only persist accumulate a nested plan that AQE
+    re-optimizes on every action (measured 12-30s/round on a 477-vertex
+    graph before truncation, ~1s/round after), and eager materialization
+    makes release safe — once a round's blocks exist, its predecessor's
+    blocks are freed immediately (nothing recomputes through a
+    checkpoint).
 
     ``info``, if supplied, receives {'rounds': N, 'strategy': ...}.
 
@@ -419,11 +421,15 @@ def connected_components(
         .agg(F.min("dst").alias("nmin"))
         .select(F.col("src").alias("vertex"), F.least("src", "nmin").alias("label"))
     )
-    cached = labels.persist()  # handle the cache entry belongs to
-    cached.count()
+    # every generation is EAGERLY localCheckpointed, not persisted: with
+    # persist-only lineage each round's action re-plans (AQE) through the
+    # whole accumulated join tree — the same blowup measured at
+    # 12-30s/round in the star strategy (see _cc_star). Eager checkpoints
+    # bound the plan at one round and make release immediate: once round
+    # i+1's blocks exist, nothing can recompute through round i (its
+    # lineage is gone), so its blocks are freed right away.
+    cached = labels.localCheckpoint(eager=True)
     labels = cached
-    cached_is_ckpt = False
-    retained: list[DataFrame] = []  # checkpointed generations: release after materialize
     converged = False
     rounds = 0
     for i in range(max_iterations):
@@ -435,25 +441,15 @@ def connected_components(
             .select(F.col("src").alias("vertex"), "nmin")
         )
         # carry old and new label side by side so the convergence probe is
-        # one scan of this (persisted) relation, not a second old-vs-new
-        # self-join per round
+        # one scan of this (checkpointed) relation, not a second
+        # old-vs-new self-join per round
         stepped = labels.join(neighbor_min, "vertex", "left").select(
             "vertex", "label", F.least("label", "nmin").alias("_new")
         )
-        # truncate lineage before it compounds across rounds
-        is_ckpt = (i + 1) % 3 == 0
-        stepped = stepped.localCheckpoint(eager=True) if is_ckpt else stepped.persist()
+        stepped = stepped.localCheckpoint(eager=True)  # materializes NOW
+        cached.unpersist()  # safe: successor's blocks exist, lineage truncated
+        cached = stepped
         changed = stepped.filter(F.col("_new") != F.col("label")).count()
-        # release the previous generation's handle (not a projection of it —
-        # projections are not cache-manager entries). A CHECKPOINTED previous
-        # generation keeps its blocks until the end: its lineage is already
-        # truncated, so an eviction of the successor's cache could not
-        # recompute through it.
-        if cached_is_ckpt:
-            retained.append(cached)
-        else:
-            cached.unpersist()
-        cached, cached_is_ckpt = stepped, is_ckpt
         labels = stepped.select("vertex", F.col("_new").alias("label"))
         if changed == 0:
             converged = True
@@ -461,8 +457,6 @@ def connected_components(
     if info is not None:
         info.update({"rounds": rounds, "strategy": "min_label"})
     if not converged:
-        for df_ in retained:
-            df_.unpersist()
         cached.unpersist()
         edges.unpersist()
         raise RuntimeError(
@@ -470,11 +464,7 @@ def connected_components(
             "rounds (component diameter exceeds the budget); use strategy='star' "
             "(diameter-independent, O(log^2 n) rounds) or raise max_iterations"
         )
-    # materialize the final labels BEFORE releasing any checkpointed
-    # generation they might recompute through
     final = labels.select(F.col("vertex"), F.col("label").alias("cluster_id")).localCheckpoint(eager=True)
-    for df_ in retained:
-        df_.unpersist()
     cached.unpersist()
     edges.unpersist()
     return final
@@ -504,6 +494,17 @@ def _cc_star(
     non-root points straight at its component minimum. Convergence is
     detected as an unchanged (count, hash-sum) signature of the canonical
     edge set — one aggregate action per round.
+
+    Every round's output is EAGERLY localCheckpointed, not persisted:
+    a star round nests a union, a self-join and two distincts, and with
+    persist-only lineage each subsequent action re-plans (AQE) through
+    the whole accumulated tree — measured 12-30s/round on a 477-vertex
+    graph, vs 0.9s/round once each generation is truncated to its
+    checkpoint blocks. Eager checkpointing also makes release safe and
+    immediate: the moment round i+1's checkpoint has materialized,
+    round i's blocks can be freed (nothing ever recomputes THROUGH a
+    checkpoint — its lineage is gone; its blocks are read only while
+    building round i+1).
     """
     edges = (
         pairs.select(
@@ -512,9 +513,8 @@ def _cc_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    edges.count()
     # vertex universe from the ORIGINAL pairs (roots drop out of the edge
     # relation's left side as stars form; they re-enter at label assembly)
     vertices = (
@@ -536,9 +536,6 @@ def _cc_star(
         return (row.n, row.h)
 
     cur = edges
-    cur_is_input = True  # never unpersist the caller-visible input handle twice
-    cur_is_ckpt = False
-    retained: list[DataFrame] = []
     sig = signature(cur)
     converged = False
     rounds = 0
@@ -567,15 +564,10 @@ def _cc_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        is_ckpt = (i + 1) % 3 == 0
-        small = small.localCheckpoint(eager=True) if is_ckpt else small.persist()
-        new_sig = signature(small)
-        if not cur_is_input:
-            if cur_is_ckpt:
-                retained.append(cur)
-            else:
-                cur.unpersist()
-        cur, cur_is_input, cur_is_ckpt = small, False, is_ckpt
+        small = small.localCheckpoint(eager=True)  # materializes NOW
+        cur.unpersist()  # safe: successor's blocks exist, lineage truncated
+        cur = small
+        new_sig = signature(cur)
         if new_sig == sig:
             converged = True
             break
@@ -583,12 +575,8 @@ def _cc_star(
     if info is not None:
         info.update({"rounds": rounds, "strategy": "star"})
     if not converged:
-        for df_ in retained:
-            df_.unpersist()
-        if not cur_is_input:
-            cur.unpersist()
+        cur.unpersist()
         vertices.unpersist()
-        edges.unpersist()
         raise RuntimeError(
             f"connected_components(star) did not converge in {max_iterations} rounds; "
             "O(log^2 n) bound implies max_iterations is far too small for this input"
@@ -599,12 +587,8 @@ def _cc_star(
         "vertex", F.col("vertex").alias("cluster_id")
     )
     final = non_roots.union(roots).localCheckpoint(eager=True)
-    for df_ in retained:
-        df_.unpersist()
-    if not cur_is_input:
-        cur.unpersist()
+    cur.unpersist()
     vertices.unpersist()
-    edges.unpersist()
     return final
 
 
@@ -637,4 +621,48 @@ def decontaminate(
         .groupBy("train_id", "heldout_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Directional n-gram containment: containment(src -> dst) =
+    |shingles(src) ∩ shingles(dst)| / |shingles(src)|.
+
+    The asymmetric member of the near-dup family (Broder 1997's
+    "containment", alongside "resemblance"/Jaccard): a short document
+    quoted wholesale inside a much longer one scores containment ~1.0
+    while its Jaccard stays low (the union is dominated by the long
+    side), so q31's symmetric filter never sees it. Corpus curation uses
+    this to drop subsumed documents — keep the superset, drop the quote.
+
+    Same scale contract as jaccard_near_dup_pairs: pairs meet through the
+    8-byte shingle-hash shuffle (Σ df² join cost, max_df caps the hot
+    buckets), the text itself never moves, and the output is directional
+    rows (src_id, dst_id, containment) with src_id != dst_id — both
+    directions can appear, each scored by its own denominator.
+    """
+    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
+    sh.count()  # materialization barrier — see jaccard_near_dup_pairs
+    counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("src_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("dst_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    csrc = counts.select(F.col(id_col).alias("src_id"), F.col("n_sh").alias("n_src"))
+    return (
+        inter.join(csrc, "src_id")
+        .withColumn("containment", F.round(F.col("n_inter") / F.col("n_src"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("src_id", "dst_id", "containment")
     )

@@ -792,7 +792,10 @@ def semantic_dedup(
         return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
     grouped = repartition_for_grouped_map(assign, "list_id", n_groups=n_clusters)
-    pairs = grouped.groupBy("list_id").applyInPandas(intra_cluster_pairs, schema=pair_schema).distinct()
+    # no distinct here: each unordered pair is emitted at most once (one
+    # cluster, strict upper triangle) and connected_components dedupes its
+    # edge relation anyway — a distinct would just add a shuffle
+    pairs = grouped.groupBy("list_id").applyInPandas(intra_cluster_pairs, schema=pair_schema)
     comps = connected_components(pairs, "id_a", "id_b")
     ids = df.select(F.col(id_col).cast("long").alias(id_col))
     return (

@@ -88,6 +88,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q90_waiting_suppliers",
     "q91_idle_rich_customers",
     "q93_label_centroids",
+    "q94_containment_pairs",
+    "q95_embedding_outliers",
 )
 
 

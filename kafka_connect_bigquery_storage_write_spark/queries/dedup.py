@@ -300,3 +300,36 @@ def q78_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs.filter(gate < 8), docs.filter(gate >= 8), min_shared=5).orderBy(
         "train_id", "heldout_id"
     )
+
+
+@query(
+    "q94_containment_pairs",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' || list_extract(w, i + 2) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dpairs AS (
+      SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.src_id, p.dst_id,
+           round(p.n_inter * 1.0 / c.n, 6) AS containment
+    FROM dpairs p JOIN cnt c ON c.doc_id = p.src_id
+    WHERE round(p.n_inter * 1.0 / c.n, 6) >= 0.8
+    ORDER BY p.src_id, p.dst_id
+    """,
+)
+def q94_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional 3-gram containment pairs (threshold 0.8): the
+    asymmetric near-dup measure that catches a short document subsumed by
+    a longer one (containment ~1, Jaccard low). Same 8-byte shingle-hash
+    join as q31; only the denominator changes."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.8).orderBy("src_id", "dst_id")

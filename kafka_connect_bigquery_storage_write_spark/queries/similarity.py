@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
@@ -343,4 +344,83 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production SemDeDup thresholds sit ~0.95+; the fixture embeddings are
     # random 64-dim vectors whose cosine mass tops out ~0.5, so the query
     # exercises the same machinery at the selectivity the corpus provides
-    return semantic_dedup(emb, threshold=0.35, n_clusters=16).orderBy("vec_id")
+    # (0.4 keeps the pair graph near-dup-shaped; 0.35 chains half the
+    # corpus into one giant component — the regime the tests cover)
+    return semantic_dedup(emb, threshold=0.4, n_clusters=16).orderBy("vec_id")
+
+
+@query(
+    "q95_embedding_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS pos,
+             unnest(embedding) AS comp
+      FROM embeddings
+    ),
+    g AS (
+      SELECT label, pos,
+             sum(CAST(floor(CAST(comp AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+             count(*) AS n
+      FROM ex GROUP BY label, pos
+    ),
+    cent AS (
+      SELECT label, list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS c
+      FROM g GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(sqrt(list_aggregate(list_transform(
+               list_zip(e.embedding, cent.c),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), 'sum')), 6) AS dist
+      FROM embeddings e JOIN cent ON cent.label = e.label
+    )
+    SELECT vec_id, label, dist, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    ORDER BY label, rank
+    """,
+)
+def q95_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 outliers per label: Euclidean distance from each vector to
+    its class centroid — the mislabeled-example / contamination sweep a
+    curation pipeline runs over labeled embeddings.
+
+    Composes q93's exact centroid (integer micro-unit means, so both
+    engines agree bit-for-bit on the reference point) with a JVM-side
+    zip_with/aggregate distance fold (serial left-to-right sum — the
+    float semantics DuckDB's list_aggregate reproduces). Scale: the
+    centroid relation is n_labels rows — broadcast; the corpus is scanned
+    once, shuffled only by the tiny per-label top-k window.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "comp"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("comp").cast("double") * 1000000.0 + F.lit(0.5)).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("label", "pos", F.round(F.col("s") / (F.col("n") * 1000000.0), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]).alias("c")
+        )
+    )
+    diff2 = F.zip_with(
+        F.col("embedding"),
+        F.col("c"),
+        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+    )
+    dist = F.round(F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)), 6)
+    w = W.partitionBy("label").orderBy(F.col("dist").desc(), "vec_id")
+    return (
+        emb.join(F.broadcast(cent), "label")
+        .select("vec_id", "label", dist.alias("dist"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("vec_id", "label", "dist", "rank")
+        .orderBy("label", "rank")
+    )

@@ -167,3 +167,30 @@ def test_q78_decontamination_joins_on_hash_not_text(spark, sf_dir):
     keys = [l for l in plan.splitlines() if "keys" in l.lower() and "#" in l]
     assert any("shingle#" in l for l in keys), plan
     assert not any("s#" in l.replace("shingle#", "") for l in keys), keys
+
+
+def test_q89_aggregates_before_broadcast_join(spark, sf_dir):
+    """Q18 shape: the HAVING-filtered aggregate must be the BUILD side of
+    broadcast joins — the fact table is reduced before anything moves."""
+    plan = _plan(spark, sf_dir, "q89_large_volume_customers")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the aggregation happens below the joins (partial + final HashAggregate
+    # on l_orderkey feeding the broadcast exchange)
+    assert "HashAggregate" in plan
+
+
+def test_q90_no_correlated_subquery_nodes(spark, sf_dir):
+    """Q21 shape: the hand-decorrelated form must contain no per-row
+    subquery plans — only grouped aggregates and joins."""
+    plan = _plan(spark, sf_dir, "q90_waiting_suppliers")
+    assert "Subquery" not in plan
+    assert plan.count("HashAggregate") >= 2  # flags + order stats (+ final)
+
+
+def test_q95_centroids_broadcast(spark, sf_dir):
+    """The n_labels-row centroid relation must broadcast; the corpus must
+    not sort-merge against it."""
+    plan = _plan(spark, sf_dir, "q95_embedding_outliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
