@@ -90,6 +90,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q93_label_centroids",
     "q94_containment_pairs",
     "q95_embedding_outliers",
+    "q96_vocab_encode",
+    "q97_gap_filled_hourly",
 )
 
 

@@ -133,3 +133,73 @@ def q77_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+@query(
+    "q97_gap_filled_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events WHERE user_id < 20
+      GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events WHERE user_id < 20
+    ),
+    grid AS (
+      SELECT u.user_id, g.hour
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 20) u,
+           bounds,
+           LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi, INTERVAL '1 hour')) AS hour) g
+    )
+    SELECT g.user_id, g.hour,
+           coalesce(h.n_events, 0)    AS n_events,
+           coalesce(h.sum_value, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+    ORDER BY g.user_id, g.hour
+    """,
+)
+def q97_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly per-user series: every (user, hour) cell of the
+    observation window exists, zero-filled where no events landed — the
+    densification step before any rolling-window model or chart reads a
+    sparse series.
+
+    Scale shape: the dense grid is GENERATED (sequence + explode over the
+    distinct-user relation), never shuffled at event granularity; the
+    global [min, max] hour bound is one scalar aggregate broadcast into
+    the generator; the left join keys on (user, hour) — the same shuffle
+    the hourly aggregation already produced, so AQE sees co-partitioned
+    sides. Grid cardinality is n_users * n_hours, independent of event
+    count — at 100 TB of events the grid is still tiny next to the facts.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"),
+        )
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("user_id", "hour")
+    )

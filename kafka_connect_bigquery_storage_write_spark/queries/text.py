@@ -596,3 +596,68 @@ def q82_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_tokens")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "q96_vocab_encode",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_TOKS}) AS token,
+             generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    ),
+    freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY token),
+    vocab AS (
+      SELECT token, CAST(row_number() OVER (ORDER BY tf DESC, token) AS INT) AS id
+      FROM freq QUALIFY id <= 256
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           list(coalesce(v.id, 0) ORDER BY t.pos) AS ids
+    FROM toks t LEFT JOIN vocab v ON v.token = t.token
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q96_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency vocabulary encoding: build the top-256 token
+    vocabulary (rank by frequency, ties by token — fully deterministic,
+    no hash-order dependence), then encode every document as its id
+    sequence (OOV -> 0). The JVM-side analogue of a tokenizer's
+    vocab-fit + transform, the step between raw text and packed
+    training sequences (q79).
+
+    Scale shape: one posexplode relation feeds both the frequency count
+    and the encode join (same economics as q74's tf/df sharing); the
+    256-row vocabulary broadcasts; document reassembly is
+    collect_list(struct(pos,id)) sorted per doc — the only wide shuffle
+    keys on doc_id, the same partitioning the corpus already has.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    from pyspark.sql import Window as W
+
+    freq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    # global top-256 via TakeOrdered (distributed), THEN rank the 256
+    # survivors — the unpartitioned row_number window only ever sees 256
+    # rows, never the full token-frequency relation
+    top = freq.orderBy(F.col("tf").desc(), "token").limit(256)
+    w = W.orderBy(F.col("tf").desc(), "token")
+    vocab = top.withColumn("id", F.row_number().over(w).cast("int")).select("token", "id")
+    enc = toks.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"]).alias("ids"),
+        )
+        .orderBy("doc_id")
+    )
