@@ -92,6 +92,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q95_embedding_outliers",
     "q96_vocab_encode",
     "q97_gap_filled_hourly",
+    "q98_incremental_topk_rollup",
 )
 
 

@@ -382,3 +382,53 @@ def q83_incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         .select("window_start", "event_type", "approx_distinct_user_id", "count_user_id")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "q98_incremental_topk_rollup",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             user_id AS item,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT window_start, event_type, item, n, CAST(rank AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY window_start, event_type
+                                       ORDER BY n DESC, item) AS rank
+          FROM counts)
+    WHERE rank <= 5
+    ORDER BY window_start, event_type, rank
+    """,
+)
+def q98_incremental_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users per (day, event_type) maintained INCREMENTALLY: each
+    micro-batch appends a truncated per-item count partial (m most
+    frequent per group — bounded storage per batch regardless of stream
+    volume), the read merges by summation and re-ranks. Three disjoint
+    batches fold in; m is sized above the fixture's per-group user
+    cardinality, the EXACT regime the one-shot SQL oracle checks (the
+    truncated regime's lower-bound guarantee is pinned in pytest).
+    """
+    import tempfile
+
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalTopK
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = IncrementalTopK(
+        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q98_") + "/topk",
+        ts_col="ts",
+        window="1 day",
+        key_cols=["event_type"],
+        item_col="user_id",
+        m=100_000,  # >= per-group cardinality at every fixture sf -> exact
+    )
+    for i in range(3):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    return (
+        roll.read(spark, k=5)
+        .select("window_start", "event_type", "item", "n", "rank")
+        .orderBy("window_start", "event_type", "rank")
+    )

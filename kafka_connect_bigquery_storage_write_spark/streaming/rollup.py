@@ -122,3 +122,87 @@ class IncrementalRollup:
         (sink vacuum); run after in-flight readers of the old layout
         finish."""
         return self._sink.vacuum()
+
+
+@dataclass
+class IncrementalTopK:
+    """Incrementally-maintained top-k items per (window, keys) — the
+    heavy-hitters member of the continuous-aggregate family (count/sum/
+    min/max/avg/approx_distinct live in IncrementalRollup).
+
+    Each micro-batch appends a TRUNCATED per-item count partial: exact
+    per-(window, keys, item) counts, keeping only the ``m`` most frequent
+    items per group (rank by count desc, item asc — deterministic under
+    ties). The read merges partials by summation and re-ranks — the
+    mergeable-summaries shape (Agarwal et al. 2012): merged counts are
+    LOWER bounds, and an item absent from one batch's partial missed by
+    at most that batch's m-th count, so the total underestimate is
+    bounded by sum_b c_m(b). With ``m`` >= the per-group item
+    cardinality the rollup is EXACT — the configuration q98's SQL oracle
+    checks; the truncated regime's guarantees are pinned in pytest.
+
+    Storage per batch is O(windows x keys x m) rows — bounded regardless
+    of stream volume, the property that lets the rollup run forever.
+    Exactly-once rides the manifest sink's idempotent batch protocol
+    exactly as IncrementalRollup's partials do.
+    """
+
+    sink_path: str
+    ts_col: str
+    window: str  # tumbling, e.g. "1 day"
+    key_cols: list[str]
+    item_col: str
+    m: int = 1000  # per-batch, per-group retained items
+    _sink: ManifestSinkTable = field(init=False)
+
+    def __post_init__(self) -> None:
+        if self.m < 1:
+            raise ValueError("m must be >= 1")
+        self._sink = ManifestSinkTable(self.sink_path, write_mode="committed")
+
+    def process_batch(self, df: DataFrame, batch_id: int) -> AppendResult:
+        from pyspark.sql import Window as W
+
+        counts = df.groupBy(
+            F.window(F.col(self.ts_col), self.window).getField("start").alias("window_start"),
+            *self.key_cols,
+            F.col(self.item_col).alias("_item"),
+        ).agg(F.count(F.lit(1)).alias("_p_n"))
+        w = W.partitionBy("window_start", *self.key_cols).orderBy(
+            F.col("_p_n").desc(), F.col("_item")
+        )
+        partial = counts.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= self.m).drop("_rk")
+        return self._sink.write_batch(partial, batch_id)
+
+    def start_stream(self, stream_df: DataFrame, checkpoint_path: str, **trigger_kwargs):
+        writer = (
+            stream_df.writeStream.foreachBatch(lambda d, i: self.process_batch(d, i))
+            .option("checkpointLocation", checkpoint_path)
+            .queryName("kafka_connect_bigquery_storage_write_spark-topk-rollup")
+        )
+        if trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        return writer.start()
+
+    def read(self, spark: SparkSession, k: int) -> DataFrame:
+        """Top-k per (window, keys): merge partials by summation, re-rank.
+        Columns: window_start, *keys, item, n, rank."""
+        from pyspark.sql import Window as W
+
+        merged = (
+            self._sink.read(spark)
+            .groupBy("window_start", *self.key_cols, "_item")
+            .agg(F.sum("_p_n").alias("n"))
+        )
+        w = W.partitionBy("window_start", *self.key_cols).orderBy(F.col("n").desc(), F.col("_item"))
+        return (
+            merged.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .withColumnRenamed("_item", "item")
+        )
+
+    def compact(self, spark: SparkSession, target_files: int = 4) -> int | None:
+        return self._sink.compact(spark, target_files=target_files)
+
+    def vacuum(self) -> list[str]:
+        return self._sink.vacuum()

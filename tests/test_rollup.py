@@ -152,3 +152,73 @@ def test_approx_distinct_sketches_merge_across_batches(spark, tmp_path):
         .collect()
     }
     assert got == direct and len(direct) > 50
+
+
+# ---------------------------------------------------------------------------
+# IncrementalTopK
+# ---------------------------------------------------------------------------
+
+
+def _item_events(spark):
+    """One hour bucket, skewed item counts: x=5, y=3, z=2, w=1."""
+    rows = []
+    eid = 0
+    for item, n in (("x", 5), ("y", 3), ("z", 2), ("w", 1)):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, "2024-01-01 10:05:00", "a", item))
+    return spark.createDataFrame(rows, "event_id long, ts string, k string, item string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+
+
+def _topk(tmp_path, m, name="topk"):
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalTopK
+
+    return IncrementalTopK(
+        sink_path=str(tmp_path / name),
+        ts_col="ts",
+        window="1 hour",
+        key_cols=["k"],
+        item_col="item",
+        m=m,
+    )
+
+
+def test_topk_multi_batch_fold_is_exact_when_m_covers_cardinality(spark, tmp_path):
+    ev = _item_events(spark)
+    roll = _topk(tmp_path, m=10)
+    for i in range(3):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    got = [(r.item, r.n, r.rank) for r in roll.read(spark, k=3).orderBy("rank").collect()]
+    assert got == [("x", 5, 1), ("y", 3, 2), ("z", 2, 3)]
+
+
+def test_topk_replayed_batch_absorbed(spark, tmp_path):
+    ev = _item_events(spark)
+    roll = _topk(tmp_path, m=10)
+    roll.process_batch(ev, batch_id=0)
+    roll.process_batch(ev, batch_id=0)  # replay: must be ALREADY_EXISTS
+    got = {(r.item, r.n) for r in roll.read(spark, k=2).collect()}
+    assert got == {("x", 5), ("y", 3)}  # not doubled
+
+
+def test_topk_truncated_counts_are_lower_bounds_and_head_survives(spark, tmp_path):
+    """m=2 truncation: merged counts never exceed the truth, and the true
+    heaviest item survives every batch's cut (it is in every batch's
+    top-m by construction of heavy hitters)."""
+    ev = _item_events(spark)
+    roll = _topk(tmp_path, m=2)
+    for i in range(3):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    got = {r.item: r.n for r in roll.read(spark, k=4).collect()}
+    truth = {"x": 5, "y": 3, "z": 2, "w": 1}
+    for item, n in got.items():
+        assert n <= truth[item]
+    top = roll.read(spark, k=1).collect()[0]
+    assert top.item == "x"
+
+
+def test_topk_rejects_bad_m(tmp_path):
+    with pytest.raises(ValueError):
+        _topk(tmp_path, m=0)
