@@ -194,3 +194,20 @@ def test_q95_centroids_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q95_embedding_outliers")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q91_urgent_filter_pushed_and_broadcast(spark, sf_dir):
+    """Q22 shape: the priority filter must reach the orders scan (the
+    anti-join's build side is the pre-filtered slice, not the table) and
+    no join may sort-merge."""
+    plan = _plan(spark, sf_dir, "q91_idle_rich_customers")
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q97_grid_filter_pushed_no_sortmerge(spark, sf_dir):
+    """Gap fill: the user slice is pushed to every events scan; the
+    grid/hourly join stays hash-based."""
+    plan = _plan(spark, sf_dir, "q97_gap_filled_hourly")
+    assert "LessThan(user_id,20)" in plan
+    assert "SortMergeJoin" not in plan
