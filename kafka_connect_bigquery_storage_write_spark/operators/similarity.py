@@ -806,3 +806,25 @@ def semantic_dedup(
             (F.coalesce(F.col("cluster_id"), F.col(id_col)) != F.col(id_col)).alias("is_dup"),
         )
     )
+
+
+def save_ivf_index(spark, centroids: "np.ndarray", path: str) -> None:
+    """Persist the trained IVF coarse quantizer as a parquet relation
+    (list_id, centroid array<double>) — the artifact an incremental
+    pipeline reuses across runs so ``ivf_assign`` of tomorrow's vectors
+    is bit-identical to today's (frozen centroids are THE invariant the
+    incremental-append contract rests on; retrain only on drift).
+
+    Parquet doubles round-trip exactly, so save -> load -> assign equals
+    assigning with the in-memory array (pinned in tests).
+    """
+    rows = [(i, [float(v) for v in centroids[i]]) for i in range(len(centroids))]
+    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> "np.ndarray":
+    """Load a quantizer persisted by save_ivf_index, in list_id order."""
+    rows = spark.read.parquet(path).orderBy("list_id").collect()
+    return np.array([r.centroid for r in rows], dtype=np.float64)

@@ -423,3 +423,28 @@ def test_semantic_dedup_clustered_is_subset_of_exact(spark, sf_dir):
     assert dropped <= exact_pair_members
     for r in sem:
         assert r.keeper_id <= r.vec_id
+
+
+def test_ivf_index_roundtrip_is_bit_identical(spark, sf_dir, tmp_path):
+    """save -> load must reproduce the centroid matrix exactly, and an
+    assignment against the loaded index must equal the in-memory one —
+    the frozen-centroid invariant an incremental pipeline persists on."""
+    import numpy as np
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
+        ivf_assign,
+        ivf_train,
+        load_ivf_index,
+        save_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train(emb, n_lists=8)
+    path = str(tmp_path / "ivf_index")
+    save_ivf_index(spark, cents, path)
+    loaded = load_ivf_index(spark, path)
+    assert loaded.shape == cents.shape
+    assert np.array_equal(loaded, cents)  # exact, not approx
+    a = {(r._id, r.list_id) for r in ivf_assign(emb, cents).select("_id", "list_id").collect()}
+    b = {(r._id, r.list_id) for r in ivf_assign(emb, loaded).select("_id", "list_id").collect()}
+    assert a == b
