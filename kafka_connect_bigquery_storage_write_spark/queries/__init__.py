@@ -93,6 +93,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q96_vocab_encode",
     "q97_gap_filled_hourly",
     "q98_incremental_topk_rollup",
+    "q99_weighted_quota_sample",
 )
 
 

@@ -661,3 +661,85 @@ def q96_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q99_weighted_quota_sample",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             (CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 5) + 1 AS w
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(w) AS tw, 130 AS budget FROM src),
+    base AS (
+      SELECT source, n_docs, w,
+             (budget * w) // tw      AS base_q,
+             budget * w - ((budget * w) // tw) * tw AS rem_num
+      FROM src, tot
+    ),
+    extra AS (SELECT CAST(130 - sum(base_q) AS BIGINT) AS n_extra FROM base),
+    quota AS (
+      SELECT source, n_docs,
+             base_q + CASE WHEN row_number() OVER (ORDER BY rem_num DESC, source) <= n_extra
+                           THEN 1 ELSE 0 END AS q
+      FROM base, extra
+    )
+    SELECT d.source, d.doc_id, CAST(pick AS INT) AS pick_rank
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+      FROM documents
+    ) d JOIN quota ON quota.source = d.source
+    WHERE d.pick <= quota.q
+    ORDER BY d.source, pick_rank
+    """,
+)
+def q99_weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mixture sampling with EXACT integer apportionment: a
+    130-document budget is split across sources by weight using largest-
+    remainder (Hamilton) apportionment, then each source contributes its
+    quota by deterministic md5 rank — the corpus-mixing step a training
+    pipeline runs when the mixture spec says 'source s gets w_s shares'.
+
+    Exactness is the point: quotas come from pure INTEGER arithmetic
+    (budget*w div total, remainder NUMERATORS compared — no floating
+    ratios anywhere), and document selection is a string-ordered md5 rank
+    (q44's trick) — every engine, run, and cluster size produces the
+    identical sample. Scale: the apportionment runs on the n_sources-row
+    relation (broadcast); the per-source rank window shuffles each doc
+    once on its source key.
+    """
+    from pyspark.sql import Window as W
+
+    budget = 130
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).withColumn(
+        "w", (F.regexp_extract("source", r"src(\d+)", 1).cast("long") % 5) + 1
+    )
+    tot = src.agg(F.sum("w").alias("tw"))
+    base = (
+        src.crossJoin(F.broadcast(tot))
+        # integer div, same operator family as the oracle's `//` — no
+        # floating ratio anywhere in the apportionment
+        .withColumn("base_q", F.expr(f"({budget} * w) div tw"))
+        .withColumn("rem_num", F.lit(budget) * F.col("w") - F.col("base_q") * F.col("tw"))
+    )
+    extra = base.agg((F.lit(budget) - F.sum("base_q")).alias("n_extra"))
+    wq = W.orderBy(F.col("rem_num").desc(), "source")
+    quota = (
+        base.crossJoin(F.broadcast(extra))
+        .withColumn("rk", F.row_number().over(wq))
+        .withColumn("q", F.col("base_q") + (F.col("rk") <= F.col("n_extra")).cast("long"))
+        .select("source", "q")
+    )
+    wp = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    picked = docs.select("source", "doc_id").withColumn("pick", F.row_number().over(wp))
+    return (
+        picked.join(F.broadcast(quota), "source")
+        .filter(F.col("pick") <= F.col("q"))
+        .select("source", "doc_id", F.col("pick").cast("int").alias("pick_rank"))
+        .orderBy("source", "pick_rank")
+    )
