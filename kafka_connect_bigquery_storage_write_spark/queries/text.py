@@ -615,7 +615,7 @@ def q82_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT t.doc_id,
            CAST(count(*) AS BIGINT) AS n_tokens,
            CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           list(coalesce(v.id, 0) ORDER BY t.pos) AS ids
+           string_agg(CAST(coalesce(v.id, 0) AS VARCHAR), ',' ORDER BY t.pos) AS ids
     FROM toks t LEFT JOIN vocab v ON v.token = t.token
     GROUP BY t.doc_id
     ORDER BY t.doc_id
@@ -657,7 +657,15 @@ def q96_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum((F.col("id") == 0).cast("long")).alias("n_oov"),
-            F.transform(F.sort_array(F.collect_list(F.struct("pos", "id"))), lambda x: x["id"]).alias("ids"),
+            # comma-joined string, not array<int>: the driver canonicalizer
+            # cannot sort list cells (round-4 official ERR on this query)
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "id"))),
+                    lambda x: x["id"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
         )
         .orderBy("doc_id")
     )

@@ -5,28 +5,12 @@ compared (row count, column names, order-insensitive values).
 
 from __future__ import annotations
 
-import math
-
 import pytest
 
+from kafka_connect_bigquery_storage_write_spark.harness_canon import rowset as _rowset
 from kafka_connect_bigquery_storage_write_spark.queries import ORACLE, QUERIES, load_all
 
 load_all()
-
-
-def _normalize(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # tolerate float32/float64 representation differences at the edge
-        return round(v, 6)
-    return v
-
-
-def _rowset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    normed = [tuple(_normalize(row[i]) for i in order) for row in rows]
-    return sorted(normed, key=lambda t: [(x is None, str(x)) for x in t])
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
@@ -52,3 +36,26 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 def test_query_without_oracle_runs(spark, sf_dir, name):
     sdf = QUERIES[name](spark, sf_dir)
     assert sdf.count() >= 0
+
+
+def test_canonicalizer_rejects_list_cells():
+    """Driver parity: the official canonicalizer's pandas sort raises on
+    list-typed cells (how q93/q96 shipped red in round 4). The local
+    replica must fail the same way so sim-green predicts driver-green."""
+    with pytest.raises(TypeError):
+        _rowset([(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["id", "vec"])
+
+
+def test_no_registered_query_emits_complex_columns(spark, sf_dir):
+    """Every registered query's result schema must be scalar-only: the
+    official driver cannot canonicalize array/map/struct cells, so a
+    complex-typed output column is a registry bug by construction."""
+    import pyspark.sql.types as T
+
+    offenders = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"complex-typed output columns: {offenders}"

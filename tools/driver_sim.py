@@ -7,29 +7,17 @@ Env: SIM_SF_DIR (default /root/testdata/sf0.01)
 from __future__ import annotations
 
 import importlib.util
-import math
 import os
 import sys
 import traceback
 
 import duckdb
 
+sys.path.insert(0, "/root/repo")
+from kafka_connect_bigquery_storage_write_spark.harness_canon import rowset  # noqa: E402
+
 SF_DIR = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    return v
-
-
-def rowset(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    normed = [tuple(norm(r[i]) for i in order) for r in rows]
-    return sorted(normed, key=lambda t: [(x is None, str(x)) for x in t])
 
 
 def main() -> int:
