@@ -200,6 +200,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_top: int = 1,
+    normalize: bool = True,
 ) -> DataFrame:
     """Assign vectors to their n_top nearest IVF lists (broadcast matmul
     in Arrow batches). Columns: _id, list_id, _vec (the NORMALIZED vector,
@@ -211,6 +212,11 @@ def ivf_assign(
     incremental dedup). Assignment is a pure function of (vector,
     centroids), so increment + append is bit-identical to full
     reassignment (pinned in tests).
+
+    ``normalize=False`` keeps the RAW vector in ``_vec`` (assignment still
+    uses the normalized form internally) — the exact-rescore path needs
+    the originals so its cosine fold reproduces ``cosine_topk``'s float
+    semantics bit-for-bit.
     """
     from collections.abc import Iterator
 
@@ -234,11 +240,12 @@ def ivf_assign(
             sims = vn @ c.T
             top = np.argsort(-sims, axis=1)[:, :n_top]
             n = len(pdf)
+            keep = vn if normalize else v
             yield pd.DataFrame(
                 {
                     "_id": np.repeat(pdf.iloc[:, 0].to_numpy(), n_top),
                     "list_id": top.reshape(-1).astype(np.int32),
-                    "_vec": [vn[i].tolist() for i in np.repeat(np.arange(n), n_top)],
+                    "_vec": [keep[i].tolist() for i in np.repeat(np.arange(n), n_top)],
                 }
             )
 
@@ -258,6 +265,7 @@ def ivf_topk(
     seed: int = 42,
     kmeans_iters: int = 10,
     sample_mode: str = "prefix",  # prefix | hash
+    exact_rescore: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse k-means quantizer ->
     probe the n_probe nearest lists -> exact rescore on candidates.
@@ -274,6 +282,14 @@ def ivf_topk(
     Arrow batches; the corpus is touched in exactly one narrow pass, and
     each query rescales only ~n_probe/n_lists of it. Recall tunes with
     n_probe (= n_lists reproduces brute force).
+
+    ``exact_rescore=True`` carries the RAW vectors through assignment and
+    scores candidates with the same serial cosine fold as ``cosine_topk``
+    — so ``n_probe=n_lists`` reproduces the brute-force result
+    bit-for-bit (value-hash oracle-able against q35's SQL). The default
+    scores the numpy-normalized vectors with a plain dot (cheaper; last-
+    ulp float divergence from the fold form, fine for the approximate
+    production config).
     """
     cents = ivf_train(
         corpus,
@@ -286,19 +302,20 @@ def ivf_topk(
         sample_mode=sample_mode,
     )
     corpus_lists = ivf_assign(
-        ensure_compute_parallelism(corpus), cents, id_col=id_col, vec_col=vec_col, n_top=1
+        ensure_compute_parallelism(corpus), cents, id_col=id_col, vec_col=vec_col, n_top=1, normalize=not exact_rescore
     ).withColumnsRenamed({"_id": "neighbor_id", "_vec": "_cvec"})
-    query_lists = ivf_assign(queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe).withColumnsRenamed(
-        {"_id": query_id_col, "_vec": "_qvec"}
-    )
+    query_lists = ivf_assign(
+        queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe, normalize=not exact_rescore
+    ).withColumnsRenamed({"_id": query_id_col, "_vec": "_qvec"})
     cand = (
         corpus_lists.join(F.broadcast(query_lists), "list_id")
         .filter(F.col("neighbor_id") != F.col(query_id_col))
         .dropDuplicates([query_id_col, "neighbor_id"])
     )
+    score = cosine(F.col("_qvec"), F.col("_cvec")) if exact_rescore else dot(F.col("_qvec"), F.col("_cvec"))
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cosine", F.round(dot(F.col("_qvec"), F.col("_cvec")), 6))
+        cand.withColumn("cosine", F.round(score, 6))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
@@ -311,6 +328,7 @@ def cosine_near_dup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    micro_units: bool = False,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, BLAS-vectorized (the fast path).
 
@@ -329,6 +347,17 @@ def cosine_near_dup_pairs_blocked(
     (communication vs per-task memory). Size n_blocks so a block fits an
     executor: n_blocks ≈ N*dim*8B / (target block bytes); at fixture
     scale the default 8 gives 36 parallel groups.
+
+    ``micro_units=True`` switches the kernel to EXACT arithmetic for
+    cross-engine value-hash parity (q93's trick at pair granularity):
+    components are fixed to integer micro-units (floor(x*1e6 + 0.5),
+    int64), dot products become exact integer matmuls (order-independent,
+    unlike float matmul whose blocked reduction order differs from a
+    serial SQL fold in the last ulp), norms are sqrt of exact integer
+    sums, and the final divide/round is one IEEE op each — a DuckDB
+    oracle doing the same integer fold produces identical doubles. All
+    magnitudes stay < 2^53 for unit-scale embeddings (64 dims: dot <=
+    64 * (|x|*1e6)^2). The float path remains the production default.
     """
     import pandas as pd
     from pyspark.sql import types as T
@@ -357,16 +386,33 @@ def cosine_near_dup_pairs_blocked(
         pa, pb = int(pdf["pa"].iloc[0]), int(pdf["pb"].iloc[0])
         ids = pdf["_id"].to_numpy()
         mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
-        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        if micro_units:
+            m = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+
+            def sim_block(x, y):
+                d = (x @ y.T).astype(np.float64)  # int64 matmul: exact, order-free
+                nx = np.sqrt(np.einsum("ij,ij->i", x, x).astype(np.float64))
+                ny = np.sqrt(np.einsum("ij,ij->i", y, y).astype(np.float64))
+                # portable half-up 6dp: floor(x*1e6 + 0.5)/1e6 is the same
+                # IEEE op sequence DuckDB runs — no library round() involved
+                return np.floor(d * 1e6 / np.outer(nx, ny) + 0.5) / 1e6
+
+        else:
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            m = mat
+
+            def sim_block(x, y):
+                return np.round(x @ y.T, 6)  # round before threshold, like the fold path
+
         if pa == pb:
-            sims = np.round(mat @ mat.T, 6)  # round before threshold, like the fold path
+            sims = sim_block(m, m)
             ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
             return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bi], "cosine": sims[ai, bi]})
         amask = pdf["_blk"].to_numpy() == pa
         if not amask.any() or amask.all():
             return empty
         a_ids, b_ids = ids[amask], ids[~amask]
-        sims = np.round(mat[amask] @ mat[~amask].T, 6)
+        sims = sim_block(m[amask], m[~amask])
         ai, bi = np.nonzero(sims >= threshold)
         ida, idb = a_ids[ai], b_ids[bi]
         return pd.DataFrame(

@@ -98,6 +98,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q93_label_centroids",
     "q96_vocab_encode",
     # new in round 5
+    "q100_ivf_exact_topk",
+    "q101_blocked_near_dups_exact",
 )
 
 

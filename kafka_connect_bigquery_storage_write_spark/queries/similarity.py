@@ -128,6 +128,90 @@ def q38_embedding_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     return cosine_near_dup_pairs_blocked(emb, threshold=0.35).orderBy("id_a", "id_b")
 
 
+@query(
+    "q100_ivf_exact_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_DOT.format(a='qe', b='ce')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}), 6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q100_ivf_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF machinery in its deterministic configuration: n_probe =
+    n_lists probes every inverted list, so the candidate set is the whole
+    corpus and exact_rescore reproduces brute-force cosine top-k
+    bit-for-bit — which makes the ENTIRE IVF pipeline (driver-sample
+    k-means training, Arrow-batch assignment, list-probe join, windowed
+    rescore) value-hash checkable against q35's brute-force SQL oracle.
+    The approximate production config (q39, n_probe < n_lists) stays
+    rows-only with its recall pin; this query gives the shared machinery
+    an official hash-verified row (round-4 verdict next-round #2).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=16, exact_rescore=True).orderBy("query_id", "rank")
+
+
+@query(
+    "q101_blocked_near_dups_exact",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS mv
+      FROM embeddings WHERE label <= 2
+    ),
+    s AS (
+      SELECT vec_id, mv,
+             sqrt(CAST(list_aggregate(list_transform(mv, x -> x * x), 'sum') AS DOUBLE)) AS nn
+      FROM m
+    ),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             floor(CAST(list_aggregate(list_transform(list_zip(a.mv, b.mv),
+                          p -> p[1] * p[2]), 'sum') AS DOUBLE)
+                   * 1000000.0 / (a.nn * b.nn) + 0.5) / 1000000.0 AS cosine
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored
+    WHERE cosine >= 0.35
+    ORDER BY id_a, id_b
+    """,
+)
+def q101_blocked_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The block-pair BLAS near-dup kernel (q38's engine) in micro-unit
+    mode, value-hash checked against a DuckDB oracle doing the same
+    integer arithmetic: components fix to int64 micro-units, dot products
+    are exact integer matmuls (order-independent — the float kernel's
+    blocked reduction order is what kept q38 rows-only), norms are sqrt
+    of exact integer sums, and the one rounding step is the portable
+    floor(x*1e6+0.5)/1e6. Runs on the label<=2 slice so the oracle's
+    quadratic pair join stays tractable; the full-corpus float config
+    remains q38 with its pytest equivalence pin (round-4 verdict
+    next-round #2).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") <= 2)
+    return cosine_near_dup_pairs_blocked(emb, threshold=0.35, micro_units=True).orderBy("id_a", "id_b")
+
+
 @query("q63_embedding_near_dups_lsh")  # approximate by design (recall < 1) -> rows-only
 def q63_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH candidates + exact

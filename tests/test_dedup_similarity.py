@@ -38,7 +38,7 @@ def test_max_df_cap_keeps_planted_pairs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {(r.id_a, r.id_b) for r in jaccard_near_dup_pairs(docs, threshold=0.9).collect()}
     capped = {(r.id_a, r.id_b) for r in jaccard_near_dup_pairs(docs, threshold=0.85, max_df=50).collect()}
-    assert exact <= capped | exact  # no crash, and capped finds the planted pairs
+    assert len(exact) > 0
     missing = exact - capped
     assert len(missing) <= len(exact) * 0.1, f"df cap lost too many planted pairs: {missing}"
 
@@ -69,6 +69,24 @@ def test_blocked_cosine_pairs_match_exact_fold(spark, sf_dir):
         assert abs(exact[k] - fast[k]) <= 1e-6
 
 
+def test_blocked_micro_units_matches_float_kernel(spark, sf_dir):
+    """Micro-unit mode (q101's exact-parity arithmetic) must agree with
+    the float kernel up to the 1e-6 quantization it introduces: identical
+    pair sets except within 2e-6 of the threshold boundary, and cosines
+    within 2e-6 everywhere."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("label") <= 2)
+    flt = {(r.id_a, r.id_b): r.cosine for r in cosine_near_dup_pairs_blocked(emb, threshold=0.35).collect()}
+    mic = {(r.id_a, r.id_b): r.cosine for r in cosine_near_dup_pairs_blocked(emb, threshold=0.35, micro_units=True).collect()}
+    assert len(mic) > 0
+    for p in set(flt) ^ set(mic):
+        c = flt.get(p, mic.get(p))
+        assert abs(c - 0.35) <= 2e-6, f"pair {p} ({c}) differs away from the boundary"
+    for p in set(flt) & set(mic):
+        assert abs(flt[p] - mic[p]) <= 2e-6
+
+
 def test_blocked_cosine_pairs_invariant_to_block_count(spark, sf_dir):
     """Every unordered pair must meet in exactly one block pair regardless
     of n_blocks (covers diagonal, off-diagonal, and empty-side groups)."""
@@ -96,6 +114,11 @@ def test_ivf_ann_recall_against_brute_force(spark, sf_dir):
     # full probing must reproduce brute force exactly (pair sets equal)
     full = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8).collect()}
     assert full == exact
+    # and with exact_rescore the whole ROW SET is bit-identical to brute
+    # force (cosines from the same serial fold — q100's oracle premise)
+    exact_rows = {tuple(r) for r in cosine_topk(emb, queries, k=5).collect()}
+    full_exact = {tuple(r) for r in ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8, exact_rescore=True).collect()}
+    assert full_exact == exact_rows
 
 
 def test_ivf_int8_serving_recall_vs_float_path(spark, sf_dir):
