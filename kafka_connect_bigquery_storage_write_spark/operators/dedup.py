@@ -447,7 +447,11 @@ def connected_components(
             "vertex", "label", F.least("label", "nmin").alias("_new")
         )
         stepped = stepped.localCheckpoint(eager=True)  # materializes NOW
-        cached.unpersist()  # safe: successor's blocks exist, lineage truncated
+        # release request for the predecessor generation; on a
+        # localCheckpointed frame unpersist() is a CacheManager no-op, so
+        # the actual block free is deferred to the ContextCleaner on GC —
+        # peak memory can briefly hold a couple of O(V) generations
+        cached.unpersist()
         cached = stepped
         changed = stepped.filter(F.col("_new") != F.col("label")).count()
         labels = stepped.select("vertex", F.col("_new").alias("label"))
@@ -565,7 +569,10 @@ def _cc_star(
             .distinct()
         )
         small = small.localCheckpoint(eager=True)  # materializes NOW
-        cur.unpersist()  # safe: successor's blocks exist, lineage truncated
+        # release request only — see _cc min-label note: localCheckpoint
+        # blocks are actually freed by the ContextCleaner on GC, so peak
+        # memory can briefly hold a couple of O(V) generations
+        cur.unpersist()
         cur = small
         new_sig = signature(cur)
         if new_sig == sig:

@@ -760,6 +760,42 @@ def ivf_topk_int8(
     )
 
 
+def _cluster_block_groups(
+    assign: DataFrame, max_cluster_rows: int
+) -> tuple[DataFrame, int]:
+    """Decompose each IVF list into block-pair groups with per-group row
+    counts bounded by ~2*max_cluster_rows, preserving EXACT intra-list
+    pair coverage (every unordered pair within a list meets in exactly
+    one group).
+
+    Lists no larger than ``max_cluster_rows`` become one group.  A hot
+    list of size c splits into nb = ceil(c / max_cluster_rows) hash
+    blocks replicated to its nb*(nb+1)/2 block pairs — the same
+    communication-for-memory trade as ``cosine_near_dup_pairs_blocked``,
+    applied only where the skew is.  Returns (replicated relation with
+    grouping keys (list_id, pa, pb) and block column _blk, total group
+    count).  The per-list count collect is n_lists rows — bounded by the
+    quantizer size, not the corpus.
+    """
+    spark = assign.sparkSession
+    counts = {r["list_id"]: r["cnt"] for r in assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    pair_rows = []
+    nb_rows = []
+    for lid, cnt in sorted(counts.items()):
+        nb = max(1, -(-int(cnt) // max_cluster_rows))
+        nb_rows.append((lid, nb))
+        pair_rows.extend((lid, a, b) for a in range(nb) for b in range(a, nb))
+    nb_df = spark.createDataFrame(nb_rows, "list_id int, _nb int")
+    pairs_df = spark.createDataFrame(pair_rows, "list_id int, pa int, pb int")
+    rep = (
+        assign.join(F.broadcast(nb_df), "list_id")
+        .withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.col("_nb")).cast("int"))
+        .join(F.broadcast(pairs_df), "list_id")
+        .filter((F.col("_blk") == F.col("pa")) | (F.col("_blk") == F.col("pb")))
+    )
+    return rep, len(pair_rows)
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.97,
@@ -771,6 +807,7 @@ def semantic_dedup(
     kmeans_iters: int = 10,
     sample_mode: str = "prefix",
     chunk_rows: int = 4096,
+    max_cluster_rows: int = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): k-means partition the embedding corpus, find
@@ -778,9 +815,13 @@ def semantic_dedup(
     components, keep the minimum id of every component.
 
     The scale contract is the SemDeDup design point: pairwise work drops
-    from O(N^2) to O(sum_c |c|^2) ~ O(N^2 / k) with per-task state bounded
-    by ONE cluster's vectors, and the kernel chunks its similarity matmul
-    (``chunk_rows`` x |c| tiles) so task memory never holds |c|^2 floats.
+    from O(N^2) to O(sum_c |c|^2) ~ O(N^2 / k), per-task state is capped
+    BY CONSTRUCTION at ~2*``max_cluster_rows`` vectors (a k-means-hot
+    cluster exceeding the cap splits into hash block pairs — exact pair
+    coverage preserved, see _cluster_block_groups — so an executor OOM
+    cannot depend on parameter discipline or data skew), and the kernel
+    chunks its similarity matmul (``chunk_rows``-row tiles) so task
+    memory never holds a full |c|^2 float matrix.
     Cluster assignment reuses the frozen-centroid IVF path (pure function
     of vector and centroids — incremental append composes exactly like
     q65's incremental dedup); components reuse connected_components (the
@@ -819,29 +860,50 @@ def semantic_dedup(
         ]
     )
 
+    _empty = {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+
     def intra_cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pa, pb = int(pdf["pa"].iloc[0]), int(pdf["pb"].iloc[0])
         ids = pdf["_id"].to_numpy()
         mat = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)  # already normalized
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for lo in range(0, len(ids), chunk_rows):
-            hi = min(lo + chunk_rows, len(ids))
-            # tile rows [lo:hi) against every row AFTER lo (upper triangle)
-            sims = np.round(mat[lo:hi] @ mat[lo:].T, 6)
-            ai, bi = np.nonzero(sims >= threshold)
-            keep = (bi + lo) > (ai + lo)  # strict upper triangle by position
-            ida, idb = ids[ai[keep] + lo], ids[bi[keep] + lo]
-            out_a.append(np.minimum(ida, idb))
-            out_b.append(np.maximum(ida, idb))
+        if pa == pb:
+            # one (sub-)block: chunked strict upper triangle by position
+            for lo in range(0, len(ids), chunk_rows):
+                hi = min(lo + chunk_rows, len(ids))
+                sims = np.round(mat[lo:hi] @ mat[lo:].T, 6)
+                ai, bi = np.nonzero(sims >= threshold)
+                keep = (bi + lo) > (ai + lo)
+                ida, idb = ids[ai[keep] + lo], ids[bi[keep] + lo]
+                out_a.append(np.minimum(ida, idb))
+                out_b.append(np.maximum(ida, idb))
+        else:
+            # block pair of a split hot cluster: full cross between the
+            # two blocks, chunked on the a-side
+            amask = pdf["_blk"].to_numpy() == pa
+            if not amask.any() or amask.all():
+                return pd.DataFrame(_empty)
+            a_ids, b_ids = ids[amask], ids[~amask]
+            a_mat, b_mat = mat[amask], mat[~amask]
+            for lo in range(0, len(a_ids), chunk_rows):
+                hi = min(lo + chunk_rows, len(a_ids))
+                sims = np.round(a_mat[lo:hi] @ b_mat.T, 6)
+                ai, bi = np.nonzero(sims >= threshold)
+                ida, idb = a_ids[ai + lo], b_ids[bi]
+                out_a.append(np.minimum(ida, idb))
+                out_b.append(np.maximum(ida, idb))
         if not out_a:
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+            return pd.DataFrame(_empty)
         return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
-    grouped = repartition_for_grouped_map(assign, "list_id", n_groups=n_clusters)
+    rep, n_groups = _cluster_block_groups(assign, max_cluster_rows)
+    grouped = repartition_for_grouped_map(rep, "list_id", "pa", "pb", n_groups=n_groups)
     # no distinct here: each unordered pair is emitted at most once (one
-    # cluster, strict upper triangle) and connected_components dedupes its
-    # edge relation anyway — a distinct would just add a shuffle
-    pairs = grouped.groupBy("list_id").applyInPandas(intra_cluster_pairs, schema=pair_schema)
+    # cluster, strict triangle on the diagonal / exactly one block pair
+    # off it) and connected_components dedupes its edge relation anyway —
+    # a distinct would just add a shuffle
+    pairs = grouped.groupBy("list_id", "pa", "pb").applyInPandas(intra_cluster_pairs, schema=pair_schema)
     comps = connected_components(pairs, "id_a", "id_b")
     ids = df.select(F.col(id_col).cast("long").alias(id_col))
     return (

@@ -1320,7 +1320,13 @@ def q90_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("_is_late").alias("late"))
-        .persist()  # feeds both the per-order stats and the waiter filter
+        # feeds both the per-order stats and the waiter filter; a plain
+        # persist() here leaked a CacheManager entry per invocation (the
+        # query fn never sees the collect, so it cannot unpersist) —
+        # localCheckpoint blocks are instead released by the
+        # ContextCleaner once the result DataFrame is unreferenced, the
+        # same lifetime contract as the CC operators
+        .localCheckpoint(eager=True)
     )
     order_stats = flags.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("late").alias("n_late")

@@ -140,7 +140,8 @@ def q77_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH hourly AS (
       SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
       FROM events WHERE user_id < 20
       GROUP BY 1, 2
     ),
@@ -179,7 +180,13 @@ def q97_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("hour")
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        # exact-decimal sum (same pattern as q77): a raw double sum is
+        # partial-aggregation-order dependent, so a half-cent boundary
+        # could flip between engines/cluster sizes
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2).cast("double").alias("sum_value"),
+    )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
