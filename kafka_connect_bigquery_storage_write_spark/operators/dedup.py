@@ -631,6 +631,48 @@ def decontaminate(
     )
 
 
+def contamination_scores(
+    train: DataFrame,
+    held: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-train-document contamination SCORE: the fraction of each train
+    doc's distinct n-gram shingles that appear anywhere in the held-out
+    corpus — the ranking/thresholding companion to ``decontaminate``
+    (which emits pair evidence). Scoring against the benchmark shingle
+    UNIVERSE is what release pipelines actually gate on (e.g. "drop train
+    docs with >X% benchmark overlap").
+
+    Scale: the held side collapses to its DISTINCT shingle-hash set
+    (benchmark-sized — broadcasts under AQE) and membership is a
+    left-semi join, so no train-doc x held-doc pair space ever exists;
+    the only wide exchange is the doc-grain count aggregation the corpus
+    partitioning already serves. The train shingle relation is persisted
+    with an eager barrier because the hit and total aggregations both
+    consume it.
+    """
+    tr = _exploded_shingles(train, id_col, text_col, n).persist()
+    tr.count()  # barrier: hit + total aggregations share the shingle pass
+    held_set = _exploded_shingles(held, id_col, text_col, n).select("shingle").distinct()
+    hits = (
+        tr.join(held_set, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = tr.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce("n_hit", F.lit(0)) / F.col("n_shingles"), 6).alias("contamination"),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -916,6 +916,60 @@ def semantic_dedup(
     )
 
 
+def gram_matrix_micro(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Partial gram/scatter matrix of the embedding corpus in EXACT
+    micro-unit arithmetic: per Arrow batch, quantize components to int64
+    micro-units and accumulate one d x d integer matmul, emitting the
+    upper triangle as (pos_i, pos_j, s, cnt) partials. Summing the
+    partials (as decimal so a 1e9-vector corpus cannot overflow a long)
+    yields the exact corpus gram matrix — the input to PCA/whitening/
+    covariance without ever shuffling a vector: the only exchange is
+    d*(d+1)/2 rows PER BATCH, and the per-(i,j) hash aggregation is the
+    map-side-combine shape (a 64-dim corpus moves 2080 partial rows per
+    batch regardless of corpus size).
+
+    Integer sums are order-independent, so the result is bit-identical
+    across partitionings and engines (q93's trick at matrix scale);
+    positions are 1-based to match SQL generate_subscripts.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("pos_i", T.IntegerType(), False),
+            T.StructField("pos_j", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("cnt", T.LongType(), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            m = np.floor(v * 1e6 + 0.5).astype(np.int64)
+            g = m.T @ m  # d x d int64 matmul: exact for unit-scale data
+            iu = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "pos_i": (iu[0] + 1).astype(np.int32),
+                    "pos_j": (iu[1] + 1).astype(np.int32),
+                    "s": g[iu],
+                    "cnt": np.full(len(iu[0]), len(v), dtype=np.int64),
+                }
+            )
+
+    partials = ensure_compute_parallelism(df.select(vec_col)).mapInPandas(kern, schema=out_schema)
+    return partials.groupBy("pos_i", "pos_j").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s_total"),
+    )
+
+
 def save_ivf_index(spark, centroids: "np.ndarray", path: str) -> None:
     """Persist the trained IVF coarse quantizer as a parquet relation
     (list_id, centroid array<double>) — the artifact an incremental

@@ -303,6 +303,45 @@ def q78_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q105_contamination_scores",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' || list_extract(w, i + 2) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+    ),
+    train AS (SELECT doc_id, s FROM sh WHERE ({_SPLIT_GATE}) < 8),
+    held_set AS (SELECT DISTINCT s FROM sh WHERE ({_SPLIT_GATE}) >= 8)
+    SELECT t.doc_id,
+           count(*) AS n_shingles,
+           CAST(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN h.s IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS contamination
+    FROM train t LEFT JOIN held_set h ON t.s = h.s
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q105_contamination_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-train-document benchmark-overlap score (fraction of the doc's
+    distinct 3-gram shingles present anywhere in the held-out split) —
+    the thresholdable companion to q78's pair evidence; release gates
+    drop documents above a contamination cutoff.
+
+    Scale shape: see operators/dedup.contamination_scores — the held-out
+    corpus collapses to its distinct shingle-hash set (broadcast-sized
+    for real benchmark suites) and membership is a left-semi join, so
+    the score costs one shingle pass + one doc-grain aggregation, never
+    a doc x doc pair space.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import contamination_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int") % 10
+    return contamination_scores(docs.filter(gate < 8), docs.filter(gate >= 8)).orderBy("doc_id")
+
+
+@query(
     "q94_containment_pairs",
     oracle="""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

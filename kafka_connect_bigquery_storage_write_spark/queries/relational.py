@@ -1401,3 +1401,148 @@ def q91_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "q102_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           {revenue_decimal_sql()} AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q102_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in a quarter (extension surface E4/E7/E9 — the reference is a
+    sink connector with no query engine; SURVEY.md §2.2).
+
+    Scale shape: the quarter predicate pushes to the orders scan and
+    prunes most of the fact join before the shuffle; nation (25 rows)
+    broadcasts; the only wide exchange is the customer-grain hash
+    aggregation, and the final top-20 is a TakeOrdered, not a global
+    sort. Revenue uses the exact-decimal parity fragment with c_custkey
+    tiebreak so LIMIT is deterministic across engines.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nat = load_table(spark, sf_dir, "nation")
+    sel = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(li.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        sel.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue_decimal_col().alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+_PROMO_DEC = """CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))"""
+
+
+@query(
+    "q103_promo_revenue",
+    oracle=f"""
+    SELECT round(100.0
+             * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN {_PROMO_DEC}
+                               ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+             / CAST(round(sum({_PROMO_DEC}), 2) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q103_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotional revenue share for one month-range —
+    conditional aggregation over a fact-dimension join, returning one
+    scalar row.
+
+    Scale shape: the shipdate band pushes to the lineitem scan; part
+    broadcasts (dimension); both conditional sums ride ONE hash
+    aggregation (no second pass for the denominator). Numerator and
+    denominator are exact decimals surfaced as doubles, so the final
+    division and 6dp round are single IEEE ops identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    dec = F.expr(_PROMO_DEC)
+    zero = F.lit(0).cast("decimal(18,2)")
+    return sel.agg(
+        F.round(
+            F.lit(100.0)
+            * F.round(F.sum(F.when(F.col("p_type") == "PROMO", dec).otherwise(zero)), 2).cast("double")
+            / F.round(F.sum(dec), 2).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "q104_top_revenue_supplier",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_suppkey, {revenue_decimal_sql()} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN r ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+    ORDER BY s_suppkey
+    """,
+)
+def q104_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (revenue view + global max): the supplier(s) whose
+    quarterly revenue equals the maximum — the canonical
+    aggregate-then-compare-to-global-aggregate decorrelation.
+
+    Scale shape: one supplier-grain hash aggregation (map-side partials),
+    then the 1-row global max broadcasts back via crossJoin — the q85
+    pattern — so no second scan of the facts and no sort; the supplier
+    dimension broadcasts into the final name join. Revenue is
+    exact-decimal, so the equality against the max is bit-safe (the
+    whole reason a float revenue would make this query nondeterministic).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(revenue_decimal_col().alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

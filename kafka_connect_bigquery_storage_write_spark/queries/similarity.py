@@ -519,3 +519,47 @@ def q95_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "dist", "rank")
         .orderBy("label", "rank")
     )
+
+
+@query(
+    "q107_embedding_gram_matrix",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id,
+             generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mx
+      FROM ex
+    )
+    SELECT a.i AS pos_i, b.i AS pos_j,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(CAST(sum(a.mx * b.mx) AS DOUBLE) / 1000000.0 + 0.5) / 1000000.0 AS gram
+    FROM m a JOIN m b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    ORDER BY pos_i, pos_j
+    """,
+)
+def q107_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus gram matrix (upper triangle, 6dp) — the PCA/whitening
+    precursor: X^T X over micro-unit-quantized embeddings, computed as
+    per-batch integer matmul partials + one tiny (pos_i, pos_j) hash
+    aggregation. See operators/similarity.gram_matrix_micro for the
+    scale contract (d*(d+1)/2 partial rows per batch, vectors never
+    shuffle, exact integer sums make the result order-independent —
+    which is exactly what lets DuckDB's serial fold hash-match a
+    32-way-parallel Spark run).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import gram_matrix_micro
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = gram_matrix_micro(emb)
+    return g.select(
+        "pos_i",
+        "pos_j",
+        "n",
+        (F.floor(F.col("s_total").cast("double") / F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("gram"),
+    ).orderBy("pos_i", "pos_j")

@@ -751,3 +751,99 @@ def q99_weighted_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", F.col("pick").cast("int").alias("pick_rank"))
         .orderBy("source", "pick_rank")
     )
+
+
+@query(
+    "q106_token_freq_of_freq",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+    SELECT CAST(length(printf('%b', n)) - 1 AS INT) AS bucket,
+           CAST(power(2, length(printf('%b', n)) - 1) AS BIGINT) AS tf_lo,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(n) AS BIGINT) AS n_occurrences
+    FROM tf
+    GROUP BY 1, 2
+    ORDER BY bucket
+    """,
+)
+def q106_token_freq_of_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency histogram (log2 buckets): how many distinct
+    tokens occur [2^b, 2^(b+1)) times — the Zipf-shape diagnostic corpus
+    curation reads before choosing vocabulary sizes and min-count cutoffs
+    (a healthy crawl shows a straight log-log tail; dedup failures show
+    up as mass piled into high buckets).
+
+    The bucket index is the BINARY LENGTH of the count minus one — exact
+    integer semantics on both engines (floor(log2(n)) via floating log
+    would disagree at exact powers of two). Scale shape: one explode +
+    token-grain aggregation (map-side partials), then a second tiny
+    aggregation over at most 64 buckets.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (F.length(F.conv(F.col("n").cast("string"), 10, 2)) - 1).cast("int")
+    return (
+        tf.select("n", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.pow(F.lit(2), F.col("bucket")).cast("long").alias("tf_lo"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n").alias("n_occurrences"),
+        )
+        .select("bucket", "tf_lo", "n_tokens", "n_occurrences")
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q108_quality_decile_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars, {_QUALITY} AS quality
+      FROM documents
+    ),
+    binned AS (
+      SELECT doc_id, n_chars, quality,
+             ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+      FROM scored
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(quality) AS min_quality,
+           max(quality) AS max_quality,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM binned
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q108_quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile panel: rank the corpus by the q43 quality score,
+    cut into ntile(10) bins, and aggregate each bin — the
+    curriculum/data-mixing view ("what does the best and worst 10% of
+    the corpus look like") that decides quality-threshold placement.
+
+    Determinism: the ntile ordering ties on doc_id, so bin edges are
+    identical across engines and partitionings. Scale note: a global
+    ntile is a single-partition window — fine for the ranking SCORES of
+    a corpus sample, while a full-corpus production run would swap in
+    approx_percentile edges (q27's shape) to stay distributed; the
+    decile AGGREGATION itself is map-side-partial either way.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    scored = docs.select("doc_id", "n_chars", quality_score("text").alias("quality"))
+    binned = scored.withColumn("decile", F.ntile(10).over(W.orderBy("quality", "doc_id")).cast("int"))
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality").alias("min_quality"),
+            F.max("quality").alias("max_quality"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("decile")
+    )
