@@ -139,15 +139,21 @@ def lsh_topk(
         ensure_compute_parallelism(corpus.select(F.col(id_col).alias("neighbor_id"), vec_col)), "neighbor_id"
     ).withColumnRenamed(vec_col, "_cvec")
     qb = banded(queries.select(query_id_col, vec_col), query_id_col).withColumnRenamed(vec_col, "_qvec")
-    cand = (
-        cb.join(F.broadcast(qb), ["band", "bucket"])
-        .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .select(query_id_col, "neighbor_id", "_qvec", "_cvec")
-        .dropDuplicates([query_id_col, "neighbor_id"])
+    cand = cb.join(F.broadcast(qb), ["band", "bucket"]).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    # score BEFORE deduplicating (same rationale as ivf_topk): a pair
+    # sharing b bands costs b cosine folds this way, but the dedup
+    # exchange then moves 24-byte (query, neighbor, cosine) rows instead
+    # of rows carrying both d-dim vectors — the fold is cheap codegen'd
+    # CPU, the wide shuffle is not; duplicates carry identical cosines so
+    # arbitrary-keep is sound.
+    scored = cand.withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6)).select(
+        query_id_col, "neighbor_id", "cosine"
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cosine", F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6))
+        scored.dropDuplicates([query_id_col, "neighbor_id"])
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
@@ -307,16 +313,22 @@ def ivf_topk(
     query_lists = ivf_assign(
         queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe, normalize=not exact_rescore
     ).withColumnsRenamed({"_id": query_id_col, "_vec": "_qvec"})
-    cand = (
-        corpus_lists.join(F.broadcast(query_lists), "list_id")
-        .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .dropDuplicates([query_id_col, "neighbor_id"])
+    cand = corpus_lists.join(F.broadcast(query_lists), "list_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
     )
     score = cosine(F.col("_qvec"), F.col("_cvec")) if exact_rescore else dot(F.col("_qvec"), F.col("_cvec"))
+    # no dedup pass: the corpus side is assigned with n_top=1, so a
+    # (query, neighbor) pair matches the list-probe join at most once
+    # (the corpus row's single list either is or is not among the query's
+    # n_probe DISTINCT lists). The dropDuplicates this used to run was an
+    # aggregate over rows still carrying both d-dim vectors — a ~1KB/row
+    # exchange doing provably nothing; at full probe it was the dominant
+    # cost. The projection to (query, neighbor, cosine) keeps the one
+    # remaining exchange (the per-query rank window) at 24 bytes/row.
+    scored = cand.withColumn("cosine", F.round(score, 6)).select(query_id_col, "neighbor_id", "cosine")
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cosine", F.round(score, 6))
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
@@ -710,10 +722,13 @@ def ivf_topk_int8(
     query_lists = ivf_assign(queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe).withColumnsRenamed(
         {"_id": query_id_col, "_vec": "_qvec"}
     )
-    cand = (
-        codes_table.join(F.broadcast(query_lists), "list_id")
-        .filter(F.col("neighbor_id") != F.col(query_id_col))
-        .dropDuplicates([query_id_col, "neighbor_id"])
+    # no dedup pass (same proof as ivf_topk): ivf_assign_int8 stores each
+    # corpus vector in exactly ONE list, so the list-probe join emits
+    # every (query, neighbor) pair at most once — the dropDuplicates this
+    # used to run exchanged rows still carrying the codes blob + the
+    # query vector to deduplicate nothing.
+    cand = codes_table.join(F.broadcast(query_lists), "list_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
     )
 
     approx_schema = T.StructType(
