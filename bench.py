@@ -19,9 +19,25 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _host_calibration() -> float:
+    """Seconds for a fixed single-thread CPU loop (~0.6s on a quiet
+    host). The VM shows multi-hour windows where the hypervisor steals
+    cycles (load >15 at 98% idle, this loop 2x slow, same-code queries
+    4-20x slow — see BASELINE.md round-5 variance note); recording the
+    calibration alongside the totals lets a reader separate engine cost
+    from host weather."""
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from kafka_connect_bigquery_storage_write_spark.session import get_spark
     from kafka_connect_bigquery_storage_write_spark.queries import QUERIES, load_all
+
+    cal_start = _host_calibration()
 
     spark = get_spark(app_name="kafka_connect_bigquery_storage_write_spark-bench", cpus=CPUS, shuffle_partitions=CPUS)
     load_all()
@@ -86,7 +102,11 @@ def main() -> None:
     # ~1.5s fixed overhead costs more than the cold effects it removes.)
     bench_start = time.perf_counter()
     runs = [sweep(SF_DIR)]
-    if time.perf_counter() - bench_start < 240:
+    # budget raised from 240s with the round-5 registry growth (107
+    # queries): a noisy first pass must not disable the warm pass, or the
+    # reported number is all cold-start noise (a 383s min-of-1 was
+    # recorded where the warm suite runs ~90s)
+    if time.perf_counter() - bench_start < 600:
         runs.append(sweep(SF_DIR))
 
     best = {name: min(r[name] for r in runs) for name in runs[0]}
@@ -103,6 +123,9 @@ def main() -> None:
         "queries": {name.split("_")[0]: round(t, 2) for name, t in sorted(best.items())},
         "agg": f"min_of_{len(runs)}_runs",
         "run_totals": [round(sum(r.values()), 3) for r in runs],
+        # single-thread CPU loop seconds at bench start/end (~0.6s quiet
+        # host; >1.2s = hypervisor contention window, totals inflated)
+        "host_cal": [cal_start, _host_calibration()],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LOCAL.json",
     }

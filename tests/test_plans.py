@@ -211,3 +211,47 @@ def test_q97_grid_filter_pushed_no_sortmerge(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q97_gap_filled_hourly")
     assert "LessThan(user_id,20)" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q102_quarter_pushed_and_nation_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q102_returned_items")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "o_orderdate" in l]
+    assert pushed, "quarter predicate must reach the orders scan"
+    assert "EqualTo(l_returnflag,R)" in plan  # return filter on the fact scan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "TakeOrderedAndProject" in plan  # top-20 is never a global sort
+
+
+def test_q103_single_aggregation_part_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q103_promo_revenue")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "l_shipdate" in l]
+    assert pushed, "shipdate band must reach the lineitem scan"
+    # numerator + denominator ride ONE aggregation over the join output
+    assert plan.count("HashAggregate") <= 4  # partial+final, nothing more
+
+
+def test_q104_global_max_broadcasts_back(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q104_top_revenue_supplier")
+    # the 1-row max joins back via broadcast, never a sort-merge pass
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q107_gram_partials_only_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q107_embedding_gram_matrix")
+    # the only exchanges: the (pos_i, pos_j) partial aggregation and the
+    # final orderBy — the embedding arrays themselves must never shuffle
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l and "hashpartitioning" in l]
+    for l in exchanges:
+        assert "embedding" not in l, f"vector column in an exchange: {l}"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "vec_id" not in read_schema and "label" not in read_schema  # column pruning
+
+
+def test_q105_semi_join_on_shingle_hash(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q105_contamination_scores")
+    assert "LeftSemi" in plan  # membership, not a pair join
+    # the held-out set joins on the 8-byte shingle hash, never text
+    semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
+    assert all("text" not in l for l in semi_lines)
