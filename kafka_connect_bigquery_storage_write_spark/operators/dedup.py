@@ -631,6 +631,123 @@ def decontaminate(
     )
 
 
+def build_fingerprint_bloom(
+    corpus: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 8,
+):
+    """Build a Bloom filter over the corpus's normalized-text
+    fingerprints, distributed: each Arrow batch ORs its fingerprints'
+    bit positions into a local m_bits/8-byte bitmap, partials OR-reduce
+    in one single-group applyInPandas, and only the FINAL bitmap (e.g.
+    128 KB at m=2^20) reaches the driver — a bounded artifact like the
+    IVF centroids, persistable and broadcastable.
+
+    Bit positions are k independent JVM-side xxhash64(fp, seed) values
+    mod m — computed in Catalyst so the probe side can reproduce them
+    without Python hashing. Returns (bitmap uint8 array, m_bits, k).
+
+    Why a bloom at 100 TB: the exact corpus fingerprint SET is
+    ~32 bytes/doc (TBs at web scale — a TABLE you must join against);
+    the bloom is m/8 bytes TOTAL at a chosen FP rate (~1.2 MB per 1M
+    docs at 1%), small enough to broadcast to every executor and probe
+    at memory speed, turning incremental dedup's anti-join into a
+    local filter + a small verify join (see bloom_prefilter_new_docs).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from kafka_connect_bigquery_storage_write_spark.operators.text import fingerprint
+
+    fp = fingerprint(text_col)
+    positions = F.array(*[F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(m_bits)) for i in range(k)])
+    pos_df = ensure_compute_parallelism(corpus.select(positions.alias("_pos")))
+
+    part_schema = T.StructType([T.StructField("bm", T.BinaryType(), False)])
+
+    def partial(batches):
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        touched = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            touched = True
+            p = np.concatenate(pdf["_pos"].to_numpy()).astype(np.int64)
+            np.bitwise_or.at(bm, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+        if touched:
+            yield pd.DataFrame({"bm": [bm.tobytes()]})
+
+    def orreduce(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m_bits // 8, dtype=np.uint8)
+        for b in pdf["bm"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bm": [acc.tobytes()]})
+
+    partials = pos_df.mapInPandas(partial, schema=part_schema).withColumn("_g", F.lit(0))
+    final = partials.groupBy("_g").applyInPandas(lambda pdf: orreduce(pdf), schema=part_schema)
+    rows = final.collect()  # exactly one row, m_bits/8 bytes — bounded artifact
+    bitmap = np.frombuffer(rows[0]["bm"], dtype=np.uint8).copy() if rows else np.zeros(m_bits // 8, dtype=np.uint8)
+    return bitmap, m_bits, k
+
+
+def bloom_prefilter_new_docs(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 8,
+) -> DataFrame:
+    """Incremental exact dedup with a Bloom prefilter — q65's production
+    evolution: the corpus fingerprint set becomes a broadcastable
+    m_bits/8-byte bitmap; increment rows whose k bits are not all set
+    are DEFINITIVELY new (a Bloom has no false negatives), and only the
+    Bloom-positive minority (true dups + ~FP-rate of the new docs) pays
+    the exact anti-join against the corpus fingerprint relation.
+
+    The OUTPUT is exactly q65's: the increment rows whose fingerprint
+    does not appear in the corpus — bit-for-bit, because every Bloom
+    positive is exactly verified. That is what keeps this oracle-checkable
+    while the approximate structure does the scale work: the anti-join's
+    probe side shrinks from |increment| to |dups| + FPR*|new|.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kafka_connect_bigquery_storage_write_spark.operators.text import fingerprint
+
+    bitmap, m, kk = build_fingerprint_bloom(corpus, text_col=text_col, m_bits=m_bits, k=k)
+    b_bm = corpus.sparkSession.sparkContext.broadcast(bitmap)
+
+    # no type hints: under `from __future__ import annotations` the
+    # pd.Series hints are unresolvable strings for pandas_udf's inspector
+    def _might_contain(pos):
+        bm = b_bm.value
+        out = np.ones(len(pos), dtype=bool)
+        for j, arr in enumerate(pos):
+            p = np.asarray(arr, dtype=np.int64)
+            out[j] = bool(np.all((bm[p >> 3] >> (p & 7).astype(np.uint8)) & 1))
+        return pd.Series(out)
+
+    might_contain = F.pandas_udf(_might_contain, "boolean")
+
+    fp = fingerprint(text_col)
+    positions = F.array(*[F.pmod(F.xxhash64(F.col("fp"), F.lit(i)), F.lit(m)) for i in range(kk)])
+    inc = (
+        ensure_compute_parallelism(increment)
+        .select(id_col, fp.alias("fp"))
+        .withColumn("_hit", might_contain(positions))
+    )
+    definitely_new = inc.filter(~F.col("_hit")).select(id_col, "fp")
+    corpus_fps = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    verified_new = (
+        inc.filter(F.col("_hit")).select(id_col, "fp").join(corpus_fps, "fp", "left_anti").select(id_col, "fp")
+    )
+    return definitely_new.union(verified_new)
+
+
 def contamination_scores(
     train: DataFrame,
     held: DataFrame,

@@ -97,8 +97,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # officially red in r4 (array-column canonicalizer), fixed this round
     "q93_label_centroids",
     "q96_vocab_encode",
-    # new in round 5 (window tops out at 50: q106/q108 — also new, also
-    # oracled, sim-green — take the first r6 rotation slots instead)
+    # new in round 5 (window tops out at 50: q106/q108/q109–q112 — also
+    # new, also oracled, sim-green — take the first r6 rotation slots)
     "q100_ivf_exact_topk",
     "q101_blocked_near_dups_exact",
     "q102_returned_items",

@@ -372,3 +372,40 @@ def q94_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=0.8).orderBy("src_id", "dst_id")
+
+
+@query(
+    "q109_bloom_prefilter_dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT DISTINCT {_FP_SQL} AS fp FROM documents WHERE doc_id <= 250
+    ),
+    fresh AS (
+      SELECT doc_id, {_FP_SQL} AS fp FROM documents WHERE doc_id > 250
+    )
+    SELECT f.doc_id, f.fp
+    FROM fresh f LEFT JOIN corpus c ON f.fp = c.fp
+    WHERE c.fp IS NULL
+    ORDER BY f.doc_id
+    """,
+)
+def q109_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q65's incremental dedup with its production prefilter: the corpus
+    fingerprint set compressed into a broadcastable Bloom bitmap (128 KB
+    at m=2^20), so most increment rows resolve locally (a Bloom negative
+    is DEFINITIVELY new) and only Bloom positives pay the exact
+    anti-join. The output is bit-identical to q65's exact semantics —
+    every positive is verified — which is why the same SQL oracle
+    applies while the approximate structure carries the scale: at web
+    scale the corpus fingerprint SET is a TB-class table, the bloom is
+    megabytes. FP-rate and no-false-negative bounds pinned in pytest.
+
+    See operators/dedup.build_fingerprint_bloom (distributed OR-reduce
+    build, bounded driver artifact) and bloom_prefilter_new_docs.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import bloom_prefilter_new_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") <= 250)
+    fresh = docs.filter(F.col("doc_id") > 250)
+    return bloom_prefilter_new_docs(corpus, fresh).orderBy("doc_id")

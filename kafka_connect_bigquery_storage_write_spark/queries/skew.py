@@ -115,3 +115,69 @@ def q81_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
     return heavy_hitters(toks, "token", support=0.01).orderBy("token")
+
+
+@query(
+    "q111_key_skew_profile",
+    oracle="""
+    WITH cnt AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c, user_id) AS i FROM cnt
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(max(c) AS BIGINT) AS max_count,
+             CAST(sum(i * c) AS BIGINT) AS weighted
+      FROM ranked
+    )
+    SELECT n_keys, total, max_count,
+           floor(max_count * 1000000.0 / total + 0.5) / 1000000.0 AS top_share,
+           floor((2.0 * weighted - (n_keys + 1.0) * total) * 1000000.0
+                 / (CAST(n_keys AS DOUBLE) * total) + 0.5) / 1000000.0 AS gini
+    FROM agg
+    """,
+)
+def q111_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler: key count, max key share, and the Gini
+    coefficient of the per-key row distribution — the diagnostic that
+    decides WHETHER a join/agg needs q48/q49's salting before it runs
+    (gini ~0 = uniform keys, ~1 = one hot key owns the shuffle).
+
+    Exactness: Gini via the sorted-prefix formula
+    (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending and a
+    deterministic tiebreak — every term an exact integer, one double
+    division + portable floor-half-up round at the end. Scale shape: the
+    window and aggregates run over the KEY-grain count relation (n_keys
+    rows, not events); the events-grain work is one map-side-combined
+    count. The global rank window is single-partition but only ever sees
+    n_keys rows — the same key space the diagnosed shuffle would hash on.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.withColumn("i", F.row_number().over(W.orderBy("c", "user_id")))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("total"),
+        F.max("c").alias("max_count"),
+        F.sum(F.col("i") * F.col("c")).alias("weighted"),
+    )
+    return agg.select(
+        "n_keys",
+        "total",
+        "max_count",
+        (F.floor(F.col("max_count") * F.lit(1000000.0) / F.col("total") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "top_share"
+        ),
+        (
+            F.floor(
+                (F.lit(2.0) * F.col("weighted") - (F.col("n_keys") + F.lit(1.0)) * F.col("total"))
+                * F.lit(1000000.0)
+                / (F.col("n_keys").cast("double") * F.col("total"))
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("gini"),
+    )

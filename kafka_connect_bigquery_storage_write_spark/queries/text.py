@@ -847,3 +847,127 @@ def q108_quality_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q112_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    ranked AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, token) AS r,
+             sum(c) OVER (ORDER BY c DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tf
+    ),
+    tot AS (SELECT sum(c) AS total FROM tf),
+    th AS (SELECT unnest([50, 90, 99]) AS pct)
+    SELECT CAST(pct AS INT) AS coverage_pct,
+           CAST(min(r) AS BIGINT) AS n_tokens_needed,
+           floor(min_by(cum, r) * 1000000.0 / total + 0.5) / 1000000.0 AS share
+    FROM th, ranked, tot
+    WHERE cum * 100 >= pct * total
+    GROUP BY pct, total
+    ORDER BY coverage_pct
+    """,
+)
+def q112_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-k token prefix (by
+    frequency) covering 50/90/99% of corpus occurrences — the query that
+    sizes a tokenizer vocabulary / OOV budget (q96's vocab=256 choice is
+    read off exactly this curve).
+
+    Exactness: the crossing test is pure integers (cum*100 >= pct*total
+    — no floating share compare), the reported share is the exact
+    integer ratio with one portable floor-half-up round. Scale shape:
+    everything past the token-count aggregation runs on the VOCABULARY
+    relation (n_distinct rows), where the rank/cumsum window is cheap;
+    the three thresholds broadcast into a range-predicate join and
+    min/min_by collapse it to three rows.
+    """
+    from pyspark.sql import Window as W
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy(F.col("c").desc(), "token")
+    ranked = tf.withColumn("r", F.row_number().over(w)).withColumn(
+        "cum", F.sum("c").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    tot = tf.agg(F.sum("c").alias("total"))
+    th = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(th), F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("pct", "total")
+        .agg(F.min("r").alias("n_tokens_needed"), F.min_by("cum", "r").alias("_cum_at"))
+        .select(
+            F.col("pct").alias("coverage_pct"),
+            "n_tokens_needed",
+            (F.floor(F.col("_cum_at") * F.lit(1000000.0) / F.col("total") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "share"
+            ),
+        )
+        .orderBy("coverage_pct")
+    )
+
+
+@query(
+    "q110_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    tot AS (SELECT sum(c) AS total FROM tf),
+    st AS (
+      SELECT token,
+             CAST(floor(ln(CAST(total AS DOUBLE) / c) * 1000000.0 + 0.5) AS BIGINT) AS s
+      FROM tf, tot
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           floor(sum(s) * 1.0 / count(*) + 0.5) / 1000000.0 AS surprisal
+    FROM toks t JOIN st USING (token)
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def q110_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (-ln p(token) under the corpus
+    unigram model) — the cheapest member of the perplexity-filter family:
+    documents of very low surprisal are boilerplate/repetition, very high
+    ones are noise/garble; production pipelines gate on both tails
+    (model-based perplexity is this query with a smarter p).
+
+    Exactness: ln runs once per DISTINCT token and is immediately fixed
+    to integer micro-units (a last-ulp ln difference between engines
+    only matters if that token's ln sits within ~1e-9 of a quantization
+    boundary); per-doc sums are exact integers, the mean is one double
+    division + portable floor-half-up round. Scale shape: the surprisal
+    table is vocabulary-sized (broadcasts), the doc-grain aggregation
+    keys on doc_id — the corpus partitioning — and one tokenize pass
+    feeds both the model fit and the scoring join.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
+    tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = tf.agg(F.sum("c").alias("total"))
+    st = tf.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.floor(F.log(F.col("total").cast("double") / F.col("c")) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("s"),
+    )
+    return (
+        toks.join(F.broadcast(st), "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("s").alias("_ssum"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(F.col("_ssum") * F.lit(1.0) / F.col("n_tokens") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -517,3 +517,45 @@ def test_ivf_index_roundtrip_is_bit_identical(spark, sf_dir, tmp_path):
     a = {(r._id, r.list_id) for r in ivf_assign(emb, cents).select("_id", "list_id").collect()}
     b = {(r._id, r.list_id) for r in ivf_assign(emb, loaded).select("_id", "list_id").collect()}
     assert a == b
+
+
+def test_bloom_prefilter_exact_output_and_fpr(spark, sf_dir):
+    """The bloom prefilter must (a) return EXACTLY the exact anti-join's
+    new-doc set at any bitmap size — false positives are repaired by the
+    verify join, false negatives cannot exist — and (b) keep its
+    false-positive rate near the theoretical bound in an undersized-
+    bitmap regime (m=1024, where FPs actually occur)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+        bloom_prefilter_new_docs,
+        build_fingerprint_bloom,
+    )
+    from kafka_connect_bigquery_storage_write_spark.operators.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") <= 250)
+    fresh = docs.filter(F.col("doc_id") > 250)
+    exact = {
+        r.doc_id
+        for r in fresh.select("doc_id", fingerprint("text").alias("fp"))
+        .join(corpus.select(fingerprint("text").alias("fp")).distinct(), "fp", "left_anti")
+        .collect()
+    }
+
+    for m_bits, k in ((1 << 20, 8), (1024, 4)):
+        got = {r.doc_id for r in bloom_prefilter_new_docs(corpus, fresh, m_bits=m_bits, k=k).collect()}
+        assert got == exact, f"m={m_bits}: bloom path diverged from exact dedup"
+
+    # FPR in the undersized regime: P(all k bits set) for a novel key
+    m_bits, k = 1024, 4
+    bitmap, m, kk = build_fingerprint_bloom(corpus, m_bits=m_bits, k=k)
+    fill = np.unpackbits(bitmap).mean()
+    expected_fpr = fill**kk
+    pos = F.array(*[F.pmod(F.xxhash64(fingerprint("text"), F.lit(i)), F.lit(m)) for i in range(kk)])
+    rows = fresh.select("doc_id", pos.alias("p")).collect()
+    novel = [r for r in rows if r.doc_id in exact]
+    fp_hits = sum(1 for r in novel if all((bitmap[p >> 3] >> (p & 7)) & 1 for p in r.p))
+    measured = fp_hits / max(len(novel), 1)
+    assert measured <= max(3 * expected_fpr, 0.02), f"FPR {measured} vs theoretical {expected_fpr}"
