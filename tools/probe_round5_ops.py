@@ -6,10 +6,12 @@ the round-2/3/4 probes) and times:
 - q105 shape: contamination scores at 50k docs (held side kept at
   fixture size — the realistic regime: the benchmark suite does NOT
   grow with the corpus)
-- q107 shape: exact gram matrix at 600k vectors (the partial-rows-per-
+- q107 shape: exact gram matrix at 20k vectors (the partial-rows-per-
   batch invariant means time should scale ~linearly with corpus size)
-- semantic_dedup with the max_cluster_rows cap ENGAGED at 600k vectors
-  (block-pair splitting of hot clusters — the round-5 hardening)
+- semantic_dedup with the max_cluster_rows cap ENGAGED at 20k vectors
+  (block-pair splitting of hot clusters — the round-5 hardening; note
+  the replicated corpus is the duplicate-heavy regime, so pair output
+  is large by construction, like the round-3 decontamination probe)
 
 Usage: python tools/probe_round5_ops.py
 """
@@ -89,17 +91,17 @@ def main() -> None:
         lambda: contamination_scores(docs10, held).count(),
     )
 
-    # --- q107 shape: exact gram matrix at 600k vectors ------------------
+    # --- q107 shape: exact gram matrix at 20k vectors -------------------
     emb10 = replicate(load_table(spark, SF, "embeddings"), {"vec_id": 10_000_000})
     timed("q107_gram_matrix_10x", lambda: gram_matrix_micro(emb10).count())
 
-    # --- semantic dedup with the cluster cap engaged at 600k vectors ----
-    # cap 20k: with 16 clusters averaging ~37.5k vectors each, most lists
-    # split into 2 blocks -> the block-pair machinery is exercised at
+    # --- semantic dedup with the cluster cap engaged at 20k vectors -----
+    # cap 500: with 16 clusters averaging ~1.25k vectors each, every list
+    # splits into >=3 blocks -> the block-pair machinery is exercised at
     # scale, per-task state provably <= ~2*cap vectors
     timed(
         "semantic_dedup_capped_10x",
-        lambda: semantic_dedup(emb10, threshold=0.4, n_clusters=16, max_cluster_rows=20_000).count(),
+        lambda: semantic_dedup(emb10, threshold=0.4, n_clusters=16, max_cluster_rows=500).count(),
     )
 
 
