@@ -19,18 +19,38 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def _host_calibration() -> float:
-    """Seconds for a fixed single-thread CPU loop (~0.6s on a quiet
-    host). The VM shows multi-hour windows where the hypervisor steals
-    cycles (load >15 at 98% idle, this loop 2x slow, same-code queries
-    4-20x slow — see BASELINE.md round-5 variance note); recording the
-    calibration alongside the totals lets a reader separate engine cost
-    from host weather."""
+def _host_calibration() -> list[float]:
+    """[single-thread, 16-way-parallel] seconds for a fixed CPU loop
+    (~0.3s/0.4s on a quiet host). The VM shows multi-hour windows where
+    the hypervisor steals cycles (load >15 at 98% idle, same-code
+    queries 4-20x slow — see BASELINE.md round-5 variance note), and the
+    theft can hit PARALLEL load while a single thread still runs at full
+    speed — so both shapes are probed. Recording the calibration
+    alongside the totals lets a reader separate engine cost from host
+    weather."""
+
+    def loop() -> float:
+        t0 = time.perf_counter()
+        s = 0
+        for i in range(5_000_000):
+            s += i * i
+        return time.perf_counter() - t0
+
+    single = loop()
+    from multiprocessing import Pool
+
     t0 = time.perf_counter()
+    with Pool(16) as p:
+        p.map(_cal_loop, range(16))
+    par = time.perf_counter() - t0
+    return [round(single, 3), round(par, 3)]
+
+
+def _cal_loop(_):
     s = 0
     for i in range(5_000_000):
         s += i * i
-    return round(time.perf_counter() - t0, 3)
+    return s
 
 
 def main() -> None:

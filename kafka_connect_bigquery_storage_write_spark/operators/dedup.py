@@ -141,6 +141,99 @@ def minhash_signatures(
     return agg.select(id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash"))
 
 
+def _minhash_band_buckets(sh: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) from a (id, shingle-hash) relation: MinHash the
+    shingle set per doc, cut the signature into bands, hash each band's
+    slice (salted with the band index). Shared by the one-shot and the
+    incremental LSH paths — the band layout must never diverge between
+    them, or an increment probes the wrong buckets of a stored index.
+    """
+    rows_per_band = num_hashes // bands
+    if rows_per_band * bands != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    mins = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)]
+    sig = sh.groupBy(id_col).agg(*mins).select(
+        id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash")
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    return sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+
+
+def minhash_lsh_incremental(
+    corpus: DataFrame,
+    increment: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs between an INCREMENT and the existing
+    corpus via MinHash-LSH — the production shape of continuous corpus
+    ingestion: the corpus's (id, band, bucket) relation is an INDEX
+    ARTIFACT (persist it; band layout is a pure function of text and the
+    num_hashes/bands config, so appends compose exactly like q65's
+    fingerprints and ivf_assign's frozen centroids), and each new batch
+    only (a) signs its own documents and (b) joins its buckets against
+    the stored index — the corpus is never re-shingled per batch.
+
+    Returns (corpus_id, inc_id, jaccard) for cross pairs with exact
+    n-gram Jaccard >= threshold; candidates come from shared band
+    buckets, then the exact verify join runs on candidate documents
+    only. Increment-internal duplicates are NOT this operator's job —
+    run the one-shot path (or q30's exact dedup) inside the batch first.
+
+    Scale: the increment side is batch-sized — its bucket relation
+    broadcasts; the index join is on (band, bucket) 16-byte keys; the
+    verify stage's shingle join is restricted to candidate docs on BOTH
+    sides before any shuffle.
+    """
+    corpus_sh = _cap_df(_exploded_shingles(corpus, id_col, text_col, n), max_df).persist()
+    corpus_sh.count()  # barrier: feeds index build + verify join
+    inc_sh = _cap_df(_exploded_shingles(increment, id_col, text_col, n), max_df).persist()
+    inc_sh.count()
+    corpus_idx = _minhash_band_buckets(corpus_sh, id_col, num_hashes, bands).withColumnsRenamed(
+        {id_col: "corpus_id"}
+    )
+    inc_buckets = _minhash_band_buckets(inc_sh, id_col, num_hashes, bands).withColumnsRenamed({id_col: "inc_id"})
+    candidates = (
+        corpus_idx.join(F.broadcast(inc_buckets), ["band", "bucket"])
+        .select("corpus_id", "inc_id")
+        .distinct()
+        .persist()
+    )
+    candidates.count()
+    # exact verify: restrict each side's shingles to its candidate docs
+    ca = corpus_sh.join(
+        F.broadcast(candidates.select(F.col("corpus_id").alias(id_col)).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col).alias("corpus_id"), "shingle")
+    cb = inc_sh.join(
+        F.broadcast(candidates.select(F.col("inc_id").alias(id_col)).distinct()), id_col, "left_semi"
+    ).select(F.col(id_col).alias("inc_id"), "shingle")
+    inter = (
+        ca.join(cb, "shingle")
+        .join(F.broadcast(candidates), ["corpus_id", "inc_id"], "left_semi")
+        .groupBy("corpus_id", "inc_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a")).withColumnsRenamed({id_col: "corpus_id"})
+    nb = inc_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_b")).withColumnsRenamed({id_col: "inc_id"})
+    return (
+        inter.join(na, "corpus_id")
+        .join(nb, "inc_id")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "inc_id", "jaccard")
+    )
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -163,9 +256,6 @@ def minhash_lsh_near_dups(
     skew, which the band hash randomizes — and (b) the verify join on
     candidate pairs only. Never O(n^2).
     """
-    rows_per_band = num_hashes // bands
-    if rows_per_band * bands != num_hashes:
-        raise ValueError("num_hashes must be divisible by bands")
     # materialization barrier: the shingle relation feeds the signature
     # chain, both bucket-join branches, and the verify stage; without an
     # eager cache fill, the concurrently-submitted broadcast/AQE jobs
@@ -173,17 +263,7 @@ def minhash_lsh_near_dups(
     # jaccard_near_dup_pairs docstring — measured on this DAG).
     sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
     sh.count()
-    mins = [F.min(F.xxhash64(F.lit(j), F.col("shingle"))).alias(f"h{j}") for j in range(num_hashes)]
-    sig = sh.groupBy(id_col).agg(*mins).select(
-        id_col, F.array(*[f"h{j}" for j in range(num_hashes)]).alias("minhash")
-    )
-    band_arr = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.element_at("minhash", b * rows_per_band + r + 1) for r in range(rows_per_band)])
-            for b in range(bands)
-        ]
-    )
-    buckets = sig.select(id_col, F.posexplode(band_arr).alias("band", "bucket"))
+    buckets = _minhash_band_buckets(sh, id_col, num_hashes, bands)
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     # second barrier: candidates is broadcast twice below (pair semi-join

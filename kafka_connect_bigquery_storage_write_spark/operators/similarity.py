@@ -794,6 +794,12 @@ def _cluster_block_groups(
     """
     spark = assign.sparkSession
     counts = {r["list_id"]: r["cnt"] for r in assign.groupBy("list_id").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    if all(int(cnt) <= max_cluster_rows for cnt in counts.values()):
+        # fast path — no list exceeds the cap, so every list is one group;
+        # skip the nb/pair broadcast joins entirely (they cost ~2s of plan
+        # and job overhead at fixture scale for provably nothing)
+        rep = assign.withColumn("pa", F.lit(0)).withColumn("pb", F.lit(0)).withColumn("_blk", F.lit(0))
+        return rep, len(counts)
     pair_rows = []
     nb_rows = []
     for lid, cnt in sorted(counts.items()):
@@ -866,7 +872,15 @@ def semantic_dedup(
         kmeans_iters=kmeans_iters,
         sample_mode=sample_mode,
     )
-    assign = ivf_assign(ensure_compute_parallelism(df), cents, id_col=id_col, vec_col=vec_col)
+    # materialized once: _cluster_block_groups' per-list count pass and
+    # the pair kernel both consume this relation — without it the Arrow
+    # assignment (and its normalization) runs twice. localCheckpoint
+    # rather than persist so the blocks are ContextCleaner-released when
+    # the result is dropped (a bare persist here leaks a CacheManager
+    # entry per invocation — the q90 advisory class).
+    assign = ivf_assign(ensure_compute_parallelism(df), cents, id_col=id_col, vec_col=vec_col).localCheckpoint(
+        eager=True
+    )
 
     pair_schema = T.StructType(
         [

@@ -409,3 +409,50 @@ def q109_bloom_prefilter_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") <= 250)
     fresh = docs.filter(F.col("doc_id") > 250)
     return bloom_prefilter_new_docs(corpus, fresh).orderBy("doc_id")
+
+
+@query(
+    "q113_incremental_near_dup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             list_extract(w, i) || ' ' || list_extract(w, i + 1) || ' ' || list_extract(w, i + 2) AS s
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i)
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cross_pairs AS (
+      SELECT a.doc_id AS corpus_id, b.doc_id AS inc_id, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <= 250 AND b.doc_id > 250
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, inc_id,
+           round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM cross_pairs
+    JOIN cnt ca ON ca.doc_id = corpus_id
+    JOIN cnt cb ON cb.doc_id = inc_id
+    WHERE round(n_inter * 1.0 / (ca.n + cb.n - n_inter), 6) >= 0.85
+    ORDER BY corpus_id, inc_id
+    """,
+)
+def q113_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection for CONTINUOUS ingestion: a new document batch
+    is checked against the existing corpus's persisted MinHash-LSH index
+    (band buckets) — the corpus is never re-shingled per batch; the
+    increment signs itself, probes the stored buckets, and only
+    candidate documents pay the exact-Jaccard verify. q32's one-shot
+    dedup as an INDEX + PROBE decomposition (the near-dup member of the
+    q65/q109/ivf_assign incremental family).
+
+    The oracle is the exhaustive cross-split exact computation; at
+    J>=0.85 with 8 bands of 4 the LSH miss probability is <3e-4 per pair
+    (q32's recall argument), so the index path must find every pair.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import minhash_lsh_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") <= 250)
+    inc = docs.filter(F.col("doc_id") > 250)
+    return minhash_lsh_incremental(corpus, inc, num_hashes=32, bands=8, threshold=0.85).orderBy(
+        "corpus_id", "inc_id"
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.queries.parity import CHARGE_DECIMAL_SQL, exact_avg_cents, revenue_decimal_col, revenue_decimal_sql
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
@@ -1545,4 +1546,104 @@ def q104_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q115_window_rank_family",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             rank()         OVER win AS rnk,
+             dense_rank()   OVER win AS drnk,
+             round(percent_rank() OVER win, 6) AS prank,
+             round(cume_dist()    OVER win, 6) AS cdist,
+             first_value(o_orderkey) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS biggest_order,
+             CAST(ntile(4) OVER win AS INT) AS quartile
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(rnk AS BIGINT) AS rnk, CAST(drnk AS BIGINT) AS drnk,
+           prank, cdist, biggest_order, quartile
+    FROM w
+    WHERE o_custkey < 100
+    ORDER BY o_custkey, rnk, o_orderkey
+    """,
+)
+def q115_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-window family in one pass: rank / dense_rank /
+    percent_rank / cume_dist / first_value / ntile over a per-customer
+    price ordering — completing E10's surface beyond row_number/lag
+    (q13/q14). One window spec, one shuffle, every function evaluated in
+    the same sort; determinism from the orderkey tiebreak (percent_rank
+    and cume_dist are rational n-based values — identical doubles given
+    identical orderings, rounded once at 6dp).
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    win = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    full = win.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(win).alias("rnk"),
+            F.dense_rank().over(win).alias("drnk"),
+            F.round(F.percent_rank().over(win), 6).alias("prank"),
+            F.round(F.cume_dist().over(win), 6).alias("cdist"),
+            F.first("o_orderkey").over(full).alias("biggest_order"),
+            F.ntile(4).over(win).alias("quartile"),
+        )
+        .filter(F.col("o_custkey") < 100)
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    )
+
+
+@query(
+    "q116_token_typo_pairs",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest({{toks}}) AS token FROM documents
+    )
+    SELECT a.token AS token_a, b.token AS token_b,
+           CAST(levenshtein(a.token, b.token) AS INT) AS dist
+    FROM vocab a JOIN vocab b
+      ON a.token < b.token
+     AND abs(length(a.token) - length(b.token)) <= 2
+    WHERE levenshtein(a.token, b.token) <= 2
+    ORDER BY token_a, token_b
+    """.format(toks="list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"),
+)
+def q116_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spelling-variant candidates: distinct token pairs within edit
+    distance 2 — the vocabulary-normalization pass (typo folding, UK/US
+    variants) that runs before token statistics at corpus scale.
+    Levenshtein is a well-defined integer metric, identical across
+    engines.
+
+    Scale shape: the pair join runs on the VOCABULARY relation (distinct
+    tokens — thousands, not billions), length-banded (|len diff| <= 2)
+    so each token only meets its own and adjacent length classes; the
+    corpus-grain work is one explode+distinct. At web vocab scale the
+    band key extends to (length, first char) without changing semantics.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    vocab = docs.select(
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
+    ).distinct()
+    a = vocab.select(F.col("token").alias("token_a"), F.length("token").alias("_la"))
+    b = vocab.select(F.col("token").alias("token_b"), F.length("token").alias("_lb"))
+    return (
+        a.join(
+            b,
+            (F.col("token_a") < F.col("token_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= 2),
+        )
+        .withColumn("dist", F.levenshtein("token_a", "token_b"))
+        .filter(F.col("dist") <= 2)
+        .select("token_a", "token_b", "dist")
+        .orderBy("token_a", "token_b")
     )

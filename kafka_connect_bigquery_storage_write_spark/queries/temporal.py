@@ -210,3 +210,101 @@ def q97_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "q114_series_outliers",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT u.user_id, g.hour
+      FROM (SELECT DISTINCT user_id FROM events) u,
+           bounds,
+           LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi, INTERVAL '1 hour')) AS hour) g
+    ),
+    series AS (
+      SELECT g.user_id, g.hour, coalesce(h.cents, 0) AS x
+      FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hour = g.hour
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM series GROUP BY user_id
+    ),
+    z AS (
+      SELECT s.user_id, s.hour, s.x,
+             (CAST(s.x AS DOUBLE) - CAST(t.sx AS DOUBLE) / t.n)
+               / sqrt(CAST(t.sxx AS DOUBLE) / t.n
+                      - (CAST(t.sx AS DOUBLE) / t.n) * (CAST(t.sx AS DOUBLE) / t.n)) AS zr
+      FROM series s JOIN stats t USING (user_id)
+      WHERE t.sxx * t.n > t.sx * t.sx
+    )
+    SELECT user_id, hour,
+           CAST(x AS DOUBLE) / 100.0 AS value,
+           floor(zr * 10000.0 + 0.5) / 10000.0 AS zscore
+    FROM z
+    WHERE floor(zr * 10000.0 + 0.5) / 10000.0 >= 3.0
+    ORDER BY user_id, hour
+    """,
+)
+def q114_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly anomaly detection: z-score each hour of the
+    gap-filled series (q97's densification — zero hours COUNT, which is
+    what makes a sudden burst an outlier) against that user's own
+    mean/std, keep hours with z >= 3. The composition every
+    usage-monitoring pipeline runs: densify -> per-key moments ->
+    standardize -> threshold.
+
+    Exactness: hourly sums are integer cents; per-user moments (n, Σx,
+    Σx²) are exact integers; the degenerate constant-series guard is an
+    integer comparison (n*Σx² > (Σx)² ⟺ variance > 0); mean/std/z are
+    then identical IEEE doubles on both engines, rounded once with the
+    portable floor-half-up pattern. Scale shape: the grid never shuffles
+    at event grain; moments ride the same (user) partitioning as the
+    densified series; the stats relation is user-grain and joins back
+    co-partitioned.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("cents")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("user_id", F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    series = grid.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id", "hour", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    stats = series.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n")
+    sigma = F.sqrt(F.col("sxx").cast("double") / F.col("n") - mu * mu)
+    zr = (F.col("x").cast("double") - mu) / sigma
+    z6 = F.floor(zr * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    return (
+        series.join(stats, "user_id")
+        .filter(F.col("sxx") * F.col("n") > F.col("sx") * F.col("sx"))
+        .select("user_id", "hour", (F.col("x").cast("double") / F.lit(100.0)).alias("value"), z6.alias("zscore"))
+        .filter(F.col("zscore") >= 3.0)
+        .orderBy("user_id", "hour")
+    )
