@@ -432,3 +432,56 @@ def q98_incremental_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", "item", "n", "rank")
         .orderBy("window_start", "event_type", "rank")
     )
+
+
+@query(
+    "q117_incremental_quantile_rollup",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS count_value,
+           quantile_disc(value, 0.5)  AS p50_value,
+           quantile_disc(value, 0.9)  AS p90_value,
+           quantile_disc(value, 0.99) AS p99_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def q117_incremental_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile dashboard as a continuous aggregate: per-(day, type)
+    p50/p90/p99 maintained incrementally from THREE micro-batches of KLL
+    sketch partials, merged on read — quantiles are the classic
+    non-decomposable aggregate, and the mergeable KLL summary (bounded
+    bytes per group per batch) is what lets a latency/size percentile
+    rollup run forever (same algebra as q83's HLL distinct partials).
+
+    Oracled in the EXACT regime: kll_k=8192 exceeds every (day, type)
+    group's row count at fixture scale, so the sketch retains all values
+    and its inclusive quantile is the same order statistic DuckDB's
+    quantile_disc picks (smallest value with rank >= ceil(q*n) — both
+    conventions verified to coincide, including the q*n-integral edge).
+    Production keeps the default k=200 and the ~1.65/sqrt(k) rank-error
+    bound; that regime's merge-equals-one-shot property and error bound
+    are pinned in tests/test_rollup.py.
+    """
+    import tempfile
+
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
+
+    ev = load_table(spark, sf_dir, "events")
+    roll = IncrementalRollup(
+        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q117_") + "/rollup",
+        ts_col="ts",
+        window="1 day",
+        key_cols=["event_type"],
+        aggs=[("value", "count"), ("value", "approx_quantile")],
+        kll_k=8192,
+    )
+    for i in range(3):
+        roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+    return (
+        roll.read(spark)
+        .select("window_start", "event_type", "count_value", "p50_value", "p90_value", "p99_value")
+        .orderBy("window_start", "event_type")
+    )

@@ -27,6 +27,15 @@ approx_distinct stores a per-partial HLL sketch (datasketches binary,
 ~KBs per group regardless of cardinality) and unions sketches on read —
 the only way COUNT DISTINCT can ride an incremental rollup at all, since
 exact distinct is not decomposable into bounded partials.
+approx_quantile stores a per-partial KLL sketch (same mergeable-summary
+algebra as HLL: bounded bytes per group, merge on read) and surfaces
+p50/p90/p99 — quantiles are the other classically-non-decomposable
+aggregate, and the KLL partial is the only way a latency/size percentile
+dashboard can ride a forever-running rollup. In the exact regime
+(kll_k >= the group's row count) the sketch retains every value and the
+quantiles are exact order statistics — the configuration pytest pins
+against a direct sort; production keeps the default k and the
+epsilon ~ 1.65/sqrt(k) rank-error bound.
 """
 
 from __future__ import annotations
@@ -48,15 +57,18 @@ class IncrementalRollup:
     ts_col: str
     window: str  # e.g. "1 hour" — tumbling
     key_cols: list[str]
-    aggs: list[tuple[str, str]]  # (column, sum|count|min|max|avg) pairs
+    aggs: list[tuple[str, str]]  # (column, sum|count|min|max|avg|approx_distinct|approx_quantile)
+    kll_k: int = 200  # KLL accuracy knob; >= group rows => exact order stats
     _sink: ManifestSinkTable = field(init=False)
 
     def __post_init__(self) -> None:
         for _col, fn in self.aggs:
-            if fn not in (*_PARTIAL, "avg", "approx_distinct"):
+            if fn not in (*_PARTIAL, "avg", "approx_distinct", "approx_quantile"):
                 raise ValueError(
-                    f"{fn!r} is not decomposable; use sum/count/min/max/avg/approx_distinct"
+                    f"{fn!r} is not decomposable; use sum/count/min/max/avg/approx_distinct/approx_quantile"
                 )
+        if not 8 <= self.kll_k <= 65535:
+            raise ValueError("kll_k must be in [8, 65535] (datasketches KLL bound)")
         self._sink = ManifestSinkTable(self.sink_path, write_mode="committed")
 
     # -- internal aggregate plans -------------------------------------------
@@ -67,6 +79,13 @@ class IncrementalRollup:
                 if (c, fn) not in seen:
                     seen.add((c, fn))
                     cols.append(F.hll_sketch_agg(c).alias(f"_p_hll_{c}"))
+                continue
+            if fn == "approx_quantile":
+                if (c, fn) not in seen:
+                    seen.add((c, fn))
+                    cols.append(
+                        F.kll_sketch_agg_double(F.col(c).cast("double"), F.lit(self.kll_k)).alias(f"_p_kll_{c}")
+                    )
                 continue
             needed = ("sum", "count") if fn == "avg" else (fn,)
             for p in needed:
@@ -84,6 +103,10 @@ class IncrementalRollup:
                 cols.append(
                     F.hll_sketch_estimate(F.hll_union_agg(f"_p_hll_{c}")).alias(f"approx_distinct_{c}")
                 )
+            elif fn == "approx_quantile":
+                merged = F.kll_merge_agg_double(f"_p_kll_{c}")
+                for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                    cols.append(F.kll_sketch_get_quantile_double(merged, F.lit(q)).alias(f"{name}_{c}"))
             else:
                 cols.append(_COMBINE[fn](f"_p_{fn}_{c}").alias(f"{fn}_{c}"))
         return cols

@@ -222,3 +222,53 @@ def test_topk_truncated_counts_are_lower_bounds_and_head_survives(spark, tmp_pat
 def test_topk_rejects_bad_m(tmp_path):
     with pytest.raises(ValueError):
         _topk(tmp_path, m=0)
+
+
+def test_quantile_rollup_exact_regime_and_error_bound(spark, sf_dir, tmp_path):
+    """approx_quantile partials: (a) in the exact regime (kll_k >= group
+    rows) the merged 3-batch rollup reproduces the exact order statistic
+    (quantile_disc convention); (b) at the production default k=200 the
+    estimate's true rank stays within a loose KLL rank-error envelope."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+    from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def rolled(k, sub):
+        roll = IncrementalRollup(
+            sink_path=str(tmp_path / f"qr_{k}_{sub}"),
+            ts_col="ts",
+            window="3650 days",  # one window: per-type groups, maximal n
+            key_cols=["event_type"],
+            aggs=[("value", "approx_quantile")],
+            kll_k=k,
+        )
+        for i in range(3):
+            roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
+        return {r.event_type: (r.p50_value, r.p90_value) for r in roll.read(spark).collect()}
+
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r.event_type, []).append(r.value)
+    for t in vals:
+        vals[t].sort()
+
+    import math
+
+    exact_mode = rolled(65535, "a")
+    for t, (p50, p90) in exact_mode.items():
+        xs = vals[t]
+        n = len(xs)
+        assert p50 == xs[max(math.ceil(0.5 * n), 1) - 1]
+        assert p90 == xs[max(math.ceil(0.9 * n), 1) - 1]
+
+    approx = rolled(200, "b")
+    for t, (p50, _p90) in approx.items():
+        xs = vals[t]
+        n = len(xs)
+        import bisect
+
+        rank = bisect.bisect_right(xs, p50)
+        assert abs(rank - 0.5 * n) <= max(0.08 * n, 2), f"{t}: rank {rank} of {n} for p50 {p50}"
