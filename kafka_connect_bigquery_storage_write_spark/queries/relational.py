@@ -1647,3 +1647,117 @@ def q116_token_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token_a", "token_b", "dist")
         .orderBy("token_a", "token_b")
     )
+
+
+@query(
+    "q118_chisquare_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(dayofweek(ts) AS INT) AS dow, count(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(o) AS n FROM cells),
+    rows_ AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+    cols_ AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * ct / n)
+               / (CAST(rt AS DOUBLE) * ct / n) * 1000000.0 + 0.5) AS BIGINT) AS t
+      FROM cells JOIN rows_ USING (event_type) JOIN cols_ USING (dow), tot
+    )
+    SELECT CAST((SELECT count(*) FROM rows_) AS INT) AS n_types,
+           CAST((SELECT count(*) FROM cols_) AS INT) AS n_days,
+           CAST(((SELECT count(*) FROM rows_) - 1) * ((SELECT count(*) FROM cols_) - 1) AS INT) AS dof,
+           CAST(sum(t) AS DOUBLE) / 1000000.0 AS chi2
+    FROM terms
+    """,
+)
+def q118_chisquare_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test between event type and day-of-week —
+    the categorical-drift / A-A sanity check every event pipeline runs
+    (a large chi2 means traffic mix depends on weekday).
+
+    Exactness: observed and marginal counts are exact integers; each
+    cell's (o-e)^2/e term is computed with one identical IEEE op chain
+    and immediately fixed to integer micro-units, so the cross-cell SUM
+    is order-free (a raw double sum over cells would be
+    aggregation-order dependent). Scale shape: one count aggregation at
+    (type, dow) grain — 35 cells regardless of event count — then
+    driver-trivial marginals; the only event-grain work is the pushed
+    projection of (event_type, dayofweek).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy("event_type", F.dayofweek("ts").alias("dow")).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").alias("rt"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term = F.floor((F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    joined = cells.join(rows_, "event_type").join(F.broadcast(cols_), "dow").crossJoin(F.broadcast(tot))
+    n_types = rows_.count()
+    n_days = cols_.count()
+    return joined.agg(
+        F.lit(n_types).cast("int").alias("n_types"),
+        F.lit(n_days).cast("int").alias("n_days"),
+        F.lit((n_types - 1) * (n_days - 1)).cast("int").alias("dof"),
+        (F.sum(term).cast("double") / F.lit(1000000.0)).alias("chi2"),
+    )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_pair_sql(x: str, y: str) -> str:
+    cx = f"CAST(round(CAST({x} AS DECIMAL(18,2)) * 100) AS HUGEINT)"
+    cy = f"CAST(round(CAST({y} AS DECIMAL(18,2)) * 100) AS HUGEINT)"
+    return f"""
+      SELECT '{x}' AS col_x, '{y}' AS col_y,
+             floor(CAST(count(*) * sum({cx} * {cy}) - sum({cx}) * sum({cy}) AS DOUBLE)
+                   / sqrt(CAST(count(*) * sum({cx} * {cx}) - sum({cx}) * sum({cx}) AS DOUBLE)
+                          * CAST(count(*) * sum({cy} * {cy}) - sum({cy}) * sum({cy}) AS DOUBLE))
+                   * 1000000.0 + 0.5) / 1000000.0 AS r
+      FROM lineitem"""
+
+
+@query(
+    "q119_numeric_correlations",
+    oracle=" UNION ALL ".join(
+        _corr_pair_sql(x, y) for i, x in enumerate(_CORR_COLS) for y in _CORR_COLS[i + 1 :]
+    )
+    + " ORDER BY col_x, col_y",
+)
+def q119_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix (upper triangle) over the lineitem
+    numeric columns — the feature-screening pass before any modeling on
+    tabular data. Exact cross-engine parity for a statistic that is
+    normally float-order fuzz: all five moments (n, Σx, Σy, Σxy, Σx²,
+    Σy²) are exact integer-cent sums (decimal-typed so a 100 TB corpus
+    cannot overflow), and r is one identical IEEE expression over them,
+    portably rounded at 6dp. One pass over the fact table computes every
+    pair's moments simultaneously (map-side combine; no per-pair scans —
+    the same economics as DataFrame.stat.corr done 6x in one job).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = {c: F.round(F.col(c).cast("decimal(18,2)") * 100).cast("decimal(38,0)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(_CORR_COLS):
+        aggs.append(F.sum(cents[x]).alias(f"s_{x}"))
+        aggs.append(F.sum(cents[x] * cents[x]).alias(f"ss_{x}"))
+        for y in _CORR_COLS[i + 1 :]:
+            aggs.append(F.sum(cents[x] * cents[y]).alias(f"sxy_{x}_{y}"))
+    m = li.agg(*aggs)
+    pairs = []
+    for i, x in enumerate(_CORR_COLS):
+        for y in _CORR_COLS[i + 1 :]:
+            num = (F.col("n") * F.col(f"sxy_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")).cast("double")
+            dx = (F.col("n") * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")).cast("double")
+            dy = (F.col("n") * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")).cast("double")
+            r6 = F.floor(num / F.sqrt(dx * dy) * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+            pairs.append(
+                m.select(F.lit(x).alias("col_x"), F.lit(y).alias("col_y"), r6.alias("r"))
+            )
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col_x", "col_y")

@@ -485,3 +485,54 @@ def q117_incremental_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         .select("window_start", "event_type", "count_value", "p50_value", "p90_value", "p99_value")
         .orderBy("window_start", "event_type")
     )
+
+
+@query(
+    "q120_theta_returning_users",
+    oracle="""
+    WITH du AS (SELECT DISTINCT time_bucket(INTERVAL '1 day', ts) AS d, user_id FROM events),
+    act AS (SELECT d, CAST(count(*) AS BIGINT) AS n_active FROM du GROUP BY d)
+    SELECT b.d AS day,
+           act.n_active,
+           CAST(count(a.user_id) AS BIGINT) AS n_returning
+    FROM (SELECT DISTINCT d FROM du) days
+    JOIN act ON act.d = days.d
+    JOIN du b ON b.d = days.d
+    LEFT JOIN du a ON a.user_id = b.user_id AND a.d = b.d - INTERVAL 1 DAY
+    GROUP BY b.d, act.n_active
+    ORDER BY day
+    """,
+)
+def q120_theta_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day returning users via THETA SKETCH SET ALGEBRA: one
+    sketch per day, |A ∩ B| from sketch intersection — the distinct
+    aggregate HLL cannot answer (HLL unions only; theta's retained-hash
+    sample supports intersection/difference, Dasgupta et al. 2016).
+    This is how a 100 TB events table answers retention without ever
+    joining user-grain relations: per-day sketches are KBs, maintained
+    incrementally, and every pairwise overlap is sketch-local math.
+
+    Oracled in the EXACT regime: daily distinct users at fixture scale
+    sit below the sketch's nominal entries (4096), so no sketch enters
+    estimation mode and the intersection estimate IS the exact count the
+    SQL self-join computes. At production cardinalities estimates carry
+    the documented relative error; the exactness boundary is pinned in
+    the oracle config.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.theta_sketch_agg("user_id").alias("sk"),
+        F.count_distinct("user_id").alias("n_active"),
+    )
+    prev = daily.select(F.col("d").alias("d_prev"), F.col("sk").alias("sk_prev"))
+    return (
+        daily.join(prev, F.col("d_prev") == F.col("d") - F.expr("INTERVAL 1 DAY"), "left")
+        .select(
+            F.col("d").alias("day"),
+            "n_active",
+            F.coalesce(
+                F.theta_sketch_estimate(F.theta_intersection("sk", "sk_prev")), F.lit(0)
+            ).cast("long").alias("n_returning"),
+        )
+        .orderBy("day")
+    )
