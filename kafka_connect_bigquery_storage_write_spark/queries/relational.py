@@ -1761,3 +1761,89 @@ def q119_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in pairs[1:]:
         out = out.unionAll(p)
     return out.orderBy("col_x", "col_y")
+
+
+_PROFILE_NUM = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_PROFILE_STR = ["l_returnflag", "l_linestatus"]
+
+
+@query(
+    "q121_column_profile",
+    oracle=" UNION ALL ".join(
+        [
+            f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                CAST(min({c}) AS DOUBLE) AS min_num, CAST(max({c}) AS DOUBLE) AS max_num,
+                CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+                FROM lineitem"""
+            for c in _PROFILE_NUM
+        ]
+        + [
+            f"""SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+                min({c}) AS min_str, max({c}) AS max_str
+                FROM lineitem"""
+            for c in _PROFILE_STR
+        ]
+    )
+    + " ORDER BY col",
+)
+def q121_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of the fact table: row count, null
+    count, distinct cardinality, and min/max per column (numeric and
+    string sections typed separately — cross-engine float FORMATTING is
+    not portable, float VALUES are). The health check every ingestion
+    pipeline runs before publishing a table version; schema-drift
+    monitors diff consecutive profiles.
+
+    Scale shape: ONE pass over the table computes every column's
+    counts/extremes simultaneously (shared scan, map-side combine);
+    the distinct counts are the only shuffles and each moves one
+    column's values. At 100 TB swap count(DISTINCT) for
+    approx_count_distinct (q23) — the panel shape is unchanged.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_NUM + _PROFILE_STR:
+        aggs += [
+            F.count(F.lit(1)).alias(f"n_{c}"),
+            F.sum(F.isnull(c).cast("long")).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).alias(f"mn_{c}"),
+            F.max(c).alias(f"mx_{c}"),
+        ]
+    m = li.agg(*aggs)
+    parts = []
+    for c in _PROFILE_NUM:
+        parts.append(
+            m.select(
+                F.lit(c).alias("col"),
+                F.col(f"n_{c}").alias("n"),
+                F.col(f"nn_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").cast("double").alias("min_num"),
+                F.col(f"mx_{c}").cast("double").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in _PROFILE_STR:
+        parts.append(
+            m.select(
+                F.lit(c).alias("col"),
+                F.col(f"n_{c}").alias("n"),
+                F.col(f"nn_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"mn_{c}").alias("min_str"),
+                F.col(f"mx_{c}").alias("max_str"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("col")
