@@ -104,6 +104,24 @@ def main() -> None:
         lambda: semantic_dedup(emb10, threshold=0.4, n_clusters=16, max_cluster_rows=500).count(),
     )
 
+    probe_pagerank(spark)
+
 
 if __name__ == "__main__":
     main()
+
+
+def probe_pagerank(spark) -> None:
+    """10x PageRank probe: co-activity graph from the replicated events
+    (disjoint user spaces per replica — the graph is 10 disconnected
+    copies, so convergence structure is preserved while edge volume
+    scales 10x)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import pagerank_integer
+
+    ev10 = replicate(load_table(spark, SF, "events"), {"user_id": 10_000_000, "event_id": 10_000_000})
+    hu = ev10.select(F.date_trunc("hour", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
+    a = hu.select("h", F.col("u").alias("src"))
+    b = hu.select("h", F.col("u").alias("dst"))
+    edges = a.join(b, "h").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    edges = edges.localCheckpoint(eager=True)
+    timed("pagerank_10x_3iters", lambda: pagerank_integer(edges, iterations=3).count())
