@@ -107,10 +107,6 @@ def main() -> None:
     probe_pagerank(spark)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def probe_pagerank(spark) -> None:
     """10x PageRank probe: co-activity graph from the replicated events
     (disjoint user spaces per replica — the graph is 10 disconnected
@@ -125,3 +121,7 @@ def probe_pagerank(spark) -> None:
     edges = a.join(b, "h").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
     edges = edges.localCheckpoint(eager=True)
     timed("pagerank_10x_3iters", lambda: pagerank_integer(edges, iterations=3).count())
+
+
+if __name__ == "__main__":
+    main()
