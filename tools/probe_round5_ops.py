@@ -108,13 +108,26 @@ def main() -> None:
 
 
 def probe_pagerank(spark) -> None:
-    """10x PageRank probe: co-activity graph from the replicated events
-    (disjoint user spaces per replica — the graph is 10 disconnected
-    copies, so convergence structure is preserved while edge volume
-    scales 10x)."""
+    """10x PageRank probe: co-activity graph from the replicated events.
+    User ids AND timestamps are offset per replica (disjoint user spaces
+    + disjoint time ranges), so the graph is 10 truly disconnected
+    copies — edge volume scales ~10x and convergence structure is
+    preserved. (Offsetting only ids would let replicas share hours and
+    square the per-hour bucket — a 100x edge blow-up measuring the
+    hot-bucket regime, not the scale-up.)"""
     from kafka_connect_bigquery_storage_write_spark.operators.graph import pagerank_integer
 
-    ev10 = replicate(load_table(spark, SF, "events"), {"user_id": 10_000_000, "event_id": 10_000_000})
+    base = load_table(spark, SF, "events")
+    parts = []
+    for i in range(R):
+        parts.append(
+            base.withColumn("user_id", F.col("user_id") + F.lit(i * 10_000_000)).withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 3000} DAYS")
+            )
+        )
+    ev10 = parts[0]
+    for p in parts[1:]:
+        ev10 = ev10.union(p)
     hu = ev10.select(F.date_trunc("hour", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
     a = hu.select("h", F.col("u").alias("src"))
     b = hu.select("h", F.col("u").alias("dst"))
