@@ -232,3 +232,74 @@ def q72_avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = IngestPipeline.for_avro(cfg, EVENT_AVRO_SCHEMA, sink_schema=sink_schema)
     pipe.run_batch(env, batch_id=0)
     return pipe.read_sink(spark)
+
+
+_SRC_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """
+
+_SRC_SCHEMA = "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate string"
+
+
+def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write orders to ``fmt`` (json lines / csv with header), read it
+    back through the format's parser with an EXPLICIT schema, and
+    aggregate — value-hash equality against the parquet-side oracle
+    proves the text encoding round-trips exactly (shortest-repr double
+    printing re-reads to the identical double; timestamps ride as
+    ISO strings so no format-specific timestamp parsing is in play)."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    )
+    path = tempfile.mkdtemp(prefix=f"kafka_connect_bigquery_storage_write_spark_{fmt}_src_") + "/orders"
+    writer = src.write.mode("overwrite")
+    reader = spark.read.schema(_SRC_SCHEMA)
+    if fmt == "csv":
+        writer.option("header", True).csv(path)
+        back = reader.option("header", True).csv(path)
+    else:
+        writer.json(path)
+        back = reader.json(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("q124_jsonl_source", oracle=_SRC_ORACLE)
+def q124_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source format (E1 beyond parquet): orders written to
+    JSONL and re-read with an explicit schema, aggregated, and
+    value-hash checked against the parquet-side oracle — the
+    lossless-round-trip property every multi-format lakehouse ingest
+    depends on. Schema-on-read is EXPLICIT (inference is a full extra
+    pass and nondeterministic under type promotion — the same reasons
+    the reference requires declared schemas, SURVEY §1.2).
+    """
+    return _source_roundtrip(spark, sf_dir, "json")
+
+
+@query("q125_csv_source", oracle=_SRC_ORACLE)
+def q125_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source format (E1 beyond parquet): same round-trip contract
+    as q124 through the CSV writer/parser (header mode, explicit
+    schema). CSV is the format where silent type drift actually
+    happens — the explicit-schema read is the guard."""
+    return _source_roundtrip(spark, sf_dir, "csv")

@@ -308,3 +308,60 @@ def q114_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("zscore") >= 3.0)
         .orderBy("user_id", "hour")
     )
+
+
+@query(
+    "q123_interval_join_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, c.click_id, p.user_id,
+           CAST((epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS BIGINT) AS lag_s
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts <= p.p_ts
+     AND p.p_ts < c.c_ts + INTERVAL 48 HOURS
+    ORDER BY purchase_id, click_id
+    """,
+)
+def q123_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join: every purchase matched to ALL of the
+    user's clicks in the preceding 48 hours — the many-to-many
+    time-bounded join behind ad attribution (q54's as-of join keeps only
+    the nearest match; attribution models weight the full set).
+
+    This is exactly the STREAM-STREAM inner join shape Structured
+    Streaming supports (equality key + event-time interval condition,
+    watermark-bounded state); tests/test_streaming_windows.py runs the
+    same join as two real file streams with 48h watermarks and pins
+    equality with this batch result. Scale shape: one shuffle on
+    user_id for both sides, the interval predicate evaluates within the
+    co-partitioned join; lag arithmetic in exact integer microseconds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.user_id)
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            purchases.user_id.alias("user_id"),
+            F.floor((us("p_ts") - us("c_ts")) / 1_000_000).cast("long").alias("lag_s"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

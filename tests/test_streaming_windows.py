@@ -96,3 +96,62 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.event_id for r in spark.read.parquet(str(out)).collect())
     assert ids == [1, 2]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path, sf_dir):
+    """The q123 attribution join run as a REAL stream-stream inner join
+    (two file streams, 48h watermarks, equality key + event-time
+    interval condition) must produce exactly the batch result — the
+    Structured Streaming feature the batch query's docstring claims."""
+    from kafka_connect_bigquery_storage_write_spark.queries.temporal import q123_interval_join_attribution
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    batch_rows = sorted(tuple(r) for r in q123_interval_join_attribution(spark, sf_dir).collect())
+
+    src = tmp_path / "ev_parquet"
+    load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    ).write.parquet(str(src))
+
+    stream = spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string").parquet(
+        str(src)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "48 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "48 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.floor(
+            (F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(F.col("c_ts").cast("timestamp")))
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("lag_s"),
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    assert got == batch_rows
+    assert len(got) > 0
