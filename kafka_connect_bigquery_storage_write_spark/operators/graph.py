@@ -49,17 +49,22 @@ def pagerank_integer(
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be 0..100")
     base = MICRO * (100 - damping_pct) // 100
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    # degree is loop-invariant: join it onto the edge relation ONCE and
+    # checkpoint, so each iteration pays one join (ranks) + one
+    # aggregation instead of two joins — at fixture scale the per-round
+    # fixed cost is the whole bill, and on a cluster it removes a
+    # broadcast/shuffle of deg per round
+    edeg = edges.join(edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg")), src).localCheckpoint(eager=True)
     vertices = (
         edges.select(F.col(src).alias("vertex"))
         .union(edges.select(F.col(dst).alias("vertex")))
         .distinct()
+        .localCheckpoint(eager=True)  # reused every round
     )
     ranks = vertices.withColumn("rank_micro", F.lit(MICRO).cast("long")).localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, edges[src] == ranks.vertex)
-            .join(deg, src)
+            edeg.join(ranks, edeg[src] == ranks.vertex)
             .select(F.col(dst).alias("vertex"), F.expr("rank_micro div _deg").alias("_c"))
             .groupBy("vertex")
             .agg(F.sum("_c").alias("_in"))
