@@ -1847,3 +1847,38 @@ def q121_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("col")
+
+
+@query(
+    "q127_unpivot_metrics",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS price,
+             CAST(round(sum(CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, metric, amount
+    FROM agg UNPIVOT (amount FOR metric IN (qty, price, disc))
+    ORDER BY l_returnflag, metric
+    """,
+)
+def q127_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of q34's pivot: a wide per-flag
+    metric aggregate reshaped into (flag, metric, amount) long form, the
+    shape dashboards, metric stores and ML feature tables ingest.
+    Spark's unpivot/melt is a pure projection expansion (each input row
+    emits one row per value column — no shuffle, no Python); the
+    upstream aggregate uses exact decimals so the reshaped values hash
+    identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2).cast("double").alias("qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").alias("price"),
+        F.round(F.sum(F.col("l_discount").cast("decimal(18,2)")), 2).cast("double").alias("disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"], values=["qty", "price", "disc"], variableColumnName="metric", valueColumnName="amount"
+    ).orderBy("l_returnflag", "metric")

@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
     cosine_near_dup_pairs,
     cosine_near_dup_pairs_blocked,
@@ -563,3 +564,63 @@ def q107_embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.floor(F.col("s_total").cast("double") / F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("gram"),
     ).orderBy("pos_i", "pos_j")
+
+
+@query(
+    "q126_filtered_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             round({_DOT.format(a='qe', b='c.embedding')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='c.embedding')}), 6) AS cosine
+      FROM q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q126_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search: top-5 neighbors restricted to the
+    query's own label — the "same tenant / same language / same license"
+    predicate every production ANN call carries. The filter composes as
+    a JOIN CONDITION, not post-filtering of an unfiltered top-k (which
+    silently under-returns when the filter is selective — the classic
+    filtered-ANN bug).
+
+    Exact form (fold cosine, broadcast queries) so the whole composition
+    is hash-oracled; the scale path composes the same predicate into the
+    IVF list-probe join (candidates = list match AND label match) with
+    identical semantics. Each query scores only its label's partition of
+    the corpus — selectivity makes FILTERED search CHEAPER, never
+    approximate-at-the-wrong-set.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_qlabel"), F.col("embedding").alias("_qvec")
+    )
+    c = ensure_compute_parallelism(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("embedding").alias("_cvec"))
+    )
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine as _cosine
+
+    scored = (
+        c.join(
+            F.broadcast(queries),
+            (F.col("label") == F.col("_qlabel")) & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", F.round(_cosine(F.col("_qvec"), F.col("_cvec")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .orderBy("query_id", "rank")
+    )
