@@ -971,3 +971,57 @@ def q110_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q128_weighted_reservoir_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -- u in (0,1] from the first 13 hex digits of md5(doc_id):
+             -- exactly representable, identical in both engines
+             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+                / 4503599627370496.0) / n_chars AS k
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rk
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars
+    FROM ranked WHERE rk <= 20
+    ORDER BY source, doc_id
+    """,
+)
+def q128_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, 20 docs per source with
+    inclusion odds proportional to n_chars — the Efraimidis–Spirakis
+    A-Res scheme (key = ln(u)/w, keep the top-k keys), the standard way
+    a mixture pipeline oversamples long/valuable documents while staying
+    a one-pass top-k. Complements q82 (uniform quota) and q99 (exact
+    source-level apportionment): this one weights at the DOCUMENT level.
+
+    Determinism: u derives from md5(doc_id) — 13 hex digits / 2^52, a
+    dyadic rational both engines represent exactly — so keys are
+    reproducible across runs/engines/cluster sizes (rand() is none of
+    those); doc_id tiebreak pins the rank order against last-ulp ln
+    differences. Scale shape: per-source top-20 is a rank window over
+    the (source)-partitioned relation — swap in a per-partition heap at
+    huge strata exactly like q82.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast("double") + F.lit(1.0)
+    ) / F.lit(4503599627370496.0)
+    key = F.log(u) / F.col("n_chars")
+    w = W.partitionBy("source").orderBy(F.col("k").desc(), "doc_id")
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("k"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    )
