@@ -49,8 +49,20 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # followed by q93/q96 (officially red in r4 on the array-column
 # canonicalizer failure, now emitting deterministic strings — these MUST
 # get green rows this round), then queries new in round 5; the r4 window's
-# green queries rotate to back-fill.  After this round every oracled query
-# again has an official row at most one round old.
+# green queries rotate to back-fill.
+#
+# STALENESS POLICY from round 5 on: with 120 oracled queries and a
+# 50-row window, ≤1-round staleness is arithmetically impossible (a
+# 2-round rotation covers 100). The guarantee becomes LEAST-RECENTLY-
+# VERIFIED-FIRST with ≤2-round staleness: every rotation leads with the
+# queries whose newest official row is oldest (round-6 lead block: the
+# 18 round-5 queries never officially windowed — q106, q108–q114,
+# q116–q128 excl. windowed — then the r4-latest block). Compensating
+# control: tools/driver_sim.py verifies EVERY oracled query against its
+# DuckDB oracle every round at sf0.01 (and the non-quadratic-oracle set
+# at sf0.1) under the official driver's canonicalizer replica
+# (harness_canon.py), so local green is a faithful predictor for the
+# unwindowed majority.
 DRIVER_WINDOW: tuple[str, ...] = (
     # newest driver row is r3 — rotate in for fresh official rows
     "q01_pricing_summary",
