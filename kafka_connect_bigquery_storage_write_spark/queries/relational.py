@@ -1882,3 +1882,58 @@ def q127_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         ids=["l_returnflag"], values=["qty", "price", "disc"], variableColumnName="metric", valueColumnName="amount"
     ).orderBy("l_returnflag", "metric")
+
+
+@query(
+    "q129_null_safe_join",
+    oracle="""
+    WITH keyed AS (
+      SELECT nullif(event_type, 'view') AS k, value FROM events
+    ),
+    weights(k, w) AS (
+      VALUES ('click', 2.0), ('purchase', 5.0), (NULL, 0.5)
+    )
+    SELECT coalesce(keyed.k, '<null>') AS key,
+           CAST(count(*) AS BIGINT) AS n,
+           w AS weight,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))) * CAST(w AS DECIMAL(4,1)), 2) AS DOUBLE)
+             AS weighted_value
+    FROM keyed JOIN weights ON keyed.k IS NOT DISTINCT FROM weights.k
+    GROUP BY keyed.k, w
+    ORDER BY key
+    """,
+)
+def q129_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark `<=>` == SQL IS NOT DISTINCT FROM):
+    a weights dimension whose key set INCLUDES NULL — the semantics a
+    plain equi-join silently drops (NULL = NULL is NULL, so unkeyed
+    facts vanish). The fallback-bucket pattern every dimension join with
+    incomplete keys needs; completes the join-predicate surface (equi,
+    non-equi range, interval, semi/anti, null-safe).
+
+    Scale: the null-safe condition still hashes (Spark plans
+    BroadcastHashJoin on coalesced key comparison), so the dimension
+    broadcasts as usual — pinned by the plan staying sort-merge-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.nullif("event_type", F.lit("view")).alias("k"), "value")
+    weights = spark.createDataFrame([("click", 2.0), ("purchase", 5.0), (None, 0.5)], "k string, w double")
+    return (
+        keyed.join(F.broadcast(weights), keyed.k.eqNullSafe(weights.k))
+        .groupBy(keyed.k, "w")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")) * F.col("w").cast("decimal(4,1)"), 2
+            )
+            .cast("double")
+            .alias("weighted_value"),
+        )
+        .select(
+            F.coalesce(keyed.k, F.lit("<null>")).alias("key"),
+            "n",
+            F.col("w").alias("weight"),
+            "weighted_value",
+        )
+        .orderBy("key")
+    )
