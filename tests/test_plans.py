@@ -255,3 +255,43 @@ def test_q105_semi_join_on_shingle_hash(spark, sf_dir):
     # the held-out set joins on the 8-byte shingle hash, never text
     semi_lines = [l for l in plan.splitlines() if "LeftSemi" in l]
     assert all("text" not in l for l in semi_lines)
+
+
+def test_q113_increment_buckets_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q113_incremental_near_dup")
+    # the batch side (increment buckets + candidate prunes) must broadcast
+    # into the stored-index joins — the corpus is never shuffled by the probe
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_q119_single_pass_moments(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q119_numeric_correlations")
+    # every pair's moments ride ONE scan of lineitem: the plan reuses a
+    # single aggregated subtree, it does not re-scan per pair
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l and "lineitem" in l]
+    assert len(scans) <= 2, f"per-pair rescans: {len(scans)}"
+
+
+def test_q123_interval_join_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q123_interval_join_attribution")
+    # equality on user_id must drive the join; the time interval is a
+    # residual condition, never a nested-loop cross product
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q126_filter_composed_into_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q126_filtered_cosine_topk")
+    # label equality must be a join condition (hash key or residual on the
+    # broadcast join), and the rank window runs AFTER the filtered join —
+    # post-filtering an unfiltered top-k would under-return
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q129_null_safe_join_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q129_null_safe_join")
+    # the null-safe condition still hashes (coalesced-key comparison):
+    # the dimension broadcasts, no sort-merge, no nested loop
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
