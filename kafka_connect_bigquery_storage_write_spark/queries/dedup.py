@@ -456,3 +456,64 @@ def q113_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_incremental(corpus, inc, num_hashes=32, bands=8, threshold=0.85).orderBy(
         "corpus_id", "inc_id"
     )
+
+
+from kafka_connect_bigquery_storage_write_spark.queries.text import _QUALITY  # noqa: E402  (quality fragment shared with q43's oracle)
+
+
+@query(
+    "q131_quality_survivorship",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    dup_pairs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= 0.8),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM dup_pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM dup_pairs
+    ),
+    reach(v, w) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.v, e.b FROM reach r JOIN edges e ON r.w = e.a
+    ),
+    labels AS (SELECT v AS doc_id, min(w) AS cluster_id FROM reach GROUP BY v),
+    q AS (SELECT doc_id, {_QUALITY} AS quality FROM documents),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rk
+      FROM labels l JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality, (rk = 1) AS is_survivor
+    FROM ranked
+    ORDER BY cluster_id, doc_id
+    """,
+)
+def q131_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP by quality: within each near-dup cluster
+    (q73's connected components over exact Jaccard pairs) keep the
+    HIGHEST-QUALITY copy, not the smallest id — the curation rule real
+    pipelines use (the canonical copy of a scraped page is the cleanest
+    one, not the first-crawled one). Ties break on doc_id so the
+    survivor is deterministic.
+
+    Composition of three verified pieces: jaccard pair generation +
+    connected_components (q73) + the q43 quality score; the survivor
+    choice is a rank window over the cluster relation (8-byte ids +
+    one double — text never enters the cluster machinery).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.text import quality_score
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).persist()
+    pairs.count()  # barrier: both edge directions consume this relation
+    comps = connected_components(pairs, "id_a", "id_b")
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    labeled = comps.select(F.col("vertex").alias("doc_id"), "cluster_id").join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        labeled.withColumn("rk", F.row_number().over(w))
+        .select("doc_id", "cluster_id", "quality", (F.col("rk") == 1).alias("is_survivor"))
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -1937,3 +1937,52 @@ def q129_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+@query(
+    "q130_cdc_latest_state",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, ts, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk,
+             count(*)    OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_type,
+           round(value, 2) AS last_value,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q130_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction / MERGE-latest semantics: collapse an
+    append-only event log to one current-state row per key (newest by
+    event time, event_id tiebreak for same-timestamp changes) plus the
+    change count — the materialization step behind every CDC mirror and
+    upsert sink, expressed as a deterministic rank window.
+
+    Scale shape: one shuffle on the key; both the latest-row rank and
+    the change count ride the SAME window partitioning (no second
+    exchange). At table-maintenance scale this is the compaction query a
+    MERGE INTO engine runs under the hood; the manifest sink's
+    idempotent batches (R14) make re-running it safe.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    wc = W.partitionBy("user_id")
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
