@@ -56,8 +56,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # 2-round rotation covers 100). The guarantee becomes LEAST-RECENTLY-
 # VERIFIED-FIRST with ≤2-round staleness: every rotation leads with the
 # queries whose newest official row is oldest (round-6 lead block: the
-# 18 round-5 queries never officially windowed — q106, q108–q114,
-# q116–q128 excl. windowed — then the r4-latest block). Compensating
+# round-5 queries never officially windowed — q106, q108–q131 except
+# the seven in this window — then the r4-latest block). Compensating
 # control: tools/driver_sim.py verifies EVERY oracled query against its
 # DuckDB oracle every round at sf0.01 (and the non-quadratic-oracle set
 # at sf0.1) under the official driver's canonicalizer replica
