@@ -18,7 +18,8 @@ shuffle a small-input-only cost — exactly when the shuffle is cheapest.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
 
 
 def ensure_compute_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -52,3 +53,60 @@ def repartition_for_grouped_map(df: DataFrame, *keys: str, n_groups: int | None 
     # floor of 1: a dynamically-computed empty group list must not turn
     # into repartition(0, ...) (IllegalArgumentException far from cause)
     return df.repartition(max(target, 1), *keys)
+
+
+def ranked_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: str | None = None,
+    rank_col: str = "r",
+    cum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``row_number`` (+ optional running ``sum``) over a
+    TOTAL order, without ever collapsing the relation onto one task.
+
+    A bare ``Window.orderBy(...)`` (no partitionBy) is the classic scale
+    trap: Spark plans it as a single-partition WindowExec (`WindowExec:
+    No Partition Defined`), so a 10^7–10^8-row vocabulary or key-count
+    relation serializes on one core. This helper is the standard
+    two-phase prefix-sum instead:
+
+      1. range-partition on ``order`` (the same exchange a global sort
+         pays — partition i's keys all precede partition i+1's);
+      2. rank/cumsum WITHIN each range partition (parallel window keyed
+         by ``spark_partition_id()``);
+      3. aggregate the P per-partition (count, sum) totals — a P-row
+         relation — window THOSE into exclusive offsets (bounded by the
+         partition count, so the global window there is safe by
+         construction), and broadcast-join the offsets back.
+
+    ``order`` must be a deterministic total order (callers tie-break on
+    a unique key, as every registered query already does). ``value``
+    names the column whose running sum lands in ``cum_col``; omit it for
+    rank-only. AQE note: coalescing of the range exchange merges only
+    ADJACENT reducer ranges, so per-partition monotonicity — all phase-2
+    correctness — survives runtime re-planning.
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *order).withColumn("_rps_pid", F.spark_partition_id())
+    w = Window.partitionBy("_rps_pid").orderBy(*order)
+    local = part.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    aggs = [F.count(F.lit(1)).alias("_rps_n")]
+    if value is not None:
+        local = local.withColumn(
+            cum_col, F.sum(value).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        aggs.append(F.sum(value).alias("_rps_s"))
+    per_part = local.groupBy("_rps_pid").agg(*aggs)
+    wo = Window.orderBy("_rps_pid").rowsBetween(Window.unboundedPreceding, -1)
+    off_cols = ["_rps_pid", F.coalesce(F.sum("_rps_n").over(wo), F.lit(0)).alias("_rps_roff")]
+    if value is not None:
+        off_cols.append(F.coalesce(F.sum("_rps_s").over(wo), F.lit(0)).alias("_rps_soff"))
+    offsets = per_part.select(*off_cols)
+    out = local.join(F.broadcast(offsets), "_rps_pid")
+    out = out.withColumn(rank_col, F.col(rank_col) + F.col("_rps_roff"))
+    if value is not None:
+        out = out.withColumn(cum_col, F.col(cum_col) + F.col("_rps_soff"))
+    return out.drop("_rps_pid", "_rps_roff", "_rps_soff")

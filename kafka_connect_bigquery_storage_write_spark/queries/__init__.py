@@ -43,81 +43,76 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order, with the no-oracle (rows-only) queries last so the
 # window carries the maximum number of hash-verified rows.
 #
-# Round-5 rotation (VERDICT r4 next-round #5/#6): the 41 oracled queries
-# whose newest official driver row is round 3 lead (including the
-# streaming-stateful family q53/q60–q62/q67–q68 singled out by the judge),
-# followed by q93/q96 (officially red in r4 on the array-column
-# canonicalizer failure, now emitting deterministic strings — these MUST
-# get green rows this round), then queries new in round 5; the r4 window's
-# green queries rotate to back-fill.
-#
-# STALENESS POLICY from round 5 on: with 120 oracled queries and a
+# STALENESS POLICY (since round 5): with 123 oracled queries and a
 # 50-row window, ≤1-round staleness is arithmetically impossible (a
-# 2-round rotation covers 100). The guarantee becomes LEAST-RECENTLY-
+# 2-round rotation covers 100). The guarantee is LEAST-RECENTLY-
 # VERIFIED-FIRST with ≤2-round staleness: every rotation leads with the
-# queries whose newest official row is oldest (round-6 lead block: the
-# round-5 queries never officially windowed — q106, q108–q131 except
-# the seven in this window — then the r4-latest block). Compensating
-# control: tools/driver_sim.py verifies EVERY oracled query against its
-# DuckDB oracle every round at sf0.01 (and the non-quadratic-oracle set
-# at sf0.1) under the official driver's canonicalizer replica
+# queries whose newest official row is oldest. Compensating control:
+# tools/driver_sim.py verifies EVERY oracled query against its DuckDB
+# oracle every round at sf0.01 (and the non-quadratic-oracle set at
+# sf0.1) under the official driver's canonicalizer replica
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
+#
+# Round-6 rotation (VERDICT r5 next-round #1): staleness order is
+# never-windowed (27: q106/q108–q131 less the seven windowed in r5,
+# plus rows-only q88/q92) → r2-latest rows-only block (q33/q36/q38/
+# q39/q63) → oldest r4-latest queries in registration order (first 18).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # newest driver row is r3 — rotate in for fresh official rows
-    "q01_pricing_summary",
-    "q02_filtered_scan",
-    "q03_shipping_priority",
-    "q04_order_priority_check",
-    "q05_supplier_region_volume",
-    "q06_forecast_revenue",
-    "q07_customer_order_counts",
-    "q08_customers_without_orders",
-    "q40_text_stats",
-    "q41_language_histogram",
-    "q42_top_tokens",
-    "q43_quality_filter",
-    "q44_train_test_split",
-    "q45_token_budget",
-    "q46_winnow_fingerprints",
-    "q50_tumbling_window",
-    "q51_sliding_window",
-    "q52_session_window",
-    "q53_stream_dedup",
-    "q54_asof_join",
-    "q55_range_join_bands",
-    "q56_incremental_rollup",
-    "q57_repetition_signals",
-    "q60_pandas_udf_charge",
-    "q61_apply_in_pandas_user_stats",
-    "q62_python_udf_priority",
-    "q66_mixture_sampling",
-    "q67_event_funnel",
-    "q68_cohort_retention",
-    "q72_avro_ingest_roundtrip",
-    "q74_tfidf_top_terms",
-    "q75_pii_scrub",
-    "q76_embedding_quantize",
-    "q77_sessionize_events",
-    "q79_sequence_packing",
-    "q80_document_chunking",
-    "q81_heavy_hitters",
-    "q82_stratified_sample",
-    "q83_incremental_distinct_rollup",
-    "q84_disjunctive_predicates",
-    "q85_global_threshold",
-    # officially red in r4 (array-column canonicalizer), fixed this round
-    "q93_label_centroids",
-    "q96_vocab_encode",
-    # new in round 5 (window tops out at 50: q106/q108/q109–q112 — also
-    # new, also oracled, sim-green — take the first r6 rotation slots)
-    "q100_ivf_exact_topk",
-    "q101_blocked_near_dups_exact",
-    "q102_returned_items",
-    "q103_promo_revenue",
-    "q104_top_revenue_supplier",
-    "q105_contamination_scores",
-    "q107_embedding_gram_matrix",
+    # --- never officially windowed (new in r5; sim-green every round) ---
+    "q106_token_freq_of_freq",
+    "q108_quality_decile_bins",
+    "q109_bloom_prefilter_dedup",
+    "q110_unigram_surprisal",
+    "q111_key_skew_profile",
+    "q112_vocab_coverage",
+    "q113_incremental_near_dup",
+    "q114_series_outliers",
+    "q115_window_rank_family",
+    "q116_token_typo_pairs",
+    "q117_incremental_quantile_rollup",
+    "q118_chisquare_independence",
+    "q119_numeric_correlations",
+    "q120_theta_returning_users",
+    "q121_column_profile",
+    "q122_pagerank_coactivity",
+    "q123_interval_join_attribution",
+    "q124_jsonl_source",
+    "q125_csv_source",
+    "q126_filtered_cosine_topk",
+    "q127_unpivot_metrics",
+    "q128_weighted_reservoir_sample",
+    "q129_null_safe_join",
+    "q130_cdc_latest_state",
+    "q131_quality_survivorship",
+    # never-windowed rows-only (pytest-pinned recall/exactness)
+    "q88_ivf_int8_serving",
+    "q92_semantic_dedup",
+    # --- newest official row is r2 (rows-only family) ---
+    "q33_simhash_near_dups",
+    "q36_lsh_ann_topk",
+    "q38_embedding_near_dups_blocked",
+    "q39_ivf_ann_topk",
+    "q63_embedding_near_dups_lsh",
+    # --- newest official row is r4; first 18 in registration order ---
+    "q30_dedup_exact",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_near_dups",
+    "q65_incremental_dedup",
+    "q73_dedup_clusters",
+    "q87_dedup_clusters_star",
+    "q78_decontamination",
+    "q94_containment_pairs",
+    "q99_weighted_quota_sample",
+    "q47_multimodal_binary_metadata",
+    "q70_conversion_roundtrip",
+    "q71_ingest_pipeline_committed",
+    "q86_dlq_replay_convergence",
+    "q09_status_distinct_customers",
+    "q10_rollup_quantities",
+    "q11_cube_volumes",
+    "q12_top_orders",
+    "q13_top_customers_per_nation",
 )
 
 

@@ -148,16 +148,17 @@ def q111_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending and a
     deterministic tiebreak — every term an exact integer, one double
     division + portable floor-half-up round at the end. Scale shape: the
-    window and aggregates run over the KEY-grain count relation (n_keys
-    rows, not events); the events-grain work is one map-side-combined
-    count. The global rank window is single-partition but only ever sees
-    n_keys rows — the same key space the diagnosed shuffle would hash on.
+    rank runs over the KEY-grain count relation (n_keys rows, not
+    events) — but a 100 TB event log's key space is itself 10^8+, so the
+    rank is a distributed prefix-sum (``ranked_prefix_sum``), not a
+    single-partition global window; the events-grain work is one
+    map-side-combined count.
     """
-    from pyspark.sql import Window as W
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ranked_prefix_sum
 
     ev = load_table(spark, sf_dir, "events")
     cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
-    ranked = cnt.withColumn("i", F.row_number().over(W.orderBy("c", "user_id")))
+    ranked = ranked_prefix_sum(cnt, [F.col("c"), F.col("user_id")], rank_col="i")
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("total"),

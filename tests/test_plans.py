@@ -295,3 +295,28 @@ def test_q129_null_safe_join_broadcasts(spark, sf_dir):
     # the dimension broadcasts, no sort-merge, no nested loop
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q112_vocab_rank_is_distributed_prefix_sum(spark, sf_dir):
+    """VERDICT r5 #3: the vocabulary rank/cumsum must never collapse the
+    token-frequency relation onto one task. The distributed prefix-sum
+    range-partitions on the frequency order and windows within
+    partitions (keyed on the physical partition id)."""
+    plan = _plan(spark, sf_dir, "q112_vocab_coverage")
+    assert "_rps_pid" in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_q108_decile_has_no_global_ntile(spark, sf_dir):
+    """q108's decile comes from the distributed rank + integer ntile
+    sizing rule — a bare `ntile` window over the corpus grain would be a
+    single-partition WindowExec."""
+    plan = _plan(spark, sf_dir, "q108_quality_decile_bins")
+    assert "ntile" not in plan.lower(), plan
+    assert "_rps_pid" in plan, plan
+
+
+def test_q111_key_rank_is_distributed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q111_key_skew_profile")
+    assert "_rps_pid" in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
