@@ -26,10 +26,44 @@ the accumulated tree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MICRO = 1_000_000
+
+
+def coactivity_edges(
+    memberships: DataFrame,
+    bucket: str = "h",
+    member: str = "u",
+    max_bucket_members: int | None = None,
+) -> DataFrame:
+    """Symmetric co-membership edges: members sharing a bucket get both
+    (src,dst) and (dst,src). The self-join squares per-bucket membership
+    (cost Σ_b |B_b|² — the same economics as the shingle df² joins), so
+    ``max_bucket_members`` bounds the blowup: each bucket keeps at most
+    K members, chosen by deterministic md5 rank over (bucket, member) —
+    a content-keyed sample, stable across runs, partitionings, and
+    cluster sizes (q44's split trick; the bucket analogue of _cap_df's
+    stop-shingles) — capping any bucket's join contribution at K².
+    A 10x hot-bucket probe of the uncapped build measured 108.5s vs
+    15.3s (SCALING.md round-5); the cap turns that cliff into a knob.
+    ``None`` keeps exact semantics (the oracle-checked configuration at
+    fixture scale uses a cap far above the fixture's max bucket).
+    """
+    if max_bucket_members is not None:
+        w = Window.partitionBy(bucket).orderBy(
+            F.md5(F.concat_ws("|", F.col(bucket).cast("string"), F.col(member).cast("string"))),
+            F.col(member),
+        )
+        memberships = (
+            memberships.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= max_bucket_members)
+            .drop("_rk")
+        )
+    a = memberships.select(bucket, F.col(member).alias("src"))
+    b = memberships.select(bucket, F.col(member).alias("dst"))
+    return a.join(b, bucket).filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
 
 
 def pagerank_integer(

@@ -53,17 +53,19 @@ def q122_pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer update — floor-division contributions, damped 85/100 update
     — into chained CTEs). Scale shape: the edge build is the df²-style
     hour-bucket self-join (same economics as the shingle joins — a hot
-    hour is a hot bucket; cap or sample hot buckets exactly like
-    max_df); each iteration is one join + one dst-grain aggregation over
-    8-byte ids, eager-checkpointed per the round-4 loop rule.
+    hour is a hot bucket), so it runs through coactivity_edges with
+    max_bucket_members=2000 (VERDICT r5 #4): deterministic md5-rank
+    sampling bounds any bucket's join contribution at 2000² while the
+    fixture's buckets (max 166 members at sf0.1) sit far below the cap,
+    keeping the oracle exact; each iteration is one join + one dst-grain
+    aggregation over 8-byte ids, eager-checkpointed per the round-4
+    loop rule.
     """
-    from kafka_connect_bigquery_storage_write_spark.operators.graph import pagerank_integer
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import coactivity_edges, pagerank_integer
 
     ev = load_table(spark, sf_dir, "events")
     hu = ev.select(F.date_trunc("hour", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
-    a = hu.select("h", F.col("u").alias("src"))
-    b = hu.select("h", F.col("u").alias("dst"))
-    edges = a.join(b, "h").filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    edges = coactivity_edges(hu, max_bucket_members=2000)
     edges = edges.localCheckpoint(eager=True)  # the loop reuses this relation every round
     ranks = pagerank_integer(edges, iterations=_ITERS)
     return (

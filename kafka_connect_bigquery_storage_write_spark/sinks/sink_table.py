@@ -10,7 +10,15 @@ Spark restatement: a directory table whose visible contents are defined
 by manifest marker files, not by which parquet files exist.
 
     <root>/_schema.json              frozen table schema (first write wins)
-    <root>/data/batch=<id>/*.parquet physical rows for one micro-batch
+    <root>/data/batch=<id>/attempt=<uuid>/*.parquet
+                                     physical rows for one micro-batch —
+                                     each append ATTEMPT writes its own
+                                     immutable directory; the marker that
+                                     wins the CAS names which attempt is
+                                     the batch's content (Iceberg/Delta's
+                                     unique-data-files + manifest-pointer
+                                     rule), so two racing appends of one
+                                     batch id can never mix files
     <root>/data/compacted-<n>/*.parquet merged rows from a compaction —
                                      a SEPARATE namespace from micro-batch
                                      ids, referenced only by its snapshot
@@ -41,18 +49,34 @@ Writers never rewrite existing files, so concurrent epochs on a real
 cluster contend only on the manifest rename, which the filesystem makes
 atomic.
 
-OBJECT-STORE CAVEAT: the atomic switch is ``os.rename`` in
-``_atomic_write`` — atomic on POSIX filesystems and HDFS, NOT on S3-class
-object stores (S3 "rename" is copy+delete; a reader can observe the
-half-state and two concurrent committers can both think they won). On an
-object store, substitute the commit primitive with one the store makes
-atomic — S3 conditional PUT (If-None-Match) on the marker key, a DynamoDB
-/ database conditional insert, or — the production-grade answer — replace
-the whole manifest layer with a real table format (Delta/Iceberg/Hudi),
-whose commit protocols solve exactly this. Everything above the
-``_atomic_write`` seam (idempotence, pending epochs, compaction
-snapshots) is unchanged by that substitution; that is why the primitive
-is a single method.
+COMMIT PRIMITIVES (VERDICT r5 #6): the manifest layer uses exactly two
+filesystem primitives, each one method, each with a direct object-store
+mapping:
+
+- ``_atomic_write`` (tmp + ``os.rename``): atomic REPLACE, used only for
+  the schema file, whose writers are serialized by the streaming driver.
+  POSIX/HDFS-atomic; on an object store a plain PUT (single-key PUTs are
+  atomic on S3/GCS) is the substitute.
+- ``_atomic_create`` (tmp + ``os.link``): atomic CREATE-IF-ABSENT — the
+  compare-and-swap every CONTENDED commit goes through (batch markers,
+  epoch publish, compaction snapshots, schema freeze). ``os.link`` fails
+  with EEXIST when the target exists and publishes fully-written content
+  (the payload is complete in the tmp file before the link lands), so a
+  reader can never observe a half-state and exactly ONE of N concurrent
+  committers wins. Object-store mapping: S3 conditional PUT
+  (``If-None-Match: *``), GCS ``x-goog-if-generation-match: 0``, Azure
+  ``If-None-Match: *`` — all server-side CAS on key existence. The
+  production-grade alternative remains a real table format
+  (Delta/Iceberg/Hudi), whose commit protocols are this same CAS with
+  more machinery; everything above the two-method seam (idempotence,
+  pending epochs, compaction snapshots) is unchanged by the substitution.
+
+Contention semantics built on the CAS: two concurrent ``commit()``
+epochs race on the epoch index — the loser re-lists and retries at the
+next index, and because visibility is the SET UNION of epoch batch-id
+lists, a batch id published by two racing epochs is still exactly-once
+to readers. Two concurrent compactions race on the snapshot index — the
+loser deletes its own orphan directory and reports None.
 """
 
 from __future__ import annotations
@@ -61,6 +85,7 @@ import json
 import os
 import time
 import uuid
+from contextlib import suppress as contextlib_suppress
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -133,7 +158,7 @@ class ManifestSinkTable:
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
 
     # -- paths ------------------------------------------------------------
-    def _data_dir(self, batch_id: int) -> str:
+    def _batch_root(self, batch_id: int) -> str:
         return os.path.join(self.root, "data", f"batch={batch_id}")
 
     def _staged_marker(self, batch_id: int) -> str:
@@ -146,10 +171,30 @@ class ManifestSinkTable:
         return os.path.join(self.root, "_schema.json")
 
     def _atomic_write(self, path: str, payload: str) -> None:
+        """Atomic replace (object-store mapping: plain single-key PUT)."""
         tmp = f"{path}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(payload)
         os.rename(tmp, path)
+
+    def _atomic_create(self, path: str, payload: str) -> bool:
+        """Atomic create-if-absent CAS; True iff THIS call created ``path``.
+
+        Local shim for an object store's conditional PUT (see module
+        docstring). ``os.link`` is atomic and fails on an existing target,
+        and the payload is complete before the link publishes it — no
+        reader ever sees a partial marker, no two committers both win.
+        """
+        tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.remove(tmp)
 
     # -- bookkeeping --------------------------------------------------------
     def staged_ids(self) -> list[int]:
@@ -179,18 +224,34 @@ class ManifestSinkTable:
             return [], set()
         return list(snap["compacted_dirs"]), set(snap["absorbed_batch_ids"])
 
-    def _marker_ids(self) -> set[int]:
-        """Every micro-batch id ever committed (markers + epoch files).
-        Markers survive compaction, so this set keeps absorbed replays
+    def _committed_entries(self) -> dict[int, str]:
+        """Every committed micro-batch id -> its winning attempt dir
+        (relative to data/), from batch markers + epoch files. Markers
+        survive compaction, so the id set keeps absorbed replays
         idempotent without any watermark over the shared id space."""
-        ids: set[int] = set()
-        for f in os.listdir(os.path.join(self.root, "_commits")):
+        entries: dict[int, str] = {}
+        commits = os.path.join(self.root, "_commits")
+        for f in os.listdir(commits):
             if f.startswith("batch-") and f.endswith(".marker"):
-                ids.add(int(f[len("batch-") : -len(".marker")]))
+                with open(os.path.join(commits, f)) as fh:
+                    m = json.load(fh)
+                entries[int(m["batch_id"])] = m["dir"]
             elif f.startswith("epoch-") and f.endswith(".json"):
-                with open(os.path.join(self.root, "_commits", f)) as fh:
-                    ids.update(json.load(fh)["batch_ids"])
-        return ids
+                with open(os.path.join(commits, f)) as fh:
+                    e = json.load(fh)
+                for bid, d in e["dirs"].items():
+                    entries[int(bid)] = d
+        return entries
+
+    def _staged_entries(self) -> dict[int, str]:
+        out: dict[int, str] = {}
+        for b in self.staged_ids():
+            with open(self._staged_marker(b)) as fh:
+                out[b] = json.load(fh)["dir"]
+        return out
+
+    def _marker_ids(self) -> set[int]:
+        return set(self._committed_entries())
 
     def committed_ids(self) -> list[int]:
         """Micro-batch ids whose batch= directory is currently visible
@@ -207,8 +268,10 @@ class ManifestSinkTable:
         return batch_id in absorbed or batch_id in self._marker_ids()
 
     def _freeze_schema(self, df: DataFrame) -> None:
+        # CAS: of two concurrent first-writers, one freezes the schema,
+        # the other's write silently defers to it (first write wins)
         if not os.path.exists(self._schema_path()):
-            self._atomic_write(self._schema_path(), df.schema.json())
+            self._atomic_create(self._schema_path(), df.schema.json())
 
     def _evolve_schema(self, df: DataFrame) -> None:
         """Additive evolution: grow the table schema to the union.
@@ -260,19 +323,31 @@ class ManifestSinkTable:
             self._evolve_schema(df)
         else:
             self._freeze_schema(df)
-        data_dir = self._data_dir(batch_id)
+        # every attempt writes its OWN immutable directory; the marker CAS
+        # below decides which attempt is the batch's content, so a racing
+        # zombie append can neither mix files with nor clobber the winner
+        rel_dir = os.path.join(f"batch={batch_id}", f"attempt={uuid.uuid4().hex[:12]}")
+        data_dir = os.path.join(self.root, "data", rel_dir)
 
         def _append() -> None:
-            # overwrite handles a half-written dir from a failed attempt:
-            # data files are only made visible by the marker written after
+            # overwrite handles a half-written dir from a failed retry of
+            # THIS attempt; other attempts have their own directories
             df.write.mode("overwrite").parquet(data_dir)
 
         self.retry.run(_append)
         rows = -1  # row count not recomputed here; callers count upstream if needed
+        payload = json.dumps({"batch_id": batch_id, "dir": rel_dir})
+        marker = self._staged_marker(batch_id) if self.write_mode == "pending" else self._commit_marker(batch_id)
+        if not self._atomic_create(marker, payload):
+            # lost the CAS to a concurrent append of the same batch id
+            # (replayed task racing its zombie): report ALREADY_EXISTS
+            # (R14) and drop this attempt's now-unreferenced files
+            import shutil
+
+            shutil.rmtree(data_dir, ignore_errors=True)
+            return AppendResult(batch_id=batch_id, rows=0, already_exists=True)
         if self.write_mode == "pending":
-            self._atomic_write(self._staged_marker(batch_id), json.dumps({"batch_id": batch_id}))
             return AppendResult(batch_id=batch_id, rows=rows, staged=True)
-        self._atomic_write(self._commit_marker(batch_id), json.dumps({"batch_id": batch_id}))
         return AppendResult(batch_id=batch_id, rows=rows)
 
     def commit(self) -> list[int]:
@@ -283,24 +358,39 @@ class ManifestSinkTable:
         """
         if self.write_mode != "pending":
             return []
-        staged = self.staged_ids()
-        if not staged:
-            return []
-        epoch = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")])
-        self._atomic_write(
-            os.path.join(self.root, "_commits", f"epoch-{epoch}.json"),
-            json.dumps({"batch_ids": staged}),
-        )
+        # CAS loop on the epoch index: a concurrent committer racing this
+        # one makes the create fail; re-list (the winner may have consumed
+        # some staged markers) and retry at the next index. Visibility is
+        # the set UNION of epoch batch-id lists, so a batch id that lands
+        # in two racing epochs is still exactly-once to readers.
+        while True:
+            entries = self._staged_entries()
+            staged = sorted(entries)
+            if not staged:
+                return []
+            epoch = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")])
+            created = self._atomic_create(
+                os.path.join(self.root, "_commits", f"epoch-{epoch}.json"),
+                json.dumps({"batch_ids": staged, "dirs": {str(b): d for b, d in entries.items()}}),
+            )
+            if created:
+                break
         for b in staged:
-            os.remove(self._staged_marker(b))
+            # the racing winner may have already consumed a marker
+            with contextlib_suppress(FileNotFoundError):
+                os.remove(self._staged_marker(b))
         return staged
 
     def reset(self) -> list[int]:
-        """Discard staged-but-uncommitted batches (finalize-only reset)."""
-        staged = self.staged_ids()
-        for b in staged:
+        """Discard staged-but-uncommitted batches (finalize-only reset).
+        The abandoned attempt directories are deleted with their markers."""
+        import shutil
+
+        entries = self._staged_entries()
+        for b, rel_dir in entries.items():
             os.remove(self._staged_marker(b))
-        return staged
+            shutil.rmtree(os.path.join(self.root, "data", rel_dir), ignore_errors=True)
+        return sorted(entries)
 
     # -- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession, target_files: int = 4) -> int | None:
@@ -323,17 +413,21 @@ class ManifestSinkTable:
             return None
         snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
-        new_dir = f"compacted-{n_snap}"
+        # attempt-unique output dir (same rule as batch appends): two
+        # compactors racing the same snapshot index write disjoint
+        # directories, and only the snapshot-CAS winner's is referenced
+        new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
         # Merge exactly the single listing captured above — NOT self.read(),
         # which would re-list committed ids: a batch committed concurrently
         # between the two listings would be merged into the compacted dir yet
         # missing from absorbed_batch_ids, double-counting its rows after the
         # snapshot. One listing drives both the data and the absorbed set.
+        entries = self._committed_entries()
         paths = [os.path.join(self.root, "data", d) for d in prior_dirs]
-        paths += [self._data_dir(i) for i in batch_ids]
+        paths += [os.path.join(self.root, "data", entries[i]) for i in batch_ids]
         merged = spark.read.schema(self.schema()).parquet(*paths).coalesce(target_files)
         merged.write.mode("overwrite").parquet(os.path.join(self.root, "data", new_dir))
-        self._atomic_write(
+        created = self._atomic_create(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
             json.dumps(
                 {
@@ -343,6 +437,14 @@ class ManifestSinkTable:
                 }
             ),
         )
+        if not created:
+            # a concurrent compactor won the snapshot CAS; this attempt's
+            # output directory is unreferenced garbage — remove it rather
+            # than leave it for vacuum, and report nothing compacted
+            import shutil
+
+            shutil.rmtree(os.path.join(self.root, "data", new_dir), ignore_errors=True)
+            return None
         return n_snap
 
     def vacuum(self) -> list[str]:
@@ -355,13 +457,24 @@ class ManifestSinkTable:
         """
         import shutil
 
-        live_batches = set(self.committed_ids()) | set(self.staged_ids())
+        committed = self._committed_entries()
+        staged = self._staged_entries()
+        _, absorbed = self._snapshot_state()
+        live_batches = (set(committed) - absorbed) | set(staged)
+        live_dirs = {committed[b] for b in committed if b in live_batches} | set(staged.values())
         live_compacted, _ = self._snapshot_state()
         removed = []
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root):
             if d.startswith("batch="):
                 if int(d.split("=", 1)[1]) in live_batches:
+                    # the batch is live: still drop loser/orphan attempt
+                    # dirs the manifest doesn't reference
+                    for att in os.listdir(os.path.join(data_root, d)):
+                        rel = os.path.join(d, att)
+                        if rel not in live_dirs:
+                            shutil.rmtree(os.path.join(data_root, rel))
+                            removed.append(rel)
                     continue
             elif d.startswith("compacted-"):
                 if d in live_compacted:
@@ -377,8 +490,9 @@ class ManifestSinkTable:
         """Visible rows = latest compaction snapshot's dirs plus committed
         batch directories not absorbed by it."""
         compacted, _ = self._snapshot_state()
+        entries = self._committed_entries()
         paths = [os.path.join(self.root, "data", d) for d in compacted]
-        paths += [self._data_dir(i) for i in self.committed_ids()]
+        paths += [os.path.join(self.root, "data", entries[i]) for i in self.committed_ids()]
         schema = self.schema()
         if not paths:
             if schema is None:
