@@ -1,0 +1,155 @@
+"""Pure-numpy image codec exactness (VERDICT r5 #7): every kernel is
+pinned against a naive handwritten reference implementation — the
+vectorized decode/resize must be byte-identical to the spec read off
+per pixel in plain Python loops."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import (
+    bilinear_resize,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    image_features,
+)
+
+
+def _gradient(w, h, seed=0):
+    idx = np.arange(h * w * 3, dtype=np.int64)
+    return ((seed * 7 + idx * 13) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+# -- reference decoders: naive loops straight off the format specs -------
+
+
+def _ref_decode_ppm(data: bytes) -> np.ndarray:
+    # tokenize header by hand (no comments in test inputs built this way)
+    parts = data.split(maxsplit=4)
+    assert parts[0] == b"P6"
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    assert maxval == 255
+    # pixel data = everything after the single whitespace following maxval
+    header_len = data.index(parts[3], 2) + len(parts[3]) + 1
+    px = data[header_len : header_len + w * h * 3]
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            for c in range(3):
+                out[y, x, c] = px[(y * w + x) * 3 + c]
+    return out
+
+
+def _ref_decode_bmp(data: bytes) -> np.ndarray:
+    assert data[:2] == b"BM"
+    (off,) = struct.unpack_from("<I", data, 10)
+    _, w, hs = struct.unpack_from("<Iii", data, 14)
+    h = abs(hs)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    out = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        src_row = (h - 1 - y) if hs > 0 else y  # bottom-up storage
+        base = off + src_row * row_bytes
+        for x in range(w):
+            b, g, r = data[base + x * 3 : base + x * 3 + 3]
+            out[y, x] = (r, g, b)
+    return out
+
+
+def _ref_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    out = np.zeros((out_h, out_w, 3), dtype=np.uint8)
+    for oy in range(out_h):
+        sy = min(max((oy + 0.5) * h / out_h - 0.5, 0), h - 1)
+        y0 = int(np.floor(sy))
+        y1 = min(y0 + 1, h - 1)
+        fy = sy - y0
+        for ox in range(out_w):
+            sx = min(max((ox + 0.5) * w / out_w - 0.5, 0), w - 1)
+            x0 = int(np.floor(sx))
+            x1 = min(x0 + 1, w - 1)
+            fx = sx - x0
+            for c in range(3):
+                top = img[y0, x0, c] * (1 - fx) + img[y0, x1, c] * fx
+                bot = img[y1, x0, c] * (1 - fx) + img[y1, x1, c] * fx
+                out[oy, ox, c] = int(np.floor(top * (1 - fy) + bot * fy + 0.5))
+    return out
+
+
+# -- exactness pins -------------------------------------------------------
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (64, 48), (5, 7)])
+def test_ppm_roundtrip_and_reference_decode(w, h):
+    img = _gradient(w, h, seed=w * h)
+    data = encode_ppm(img)
+    assert np.array_equal(decode_ppm(data), img)
+    assert np.array_equal(decode_ppm(data), _ref_decode_ppm(data))
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _gradient(4, 3)
+    data = b"P6  # comment\n# another comment\n 4\t3 \n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(data), img)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (64, 48), (5, 7)])
+def test_bmp_roundtrip_and_reference_decode(w, h):
+    """w=3,5 exercise non-zero row padding; decode must match the naive
+    bottom-up BGR reference byte for byte."""
+    img = _gradient(w, h, seed=w + h)
+    data = encode_bmp(img)
+    assert np.array_equal(decode_bmp(data), img)
+    assert np.array_equal(decode_bmp(data), _ref_decode_bmp(data))
+
+
+def test_bmp_top_down_negative_height():
+    img = _gradient(4, 2)
+    data = bytearray(encode_bmp(img))
+    # rewrite as top-down: negate height, reverse the stored row order
+    (off,) = struct.unpack_from("<I", bytes(data), 10)
+    _, w, h = struct.unpack_from("<Iii", bytes(data), 14)
+    struct.pack_into("<i", data, 22, -h)
+    row_bytes = (w * 3 + 3) // 4 * 4
+    rows = [bytes(data[off + i * row_bytes : off + (i + 1) * row_bytes]) for i in range(h)]
+    data[off:] = b"".join(reversed(rows))
+    assert np.array_equal(decode_bmp(bytes(data)), img)
+
+
+def test_decode_image_dispatch():
+    img = _gradient(8, 8)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert decode_image(b"\x89PNG\r\n\x1a\nnot-actually-decodable") is None
+    assert decode_image(b"") is None
+
+
+@pytest.mark.parametrize("shape", [((64, 48), (8, 8)), ((5, 7), (16, 3)), ((9, 9), (9, 9)), ((2, 2), (4, 4))])
+def test_bilinear_matches_naive_reference(shape):
+    (w, h), (ow, oh) = shape
+    img = _gradient(w, h, seed=ow)
+    assert np.array_equal(bilinear_resize(img, ow, oh), _ref_bilinear(img, ow, oh))
+
+
+def test_identity_resize_is_exact():
+    img = _gradient(10, 6)
+    assert np.array_equal(bilinear_resize(img, 10, 6), img)
+
+
+def test_features_unit_norm_and_decode_sensitivity():
+    a = image_features(_gradient(64, 48, seed=1))
+    b = image_features(_gradient(64, 48, seed=2))
+    assert a.shape == (64,)
+    assert abs(np.linalg.norm(a) - 1.0) < 1e-12
+    assert not np.array_equal(a, b)
+    # identical pixels through either container format -> identical features
+    img = _gradient(32, 32, seed=3)
+    from kafka_connect_bigquery_storage_write_spark.operators.multimodal import _default_feature_kernel
+
+    assert _default_feature_kernel(encode_ppm(img), 64) == _default_feature_kernel(encode_bmp(img), 64)
