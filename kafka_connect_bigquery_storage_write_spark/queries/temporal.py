@@ -365,3 +365,58 @@ def q123_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@query(
+    "q133_left_outer_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, c.click_id, p.user_id,
+           CAST((epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS BIGINT) AS lag_s
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts <= p.p_ts
+     AND p.p_ts < c.c_ts + INTERVAL 48 HOURS
+    ORDER BY purchase_id, click_id
+    """,
+)
+def q133_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer attribution (VERDICT r5 #8): q123's interval join with
+    UNMATCHED purchases preserved (click_id/lag_s null) — the "organic
+    conversion" rows an attribution model needs alongside the attributed
+    ones. This is the STREAM-STREAM LEFT OUTER join shape Structured
+    Streaming supports (equality key + event-time interval + watermarks
+    on both sides; unmatched left rows emit when the watermark proves no
+    future click can match); tests/test_streaming_windows.py runs it as
+    two real file streams and pins equality with this batch result.
+    Scale shape identical to q123: one user_id shuffle each side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user)
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.floor((us("p_ts") - us("c_ts")) / 1_000_000).cast("long").alias("lag_s"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
