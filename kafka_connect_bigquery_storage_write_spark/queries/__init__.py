@@ -140,6 +140,6 @@ def _reorder_for_driver_window() -> None:
 def load_all() -> None:
     """Import every query-defining module (idempotent), then order the
     registry for the driver's 50-entry correctness window."""
-    from kafka_connect_bigquery_storage_write_spark.queries import dedup, graph, multimodal, pipelines, relational, similarity, skew, streaming_batch, temporal, text, udfs  # noqa: F401
+    from kafka_connect_bigquery_storage_write_spark.queries import dedup, graph, multimodal, pipelines, quality, relational, similarity, skew, streaming_batch, temporal, text, udfs  # noqa: F401
 
     _reorder_for_driver_window()

@@ -420,3 +420,55 @@ def q133_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@query(
+    "q134_scd2_history",
+    oracle="""
+    SELECT user_id,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           ts                                  AS valid_from,
+           lead(ts) OVER w                     AS valid_to,
+           event_type,
+           round(value, 2)                     AS value,
+           CAST(lead(ts) OVER w IS NULL AS BOOLEAN) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def q134_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: turn an append-only change log into
+    versioned validity intervals per key — each change opens a row at
+    its event time and closes the previous one ([valid_from, valid_to)),
+    the newest row staying open (valid_to null, is_current true). The
+    companion to q130's MERGE-latest compaction: q130 materializes the
+    CURRENT state, this materializes the full temporal dimension a
+    point-in-time join (q54's as-of shape) resolves against.
+
+    Determinism: the version order ties on event_id, so same-timestamp
+    changes produce identical interval chains on every engine. Scale
+    shape: ONE shuffle on the key; version rank and both interval
+    endpoints ride the same window partitioning (lead needs no second
+    exchange), and keys are independent — the partition-friendly shape
+    SCD builds have at warehouse scale.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select("user_id", "ts", "event_type", F.round("value", 2).alias("value"), "event_id")
+        .withColumn("version", F.row_number().over(w).cast("long"))
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            "user_id",
+            "version",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "event_type",
+            "value",
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -1040,3 +1040,115 @@ def q128_weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFram
         .select("source", "doc_id", "n_chars")
         .orderBy("source", "doc_id")
     )
+
+
+@query(
+    "q136_bm25_ranking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, sum(dl) AS total FROM dl),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    qterms AS (
+      SELECT token, df FROM (
+        SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS rk FROM df
+      ) WHERE rk BETWEEN 21 AND 30
+    ),
+    idf AS (
+      SELECT token, df,
+             CAST(floor(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) * 1000000.0 + 0.5) AS BIGINT) AS idf_micro
+      FROM qterms, stats s
+    ),
+    tf AS (
+      SELECT t.doc_id, t.token, count(*) AS tf
+      FROM toks t JOIN qterms q USING (token)
+      GROUP BY t.doc_id, t.token
+    ),
+    parts AS (
+      SELECT tf.doc_id,
+             CAST(floor(i.idf_micro * ((tf.tf * 2.2) /
+                    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / (CAST(s.total AS DOUBLE) / s.n_docs))))
+                  + 0.5) AS BIGINT) AS part_micro
+      FROM tf JOIN idf i USING (token) JOIN dl USING (doc_id), stats s
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_matched,
+           CAST(sum(part_micro) AS BIGINT) AS score_micro
+    FROM parts
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q136_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) top-20 ranking for a deterministic
+    10-term query (document-frequency ranks 21-30 — common enough to hit
+    many documents, rare enough to discriminate) — the lexical-retrieval
+    companion to q74's TF-IDF and the sparse half of a hybrid
+    sparse+dense retrieval stack (dense half: q35/q100).
+
+    Cross-engine exactness uses the q110 recipe: the per-TERM idf is
+    quantized once to integer micro-units (a last-ulp ln divergence only
+    matters within ~1e-9 of a quantization boundary); the per-(doc,term)
+    saturation factor is pure IEEE arithmetic written as the identical
+    expression tree in both engines; each partial is floored to int64
+    micro-units and the per-doc sum is INTEGER — immune to sum order.
+
+    Scale shape: one tokenize pass feeds dl, df, and tf; the 10-term
+    query relation broadcasts into the tf join (a left-semi-shaped
+    filter), so the only doc-grain shuffles key on doc_id; the top-20 is
+    a TakeOrdered heap, no global sort.
+    """
+    from pyspark.sql import Window as W
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total"))
+    df_rel = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # global df ranks 21..30 via TakeOrdered(30) then a 30-row window
+    top30 = df_rel.orderBy(F.col("df").desc(), "token").limit(30)
+    qterms = (
+        top30.withColumn("rk", F.row_number().over(W.orderBy(F.col("df").desc(), "token")))
+        .filter(F.col("rk") >= 21)
+        .select("token", "df")
+    )
+    idf = qterms.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.floor(
+            F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) * 1_000_000.0
+            + 0.5
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    tf = toks.join(F.broadcast(qterms.select("token")), "token").groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    parts = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("idf_micro")
+                * (
+                    (F.col("tf") * 2.2)
+                    / (F.col("tf") + 1.2 * (F.lit(1.0) - 0.75 + 0.75 * F.col("dl") / avgdl))
+                )
+                + 0.5
+            )
+            .cast("long")
+            .alias("part_micro"),
+        )
+    )
+    return (
+        parts.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms_matched"), F.sum("part_micro").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(20)
+    )
