@@ -320,3 +320,31 @@ def test_q111_key_rank_is_distributed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q111_key_skew_profile")
     assert "_rps_pid" in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_q134_single_key_shuffle(spark, sf_dir):
+    """SCD2 build: version rank and both interval endpoints must ride ONE
+    key-partitioned window — a second exchange would double the shuffle
+    at warehouse scale."""
+    plan = _plan(spark, sf_dir, "q134_scd2_history")
+    import re
+
+    exchanges = [l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)]
+    assert len(exchanges) <= 1, plan
+
+
+def test_q135_row_local_checks_single_scan(spark, sf_dir):
+    """The four row-local expectation checks fold into one aggregate over
+    one lineitem scan; only uniqueness and referential integrity may add
+    scans. 3 scans total, not 6 (one per check)."""
+    plan = _plan(spark, sf_dir, "q135_expectation_checks")
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)  # detail-section headers, one per scan node
+    assert len(scans) <= 4, plan  # 3x lineitem + 1x orders
+
+
+def test_q136_broadcasts_query_terms_and_takeordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q136_bm25_ranking")
+    assert "TakeOrderedAndProject" in plan, plan  # top-20 is a heap, no global sort
+    assert "BroadcastHashJoin" in plan, plan  # 10-term query relation broadcasts
