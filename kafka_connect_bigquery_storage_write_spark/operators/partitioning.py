@@ -91,6 +91,18 @@ def ranked_prefix_sum(
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     part = df.repartitionByRange(n, *order).withColumn("_rps_pid", F.spark_partition_id())
+    # MATERIALIZATION BARRIER — correctness, not caching. RangePartitioner
+    # SAMPLES its boundaries with an rdd-id-derived seed, so two separate
+    # physical evaluations of this subtree can pick DIFFERENT boundaries;
+    # the offsets branch and the final join below both consume ``part``,
+    # and if each re-evaluates the exchange independently the pid
+    # assignments diverge and ranks silently corrupt (observed at sf0.1:
+    # q108 emitted an 11th decile). persist + count fills the pid-stamped
+    # relation exactly once, sequentially, before either consumer reads
+    # it — the same barrier rule jaccard_near_dup_pairs documents. The
+    # ContextCleaner releases it once the result is unreferenced.
+    part = part.persist()
+    part.count()
     w = Window.partitionBy("_rps_pid").orderBy(*order)
     local = part.withColumn(rank_col, F.row_number().over(w).cast("long"))
     aggs = [F.count(F.lit(1)).alias("_rps_n")]
