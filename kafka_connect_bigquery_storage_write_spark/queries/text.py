@@ -1152,3 +1152,54 @@ def q136_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q137_repeated_passages",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    chunks AS (
+      SELECT doc_id, array_to_string(list_slice(t, s + 1, s + 20), ' ') AS passage
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 20, 20)) AS s) st
+    ),
+    rep AS (
+      SELECT passage,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*)               AS n_occurrences
+      FROM chunks GROUP BY passage
+      HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT passage, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM rep ORDER BY n_docs DESC, passage LIMIT 20
+    """,
+)
+def q137_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection: tile every document
+    into aligned 20-token chunks and surface passages appearing in >= 2
+    distinct documents — the boilerplate/licence-block/navigation-text
+    finder that runs BEFORE near-dup scoring in web-corpus curation
+    (a passage shared by thousands of pages is template, not content,
+    and q31/q32's document-level Jaccard won't flag it).
+
+    Scale shape: chunk generation is a projection pipeline (sequence +
+    explode, no join); the single shuffle keys on the passage string —
+    at production scale swap the group key for xxhash64(passage) (8-byte
+    exchange, the q31 digest rule) and keep one exemplar via min_by; the
+    top-20 is a TakeOrdered heap.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("t")).withColumn("n_tok", F.size("t"))
+    starts = F.when(
+        F.col("n_tok") >= 20, F.sequence(F.lit(0), F.col("n_tok") - 20, F.lit(20))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    chunks = d.select("doc_id", F.explode(starts).alias("s"), "t").select(
+        "doc_id", F.array_join(F.slice("t", F.col("s") + 1, 20), " ").alias("passage")
+    )
+    return (
+        chunks.groupBy("passage")
+        .agg(F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "passage")
+        .limit(20)
+    )

@@ -485,6 +485,66 @@ class ManifestSinkTable:
             removed.append(d)
         return sorted(removed)
 
+    # -- time travel ---------------------------------------------------------
+    def history(self) -> list[dict]:
+        """Commit history, oldest first: one entry per committed-mode
+        batch marker and per pending-mode epoch, with the batch ids each
+        made visible and the marker file's mtime — the audit surface an
+        Iceberg `snapshots` table exposes, read straight off the manifest."""
+        commits = os.path.join(self.root, "_commits")
+        entries: list[dict] = []
+        for f in os.listdir(commits):
+            path = os.path.join(commits, f)
+            if f.startswith("batch-") and f.endswith(".marker"):
+                with open(path) as fh:
+                    m = json.load(fh)
+                entries.append(
+                    {"kind": "batch", "id": int(m["batch_id"]), "batch_ids": [int(m["batch_id"])],
+                     "committed_at": os.path.getmtime(path)}
+                )
+            elif f.startswith("epoch-") and f.endswith(".json"):
+                with open(path) as fh:
+                    e = json.load(fh)
+                entries.append(
+                    {"kind": "epoch", "id": int(f[len("epoch-") : -len(".json")]),
+                     "batch_ids": [int(b) for b in e["batch_ids"]], "committed_at": os.path.getmtime(path)}
+                )
+        entries.sort(key=lambda x: (x["committed_at"], x["kind"], x["id"]))
+        return entries
+
+    def read_as_of(self, spark: SparkSession, *, epoch: int | None = None, batch_id: int | None = None) -> DataFrame:
+        """Time-travel read: the table as it was visible after a given
+        commit — pending mode: epochs 0..``epoch``; committed mode:
+        batch markers with id <= ``batch_id``. Valid until ``vacuum``
+        physically removes absorbed directories (the Iceberg
+        expire-snapshots trade: compaction alone does NOT break time
+        travel because the original batch dirs survive until vacuum)."""
+        if (epoch is None) == (batch_id is None):
+            raise ValueError("pass exactly one of epoch= (pending) or batch_id= (committed)")
+        commits = os.path.join(self.root, "_commits")
+        entries: dict[int, str] = {}
+        if epoch is not None:
+            for f in os.listdir(commits):
+                if f.startswith("epoch-") and f.endswith(".json") and int(f[len("epoch-") : -len(".json")]) <= epoch:
+                    with open(os.path.join(commits, f)) as fh:
+                        e = json.load(fh)
+                    for bid, d in e["dirs"].items():
+                        entries[int(bid)] = d
+        else:
+            for b, d in self._committed_entries().items():
+                if b <= batch_id and os.path.exists(self._commit_marker(b)):
+                    entries[b] = d
+        schema = self.schema()
+        paths = [os.path.join(self.root, "data", d) for _, d in sorted(entries.items())]
+        missing = [p for p in paths if not os.path.exists(p)]
+        if missing:
+            raise ValueError(f"time travel target was vacuumed: {sorted(missing)[:3]}")
+        if not paths:
+            if schema is None:
+                raise ValueError(f"sink table at {self.root} has never been written")
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
     # -- read path ------------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame:
         """Visible rows = latest compaction snapshot's dirs plus committed

@@ -330,3 +330,53 @@ def test_concurrent_compaction_single_snapshot(spark, kv_df, tmp_path):
     # at most one compacted dir remains referenced; no orphan dirs
     data_dirs = [d for d in os.listdir(os.path.join(root, "data")) if d.startswith("compacted-")]
     assert len(data_dirs) == 1 and data_dirs[0].startswith("compacted-0-")
+
+
+# -- time travel (as-of reads + history) -----------------------------------
+
+
+def test_read_as_of_epoch_replays_history(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    sink.write_batch(kv_df, 0)
+    sink.commit()  # epoch 0: batch 0
+    sink.write_batch(kv_df, 1)
+    sink.write_batch(kv_df, 2)
+    sink.commit()  # epoch 1: batches 1,2
+    assert sink.read_as_of(spark, epoch=0).count() == 2
+    assert sink.read_as_of(spark, epoch=1).count() == 6
+    assert sink.read(spark).count() == 6
+    hist = sink.history()
+    assert [h["batch_ids"] for h in hist] == [[0], [1, 2]]
+    assert all(h["kind"] == "epoch" for h in hist)
+
+
+def test_read_as_of_batch_id_committed_mode(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(3):
+        sink.write_batch(kv_df, b)
+    assert sink.read_as_of(spark, batch_id=0).count() == 2
+    assert sink.read_as_of(spark, batch_id=1).count() == 4
+    assert sink.read_as_of(spark, batch_id=2).count() == 6
+
+
+def test_time_travel_survives_compaction_until_vacuum(spark, kv_df, tmp_path):
+    import pytest as _pytest
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(3):
+        sink.write_batch(kv_df, b)
+    sink.compact(spark)
+    # compaction alone keeps the original batch dirs -> time travel valid
+    assert sink.read_as_of(spark, batch_id=1).count() == 4
+    sink.vacuum()
+    with _pytest.raises(ValueError, match="vacuumed"):
+        sink.read_as_of(spark, batch_id=1).count()
+
+
+def test_read_as_of_requires_exactly_one_anchor(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"))
+    sink.write_batch(kv_df, 0)
+    with pytest.raises(ValueError):
+        sink.read_as_of(spark)
+    with pytest.raises(ValueError):
+        sink.read_as_of(spark, epoch=0, batch_id=0)
