@@ -165,12 +165,15 @@ def main() -> None:
     cal_end = _host_calibration()
     # Host-normalized total (VERDICT r5 #2): scale by quiet-host reference
     # calibration (0.30s single / 0.40s 16-way, the committed steady-state
-    # values this suite was baselined at) over the observed average, never
-    # scaling DOWN below 1x observed-quiet (normalization corrects for a
-    # slow window, it must not award bonus speed on a fast host).
+    # values this suite was baselined at) over the observed average. The
+    # BINDING constraint is the worse of the two ratios — hypervisor theft
+    # can hit parallel load while a single thread still runs at full speed
+    # (the documented signature), and a healthy single-thread cal must not
+    # mask it. Capped at 1x: normalization corrects for a slow window, it
+    # must not award bonus speed on a fast host.
     obs_single = (cal_start[0] + cal_end[0]) / 2
     obs_par = (cal_start[1] + cal_end[1]) / 2
-    factor = min(1.0, max(0.30 / max(obs_single, 1e-9), 0.40 / max(obs_par, 1e-9)))
+    factor = min(1.0, 0.30 / max(obs_single, 1e-9), 0.40 / max(obs_par, 1e-9))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "query_suite_wall_clock",
