@@ -1019,3 +1019,118 @@ def load_ivf_index(spark, path: str) -> "np.ndarray":
     """Load a quantizer persisted by save_ivf_index, in list_id order."""
     rows = spark.read.parquet(path).orderBy("list_id").collect()
     return np.array([r.centroid for r in rows], dtype=np.float64)
+
+
+def _probe_and_rank(
+    corpus_lists: DataFrame,
+    cents: "np.ndarray",
+    queries: DataFrame,
+    k: int,
+    query_id_col: str,
+    vec_col: str,
+    n_probe: int,
+    exact_rescore: bool,
+) -> DataFrame:
+    """Shared query path: assign queries to n_probe lists, join the
+    stored corpus assignment on list_id, score candidates, rank top-k.
+    Used by ``ivf_topk`` (fresh build) and ``IvfIndex.topk`` (persisted
+    index) so both paths are one implementation."""
+    query_lists = ivf_assign(
+        queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe, normalize=not exact_rescore
+    ).withColumnsRenamed({"_id": query_id_col, "_vec": "_qvec"})
+    cand = corpus_lists.join(F.broadcast(query_lists), "list_id").filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    score = cosine(F.col("_qvec"), F.col("_cvec")) if exact_rescore else dot(F.col("_qvec"), F.col("_cvec"))
+    scored = cand.withColumn("cosine", F.round(score, 6)).select(query_id_col, "neighbor_id", "cosine")
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )
+
+
+class IvfIndex:
+    """Persistable IVF index: the ANN SERVING artifact (build once, save,
+    load anywhere, query many — the corpus is never rescanned at query
+    time). Storage layout under ``path``:
+
+        <path>/centroids/   (list_id int, centroid array<double>) parquet
+        <path>/lists/       (neighbor_id, list_id, _cvec) parquet
+        <path>/_meta.json   {"raw_vectors": bool, "n_lists": int}
+
+    ``raw_vectors`` records whether ``lists._cvec`` holds raw (exact-
+    rescore cosine fold) or pre-normalized vectors (cheap dot scoring) —
+    the query path must score the same way the index was built.
+    The index grows incrementally via ``append`` (assignment against the
+    FROZEN centroids is a pure function, so append == rebuild — the ANN
+    analogue of q65's incremental dedup).
+    """
+
+    def __init__(self, centroids: "np.ndarray", lists: DataFrame, raw_vectors: bool):
+        self.centroids = centroids
+        self.lists = lists
+        self.raw_vectors = raw_vectors
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_lists: int = 16,
+        sample_size: int = 2048,
+        seed: int = 42,
+        kmeans_iters: int = 10,
+        sample_mode: str = "prefix",
+        exact_rescore: bool = False,
+    ) -> "IvfIndex":
+        cents = ivf_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, sample_size=sample_size,
+            seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+        lists = ivf_assign(
+            ensure_compute_parallelism(corpus), cents, id_col=id_col, vec_col=vec_col,
+            n_top=1, normalize=not exact_rescore,
+        ).withColumnsRenamed({"_id": "neighbor_id", "_vec": "_cvec"})
+        return cls(cents, lists, raw_vectors=exact_rescore)
+
+    def append(self, new_vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        add = ivf_assign(
+            new_vectors, self.centroids, id_col=id_col, vec_col=vec_col, n_top=1, normalize=not self.raw_vectors
+        ).withColumnsRenamed({"_id": "neighbor_id", "_vec": "_cvec"})
+        return IvfIndex(self.centroids, self.lists.unionByName(add), self.raw_vectors)
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        spark = self.lists.sparkSession
+        spark.createDataFrame(
+            [(i, c.tolist()) for i, c in enumerate(self.centroids)], "list_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        self.lists.write.mode("overwrite").parquet(os.path.join(path, "lists"))
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump({"raw_vectors": self.raw_vectors, "n_lists": int(len(self.centroids))}, f)
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+        rows = spark.read.parquet(os.path.join(path, "centroids")).orderBy("list_id").collect()
+        cents = np.array([r["centroid"] for r in rows], dtype=np.float64)
+        lists = spark.read.parquet(os.path.join(path, "lists"))
+        return cls(cents, lists, raw_vectors=bool(meta["raw_vectors"]))
+
+    def topk(
+        self, queries: DataFrame, k: int = 5, query_id_col: str = "query_id",
+        vec_col: str = "embedding", n_probe: int = 4,
+    ) -> DataFrame:
+        return _probe_and_rank(
+            self.lists, self.centroids, queries, k, query_id_col, vec_col, n_probe,
+            exact_rescore=self.raw_vectors,
+        )

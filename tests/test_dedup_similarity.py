@@ -559,3 +559,55 @@ def test_bloom_prefilter_exact_output_and_fpr(spark, sf_dir):
     fp_hits = sum(1 for r in novel if all((bitmap[p >> 3] >> (p & 7)) & 1 for p in r.p))
     measured = fp_hits / max(len(novel), 1)
     assert measured <= max(3 * expected_fpr, 0.02), f"FPR {measured} vs theoretical {expected_fpr}"
+
+
+def test_ivf_index_save_load_query_identical(spark, sf_dir, tmp_path):
+    """The persisted-index query path must reproduce the fresh-build
+    ivf_topk exactly (same params, same seed), and at full probe with
+    exact rescore it must equal brute force — index persistence cannot
+    change a single score."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import IvfIndex, cosine_topk, ivf_topk
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    fresh = ivf_topk(emb, queries, k=5, n_lists=8, n_probe=8, exact_rescore=True)
+    idx = IvfIndex.build(emb, n_lists=8, exact_rescore=True)
+    idx.save(str(tmp_path / "ivf"))
+    loaded = IvfIndex.load(spark, str(tmp_path / "ivf"))
+    assert loaded.raw_vectors is True and len(loaded.centroids) == 8
+    got = loaded.topk(queries, k=5, n_probe=8)
+
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, got.collect()), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, fresh.collect()), key=lambda t: (t[0], t[3])
+    )
+    brute = cosine_topk(emb, queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_index_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """append() against frozen centroids == assignment of the full corpus
+    (pure function of vector x centroids) — the never-rescan-the-corpus
+    maintenance path."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import IvfIndex
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    base = IvfIndex.build(old, n_lists=8, exact_rescore=True)
+    grown = base.append(new)
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(map(tuple, grown.topk(queries, k=5, n_probe=8).collect()))
+    # true rebuild: one-shot assignment of the FULL corpus against the
+    # same frozen centroids (not an append), then the same query
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivf_assign
+
+    full_lists = ivf_assign(emb, base.centroids, n_top=1, normalize=not base.raw_vectors).withColumnsRenamed(
+        {"_id": "neighbor_id", "_vec": "_cvec"}
+    )
+    rebuilt = IvfIndex(base.centroids, full_lists, base.raw_vectors)
+    want = sorted(map(tuple, rebuilt.topk(queries, k=5, n_probe=8).collect()))
+    assert got == want and len(got) > 0
