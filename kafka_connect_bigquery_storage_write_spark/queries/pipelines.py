@@ -268,6 +268,9 @@ def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "csv":
         writer.option("header", True).csv(path)
         back = reader.option("header", True).csv(path)
+    elif fmt == "orc":
+        writer.orc(path)
+        back = reader.orc(path)
     else:
         writer.json(path)
         back = reader.json(path)
@@ -303,3 +306,14 @@ def q125_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema). CSV is the format where silent type drift actually
     happens — the explicit-schema read is the guard."""
     return _source_roundtrip(spark, sf_dir, "csv")
+
+
+@query("q138_orc_source", oracle=_SRC_ORACLE)
+def q138_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source format (E1 beyond parquet): the columnar-binary
+    sibling round-trip — exercises Spark's second native columnar
+    reader (vectorized ORC scan, predicate pushdown capable) under the
+    same value-hash contract as q124/q125. Binary columnar formats
+    round-trip doubles bit-exactly by construction; the check guards
+    the writer/reader pair and schema mapping, not text parsing."""
+    return _source_roundtrip(spark, sf_dir, "orc")
