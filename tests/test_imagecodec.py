@@ -153,3 +153,37 @@ def test_features_unit_norm_and_decode_sensitivity():
     from kafka_connect_bigquery_storage_write_spark.operators.multimodal import _default_feature_kernel
 
     assert _default_feature_kernel(encode_ppm(img), 64) == _default_feature_kernel(encode_bmp(img), 64)
+
+
+# -- property-based roundtrips (hypothesis) --------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _images(draw):
+    w = draw(st.integers(min_value=1, max_value=24))
+    h = draw(st.integers(min_value=1, max_value=24))
+    n = w * h * 3
+    data = draw(st.binary(min_size=n, max_size=n))
+    return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+@settings(max_examples=60, deadline=None)
+@given(_images())
+def test_ppm_roundtrip_property(img):
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_images())
+def test_bmp_roundtrip_property(img):
+    # exercises every row-padding residue (w mod 4) and arbitrary bytes
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_images(), st.integers(min_value=1, max_value=16), st.integers(min_value=1, max_value=16))
+def test_bilinear_property_matches_reference(img, ow, oh):
+    assert np.array_equal(bilinear_resize(img, ow, oh), _ref_bilinear(img, ow, oh))
