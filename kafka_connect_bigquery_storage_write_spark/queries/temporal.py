@@ -472,3 +472,79 @@ def q134_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+@query(
+    "q139_point_in_time_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             lead(ts) OVER w AS valid_to
+      FROM events WHERE event_type = 'click'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id, p.p_ts,
+           c.version AS state_version, c.click_id AS state_click_id,
+           round(p.value, 2) AS value
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.p_ts
+     AND (p.p_ts < c.valid_to OR c.valid_to IS NULL)
+    ORDER BY purchase_id
+    """,
+)
+def q139_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each purchase is
+    enriched with the click-state version whose validity interval
+    [valid_from, valid_to) contains the purchase time (open-ended
+    current version matches everything after its start) — the canonical
+    feature-store lookup that guarantees NO FUTURE LEAKAGE: a training
+    example may only see dimension state that existed at event time.
+    q134 builds the intervals; this query consumes them. Same answer
+    set as a backward as-of join (q54) but expressed as the
+    interval-containment join a warehouse dimension table serves, with
+    unmatched facts preserved (purchases before the user's first click).
+
+    Exactness: intervals per user are disjoint and half-open by
+    construction, so at most one version matches — no dedup needed.
+    Scale shape: one user_id shuffle on each side; the interval
+    predicate evaluates inside the co-partitioned join.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    wc = W.partitionBy("c_user").orderBy("ts", "click_id")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), "ts")
+        .withColumn("version", F.row_number().over(wc).cast("long"))
+        .withColumn("valid_to", F.lead("ts").over(wc))
+        .withColumnRenamed("ts", "valid_from")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("value"),
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user)
+            & (F.col("valid_from") <= F.col("p_ts"))
+            & ((F.col("p_ts") < F.col("valid_to")) | F.col("valid_to").isNull()),
+            "left",
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            "p_ts",
+            F.col("version").alias("state_version"),
+            F.col("click_id").alias("state_click_id"),
+            "value",
+        )
+        .orderBy("purchase_id")
+    )
