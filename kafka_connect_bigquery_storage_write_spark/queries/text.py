@@ -1203,3 +1203,54 @@ def q137_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "passage")
         .limit(20)
     )
+
+
+@query(
+    "q140_token_balanced_shards",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT CAST((cum - 1) // 2000 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)     AS n_tokens,
+           CAST(min(doc_id) AS BIGINT)       AS first_doc,
+           CAST(max(doc_id) AS BIGINT)       AS last_doc
+    FROM c
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def q140_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced shard assignment for training export: docs are laid
+    out in doc_id order and cut into shards of ~2000 tokens by the global
+    running token count (shard_id = (cum-1) div budget) — every shard
+    except the last lands within one document of the budget, and the
+    assignment is identical on any cluster size because it is a pure
+    function of the global prefix sum. The shard-grain summary is what an
+    export manifest records.
+
+    Scale shape: the prefix sum is ``ranked_prefix_sum`` (distributed
+    range-partition + offset broadcast — the q112 machinery reused), so
+    a billion-document layout never serializes on one task.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n_tokens")
+    )
+    c = ranked_prefix_sum(d, [F.col("doc_id")], value="n_tokens", cum_col="cum")
+    return (
+        c.withColumn("shard_id", F.expr("(cum - 1) div 2000"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
