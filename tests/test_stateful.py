@@ -135,3 +135,43 @@ def test_stream_sessionizer_matches_batch_sessionize(spark, tmp_path, sf_dir):
         .collect()
     }
     assert streamed == batch and len(batch) > 100
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The same accumulator on Spark 4's transformWithStateInPandas must
+    produce the same final per-user totals as the applyInPandasWithState
+    form - the migration-without-drift guarantee. The runtime needs the
+    protobuf package (JVM<->stateful-worker protocol); absent here, the
+    test skips - the same environment-constraint class as the Kafka jar."""
+    import pytest
+
+    pytest.importorskip("google.protobuf", reason="transformWithStateInPandas worker protocol needs protobuf")
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import running_user_totals_tws
+
+    src = tmp_path / "src"
+    raw = "user_id long, ts string, value double"
+    batch1 = [(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 10:01:00", 2.0), (2, "2024-01-01 10:00:00", 5.0)]
+    batch2 = [(1, "2024-01-01 10:02:00", 4.0)]
+    for rows in (batch1, batch2):
+        df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("append").json(str(src))
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").option(
+        "maxFilesPerTrigger", "1"
+    ).json(str(src))
+    out = running_user_totals_tws(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_totals_test")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("select * from tws_totals_test").collect()
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value)
+    assert final[1] == (3, 7.0)
+    assert final[2] == (1, 5.0)
