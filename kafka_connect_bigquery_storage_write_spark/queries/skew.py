@@ -182,3 +182,72 @@ def q111_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("gini"),
     )
+
+
+@query(
+    "q141_count_min_estimates",
+    oracle="""
+    WITH ds AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    hashed AS (
+      SELECT d.d, user_id,
+             CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 512 AS cell
+      FROM events, ds d
+    ),
+    cells AS (SELECT d, cell, count(*) AS c FROM hashed GROUP BY d, cell),
+    exact AS (
+      SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+      ORDER BY n DESC, user_id LIMIT 20
+    ),
+    probes AS (
+      SELECT e.user_id, e.n, d.d,
+             CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || CAST(e.user_id AS VARCHAR)), 1, 8) AS BIGINT) % 512 AS cell
+      FROM exact e, ds d
+    )
+    SELECT p.user_id,
+           CAST(p.n AS BIGINT)        AS exact_count,
+           CAST(min(c.c) AS BIGINT)   AS cms_estimate,
+           min(c.c) >= p.n            AS never_undercounts
+    FROM probes p JOIN cells c ON c.d = p.d AND c.cell = p.cell
+    GROUP BY p.user_id, p.n
+    ORDER BY exact_count DESC, user_id
+    """,
+)
+def q141_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch, deterministic enough to oracle: depth-4 x
+    width-512 counter grid keyed by md5-derived cell hashes (the same
+    bytes on every engine), estimates = min over rows — completing the
+    mergeable-sketch family (HLL q83, KLL q117, theta q120, freqItems
+    q81) with the frequency-estimation member. The query reports the
+    top-20 exact user counts beside their CMS estimates plus the
+    never-undercounts invariant the sketch guarantees.
+
+    Scale shape: the grid is depth*width = 2048 counters TOTAL
+    regardless of corpus size (each cell a map-side-combined count);
+    that is the whole point — frequency estimates over an unbounded key
+    space in O(1) memory, mergeable across batches/partitions by cell
+    addition. The d-replication explode multiplies the scan by depth,
+    not the shuffle (cells, not events, cross the exchange).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ds = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("d")
+    cell = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", F.col("d"), F.col("user_id"))), 1, 8), 16, 10).cast("long") % 512
+    )
+    hashed = ev.select("user_id").select(ds, "user_id").withColumn("cell", cell)
+    cells = hashed.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).orderBy(F.col("n").desc(), "user_id").limit(20)
+    )
+    probes = exact.select(ds, "user_id", "n").withColumn("cell", cell)
+    return (
+        probes.join(F.broadcast(cells.hint("broadcast")), ["d", "cell"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("_est"))
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("exact_count"),
+            F.col("_est").cast("long").alias("cms_estimate"),
+            (F.col("_est") >= F.col("n")).alias("never_undercounts"),
+        )
+        .orderBy(F.col("exact_count").desc(), "user_id")
+    )
