@@ -240,7 +240,7 @@ def q141_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = exact.select(ds, "user_id", "n").withColumn("cell", cell)
     return (
-        probes.join(F.broadcast(cells.hint("broadcast")), ["d", "cell"])
+        probes.join(F.broadcast(cells), ["d", "cell"])
         .groupBy("user_id", "n")
         .agg(F.min("c").alias("_est"))
         .select(

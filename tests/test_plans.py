@@ -348,3 +348,12 @@ def test_q136_broadcasts_query_terms_and_takeordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q136_bm25_ranking")
     assert "TakeOrderedAndProject" in plan, plan  # top-20 is a heap, no global sort
     assert "BroadcastHashJoin" in plan, plan  # 10-term query relation broadcasts
+
+
+def test_q141_cms_grid_broadcasts(spark, sf_dir):
+    """The 2048-cell CMS grid must broadcast into the probe join; the
+    events-grain relation crosses no payload exchange (cells, not
+    events, shuffle)."""
+    plan = _plan(spark, sf_dir, "q141_count_min_estimates")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
