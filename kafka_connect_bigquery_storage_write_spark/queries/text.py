@@ -1182,10 +1182,12 @@ def q137_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     and q31/q32's document-level Jaccard won't flag it).
 
     Scale shape: chunk generation is a projection pipeline (sequence +
-    explode, no join); the single shuffle keys on the passage string —
-    at production scale swap the group key for xxhash64(passage) (8-byte
-    exchange, the q31 digest rule) and keep one exemplar via min_by; the
-    top-20 is a TakeOrdered heap.
+    explode, no join); the aggregation keys on xxhash64(passage) — the
+    q31 digest rule: the (hash, doc) exchange is 16 bytes/row regardless
+    of passage length, and the exemplar string rides as a map-side
+    min partial (one passage per hash per partition). Collision odds at
+    corpus scale ~n_distinct^2/2^65, the same accepted bound as every
+    shingle join here; the top-20 is a TakeOrdered heap.
     """
     docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
@@ -1196,10 +1198,16 @@ def q137_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = d.select("doc_id", F.explode(starts).alias("s"), "t").select(
         "doc_id", F.array_join(F.slice("t", F.col("s") + 1, 20), " ").alias("passage")
     )
+    hashed = chunks.withColumn("h", F.xxhash64("passage"))
     return (
-        chunks.groupBy("passage")
-        .agg(F.countDistinct("doc_id").alias("n_docs"), F.count(F.lit(1)).alias("n_occurrences"))
+        hashed.groupBy("h")
+        .agg(
+            F.min("passage").alias("passage"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
         .filter(F.col("n_docs") >= 2)
+        .select("passage", "n_docs", "n_occurrences")
         .orderBy(F.col("n_docs").desc(), "passage")
         .limit(20)
     )
