@@ -108,11 +108,26 @@ def main() -> None:
     # pass. Retries are capped per pass so a genuinely slow host still
     # terminates; the count is reported in the payload.
     ref_mins: dict[str, float] = {}
+    ref_cal: list[float] | None = None
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")) as f:
-            ref_mins = {k: float(v) for k, v in json.load(f).get("queries", {}).items()}
+        with open(os.path.join(repo_dir, "BENCH_LOCAL.json")) as f:
+            _ref = json.load(f)
+        ref_mins = {k: float(v) for k, v in _ref.get("queries", {}).items()}
+        ref_cal = _ref.get("host_cal_ref")
     except (OSError, ValueError):
         pass
+    # commit hash of the reference file this run compares against, so the
+    # artifact's comparison base is unambiguous (VERDICT r6 #4)
+    try:
+        import subprocess
+
+        ref_commit = subprocess.run(
+            ["git", "-C", repo_dir, "log", "-n", "1", "--format=%h", "--", "BENCH_LOCAL.json"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or None
+    except Exception:
+        ref_commit = None
     retry_count = [0]
     MAX_RETRIES_PER_PASS = 20
 
@@ -163,17 +178,23 @@ def main() -> None:
     best = {name: min(r[name] for r in runs) for name in runs[0]}
     total = round(sum(best.values()), 3)
     cal_end = _host_calibration()
-    # Host-normalized total (VERDICT r5 #2): scale by quiet-host reference
-    # calibration (0.30s single / 0.40s 16-way, the committed steady-state
-    # values this suite was baselined at) over the observed average. The
-    # BINDING constraint is the worse of the two ratios — hypervisor theft
-    # can hit parallel load while a single thread still runs at full speed
-    # (the documented signature), and a healthy single-thread cal must not
-    # mask it. Capped at 1x: normalization corrects for a slow window, it
-    # must not award bonus speed on a fast host.
+    # Host-normalized total (VERDICT r5 #2): scale by the HOST'S OWN
+    # quiet-window reference calibration over the observed average. The
+    # reference lives in BENCH_LOCAL.json ("host_cal_ref", stamped by the
+    # last healthy run on THIS host — ADVICE r6: hard-coded constants from
+    # one machine made the normalized number a modeled figure elsewhere);
+    # first run on a fresh host falls back to the observed values
+    # themselves (factor 1.0 — no normalization claim without a local
+    # reference). The BINDING constraint is the worse of the two ratios —
+    # hypervisor theft can hit parallel load while a single thread still
+    # runs at full speed (the documented signature), and a healthy
+    # single-thread cal must not mask it. Capped at 1x: normalization
+    # corrects for a slow window, it must not award bonus speed on a fast
+    # host. The RAW total stays the primary "value" headline.
     obs_single = (cal_start[0] + cal_end[0]) / 2
     obs_par = (cal_start[1] + cal_end[1]) / 2
-    factor = min(1.0, 0.30 / max(obs_single, 1e-9), 0.40 / max(obs_par, 1e-9))
+    cal_ref = ref_cal if ref_cal else [obs_single, obs_par]
+    factor = min(1.0, cal_ref[0] / max(obs_single, 1e-9), cal_ref[1] / max(obs_par, 1e-9))
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "query_suite_wall_clock",
@@ -197,9 +218,13 @@ def main() -> None:
         # contention-corrected headline a reader should compare across
         # rounds when host_cal shows theft.
         "host_cal": [cal_start, cal_end],
+        "host_cal_ref": cal_ref,
         "host_cal_norm_total": round(total * factor, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LOCAL.json",
+        # commit that last touched the reference minima being compared
+        # against (null on a fresh checkout / no git)
+        "ref_commit": ref_commit,
     }
     detail = dict(payload)
     detail["queries"] = best
@@ -208,8 +233,15 @@ def main() -> None:
     # minima (observed: a theft window wrote q122=128.6s where the steady
     # state is 7.3s, which would disarm every future 3x-retry check).
     # Overwrite only when the host calibration was healthy end to end.
-    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    local_path = os.path.join(repo_dir, "BENCH_LOCAL.json")
     if factor >= 0.85 or not os.path.exists(local_path):
+        # the persisted reference calibration tracks the QUIETEST window
+        # ever observed on this host (min per shape), so the retry/normalize
+        # thresholds keep tightening toward the host's true steady state
+        obs_best = [min(cal_start[0], cal_end[0]), min(cal_start[1], cal_end[1])]
+        detail["host_cal_ref"] = [round(min(a, b), 3) for a, b in zip(cal_ref, obs_best)] if ref_cal else [
+            round(v, 3) for v in obs_best
+        ]
         with open(local_path, "w") as f:
             json.dump(detail, f, indent=1)
     else:

@@ -310,27 +310,8 @@ def ivf_topk(
     corpus_lists = ivf_assign(
         ensure_compute_parallelism(corpus), cents, id_col=id_col, vec_col=vec_col, n_top=1, normalize=not exact_rescore
     ).withColumnsRenamed({"_id": "neighbor_id", "_vec": "_cvec"})
-    query_lists = ivf_assign(
-        queries, cents, id_col=query_id_col, vec_col=vec_col, n_top=n_probe, normalize=not exact_rescore
-    ).withColumnsRenamed({"_id": query_id_col, "_vec": "_qvec"})
-    cand = corpus_lists.join(F.broadcast(query_lists), "list_id").filter(
-        F.col("neighbor_id") != F.col(query_id_col)
-    )
-    score = cosine(F.col("_qvec"), F.col("_cvec")) if exact_rescore else dot(F.col("_qvec"), F.col("_cvec"))
-    # no dedup pass: the corpus side is assigned with n_top=1, so a
-    # (query, neighbor) pair matches the list-probe join at most once
-    # (the corpus row's single list either is or is not among the query's
-    # n_probe DISTINCT lists). The dropDuplicates this used to run was an
-    # aggregate over rows still carrying both d-dim vectors — a ~1KB/row
-    # exchange doing provably nothing; at full probe it was the dominant
-    # cost. The projection to (query, neighbor, cosine) keeps the one
-    # remaining exchange (the per-query rank window) at 24 bytes/row.
-    scored = cand.withColumn("cosine", F.round(score, 6)).select(query_id_col, "neighbor_id", "cosine")
-    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    return _probe_and_rank(
+        corpus_lists, cents, queries, k, query_id_col, vec_col, n_probe, exact_rescore=exact_rescore
     )
 
 
@@ -1042,6 +1023,12 @@ def _probe_and_rank(
         F.col("neighbor_id") != F.col(query_id_col)
     )
     score = cosine(F.col("_qvec"), F.col("_cvec")) if exact_rescore else dot(F.col("_qvec"), F.col("_cvec"))
+    # no dedup pass: the corpus side is assigned with n_top=1, so a
+    # (query, neighbor) pair matches the list-probe join at most once
+    # (the corpus row's single list either is or is not among the query's
+    # n_probe DISTINCT lists). The projection to (query, neighbor, cosine)
+    # keeps the one remaining exchange (the per-query rank window) at
+    # 24 bytes/row instead of carrying both d-dim vectors.
     scored = cand.withColumn("cosine", F.round(score, 6)).select(query_id_col, "neighbor_id", "cosine")
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -54,65 +54,66 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-6 rotation (VERDICT r5 next-round #1): staleness order is
-# never-windowed (27: q106/q108–q131 less the seven windowed in r5,
-# plus rows-only q88/q92) → r2-latest rows-only block (q33/q36/q38/
-# q39/q63) → oldest r4-latest queries in registration order (first 18).
+# Round-7 rotation (VERDICT r6 next-round #1): lead with the ten round-6
+# queries that have ZERO official rows (the r6 window was spent on the
+# round-5 backlog), then the least-recently-verified cohort: all 30
+# r4-latest queries, then the first r5-latest queries in registration
+# order to fill the 50. Queries new THIS round are spliced in right
+# after the zero-row block as they land.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never officially windowed (new in r5; sim-green every round) ---
-    "q106_token_freq_of_freq",
-    "q108_quality_decile_bins",
-    "q109_bloom_prefilter_dedup",
-    "q110_unigram_surprisal",
-    "q111_key_skew_profile",
-    "q112_vocab_coverage",
-    "q113_incremental_near_dup",
-    "q114_series_outliers",
-    "q115_window_rank_family",
-    "q116_token_typo_pairs",
-    "q117_incremental_quantile_rollup",
-    "q118_chisquare_independence",
-    "q119_numeric_correlations",
-    "q120_theta_returning_users",
-    "q121_column_profile",
-    "q122_pagerank_coactivity",
-    "q123_interval_join_attribution",
-    "q124_jsonl_source",
-    "q125_csv_source",
-    "q126_filtered_cosine_topk",
-    "q127_unpivot_metrics",
-    "q128_weighted_reservoir_sample",
-    "q129_null_safe_join",
-    "q130_cdc_latest_state",
-    "q131_quality_survivorship",
-    # never-windowed rows-only (pytest-pinned recall/exactness)
-    "q88_ivf_int8_serving",
-    "q92_semantic_dedup",
-    # --- newest official row is r2 (rows-only family) ---
-    "q33_simhash_near_dups",
-    "q36_lsh_ann_topk",
-    "q38_embedding_near_dups_blocked",
-    "q39_ivf_ann_topk",
-    "q63_embedding_near_dups_lsh",
-    # --- newest official row is r4; first 18 in registration order ---
-    "q30_dedup_exact",
-    "q31_ngram_jaccard_pairs",
-    "q32_minhash_lsh_near_dups",
-    "q65_incremental_dedup",
-    "q73_dedup_clusters",
-    "q87_dedup_clusters_star",
-    "q78_decontamination",
-    "q94_containment_pairs",
-    "q99_weighted_quota_sample",
-    "q47_multimodal_binary_metadata",
-    "q70_conversion_roundtrip",
-    "q71_ingest_pipeline_committed",
-    "q86_dlq_replay_convergence",
-    "q09_status_distinct_customers",
-    "q10_rollup_quantities",
-    "q11_cube_volumes",
-    "q12_top_orders",
-    "q13_top_customers_per_nation",
+    # --- never officially windowed (new in r6; sim-green) ---
+    "q132_image_pixel_checksum",
+    "q133_left_outer_attribution",
+    "q134_scd2_history",
+    "q135_expectation_checks",
+    "q136_bm25_ranking",
+    "q137_repeated_passages",
+    "q138_orc_source",
+    "q139_point_in_time_join",
+    "q140_token_balanced_shards",
+    "q141_count_min_estimates",
+    # --- newest official row is r4; all 30, registration order ---
+    "q14_running_customer_spend",
+    "q15_union_all_counts",
+    "q16_intersect_except",
+    "q17_string_functions",
+    "q18_date_functions",
+    "q19_ship_delay",
+    "q20_math_functions",
+    "q21_array_functions",
+    "q22_json_functions",
+    "q23_approx_distinct",
+    "q28_full_outer_presence",
+    "q29_bag_setops",
+    "q34_pivot_status_matrix",
+    "q25_grouping_sets_sql",
+    "q26_map_functions",
+    "q27_percentiles",
+    "q24_explode_tokens",
+    "q58_small_quantity_revenue",
+    "q59_trailing_hour_window",
+    "q89_large_volume_customers",
+    "q90_waiting_suppliers",
+    "q91_idle_rich_customers",
+    "q35_cosine_topk",
+    "q37_embedding_near_dups",
+    "q64_user_activity_similarity",
+    "q95_embedding_outliers",
+    "q48_salted_agg",
+    "q49_salted_join",
+    "q98_incremental_topk_rollup",
+    "q97_gap_filled_hourly",
+    # --- newest official row is r5; first 10 in registration order ---
+    "q105_contamination_scores",
+    "q40_text_stats",
+    "q41_language_histogram",
+    "q42_top_tokens",
+    "q44_train_test_split",
+    "q45_token_budget",
+    "q46_winnow_fingerprints",
+    "q43_quality_filter",
+    "q57_repetition_signals",
+    "q66_mixture_sampling",
 )
 
 

@@ -505,46 +505,61 @@ def q139_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     current version matches everything after its start) — the canonical
     feature-store lookup that guarantees NO FUTURE LEAKAGE: a training
     example may only see dimension state that existed at event time.
-    q134 builds the intervals; this query consumes them. Same answer
-    set as a backward as-of join (q54) but expressed as the
-    interval-containment join a warehouse dimension table serves, with
-    unmatched facts preserved (purchases before the user's first click).
+    q134 builds the intervals; this query consumes them, and the ORACLE
+    keeps the declarative interval-containment join a warehouse
+    dimension table serves.
 
-    Exactness: intervals per user are disjoint and half-open by
-    construction, so at most one version matches — no dedup needed.
-    Scale shape: one user_id shuffle on each side; the interval
-    predicate evaluates inside the co-partitioned join.
+    Execution is the q54 backward-as-of machinery (``asof_join``: union
+    + ONE window pass per user), not an interval join (VERDICT r6 #2):
+    the interval join keyed on user_id with containment as a residual
+    predicate makes a hot user with C clicks and P purchases evaluate
+    C*P pairs inside one task even though at most one version matches —
+    a straggler cliff under power-user skew. The as-of form costs
+    (C+P)log(C+P) per user — probed at 10^5 clicks x 10^5 purchases on
+    ONE key: as-of 2.7s vs interval-join 12.3s and widening
+    quadratically (tools/probe_round7_ops.py).
+
+    Equivalence to interval containment: intervals per user are disjoint
+    and half-open with valid_to = the NEXT click's ts, so the latest
+    click with ts <= p_ts is exactly the containing version. The one
+    edge: several clicks at the SAME ts — version order ties on
+    click_id, giving every click but the last a zero-width [t, t)
+    interval that can never contain anything; those shadowed versions
+    are filtered (valid_to > valid_from) AFTER version numbering, which
+    also makes the as-of pick deterministic at tied timestamps.
     """
     from pyspark.sql import Window as W
 
+    from kafka_connect_bigquery_storage_write_spark.operators.temporal import asof_join
+
     ev = load_table(spark, sf_dir, "events")
-    wc = W.partitionBy("c_user").orderBy("ts", "click_id")
+    wc = W.partitionBy("user_id").orderBy("ts", "click_id")
     clicks = (
         ev.filter(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("c_user"), F.col("event_id").alias("click_id"), "ts")
-        .withColumn("version", F.row_number().over(wc).cast("long"))
+        .select("user_id", F.col("event_id").alias("click_id"), "ts")
+        .withColumn("state_version", F.row_number().over(wc).cast("long"))
         .withColumn("valid_to", F.lead("ts").over(wc))
         .withColumnRenamed("ts", "valid_from")
+        # drop zero-width versions (shadowed same-ts clicks): they can't
+        # contain any point, and their removal makes the backward as-of
+        # pick identical to interval containment
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .withColumnRenamed("click_id", "state_click_id")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"),
         F.round("value", 2).alias("value"),
     )
     return (
-        purchases.join(
+        asof_join(
+            purchases,
             clicks,
-            (purchases.user_id == clicks.c_user)
-            & (F.col("valid_from") <= F.col("p_ts"))
-            & ((F.col("p_ts") < F.col("valid_to")) | F.col("valid_to").isNull()),
-            "left",
+            by="user_id",
+            left_ts="p_ts",
+            right_ts="valid_from",
+            right_payload=["state_version", "state_click_id"],
+            how="left",
         )
-        .select(
-            "purchase_id",
-            "user_id",
-            "p_ts",
-            F.col("version").alias("state_version"),
-            F.col("click_id").alias("state_click_id"),
-            "value",
-        )
+        .select("purchase_id", "user_id", "p_ts", "state_version", "state_click_id", "value")
         .orderBy("purchase_id")
     )

@@ -1223,7 +1223,7 @@ def q137_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM d
     )
-    SELECT CAST((cum - 1) // 2000 AS BIGINT) AS shard_id,
+    SELECT CAST(greatest(cum - 1, 0) // 2000 AS BIGINT) AS shard_id,
            CAST(count(*) AS BIGINT)          AS n_docs,
            CAST(sum(n_tokens) AS BIGINT)     AS n_tokens,
            CAST(min(doc_id) AS BIGINT)       AS first_doc,
@@ -1236,7 +1236,7 @@ def q137_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q140_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-balanced shard assignment for training export: docs are laid
     out in doc_id order and cut into shards of ~2000 tokens by the global
-    running token count (shard_id = (cum-1) div budget) — every shard
+    running token count (shard_id = greatest(cum-1, 0) div budget) — every shard
     except the last lands within one document of the budget, and the
     assignment is identical on any cluster size because it is a pure
     function of the global prefix sum. The shard-grain summary is what an
@@ -1252,7 +1252,10 @@ def q140_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = ranked_prefix_sum(d, [F.col("doc_id")], value="n_tokens", cum_col="cum")
     return (
-        c.withColumn("shard_id", F.expr("(cum - 1) div 2000"))
+        # greatest(...,0): leading zero-token docs have cum = 0, where
+        # Spark's `div` (truncate) and the oracle's `//` (floor) disagree
+        # on -1/2000 — clamping pins both engines to shard 0 (ADVICE r6)
+        c.withColumn("shard_id", F.expr("greatest(cum - 1, 0L) div 2000"))
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -224,6 +224,14 @@ class ManifestSinkTable:
             return [], set()
         return list(snap["compacted_dirs"]), set(snap["absorbed_batch_ids"])
 
+    @staticmethod
+    def _legacy_dir(batch_id: int) -> str:
+        """Pre-attempt-layout data dir for a batch (markers written before
+        the attempt= scheme carried only {"batch_id"} / {"batch_ids"};
+        their data lives directly under batch=<id>). Reading them through
+        this fallback keeps old tables readable with no migration."""
+        return f"batch={batch_id}"
+
     def _committed_entries(self) -> dict[int, str]:
         """Every committed micro-batch id -> its winning attempt dir
         (relative to data/), from batch markers + epoch files. Markers
@@ -235,19 +243,24 @@ class ManifestSinkTable:
             if f.startswith("batch-") and f.endswith(".marker"):
                 with open(os.path.join(commits, f)) as fh:
                     m = json.load(fh)
-                entries[int(m["batch_id"])] = m["dir"]
+                bid = int(m["batch_id"])
+                entries[bid] = m.get("dir", self._legacy_dir(bid))
             elif f.startswith("epoch-") and f.endswith(".json"):
                 with open(os.path.join(commits, f)) as fh:
                     e = json.load(fh)
-                for bid, d in e["dirs"].items():
-                    entries[int(bid)] = d
+                if "dirs" in e:
+                    for bid, d in e["dirs"].items():
+                        entries[int(bid)] = d
+                else:  # legacy epoch: {"batch_ids": [...]} only
+                    for bid in e["batch_ids"]:
+                        entries[int(bid)] = self._legacy_dir(int(bid))
         return entries
 
     def _staged_entries(self) -> dict[int, str]:
         out: dict[int, str] = {}
         for b in self.staged_ids():
             with open(self._staged_marker(b)) as fh:
-                out[b] = json.load(fh)["dir"]
+                out[b] = json.load(fh).get("dir", self._legacy_dir(b))
         return out
 
     def _marker_ids(self) -> set[int]:
@@ -447,15 +460,35 @@ class ManifestSinkTable:
             return None
         return n_snap
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, retention_s: float = 24 * 3600.0) -> list[str]:
         """Delete data directories no longer referenced by the manifest:
         batch dirs absorbed by a compaction snapshot and compacted dirs
         superseded by a newer snapshot. Safe to run any time after
         in-flight readers of the pre-compaction layout have finished —
         the snapshot switch means new readers never list these dirs.
         Returns the removed directory names.
+
+        ``retention_s`` guards UNREFERENCED directories (attempt dirs
+        under a live batch with no marker pointing at them, and batch
+        dirs with no marker at all): an in-flight ``write_batch`` whose
+        parquet has landed but whose marker CAS has not yet executed is
+        indistinguishable from an orphan, so such dirs are only reclaimed
+        once their mtime is older than the retention window (the
+        Delta/Iceberg vacuum-retention rule). Manifest-REFERENCED but
+        superseded dirs (absorbed batches, old compactions) were durably
+        published and carry no writer race, so they are reclaimed
+        regardless of age — the only precondition there is the in-flight
+        reader one documented above.
         """
         import shutil
+
+        now = time.time()
+
+        def _old_enough(path: str) -> bool:
+            try:
+                return now - os.path.getmtime(path) >= retention_s
+            except OSError:
+                return False  # vanished concurrently; nothing to reclaim
 
         committed = self._committed_entries()
         staged = self._staged_entries()
@@ -467,15 +500,22 @@ class ManifestSinkTable:
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root):
             if d.startswith("batch="):
-                if int(d.split("=", 1)[1]) in live_batches:
-                    # the batch is live: still drop loser/orphan attempt
-                    # dirs the manifest doesn't reference
+                bid = int(d.split("=", 1)[1])
+                if bid in live_batches:
+                    # the batch is live: drop loser/orphan attempt dirs the
+                    # manifest doesn't reference — but only past retention,
+                    # because an attempt mid-CAS looks identical to a loser
                     for att in os.listdir(os.path.join(data_root, d)):
                         rel = os.path.join(d, att)
-                        if rel not in live_dirs:
+                        if rel not in live_dirs and _old_enough(os.path.join(data_root, rel)):
                             shutil.rmtree(os.path.join(data_root, rel))
                             removed.append(rel)
                     continue
+                if bid not in absorbed and bid not in committed:
+                    # no marker anywhere: in-flight first write or crash
+                    # orphan — retention decides which
+                    if not _old_enough(os.path.join(data_root, d)):
+                        continue
             elif d.startswith("compacted-"):
                 if d in live_compacted:
                     continue
@@ -528,7 +568,8 @@ class ManifestSinkTable:
                 if f.startswith("epoch-") and f.endswith(".json") and int(f[len("epoch-") : -len(".json")]) <= epoch:
                     with open(os.path.join(commits, f)) as fh:
                         e = json.load(fh)
-                    for bid, d in e["dirs"].items():
+                    dirs = e.get("dirs") or {str(b): self._legacy_dir(int(b)) for b in e["batch_ids"]}
+                    for bid, d in dirs.items():
                         entries[int(bid)] = d
         else:
             for b, d in self._committed_entries().items():

@@ -357,3 +357,98 @@ def test_q141_cms_grid_broadcasts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q141_count_min_estimates")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_global_window_sites_are_allowlisted():
+    """Guard the bounded-global-window invariant (VERDICT r6 #3): a bare
+    ``Window.orderBy(...)`` (no partitionBy) forces every row through ONE
+    task — the classic scale cliff. Every such site in this repo is over a
+    provably bounded relation (per-source aggregates, a limit(k) head, or
+    ranked_prefix_sum's P-row partition-offset relation), so the permanent
+    benign `WindowExec: No Partition Defined` warning in bench output is
+    expected — but it would also camouflage a NEW unbounded site. This
+    test enumerates the sites statically (AST, so docstrings don't count)
+    and fails loudly when one appears that isn't on the reviewed
+    allowlist below.
+    """
+    import ast
+    import os
+
+    import kafka_connect_bigquery_storage_write_spark as pkg
+
+    # (module-relative path, enclosing function) -> why it is bounded
+    ALLOWED = {
+        ("operators/partitioning.py", "ranked_prefix_sum"): "offsets relation has one row per PARTITION (<= shuffle partitions), not per data row",
+        ("queries/text.py", "q45_token_budget"): "windows a per-source aggregate: one row per distinct source",
+        ("queries/text.py", "q96_vocab_encode"): "windows the limit(256) vocabulary head",
+        ("queries/text.py", "q99_weighted_quota_sample"): "windows the per-source quota relation: one row per distinct source",
+        ("queries/text.py", "q136_bm25_ranking"): "windows the limit(30) df head",
+    }
+
+    root = os.path.dirname(pkg.__file__)
+    found: set[tuple[str, str]] = set()
+    for dirpath, _, files in os.walk(root):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fn)
+            rel = os.path.relpath(path, root).replace(os.sep, "/")
+            with open(path) as f:
+                tree = ast.parse(f.read())
+            funcs = [n for n in ast.walk(tree) if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+            # oracle SQL strings run on DuckDB driver-side; OVER (ORDER BY
+            # there is not a Spark plan property. Record their line spans
+            # so the SQL-text check below can skip them.
+            oracle_spans: list[tuple[int, int]] = []
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Call) and getattr(node.func, "id", getattr(node.func, "attr", None)) == "query":
+                    for kw in node.keywords:
+                        if kw.arg == "oracle":
+                            oracle_spans.append((kw.value.lineno, kw.value.end_lineno))
+            for node in ast.walk(tree):
+                # a) bare Window/W.orderBy(...) calls (a chained
+                #    .partitionBy(...).orderBy(...) has a Call receiver,
+                #    not a Name, and is correctly not matched)
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "orderBy"
+                    and isinstance(node.func.value, ast.Name)
+                    and node.func.value.id in ("W", "Window")
+                ):
+                    enc = [f.name for f in funcs if f.lineno <= node.lineno <= f.end_lineno]
+                    found.add((rel, enc[-1] if enc else "<module>"))
+                # b) OVER (ORDER BY in Spark-side SQL text (spark.sql /
+                #    F.expr strings) — same cliff via the SQL entry point
+                if isinstance(node, ast.Constant) and isinstance(node.value, str):
+                    if "over (order by" in node.value.lower() and not any(
+                        a <= node.lineno <= b for a, b in oracle_spans
+                    ):
+                        enc = [f.name for f in funcs if f.lineno <= node.lineno <= f.end_lineno]
+                        found.add((rel, enc[-1] if enc else "<module>"))
+
+    unexpected = found - set(ALLOWED)
+    removed = set(ALLOWED) - found
+    assert not unexpected, (
+        f"new unpartitioned-window site(s) {sorted(unexpected)}: a bare Window.orderBy "
+        "serializes the relation through one task. Either partition it, bound it "
+        "(limit/aggregate first), or add it to the reviewed allowlist WITH a proof of boundedness."
+    )
+    assert not removed, f"allowlist entries no longer present, prune them: {sorted(removed)}"
+
+
+def test_q139_asof_no_join_no_pair_blowup(spark, sf_dir):
+    """Point-in-time enrichment must run as the as-of union + window
+    (VERDICT r6 #2), never as a key-equi join with interval containment
+    as a residual predicate — that shape evaluates clicks x purchases
+    pairs inside a single hot-user task. Pin: NO join operator of any
+    kind in the plan, exactly two window passes (version build; as-of
+    carry), at most two key exchanges."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q139_point_in_time_join")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    exchanges = [l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)]
+    assert len(exchanges) <= 2, plan

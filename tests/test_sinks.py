@@ -380,3 +380,69 @@ def test_read_as_of_requires_exactly_one_anchor(spark, kv_df, tmp_path):
         sink.read_as_of(spark)
     with pytest.raises(ValueError):
         sink.read_as_of(spark, epoch=0, batch_id=0)
+
+
+# -- vacuum retention & legacy-manifest compatibility (ADVICE r6) -----------
+
+
+def test_vacuum_retention_protects_inflight_attempt(spark, kv_df, tmp_path):
+    """An attempt dir whose marker CAS hasn't executed yet is
+    indistinguishable from an orphan; vacuum must not reclaim it until
+    it is older than the retention window (sink_table.py vacuum)."""
+    import os
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(kv_df, 0)
+    data_root = tmp_path / "t" / "data"
+    # simulate an in-flight write_batch: parquet landed, marker not yet
+    inflight = data_root / "batch=0" / "attempt=inflight00000"
+    os.makedirs(inflight)
+    (inflight / "part-0.parquet").write_bytes(b"x")
+    # and an in-flight FIRST write of a brand-new batch id (no marker at all)
+    fresh = data_root / "batch=7" / "attempt=inflight11111"
+    os.makedirs(fresh)
+    (fresh / "part-0.parquet").write_bytes(b"x")
+    assert sink.vacuum() == []  # default 24h retention: both survive
+    assert inflight.exists() and fresh.exists()
+    assert sink.vacuum(retention_s=0.0) == [
+        os.path.join("batch=0", "attempt=inflight00000"),
+        "batch=7",
+    ]
+    assert not inflight.exists() and not fresh.exists()
+    assert sink.read(spark).count() == 2  # committed attempt untouched
+
+
+def test_legacy_manifest_layout_still_readable(spark, kv_df, tmp_path):
+    """Tables written by the pre-attempt layout (markers {"batch_id"} only,
+    epochs {"batch_ids"} only, data directly under batch=<id>) must stay
+    readable and idempotent — the fallback maps them to batch=<id>."""
+    import json
+    import os
+
+    root = tmp_path / "t"
+    sink = ManifestSinkTable(str(root), write_mode="committed")
+    # hand-write a legacy table: data at batch=0 (no attempt=), legacy marker
+    kv_df.write.parquet(str(root / "data" / "batch=0"))
+    kv_df.write.parquet(str(root / "data" / "batch=1"))
+    (root / "_schema.json").write_text(kv_df.schema.json())
+    with open(root / "_commits" / "batch-0.marker", "w") as f:
+        json.dump({"batch_id": 0}, f)
+    with open(root / "_commits" / "epoch-0.json", "w") as f:
+        json.dump({"batch_ids": [1]}, f)
+    assert sink.read(spark).count() == 4
+    assert sink.committed_ids() == [0, 1]
+    # replay of a legacy id is still idempotent (R14)
+    assert sink.write_batch(kv_df, 0).already_exists
+    # time travel across the legacy epoch resolves the legacy dir
+    assert sink.read_as_of(spark, batch_id=0).count() == 2
+    # and a NEW batch through the current code coexists with legacy dirs
+    sink.write_batch(kv_df, 2)
+    assert sink.read(spark).count() == 6
+    # legacy staged marker (pending-mode table)
+    pend = ManifestSinkTable(str(tmp_path / "p"), write_mode="pending")
+    kv_df.write.parquet(str(tmp_path / "p" / "data" / "batch=5"))
+    (tmp_path / "p" / "_schema.json").write_text(kv_df.schema.json())
+    with open(tmp_path / "p" / "_staged" / "5.marker", "w") as f:
+        json.dump({"batch_id": 5}, f)
+    assert pend.commit() == [5]
+    assert pend.read(spark).count() == 2
