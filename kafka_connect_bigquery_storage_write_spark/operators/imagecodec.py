@@ -10,6 +10,9 @@ those formats while the opaque-bytes stub remains for everything else:
 - BMP (Windows, BITMAPINFOHEADER, 24-bit uncompressed BI_RGB): 14-byte
   file header + 40-byte DIB header, BGR pixel rows bottom-up (top-down
   when height is negative), each row padded to a 4-byte boundary.
+- PNG (W3C/RFC 2083, round 7): 8-bit RGB/RGBA non-interlaced — chunk
+  walk, multi-IDAT zlib inflate (stdlib), and per-row unfiltering of
+  all five filter types (None/Sub/Up/Average/Paeth).
 
 Everything operates on ``np.ndarray`` of shape (h, w, 3) dtype uint8 in
 RGB order. ``bilinear_resize`` uses the half-pixel-center convention
@@ -97,6 +100,137 @@ def encode_bmp(img: np.ndarray) -> bytes:
     return header + dib + pixel_data
 
 
+# -- PNG (VERDICT r6 #6): public spec (RFC 2083 / W3C PNG), stdlib zlib --
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor, exactly as specified (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit RGB/RGBA non-interlaced PNG to (h, w, 3) uint8.
+
+    Full spec path for the supported subset: chunk walk, IHDR validation,
+    multi-IDAT concatenation, zlib inflate, and per-row unfiltering of
+    all five filter types (None/Sub/Up/Average/Paeth). RGBA input drops
+    the alpha plane after unfiltering (the (h, w, 3) kernel contract —
+    alpha participates in filtering as the spec requires, so it cannot
+    simply be skipped during the unfilter pass).
+    """
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, bit_depth, color_type, compression, filter_method, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6) or compression != 0 or filter_method != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (bit_depth={bit_depth}, color_type={color_type}, interlace={interlace}); "
+            "only 8-bit RGB/RGBA non-interlaced is implemented"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1).astype(np.int64)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prior) & 0xFF
+        else:
+            # Sub/Average/Paeth depend on the just-reconstructed left
+            # neighbor — inherently sequential along the row
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                if ftype == 1:  # Sub
+                    rec[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:  # Average
+                    rec[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:  # Paeth
+                    c = prior[x - ch] if x >= ch else 0
+                    rec[x] = (line[x] + _paeth(int(a), int(b), int(c))) & 0xFF
+                else:
+                    raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prior = rec
+    px = out.reshape(h, w, ch)
+    return px[..., :3].copy()
+
+
+def encode_png(img: np.ndarray, filter_mode: str | int = "mixed") -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a non-interlaced 8-bit PNG.
+
+    ``filter_mode``: an int 0-4 applies that row filter everywhere;
+    "mixed" (default) cycles filter type ``y % 5`` so a round-trip
+    exercises EVERY unfilter branch of ``decode_png`` — the encoder
+    exists to drive the decoder's oracle, so it deliberately produces
+    all five filter types rather than the compression-optimal choice.
+    """
+    import zlib
+
+    h, w = img.shape[:2]
+    px = np.ascontiguousarray(img, dtype=np.uint8).astype(np.int64).reshape(h, w * 3)
+    ch = 3
+    lines = []
+    prior = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        ftype = (y % 5) if filter_mode == "mixed" else int(filter_mode)
+        rec = px[y]
+        left = np.concatenate([np.zeros(ch, dtype=np.int64), rec[:-ch]])
+        if ftype == 0:
+            filt = rec
+        elif ftype == 1:
+            filt = (rec - left) & 0xFF
+        elif ftype == 2:
+            filt = (rec - prior) & 0xFF
+        elif ftype == 3:
+            filt = (rec - (left + prior) // 2) & 0xFF
+        elif ftype == 4:
+            upleft = np.concatenate([np.zeros(ch, dtype=np.int64), prior[:-ch]])
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, prior, upleft)], dtype=np.int64
+            )
+            filt = (rec - pred) & 0xFF
+        else:
+            raise ValueError(f"invalid filter_mode {filter_mode}")
+        lines.append(bytes([ftype]) + filt.astype(np.uint8).tobytes())
+        prior = rec
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", zlib.crc32(ctype + body))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def decode_image(data: bytes) -> np.ndarray | None:
     """Decode a supported public format, or None for opaque payloads
     (the caller's stub path). Never raises on foreign magic bytes."""
@@ -104,6 +238,8 @@ def decode_image(data: bytes) -> np.ndarray | None:
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     return None
 
 

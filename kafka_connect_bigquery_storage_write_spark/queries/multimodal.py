@@ -88,7 +88,7 @@ def q47_multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFram
       FROM documents d, generate_series(0, 2303) s(i)
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
            CAST(count(*) AS BIGINT)    AS n_px,
            CAST(sum(v) AS BIGINT)      AS px_sum,
            CAST(sum(i * v) AS BIGINT)  AS px_weighted
@@ -101,10 +101,12 @@ def q132_image_pixel_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode, oracle-checked to the pixel (VERDICT r5 #7).
 
     Per document, a 32x24 RGB image whose pixel bytes follow the closed
-    form (doc_id*7 + i*13) % 256 is ENCODED into a real container — PPM
-    for even doc_ids, 24-bit BMP for odd (exercising both codecs, incl.
-    BMP's bottom-up BGR rows and row padding) — then a separate kernel
-    DECODES the container with operators/imagecodec.py and reports
+    form (doc_id*7 + i*13) % 256 is ENCODED into a real container —
+    doc_id mod 3 picks PPM / 24-bit BMP / PNG (BMP exercises bottom-up
+    BGR rows and padding; PNG uses "mixed" row filters so every
+    None/Sub/Up/Average/Paeth unfilter branch runs, multi-IDAT zlib) —
+    then a separate kernel DECODES the container with
+    operators/imagecodec.py and reports
     count/sum/index-weighted-sum over the decoded pixels. The oracle
     recomputes those sums from the closed form in SQL: any header
     misparse, offset error, channel swap, or row-order mistake in the
@@ -133,19 +135,23 @@ def q132_image_pixel_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import encode_bmp, encode_ppm
+        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import encode_bmp, encode_png, encode_ppm
 
         idx = np.arange(H * W * 3, dtype=np.int64)
         for pdf in batches:
             payloads, fmts = [], []
             for doc_id in pdf["doc_id"]:
                 img = ((int(doc_id) * 7 + idx * 13) % 256).astype(np.uint8).reshape(H, W, 3)
-                if doc_id % 2 == 0:
+                m = doc_id % 3
+                if m == 0:
                     payloads.append(encode_ppm(img))
                     fmts.append("ppm")
-                else:
+                elif m == 1:
                     payloads.append(encode_bmp(img))
                     fmts.append("bmp")
+                else:
+                    payloads.append(encode_png(img, filter_mode="mixed"))
+                    fmts.append("png")
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts, "payload": payloads})
 
     out_schema = T.StructType(

@@ -14,8 +14,10 @@ from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import (
     bilinear_resize,
     decode_bmp,
     decode_image,
+    decode_png,
     decode_ppm,
     encode_bmp,
+    encode_png,
     encode_ppm,
     image_features,
 )
@@ -126,7 +128,8 @@ def test_decode_image_dispatch():
     img = _gradient(8, 8)
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
-    assert decode_image(b"\x89PNG\r\n\x1a\nnot-actually-decodable") is None
+    assert np.array_equal(decode_image(encode_png(img)), img)  # round-7: real PNG path
+    assert decode_image(b"\xff\xd8\xff\xe0 jpeg-is-not-implemented") is None
     assert decode_image(b"") is None
 
 
@@ -187,3 +190,153 @@ def test_bmp_roundtrip_property(img):
 @given(_images(), st.integers(min_value=1, max_value=16), st.integers(min_value=1, max_value=16))
 def test_bilinear_property_matches_reference(img, ow, oh):
     assert np.array_equal(bilinear_resize(img, ow, oh), _ref_bilinear(img, ow, oh))
+
+
+# -- PNG (round 7): reference unfilter straight off the W3C spec ----------
+
+
+def _ref_decode_png(data: bytes) -> np.ndarray:
+    import struct as _s
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos, idat = 8, b""
+    while pos < len(data):
+        (ln,) = _s.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = _s.unpack(">IIBBBBB", body)
+            assert depth == 8 and color in (2, 6) and inter == 0
+            ch = 3 if color == 2 else 4
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    rec = [[0] * stride for _ in range(h)]
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        for x in range(stride):
+            a = rec[y][x - ch] if x >= ch else 0
+            b = rec[y - 1][x] if y > 0 else 0
+            c = rec[y - 1][x - ch] if (y > 0 and x >= ch) else 0
+            if ftype == 0:
+                v = line[x]
+            elif ftype == 1:
+                v = line[x] + a
+            elif ftype == 2:
+                v = line[x] + b
+            elif ftype == 3:
+                v = line[x] + (a + b) // 2
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] + pred
+            rec[y][x] = v & 0xFF
+    arr = np.array(rec, dtype=np.uint8).reshape(h, w, ch)
+    return arr[..., :3].copy()
+
+
+@pytest.mark.parametrize("filter_mode", [0, 1, 2, 3, 4, "mixed"])
+def test_png_roundtrip_every_filter_type(filter_mode):
+    img = _gradient(13, 11, seed=5)
+    data = encode_png(img, filter_mode=filter_mode)
+    assert np.array_equal(decode_png(data), img)
+    assert np.array_equal(decode_png(data), _ref_decode_png(data))
+
+
+def test_png_rgba_drops_alpha_after_unfilter():
+    """Alpha must participate in the unfilter pass (spec: filtering is over
+    the full scanline) and only then be dropped — a hand-built RGBA PNG
+    with Sub/Paeth rows catches a decoder that strips alpha too early."""
+    import struct as _s
+    import zlib
+
+    w, h, ch = 5, 4, 4
+    rng = np.random.default_rng(7)
+    rgba = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    # hand-filter: row y uses filter (y % 5), scalar spec math
+    raw = b""
+    rec = rgba.astype(np.int64).reshape(h, w * ch)
+    for y in range(h):
+        ftype = y % 5
+        line = bytearray([ftype])
+        for x in range(w * ch):
+            a = rec[y][x - ch] if x >= ch else 0
+            b = rec[y - 1][x] if y > 0 else 0
+            c = rec[y - 1][x - ch] if (y > 0 and x >= ch) else 0
+            if ftype == 0:
+                f = rec[y][x]
+            elif ftype == 1:
+                f = rec[y][x] - a
+            elif ftype == 2:
+                f = rec[y][x] - b
+            elif ftype == 3:
+                f = rec[y][x] - (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = rec[y][x] - pred
+            line.append(f & 0xFF)
+        raw += bytes(line)
+
+    def chunk(ctype, body):
+        return _s.pack(">I", len(body)) + ctype + body + _s.pack(">I", zlib.crc32(ctype + body))
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), rgba[..., :3])
+    assert np.array_equal(decode_png(data), _ref_decode_png(data))
+
+
+def test_png_multi_idat_and_dispatch():
+    import struct as _s
+    import zlib
+
+    img = _gradient(8, 6, seed=3)
+    data = encode_png(img, filter_mode="mixed")
+    # split the single IDAT into two chunks (spec: IDAT data concatenates)
+    pos = 8
+    parts = {}
+    order = []
+    while pos < len(data):
+        (ln,) = _s.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        parts[ctype] = data[pos + 8 : pos + 8 + ln]
+        order.append(ctype)
+        pos += 12 + ln
+
+    def chunk(ctype, body):
+        return _s.pack(">I", len(body)) + ctype + body + _s.pack(">I", zlib.crc32(ctype + body))
+
+    idat = parts[b"IDAT"]
+    split = (
+        data[:8]
+        + chunk(b"IHDR", parts[b"IHDR"])
+        + chunk(b"IDAT", idat[: len(idat) // 2])
+        + chunk(b"IDAT", idat[len(idat) // 2 :])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(split), img)
+    # dispatch recognizes the signature; unsupported configs raise loudly
+    assert np.array_equal(decode_image(data), img)
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(
+            data[:8]
+            + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))  # palette color type
+            + chunk(b"IEND", b"")
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(_images())
+def test_png_roundtrip_property(img):
+    assert np.array_equal(decode_png(encode_png(img, filter_mode="mixed")), img)
