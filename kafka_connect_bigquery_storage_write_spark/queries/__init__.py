@@ -72,6 +72,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q139_point_in_time_join",
     "q140_token_balanced_shards",
     "q141_count_min_estimates",
+    # --- new this round (r7) ---
+    "q142_audio_sample_checksum",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -113,7 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q46_winnow_fingerprints",
     "q43_quality_filter",
     "q57_repetition_signals",
-    "q66_mixture_sampling",
 )
 
 

@@ -183,3 +183,99 @@ def q132_image_pixel_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q142_audio_sample_checksum",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, g.i,
+             (d.doc_id * 31 + g.i * 17) % 65536 - 32768 AS v
+      FROM documents d, generate_series(0, 1999) g(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)       AS n_samples,
+           CAST(sum(v) AS BIGINT)         AS sample_sum,
+           CAST(sum(i * v) AS BIGINT)     AS sample_weighted,
+           CAST(sum(v * v) AS BIGINT)     AS energy
+    FROM s
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q142_audio_sample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked to the sample (VERDICT r6 #7 —
+    the WAV twin of q132's image-decode oracle).
+
+    Per document, a 1000-frame stereo 16-bit PCM signal whose flat
+    interleaved sample i follows the closed form
+    (doc_id*31 + i*17) % 65536 - 32768 is ENCODED into a canonical
+    RIFF/WAVE container (operators/audiocodec.encode_wav), then a
+    separate kernel DECODES the container with decode_wav and reports
+    count / sum / index-weighted sum / exact int64 energy over the
+    decoded samples. The oracle recomputes those sums from the closed
+    form in SQL: any RIFF chunk-walk error, byte-order slip, channel
+    de-interleave mistake, or sample-width confusion shifts the
+    weighted sum or energy.
+
+    Scale shape: pure mapInPandas over Arrow batches, no shuffle until
+    the final orderBy; per-row state is one 8KB clip.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    FRAMES, CH = 1000, 2
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import encode_wav
+
+        idx = np.arange(FRAMES * CH, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                flat = ((int(doc_id) * 31 + idx * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(flat.reshape(FRAMES, CH), rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), False),
+            T.StructField("sample_sum", T.LongType(), False),
+            T.StructField("sample_weighted", T.LongType(), False),
+            T.StructField("energy", T.LongType(), False),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import decode_wav
+
+        for pdf in batches:
+            n_s, s_sum, s_w, en = [], [], [], []
+            for p in pdf["payload"]:
+                samples, rate = decode_wav(bytes(p))
+                assert rate == 16_000
+                flat = samples.reshape(-1).astype(np.int64)  # interleaved order
+                n_s.append(int(flat.size))
+                s_sum.append(int(flat.sum()))
+                s_w.append(int((np.arange(flat.size, dtype=np.int64) * flat).sum()))
+                en.append(int((flat * flat).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_samples": n_s, "sample_sum": s_sum,
+                 "sample_weighted": s_w, "energy": en}
+            )
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
