@@ -61,3 +61,61 @@ def test_rejects_nonpositive_cap(spark, sf_dir, tmp_path):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "x"), max_records_per_file=0)
+
+
+# -- incremental shard layout (VERDICT r6 #8): multi-batch fold == one-shot
+
+
+def _doc_tokens(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n_tokens")
+    )
+
+
+def test_incremental_layout_equals_one_shot_q140(spark, sf_dir, tmp_path):
+    """Folding three append-ordered batches must reproduce EXACTLY the
+    one-shot q140 shard summary over the union — boundary shards that
+    span batches combine from partials."""
+    from kafka_connect_bigquery_storage_write_spark.queries import QUERIES, load_all
+    from kafka_connect_bigquery_storage_write_spark.sinks.shards import IncrementalShardLayout
+
+    load_all()
+    d = _doc_tokens(spark, sf_dir)
+    lay = IncrementalShardLayout(str(tmp_path / "layout"), tokens_per_shard=2_000)
+    # batches split on doc_id ranges (append-only id order)
+    for i, (lo, hi) in enumerate([(0, 150), (150, 320), (320, 10**9)]):
+        lay.process_batch(d.filter(f"doc_id >= {lo} and doc_id < {hi}"), batch_id=i)
+    got = [
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["first_id"], r["last_id"])
+        for r in lay.read(spark).collect()
+    ]
+    want = [
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in QUERIES["q140_token_balanced_shards"](spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_incremental_layout_replay_idempotent_and_order_guard(spark, sf_dir, tmp_path):
+    from kafka_connect_bigquery_storage_write_spark.sinks.shards import IncrementalShardLayout
+
+    d = _doc_tokens(spark, sf_dir)
+    lay = IncrementalShardLayout(str(tmp_path / "layout"), tokens_per_shard=2_000)
+    b0 = d.filter("doc_id < 200")
+    lay.process_batch(b0, batch_id=0)
+    before = [tuple(r) for r in lay.read(spark).collect()]
+    # replayed batch id: absorbed, nothing double-counts
+    res = lay.process_batch(b0, batch_id=0)
+    assert res.already_exists
+    assert [tuple(r) for r in lay.read(spark).collect()] == before
+    # out-of-order append is a relayout, not an append: rejected loudly
+    with pytest.raises(ValueError, match="append-only"):
+        lay.process_batch(d.filter("doc_id < 100"), batch_id=1)
+    # compaction of partials changes nothing
+    lay.process_batch(d.filter("doc_id >= 200 and doc_id < 400"), batch_id=1)
+    full = [tuple(r) for r in lay.read(spark).collect()]
+    lay.compact(spark, target_files=1)
+    assert [tuple(r) for r in lay.read(spark).collect()] == full
