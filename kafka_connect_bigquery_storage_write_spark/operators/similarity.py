@@ -1121,3 +1121,88 @@ class IvfIndex:
             self.lists, self.centroids, queries, k, query_id_col, vec_col, n_probe,
             exact_rescore=self.raw_vectors,
         )
+
+    # -- drift maintenance (VERDICT r6 #9) --------------------------------
+    def drift(self) -> dict:
+        """Measured staleness of the frozen centroids vs the CURRENT list
+        members: per list, ``1 - cos(centroid, normalized member mean)``
+        — exactly how far one spherical-k-means step would move that
+        centroid, so 0 means the quantizer still sits at its members'
+        center and growth means appended vectors have pulled the true
+        center away from the frozen one (recall decays because probes
+        ring the wrong centers).
+
+        Returns {"per_list": [{list_id, n_members, drift}...],
+        "weighted_mean_drift": member-weighted mean} — the scalar a
+        pipeline alarms/gates on (see ``rebuild_if``).
+
+        Cost shape: one posexplode pass over the assignment relation
+        (dim x rows — a maintenance-cadence scan, not a query-path one),
+        component sums reduce to n_lists x dim rows, collected bounded
+        like the centroid broadcast. Threshold guidance (probed in
+        test_dedup_similarity.py): a CONVERGED fresh build measures ~0
+        (centroid == normalized member mean at the fixed point), and
+        because appended vectors land in their best-matching Voronoi
+        cell, even a maximally foreign same-size population (every
+        vector reflected) only raises the weighted mean to ~0.03-0.05 —
+        drift accumulates in SMALL numbers. Alert low: ~0.02 absolute
+        is already "half the corpus no longer matches the quantizer"
+        territory; rebuild_if(0.02) is the probed default.
+        """
+        norm_vec = F.expr("transform(_cvec, x -> x / sqrt(aggregate(_cvec, 0D, (a, x) -> a + x * x)))")
+        comp = (
+            self.lists.select("list_id", F.posexplode(norm_vec).alias("pos", "val"))
+            .groupBy("list_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_list: dict[int, dict] = {}
+        for r in comp:
+            d = by_list.setdefault(int(r["list_id"]), {"sum": {}, "n": int(r["n"])})
+            d["sum"][int(r["pos"])] = float(r["s"])
+        per_list = []
+        total_members = 0
+        weighted = 0.0
+        for lid in sorted(by_list):
+            d = by_list[lid]
+            vec = np.array([d["sum"][p] for p in sorted(d["sum"])], dtype=np.float64)
+            n = d["n"]
+            norm = np.linalg.norm(vec)
+            if norm == 0.0:
+                drift = 1.0  # members cancel out: the centroid says nothing
+            else:
+                # clamp: a fully converged list measures 0 up to float
+                # noise, which can land at -1e-16
+                drift = max(0.0, float(1.0 - (vec / norm) @ self.centroids[lid]))
+            per_list.append({"list_id": lid, "n_members": n, "drift": drift})
+            total_members += n
+            weighted += drift * n
+        return {
+            "per_list": per_list,
+            "weighted_mean_drift": (weighted / total_members) if total_members else 0.0,
+        }
+
+    def rebuild(self, n_lists: int | None = None, sample_size: int = 2048,
+                seed: int = 42, kmeans_iters: int = 10) -> "IvfIndex":
+        """Retrain the quantizer on the CURRENTLY stored vectors (hash
+        sample: order-independent) and reassign every stored vector —
+        the full relayout ``append`` avoids; run it when ``drift`` says
+        the frozen centroids have decayed."""
+        corpus = self.lists.select(
+            F.col("neighbor_id").alias("vec_id"), F.col("_cvec").alias("embedding")
+        ).dropDuplicates(["vec_id"])
+        return IvfIndex.build(
+            corpus, id_col="vec_id", vec_col="embedding",
+            n_lists=n_lists or len(self.centroids), sample_size=sample_size,
+            seed=seed, kmeans_iters=kmeans_iters, sample_mode="hash",
+            exact_rescore=self.raw_vectors,
+        )
+
+    def rebuild_if(self, threshold: float, **rebuild_kwargs) -> tuple["IvfIndex", bool]:
+        """Gate: rebuild when weighted mean drift exceeds ``threshold``;
+        otherwise keep serving the frozen index. Returns (index, rebuilt).
+        The production cadence: call on a maintenance schedule, swap the
+        served index only when the gate fires (save() the new one)."""
+        if self.drift()["weighted_mean_drift"] > threshold:
+            return self.rebuild(**rebuild_kwargs), True
+        return self, False

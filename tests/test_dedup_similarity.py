@@ -611,3 +611,47 @@ def test_ivf_index_incremental_append_equals_rebuild(spark, sf_dir, tmp_path):
     rebuilt = IvfIndex(base.centroids, full_lists, base.raw_vectors)
     want = sorted(map(tuple, rebuilt.topk(queries, k=5, n_probe=8).collect()))
     assert got == want and len(got) > 0
+
+
+def test_ivf_index_drift_and_rebuild_gate(spark, sf_dir):
+    """Drift maintenance (VERDICT r6 #9): a fresh build measures the
+    k-means residual (small); appending a SHIFTED distribution pulls the
+    member means away from the frozen centroids and the weighted drift
+    must rise materially; rebuild_if fires past the threshold and the
+    retrained index's drift returns to the residual regime."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import IvfIndex
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = IvfIndex.build(emb, n_lists=8, exact_rescore=True)
+    fresh = base.drift()
+    assert len(fresh["per_list"]) == 8
+    assert all(0.0 <= d["drift"] <= 2.0 for d in fresh["per_list"])
+    baseline = fresh["weighted_mean_drift"]
+    # converged spherical k-means: centroid == normalized member mean,
+    # so a fresh build measures ~0 (the probe behind drift()'s guidance)
+    assert baseline < 1e-9
+
+    # a same-size appended population, every vector reflected through
+    # the origin. Note the bound below is deliberately modest: appended
+    # vectors land in their best-matching Voronoi cell, so even a
+    # maximally foreign distribution pulls member means only partway —
+    # which is exactly why the absolute alert threshold in drift()'s
+    # docstring is ~0.02, not 0.5
+    shifted = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> -x)").alias("embedding"),
+    )
+    grown = base.append(shifted)
+    decayed = grown.drift()["weighted_mean_drift"]
+    assert decayed > 0.02, (baseline, decayed)
+
+    # gate: below threshold keeps the same object, above rebuilds
+    same, rebuilt_flag = base.rebuild_if(threshold=0.5)
+    assert same is base and not rebuilt_flag
+    newidx, rebuilt_flag = grown.rebuild_if(threshold=0.02)
+    assert rebuilt_flag
+    healed = newidx.drift()["weighted_mean_drift"]
+    assert healed < decayed / 2, (decayed, healed)
+    # the rebuilt index serves the grown corpus (same row population)
+    assert newidx.lists.count() == grown.lists.count()
