@@ -1206,3 +1206,277 @@ class IvfIndex:
         if self.drift()["weighted_mean_drift"] > threshold:
             return self.rebuild(**rebuild_kwargs), True
         return self, False
+
+
+# -- product quantization (round 7): the classic memory-bounded ANN code --
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",
+    memorize: bool = False,
+) -> "np.ndarray":
+    """Train per-subspace PQ codebooks (Jégou et al.: split the vector
+    into ``n_subspaces`` blocks, k-means each block independently) on a
+    bounded driver sample of NORMALIZED vectors — (m, k, d/m), tiny and
+    persistable regardless of corpus size, the same train-once contract
+    as ``ivf_train``.
+
+    ``memorize=True`` builds the lossless oracle configuration instead:
+    each subspace codebook is the corpus's own distinct sub-vectors
+    (capped at 4096 — it exists for exactness pins, not production), so
+    encode→decode is the identity and the PQ path must reproduce brute
+    force exactly. The production path keeps k=16: one BYTE per
+    subspace, an 8-byte code for a 64-dim vector — 64x smaller than the
+    float rows, the representation a 1e9-vector corpus actually scans.
+    """
+    if memorize:
+        rows = corpus.select(vec_col).collect()
+        x = np.stack([np.array(r[0], dtype=np.float64) for r in rows])
+        # normalized like every other path: pq_encode(normalize=True) must
+        # find each normalized subvector verbatim for losslessness
+    elif sample_mode == "hash":
+        rows = corpus.select(vec_col).orderBy(F.xxhash64(F.col(id_col))).limit(sample_size).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+    elif sample_mode == "prefix":
+        rows = corpus.select(vec_col).limit(sample_size).collect()
+        x = np.array([r[0] for r in rows], dtype=np.float64)
+    else:
+        raise ValueError(f"sample_mode must be prefix|hash, got {sample_mode!r}")
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    d = x.shape[1]
+    if d % n_subspaces != 0:
+        raise ValueError(f"dim {d} not divisible by n_subspaces {n_subspaces}")
+    sub = d // n_subspaces
+    books = []
+    rng = np.random.default_rng(seed)
+    for m in range(n_subspaces):
+        xm = x[:, m * sub : (m + 1) * sub]
+        if memorize:
+            cb = np.unique(xm, axis=0)
+            if len(cb) > 4096:
+                raise ValueError(f"memorize codebook for subspace {m} exceeds 4096 entries ({len(cb)})")
+        else:
+            cb = xm[rng.choice(len(xm), size=min(n_codes, len(xm)), replace=False)].copy()
+            for _ in range(kmeans_iters):
+                d2 = ((xm[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(len(cb)):
+                    members = xm[assign == c]
+                    if len(members):
+                        cb[c] = members.mean(axis=0)
+        books.append(cb)
+    # ragged memorize books pad by repeating entry 0 (an exact duplicate
+    # can tie in argmin but reconstructs identically, so padding is inert)
+    kmax = max(len(b) for b in books)
+    out = np.zeros((n_subspaces, kmax, sub), dtype=np.float64)
+    for m, b in enumerate(books):
+        out[m, : len(b)] = b
+        if len(b) < kmax:
+            out[m, len(b):] = b[0]
+    return out
+
+
+def _code_dtype(codebooks: "np.ndarray"):
+    """uint8 for production-sized codebooks (k <= 256, one byte per
+    subspace); uint16 only for the oversized memorize/oracle books."""
+    return np.uint8 if codebooks.shape[1] <= 256 else np.uint16
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: "np.ndarray",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the L2-nearest codeword
+    index, packed little as one uint8 per subspace into a ``codes``
+    binary — the m-byte row a PQ scan reads instead of the float vector.
+    Assignment is a pure function of (vector, codebooks): incremental
+    append == full re-encode, the same frozen-quantizer contract as
+    ``ivf_assign`` (codes are comparable only under the codebooks that
+    produced them).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_books = df.sparkSession.sparkContext.broadcast(codebooks)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("codes", T.BinaryType(), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = b_books.value
+        dt = _code_dtype(books)
+        n_sub, _k, sub = books.shape
+        for pdf in batches:
+            v = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            if normalize:
+                v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            codes = np.zeros((len(v), n_sub), dtype=dt)
+            for m in range(n_sub):
+                xm = v[:, m * sub : (m + 1) * sub]
+                d2 = ((xm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1).astype(dt)
+            yield pd.DataFrame({"_id": pdf.iloc[:, 0].to_numpy(), "codes": [c.tobytes() for c in codes]})
+
+    return df.select(id_col, vec_col).mapInPandas(kern, schema=out_schema)
+
+
+def pq_decode(codes_df: DataFrame, codebooks: "np.ndarray") -> DataFrame:
+    """Reconstruct vectors from codes (codeword concatenation) — the
+    lossy inverse (lossless under a memorize codebook, pinned)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    b_books = codes_df.sparkSession.sparkContext.broadcast(codebooks)
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType(), False),
+            T.StructField("_vec", T.ArrayType(T.DoubleType()), False),
+        ]
+    )
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        books = b_books.value
+        dt = _code_dtype(books)
+        n_sub = books.shape[0]
+        for pdf in batches:
+            codes = np.stack([np.frombuffer(b, dtype=dt) for b in pdf["codes"]])
+            parts = [books[m][codes[:, m]] for m in range(n_sub)]
+            vecs = np.concatenate(parts, axis=1)
+            yield pd.DataFrame({"_id": pdf["_id"].to_numpy(), "_vec": [v.tolist() for v in vecs]})
+
+    return codes_df.select("_id", "codes").mapInPandas(kern, schema=out_schema)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rescore_factor: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """PQ ANN serving: asymmetric-distance scan over m-byte codes + exact
+    float rescore of the top k*rescore_factor (Jégou et al.'s ADC).
+
+    1. train codebooks (driver sample) unless supplied;
+    2. encode the corpus — ONE narrow pass, m bytes/vector retained;
+    3. per query, precompute the (m x k) lookup table of subspace dot
+       products ON THE DRIVER (Q x m x k doubles — broadcast, tiny) and
+       scan the codes: score = sum of m table gathers, no float vectors
+       touched;
+    4. shortlist per query, then the id-keyed float join rescores only
+       k*rescore_factor rows — identical tail to ``ivf_topk_int8``.
+
+    Memory story at 1e9 vectors: the scanned relation is m bytes + id
+    per row (8 bytes of codes for d=64) vs 512 bytes of floats — the
+    64x reduction IS the operator; recall tunes with n_codes/n_subspaces
+    and the rescore factor (pinned in pytest; memorize codebooks + full
+    rescore reproduce brute force exactly).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes,
+            sample_size=sample_size, seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+    codes_table = pq_encode(
+        ensure_compute_parallelism(corpus), codebooks, id_col=id_col, vec_col=vec_col
+    ).withColumnRenamed("_id", "neighbor_id")
+
+    # per-query ADC lookup tables, built driver-side from the (tiny)
+    # query relation: LUT[q][m, c] = dot(q_m, codebook[m][c])
+    qrows = queries.select(query_id_col, vec_col).collect()
+    n_sub, _kc, sub = codebooks.shape
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.stack([np.array(r[1], dtype=np.float64) for r in qrows])
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    luts = np.stack(
+        [
+            np.stack([codebooks[m] @ qn[i, m * sub : (m + 1) * sub] for m in range(n_sub)])
+            for i in range(len(qids))
+        ]
+    )  # (Q, m, k)
+    b_lut = corpus.sparkSession.sparkContext.broadcast((qids, luts))
+
+    approx_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("approx", T.DoubleType(), False),
+        ]
+    )
+
+    dt = _code_dtype(codebooks)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, tables = b_lut.value
+        nq = len(ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.frombuffer(b, dtype=dt) for b in pdf["codes"]])  # (n, m)
+            n = len(codes)
+            scores = np.zeros((nq, n), dtype=np.float64)
+            for qi in range(nq):
+                t = tables[qi]  # (m, k)
+                s = np.zeros(n, dtype=np.float64)
+                for m in range(codes.shape[1]):
+                    s += t[m][codes[:, m]]
+                scores[qi] = s
+            nb = pdf["neighbor_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.repeat(ids, n),
+                    "neighbor_id": np.tile(nb, nq),
+                    "approx": scores.reshape(-1),
+                }
+            )
+
+    approx = codes_table.mapInPandas(scan, schema=approx_schema).filter(
+        F.col("neighbor_id") != F.col(query_id_col)
+    )
+    w_a = W.partitionBy(query_id_col).orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    shortlist = approx.withColumn("_arank", F.row_number().over(w_a)).filter(
+        F.col("_arank") <= k * rescore_factor
+    )
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.join(floats, "neighbor_id")
+        .join(F.broadcast(qvecs), query_id_col)
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

@@ -74,6 +74,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q141_count_min_estimates",
     # --- new this round (r7) ---
     "q142_audio_sample_checksum",
+    "q143_audio_activity_frames",
+    "q144_bpe_pair_stats",
+    "q145_pq_ann_topk",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -112,9 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q42_top_tokens",
     "q44_train_test_split",
     "q45_token_budget",
-    "q46_winnow_fingerprints",
-    "q43_quality_filter",
-    "q57_repetition_signals",
 )
 
 

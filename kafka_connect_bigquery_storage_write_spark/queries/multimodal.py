@@ -279,3 +279,109 @@ def q142_audio_sample_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q143_audio_activity_frames",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, g.i,
+             (d.doc_id * 31 + g.i * 17) % 65536 - 32768 AS v
+      FROM documents d, generate_series(0, 1999) g(i)
+    ),
+    fr AS (
+      SELECT doc_id, i // 512 AS frame, sum(v * v) AS energy
+      FROM s
+      GROUP BY doc_id, i // 512
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)                                    AS n_frames,
+           CAST(sum(CASE WHEN energy > 150000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           CAST(min(CASE WHEN energy > 150000000000 THEN frame END) AS BIGINT)    AS first_active,
+           CAST(max(CASE WHEN energy > 150000000000 THEN frame END) AS BIGINT)    AS last_active,
+           CAST(max(energy) AS BIGINT)                                 AS peak_energy
+    FROM fr
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q143_audio_activity_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio activity segmentation (VAD shape) over DECODED frames: the
+    q142 clip is decoded, frame energies computed with
+    audiocodec.frame_energies (256 frames/channel => 512 interleaved
+    samples per frame window), frames classified active above an exact
+    integer energy threshold, and the per-clip activity summary —
+    frame count, active count, first/last active frame, peak energy —
+    is the silence-trim decision a speech-data pipeline makes before
+    transcription. Every quantity is an exact int64 (sums of squares of
+    int16), so the SQL closed form reproduces it bit-for-bit: the oracle
+    re-derives the frame grid from the signal definition, which catches
+    a framing off-by-one, channel de-interleave error, or energy
+    overflow (int16² sums exceed int32 by frame 1).
+
+    Scale shape: identical to q142 — encode kernel, decode kernel, no
+    shuffle until the final orderBy.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    FRAMES, CH, FRAME_LEN = 1000, 2, 256
+    THRESH = 150_000_000_000
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import encode_wav
+
+        idx = np.arange(FRAMES * CH, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                flat = ((int(doc_id) * 31 + idx * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(flat.reshape(FRAMES, CH), rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("n_active", T.LongType(), False),
+            T.StructField("first_active", T.LongType(), True),
+            T.StructField("last_active", T.LongType(), True),
+            T.StructField("peak_energy", T.LongType(), False),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import decode_wav, frame_energies
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, _rate = decode_wav(bytes(p))
+                e = frame_energies(samples, frame_len=FRAME_LEN)
+                active = np.nonzero(e > THRESH)[0]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(e.size),
+                        "n_active": int(active.size),
+                        "first_active": int(active[0]) if active.size else None,
+                        "last_active": int(active[-1]) if active.size else None,
+                        "peak_energy": int(e.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")

@@ -624,3 +624,23 @@ def q126_filtered_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .orderBy("query_id", "rank")
     )
+
+
+@query("q145_pq_ann_topk")  # approximate by design -> rows-only; memorize-config == brute force + recall pinned in pytest
+def q145_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN serving (operators/similarity.pq_topk):
+    8 subspaces x 64 codes = an 8-BYTE code per 64-dim vector — the 64x
+    memory reduction a billion-vector scan actually runs on — scored by
+    per-query lookup tables (ADC) with exact float rescore of only the
+    top k*rescore_factor. Beside q88's int8 path this completes the
+    classic serving-compression ladder (float -> int8 -> PQ codes).
+    Approximate by design, so rows-only; pytest pins (a) the memorize-
+    codebook configuration reproduces brute-force cosine_topk exactly
+    and (b) production-config recall@5 >= 0.85 vs brute force (probed
+    0.94 on the fixture's near-random embeddings, PQ's worst case).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=8).orderBy("query_id", "rank")

@@ -1265,3 +1265,59 @@ def q140_token_balanced_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@query(
+    "q144_bpe_pair_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    words AS (
+      SELECT token, count(*) AS f FROM toks GROUP BY token
+    ),
+    pairs AS (
+      SELECT substr(token, CAST(i AS INT), 2) AS pair, f
+      FROM words, LATERAL (SELECT unnest(range(1, length(token))) AS i) g
+      WHERE length(token) >= 2
+    )
+    SELECT pair, CAST(sum(f) AS BIGINT) AS n_occurrences
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 30
+    """,
+)
+def q144_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One round of BPE-trainer statistics: corpus-weighted adjacent
+    symbol-pair counts — the argmax of this table IS the next BPE merge,
+    so this query is the inner loop of tokenizer training lifted to the
+    cluster (Sennrich et al.'s algorithm; each training round re-runs
+    this count over the current symbolization).
+
+    Scale shape: the heavy text pass collapses to the DISTINCT-WORD
+    relation first (groupBy token — vocabulary grain, the q74/q96
+    economics: pair generation cost is per distinct word, not per
+    occurrence), then pairs explode per word position and aggregate on
+    a key space bounded by |alphabet|² — a tiny final shuffle — with
+    the top-30 as a TakeOrdered heap, no global window.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # adjacent 2-char windows; sequence(1,0) would generate DESCENDING
+    # [1,0] for 1-char tokens, so gate on length >= 2 explicitly
+    pair_arr = F.when(
+        F.length("token") >= 2,
+        F.expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+    return (
+        words.select(F.explode(pair_arr).alias("pair"), "f")
+        .groupBy("pair")
+        .agg(F.sum("f").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(30)
+    )

@@ -655,3 +655,59 @@ def test_ivf_index_drift_and_rebuild_gate(spark, sf_dir):
     assert healed < decayed / 2, (decayed, healed)
     # the rebuilt index serves the grown corpus (same row population)
     assert newidx.lists.count() == grown.lists.count()
+
+
+def test_pq_memorize_codebook_reproduces_brute_force(spark, sf_dir):
+    """Lossless configuration: codebooks that memorize every distinct
+    normalized subvector make encode->decode the identity, so the PQ
+    path (ADC shortlist + exact rescore) must reproduce cosine_topk
+    bit-for-bit — the q100-style exactness anchor for the PQ family."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
+        cosine_topk,
+        pq_decode,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, n_subspaces=8, memorize=True)
+    # encode -> decode identity on the normalized vectors
+    import numpy as np
+
+    codes = pq_encode(emb, books)
+    dec = {r["_id"]: np.array(r["_vec"]) for r in pq_decode(codes, books).collect()}
+    rows = emb.collect()
+    # normalize with the SAME 2-D row reduction the kernels use — the 1-D
+    # norm can differ in the last ulp (numpy pairwise-summation order)
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    orig = {r["vec_id"]: matn[i] for i, r in enumerate(rows)}
+    assert set(dec) == set(orig)
+    for vid, v in orig.items():
+        assert np.array_equal(dec[vid], v), vid
+
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = sorted(map(tuple, pq_topk(emb, queries, k=5, rescore_factor=4, codebooks=books).collect()))
+    want = sorted(map(tuple, cosine_topk(emb, queries, k=5).collect()))
+    assert got == want and len(got) == 50
+
+
+def test_pq_production_config_recall(spark, sf_dir):
+    """The q145 production config (8x64 codes + rescore_factor=8) must
+    keep recall@5 high against brute force — measured on the fixture
+    (near-random embeddings, PQ's worst case): 8x16/rf4 0.44,
+    8x64/rf4 0.86, 8x64/rf8 0.94, 16x64/rf4 0.96. 8x64/rf8 keeps the
+    8-byte-per-vector memory story."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_topk, pq_topk
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=8)
+    exact = cosine_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    assert recall >= 0.85, recall
