@@ -190,3 +190,18 @@ class IncrementalShardLayout:
     def compact(self, spark: SparkSession, target_files: int = 4):
         """Merge partial files (read cost bound), exactly IncrementalRollup's."""
         return self._sink.compact(spark, target_files=target_files)
+
+    def start_stream(self, stream_df: DataFrame, checkpoint_path: str, **trigger_kwargs):
+        """Drive the fold from Structured Streaming (foreachBatch), the
+        same wiring as IncrementalRollup.start_stream — micro-batch ids
+        come from the checkpoint, so replay idempotence composes with
+        exactly-once for free. The stream must deliver append-ordered
+        ids (see the class contract)."""
+        writer = (
+            stream_df.writeStream.foreachBatch(lambda d, i: self.process_batch(d, i))
+            .option("checkpointLocation", checkpoint_path)
+            .queryName("kafka_connect_bigquery_storage_write_spark-shard-layout")
+        )
+        if trigger_kwargs:
+            writer = writer.trigger(**trigger_kwargs)
+        return writer.start()

@@ -452,3 +452,16 @@ def test_q139_asof_no_join_no_pair_blowup(spark, sf_dir):
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
     exchanges = [l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)]
     assert len(exchanges) <= 2, plan
+
+
+def test_q144_distinct_word_grain_and_takeordered(spark, sf_dir):
+    """BPE pair stats must aggregate at distinct-word grain before pair
+    explosion (per-vocabulary-entry cost, not per-occurrence) and take
+    the top-30 as a TakeOrdered heap, never a global sort/window."""
+    plan = _plan(spark, sf_dir, "q144_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # two aggregates: word-frequency, then pair-count
+    import re
+
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan  # partial+final x2

@@ -119,3 +119,37 @@ def test_incremental_layout_replay_idempotent_and_order_guard(spark, sf_dir, tmp
     full = [tuple(r) for r in lay.read(spark).collect()]
     lay.compact(spark, target_files=1)
     assert [tuple(r) for r in lay.read(spark).collect()] == full
+
+
+def test_incremental_layout_streaming_mode(spark, sf_dir, tmp_path):
+    """start_stream drives the fold via foreachBatch: 3 append-ordered
+    source files with maxFilesPerTrigger=1 -> 3 micro-batches -> layout
+    equals the one-shot q140 summary (checkpointed batch ids make replay
+    idempotence compose with exactly-once)."""
+    from kafka_connect_bigquery_storage_write_spark.queries import QUERIES, load_all
+    from kafka_connect_bigquery_storage_write_spark.sinks.shards import IncrementalShardLayout
+
+    load_all()
+    d = _doc_tokens(spark, sf_dir)
+    src = tmp_path / "src"
+    # files named so the file source lists them in id order (its listing
+    # is lexicographic) — the append-only contract of the layout
+    for i, (lo, hi) in enumerate([(0, 150), (150, 320), (320, 10**9)]):
+        d.filter(f"doc_id >= {lo} and doc_id < {hi}").coalesce(1).write.parquet(str(src / f"part={i}"))
+    lay = IncrementalShardLayout(str(tmp_path / "layout"), tokens_per_shard=2_000)
+    stream = (
+        spark.readStream.schema("doc_id long, n_tokens int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part=*"))
+    )
+    q = lay.start_stream(stream, checkpoint_path=str(tmp_path / "ckpt"), availableNow=True)
+    q.awaitTermination(180)
+    got = [
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["first_id"], r["last_id"])
+        for r in lay.read(spark).collect()
+    ]
+    want = [
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"])
+        for r in QUERIES["q140_token_balanced_shards"](spark, sf_dir).collect()
+    ]
+    assert got == want
