@@ -1438,7 +1438,15 @@ def pq_topk(
 
     dt = _code_dtype(codebooks)
 
+    shortlist_n = k * rescore_factor
+
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # map-side combine for the top-k: each Arrow batch emits only its
+        # own per-query shortlist (argpartition heap), so the rank-window
+        # exchange moves batches x Q x (k*rescore_factor) rows instead of
+        # N x Q — the same partial-top-k shape Spark's TakeOrdered uses,
+        # and the global cut downstream is unchanged because a global
+        # top-s row is necessarily a batch top-s row.
         ids, tables = b_lut.value
         nq = len(ids)
         for pdf in batches:
@@ -1446,19 +1454,32 @@ def pq_topk(
                 continue
             codes = np.stack([np.frombuffer(b, dtype=dt) for b in pdf["codes"]])  # (n, m)
             n = len(codes)
-            scores = np.zeros((nq, n), dtype=np.float64)
+            nb = pdf["neighbor_id"].to_numpy()
+            out_q, out_nb, out_s = [], [], []
             for qi in range(nq):
                 t = tables[qi]  # (m, k)
                 s = np.zeros(n, dtype=np.float64)
                 for m in range(codes.shape[1]):
                     s += t[m][codes[:, m]]
-                scores[qi] = s
-            nb = pdf["neighbor_id"].to_numpy()
+                # self-match excluded BEFORE the heap cut — a self row in
+                # the batch must not consume a shortlist slot, or the
+                # batch would under-supply the global top-s by one
+                mask = nb != ids[qi]
+                s_m, nb_m = s[mask], nb[mask]
+                keep_n = min(shortlist_n, len(s_m))
+                if keep_n == 0:
+                    continue
+                top = np.argpartition(-s_m, keep_n - 1)[:keep_n] if keep_n < len(s_m) else np.arange(len(s_m))
+                out_q.append(np.full(keep_n, ids[qi], dtype=np.int64))
+                out_nb.append(nb_m[top])
+                out_s.append(s_m[top])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    query_id_col: np.repeat(ids, n),
-                    "neighbor_id": np.tile(nb, nq),
-                    "approx": scores.reshape(-1),
+                    query_id_col: np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_nb),
+                    "approx": np.concatenate(out_s),
                 }
             )
 
