@@ -317,3 +317,49 @@ def q138_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip doubles bit-exactly by construction; the check guards
     the writer/reader pair and schema mapping, not text parsing."""
     return _source_roundtrip(spark, sf_dir, "orc")
+
+
+@query("q146_avro_file_source", oracle=_SRC_ORACLE)
+def q146_avro_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro Object Container File source (E1's fifth format): orders
+    written DISTRIBUTED as spec-exact .avro container files (deflate
+    blocks, embedded writer schema, sync-marker framing) and read back
+    through the binaryFile + block-decode path, under the identical
+    value-hash contract as q124/q125/q138. Uses the same pure-Python
+    record codec as the q72 Schema-Registry envelope — the container
+    framing is what's new; swap spark.read.format("avro") on a cluster
+    with the spark-avro jar (sources/avro_container.py docstring).
+    """
+    from kafka_connect_bigquery_storage_write_spark.sources.avro_container import read_avro_container, write_avro_container
+
+    avro_schema = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "o_orderkey", "type": "long"},
+            {"name": "o_custkey", "type": "long"},
+            {"name": "o_orderstatus", "type": "string"},
+            {"name": "o_totalprice", "type": "double"},
+            {"name": "o_orderdate", "type": "string"},
+        ],
+    }
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_orderdate"),
+    )
+    path = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_avro_src_") + "/orders"
+    write_avro_container(src, path, avro_schema, codec="deflate")
+    back = read_avro_container(spark, path, avro_schema)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -276,3 +276,71 @@ def test_dlq_replay_reingests_fixed_avro_rows(spark, tmp_path):
     stats = pipe.replay_dlq(spark, batch_id=1, fix=fix)
     assert (stats.input_rows, stats.written_rows, stats.dlq_rows) == (1, 1, 0)
     assert {r.event_id for r in pipe.read_sink(spark).collect()} == {1, 2, 3}
+
+
+# -- Object Container Files (round 7) -------------------------------------
+
+
+class TestObjectContainerFile:
+    SCHEMA = {
+        "type": "record",
+        "name": "Row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+        ],
+    }
+    ROWS = [{"id": i, "name": f"n{i}", "score": i * 0.5} for i in range(2500)]
+
+    def test_roundtrip_both_codecs_and_blocking(self):
+        from kafka_connect_bigquery_storage_write_spark.sources.avro_container import read_ocf_bytes, write_ocf_bytes
+
+        for codec in ("null", "deflate"):
+            blob = write_ocf_bytes(self.ROWS, self.SCHEMA, codec=codec, block_records=1000)
+            schema, back = read_ocf_bytes(blob)
+            assert back == self.ROWS  # 3 blocks (1000/1000/500) reassemble
+            assert [f["name"] for f in schema["fields"]] == ["id", "name", "score"]
+        # deflate actually compresses the repetitive payload
+        from kafka_connect_bigquery_storage_write_spark.sources.avro_container import write_ocf_bytes as w
+
+        assert len(w(self.ROWS, self.SCHEMA, codec="deflate")) < len(w(self.ROWS, self.SCHEMA, codec="null"))
+
+    def test_corrupt_sync_marker_fails_loudly(self):
+        import pytest as _pytest
+
+        from kafka_connect_bigquery_storage_write_spark.sources.avro_container import read_ocf_bytes, write_ocf_bytes
+
+        blob = bytearray(write_ocf_bytes(self.ROWS[:10], self.SCHEMA, codec="null"))
+        blob[-1] ^= 0xFF  # flip a byte of the final sync marker
+        with _pytest.raises(ValueError, match="sync marker"):
+            read_ocf_bytes(bytes(blob))
+
+    def test_spark_write_read_distributed(self, spark, tmp_path):
+        from kafka_connect_bigquery_storage_write_spark.sources.avro_container import read_avro_container, write_avro_container
+
+        df = spark.range(1000).selectExpr(
+            "id", "concat('n', id) as name", "id * 0.5 as score"
+        ).repartition(4)
+        path = str(tmp_path / "ocf")
+        write_avro_container(df, path, self.SCHEMA, codec="deflate")
+        import os
+
+        files = [f for f in os.listdir(path) if f.endswith(".avro")]
+        assert len(files) == 4  # one container per task
+        back = read_avro_container(spark, path, self.SCHEMA)
+        assert back.count() == 1000
+        got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+        assert got == [(i, f"n{i}", i * 0.5) for i in range(1000)]
+
+    def test_schema_mismatch_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from kafka_connect_bigquery_storage_write_spark.sources.avro_container import read_avro_container, write_avro_container
+
+        df = spark.range(10).selectExpr("id", "concat('n', id) as name", "id * 0.5 as score")
+        path = str(tmp_path / "ocf")
+        write_avro_container(df, path, self.SCHEMA)
+        other = {"type": "record", "name": "Row", "fields": [{"name": "wrong", "type": "long"}]}
+        with _pytest.raises(Exception, match="mismatch"):
+            read_avro_container(spark, path, other).collect()
