@@ -78,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q144_bpe_pair_stats",
     "q145_pq_ann_topk",
     "q146_avro_file_source",
+    "q147_video_frame_checksum",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -114,7 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q40_text_stats",
     "q41_language_histogram",
     "q42_top_tokens",
-    "q44_train_test_split",
 )
 
 

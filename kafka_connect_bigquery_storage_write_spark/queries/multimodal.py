@@ -385,3 +385,115 @@ def q143_audio_activity_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q147_video_frame_checksum",
+    oracle="""
+    WITH b AS (
+      SELECT d.doc_id, g.i,
+             (d.doc_id * 13 + g.i * 7) % 256 AS v,
+             g.i // 576 AS frame,
+             (g.i // 192) % 3 AS plane
+      FROM documents d, generate_series(0, 2303) g(i)
+    )
+    SELECT doc_id,
+           CAST(4 AS BIGINT) AS n_frames,
+           CAST(2 AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN frame % 2 = 0 THEN v END) AS BIGINT)                    AS sampled_byte_sum,
+           CAST(sum(CASE WHEN frame % 2 = 0 AND plane = 0 THEN v END) AS BIGINT)      AS sampled_luma_sum,
+           CAST(sum(CASE WHEN frame % 2 = 0 AND plane = 0 THEN v * v END) AS BIGINT)  AS sampled_luma_sq
+    FROM b
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q147_video_frame_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode + frame sampling, oracle-checked to the byte
+    (the Y4M twin of q132/q142 — all three modalities now have a real
+    public-format kernel). Per document, a 4-frame 16x12 C444
+    YUV4MPEG2 clip whose flat byte i (frame-major, Y/Cb/Cr planar)
+    follows (doc_id*13 + i*7) % 256 is encoded spec-exact, then a
+    separate kernel decodes the container (operators/videocodec.py),
+    samples every 2nd frame, and reports byte/luma sums and the exact
+    int64 luma sum-of-squares over the SAMPLED frames. The oracle
+    re-derives frame and plane from the flat index in SQL: any header
+    misparse, plane-order, frame-boundary, or sampling-phase error
+    shifts the sums.
+
+    Scale shape: identical to q132/q142 — two mapInPandas passes, no
+    shuffle until the final orderBy; per-row state is one 2.3KB clip.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    W_, H_, NF = 16, 12, 4
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.videocodec import encode_y4m
+
+        idx = np.arange(NF * 3 * H_ * W_, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                flat = ((int(doc_id) * 13 + idx * 7) % 256).astype(np.uint8).reshape(NF, 3, H_, W_)
+                frames = [{"y": f[0], "cb": f[1], "cr": f[2]} for f in flat]
+                payloads.append(encode_y4m(frames, W_, H_, chroma="444"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("n_sampled", T.LongType(), False),
+            T.StructField("sampled_byte_sum", T.LongType(), False),
+            T.StructField("sampled_luma_sum", T.LongType(), False),
+            T.StructField("sampled_luma_sq", T.LongType(), False),
+        ]
+    )
+
+    def decode(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.videocodec import (
+            decode_y4m,
+            frame_luma_stats,
+            frame_sample,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames, w, h, chroma = decode_y4m(bytes(p))
+                sampled = frame_sample(frames, every=2)
+                total = sum(
+                    int(f["y"].astype(np.int64).sum())
+                    + int(f["cb"].astype(np.int64).sum())
+                    + int(f["cr"].astype(np.int64).sum())
+                    for f in sampled
+                )
+                luma = frame_luma_stats(sampled)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "n_sampled": len(sampled),
+                        "sampled_byte_sum": total,
+                        "sampled_luma_sum": int(luma[:, 0].sum()),
+                        "sampled_luma_sq": int(luma[:, 1].sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
