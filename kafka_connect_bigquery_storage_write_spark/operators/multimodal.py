@@ -51,14 +51,38 @@ def _fake_feature_vector(payload: bytes, dim: int) -> list[float]:
 
 
 def _default_feature_kernel(payload: bytes, dim: int) -> list[float]:
-    """Real decode for supported formats (PPM/BMP/PNG via imagecodec),
-    fake hash-vector for opaque payloads — one kernel, format-dispatched."""
-    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_image, image_features
+    """Real decode for every supported format — images (PPM/BMP/PNG via
+    imagecodec), audio (WAV via audiocodec), video (Y4M via videocodec)
+    — fake hash-vector only for opaque codecs. One kernel, dispatched
+    on magic bytes."""
+    import numpy as np
 
-    img = decode_image(bytes(payload))
+    from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import audio_features, decode_audio
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_image, image_features
+    from kafka_connect_bigquery_storage_write_spark.operators.videocodec import decode_video, frame_luma_stats
+
+    raw = bytes(payload)
+    img = decode_image(raw)
     if img is not None:
         return image_features(img, dim).tolist()
-    return _fake_feature_vector(bytes(payload), dim)
+    audio = decode_audio(raw)
+    if audio is not None:
+        return audio_features(audio[0], audio[1], dim).tolist()
+    video = decode_video(raw)
+    if video is not None:
+        # per-frame mean luma cycled/padded to dim, unit-normalized —
+        # decode-sensitive like the image/audio features
+        frames, w, h, _ = video
+        stats = frame_luma_stats(frames)
+        means = stats[:, 0].astype(np.float64) / (w * h * 255.0)
+        v = np.resize(means, dim)
+        n = np.linalg.norm(v)
+        if n == 0.0:
+            v = np.zeros(dim)
+            v[0] = 1.0
+            return v.tolist()
+        return (v / n).tolist()
+    return _fake_feature_vector(raw, dim)
 
 
 def _default_resize_kernel(payload: bytes, w: int, h: int) -> bytes:
@@ -165,6 +189,16 @@ def sample_frames(
     """
     if decode_frames is None:
         def decode_frames(b: bytes, n: int) -> list[bytes]:
+            from kafka_connect_bigquery_storage_write_spark.operators.videocodec import decode_video, frame_sample
+
+            video = decode_video(bytes(b))
+            if video is not None:
+                frames, _w, _h, _c = video
+                every = max(1, len(frames) // max(1, n))
+                return [
+                    f["y"].tobytes() + f["cb"].tobytes() + f["cr"].tobytes()
+                    for f in frame_sample(frames, every)[:n]
+                ]
             return [hashlib.sha256(bytes(b) + i.to_bytes(4, "big")).digest() for i in range(n)]
 
     out_schema = T.StructType(
@@ -195,10 +229,13 @@ def sample_frames(
 
 def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic fixture media table (no media files ship with the
-    testdata). Image payloads are REAL encoded images — alternating PPM
-    and BMP, deterministic per-id gradients — so the fixture exercises
-    the genuine decode kernels; audio/video stay opaque hash bytes."""
+    testdata). ALL THREE modalities carry REAL encoded payloads —
+    PPM/BMP images, 16-bit PCM WAV audio, Y4M video, deterministic
+    per-id closed forms — so the fixture exercises the genuine decode
+    kernels end to end (round 7: audio/video were opaque hash bytes)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import encode_wav
     from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import encode_bmp, encode_ppm
+    from kafka_connect_bigquery_storage_write_spark.operators.videocodec import encode_y4m
 
     kinds = ["image", "audio", "video"]
     rows = []
@@ -210,9 +247,17 @@ def synthetic_media(spark, n: int = 100, seed: int = 42) -> DataFrame:
             img = ((i * 7 + idx * 13) % 256).astype(np.uint8).reshape(h, w, 3)
             payload = encode_ppm(img) if (i // 3) % 2 == 0 else encode_bmp(img)
             mime = "image/x-portable-pixmap" if (i // 3) % 2 == 0 else "image/bmp"
+        elif kind == "audio":
+            idx = np.arange(800 * 2, dtype=np.int64)
+            sig = ((i * 31 + idx * 17) % 65536 - 32768).astype(np.int16).reshape(800, 2)
+            payload = encode_wav(sig, rate=16_000)
+            mime = "audio/wav"
         else:
-            payload = hashlib.sha256(f"media-{seed}-{i}".encode()).digest() * 4
-            mime = {"audio": "audio/wav", "video": "video/mp4"}[kind]
+            fw, fh, nf = 16, 12, 5
+            idx = np.arange(nf * 3 * fh * fw, dtype=np.int64)
+            flat = ((i * 13 + idx * 7) % 256).astype(np.uint8).reshape(nf, 3, fh, fw)
+            payload = encode_y4m([{"y": f[0], "cb": f[1], "cr": f[2]} for f in flat], fw, fh, chroma="444")
+            mime = "video/x-yuv4mpeg"
         rows.append(
             (
                 i,

@@ -66,3 +66,36 @@ def test_features_feed_similarity_search(spark):
     queries = feats.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     topk = cosine_topk(feats, queries, k=3).collect()
     assert len(topk) == 9
+
+
+def test_real_audio_video_payloads_decode_in_kernels(spark):
+    """Round 7: the fixture's audio/video payloads are REAL containers
+    (WAV / Y4M), and the default feature kernel must route them through
+    the genuine decoders — decode-sensitivity means two different clips
+    get different vectors, and the Y4M frame sampler must yield true
+    planar frame bytes, not hash stubs."""
+    import numpy as np
+
+    from kafka_connect_bigquery_storage_write_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=12)
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    # audio ids: 1, 4, 7, 10; video ids: 2, 5, 8, 11 — all decode-sensitive
+    assert feats[1] != feats[4] and feats[2] != feats[5]
+    for mid in (1, 2, 4, 5):
+        assert abs(np.linalg.norm(np.array(feats[mid])) - 1.0) < 1e-9
+    # frame sampler: video id 2 has 5 real frames of 16x12 C444 ->
+    # 3*192 = 576 bytes per frame, not a 32-byte sha256 stub
+    frames = sample_frames(media, every_ms=1000).filter("media_id = 2").collect()
+    assert len(frames) > 0
+    assert all(len(bytes(r["frame"])) == 3 * 16 * 12 for r in frames)
+    # and the first sampled frame equals the closed form's frame 0
+    idx = np.arange(5 * 3 * 12 * 16, dtype=np.int64)
+    flat = ((2 * 13 + idx * 7) % 256).astype(np.uint8).reshape(5, 3, 12, 16)
+    want = flat[0].tobytes()
+    got = bytes(sorted(frames, key=lambda r: r["frame_no"])[0]["frame"])
+    assert got == want
