@@ -244,3 +244,28 @@ def pii_scrub(text_col: str | Column) -> Column:
     for _name, pat, token in PII_PATTERNS:
         col = F.regexp_replace(col, pat, token)
     return col
+
+
+def html_escape(text_col: str | Column) -> Column:
+    """Escape text into HTML body content (&, <, > — amp FIRST, or the
+    escapes themselves would be double-escaped). The synthesis half of
+    the q148 round-trip."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def html_strip(html_col: str | Column) -> Column:
+    """Boilerplate removal: drop tags, then decode the core entities
+    (&lt; &gt; &quot; &#39; then &amp; LAST — the inverse order of
+    escaping, or '&amp;lt;' would decode twice to '<'). The web-corpus
+    curation step that runs before any text-quality scoring; pure
+    Catalyst (regexp + replace chain), no Python row path."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    c = F.regexp_replace(c, r"<[^>]*>", "")
+    c = F.replace(c, F.lit("&lt;"), F.lit("<"))
+    c = F.replace(c, F.lit("&gt;"), F.lit(">"))
+    c = F.replace(c, F.lit("&quot;"), F.lit('"'))
+    c = F.replace(c, F.lit("&#39;"), F.lit("'"))
+    return F.replace(c, F.lit("&amp;"), F.lit("&"))

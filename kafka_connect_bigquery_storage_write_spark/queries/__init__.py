@@ -79,6 +79,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q145_pq_ann_topk",
     "q146_avro_file_source",
     "q147_video_frame_checksum",
+    "q148_html_strip_roundtrip",
+    "q149_url_canonicalize",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -113,8 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- newest official row is r5; first 10 in registration order ---
     "q105_contamination_scores",
     "q40_text_stats",
-    "q41_language_histogram",
-    "q42_top_tokens",
 )
 
 

@@ -1321,3 +1321,122 @@ def q144_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(30)
     )
+
+
+@query(
+    "q148_html_strip_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text)                    AS content_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q148_html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate removal (operators/text.html_strip), verified by
+    reconstruction: each document is wrapped into a full HTML page
+    (tags + entity-escaped body, operators/text.html_escape), then the
+    strip operator — tag removal + entity decode, pure Catalyst — must
+    recover the EXACT original text, checked content-hash-per-document
+    against the raw table. This is the curation step that runs before
+    every text-quality scorer on a web corpus; the round-trip oracle
+    catches a greedy tag regex, wrong entity decode order (&amp; must
+    decode last), or whitespace mangling at any document.
+
+    Scale shape: two projection chains over one scan, no shuffle until
+    the final orderBy.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.text import html_escape, html_strip
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    page = F.concat(
+        F.lit('<html><head><meta charset="utf-8"/></head><body><div class="main"><p>'),
+        html_escape("text"),
+        F.lit("</p></div><br/></body></html>"),
+    )
+    return (
+        docs.withColumn("_html", page)
+        .select("doc_id", html_strip("_html").alias("_stripped"))
+        .select(
+            "doc_id",
+            F.length("_stripped").alias("n_chars"),
+            F.md5("_stripped").alias("content_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q149_url_canonicalize",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             unnest(list_value(
+               'https://WWW.' || upper(source) || '.COM/docs/' || doc_id ||
+                 '?utm_source=feed&id=' || doc_id || '&utm_campaign=x#sec',
+               'https://www.' || source || '.com/docs/' || doc_id ||
+                 '?id=' || doc_id || '&utm_medium=mail'
+             )) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://' ||
+             regexp_replace(lower(regexp_extract(url, '://([^/]+)', 1)), '^www\\.', '') ||
+             regexp_extract(url, '://[^/]+(/[^?#]*)', 1) ||
+             '?id=' || regexp_extract(url, '[?&]id=([0-9]+)', 1) AS curl
+      FROM raw
+    )
+    SELECT regexp_extract(curl, '^https://([^/]+)/', 1) AS domain,
+           CAST(count(*) AS BIGINT)              AS n_raw_urls,
+           CAST(count(DISTINCT curl) AS BIGINT)  AS n_canonical,
+           CAST(min(doc_id) AS BIGINT)           AS min_doc,
+           CAST(max(doc_id) AS BIGINT)           AS max_doc
+    FROM canon
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q149_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for web-corpus dedup: each document carries
+    two raw URL variants of the same resource (case-noisy host, utm_*
+    tracking params, fragment vs neither), and canonicalization —
+    lowercase host, strip www., drop fragment, keep only the identifying
+    query param — must collapse them to ONE canonical URL per document
+    (n_canonical == n_raw/2 per domain), the dedup key a crawl pipeline
+    groups on before content hashing. Spark executes with the JVM-native
+    ``parse_url`` (HOST/PATH/QUERY:key extraction); the oracle re-derives
+    the same parts with plain regexes — a genuine cross-implementation
+    check of the parsing, not a shared-code tautology.
+
+    Scale shape: projection + explode + one domain-grain aggregate; the
+    distinct rides the same domain-keyed exchange.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    v1 = F.concat(
+        F.lit("https://WWW."), F.upper("source"), F.lit(".COM/docs/"), F.col("doc_id"),
+        F.lit("?utm_source=feed&id="), F.col("doc_id"), F.lit("&utm_campaign=x#sec"),
+    )
+    v2 = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".com/docs/"), F.col("doc_id"),
+        F.lit("?id="), F.col("doc_id"), F.lit("&utm_medium=mail"),
+    )
+    raw = docs.select("doc_id", F.explode(F.array(v1, v2)).alias("url"))
+    host = F.regexp_replace(F.lower(F.parse_url("url", F.lit("HOST"))), r"^www\.", "")
+    curl = F.concat(
+        F.lit("https://"), host, F.parse_url("url", F.lit("PATH")),
+        F.lit("?id="), F.parse_url("url", F.lit("QUERY"), F.lit("id")),
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .select("doc_id", "curl", F.regexp_extract("curl", r"^https://([^/]+)/", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw_urls"),
+            F.countDistinct("curl").alias("n_canonical"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("domain")
+    )
