@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q147_video_frame_checksum",
     "q148_html_strip_roundtrip",
     "q149_url_canonicalize",
+    "q150_chat_flatten",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -114,7 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q97_gap_filled_hourly",
     # --- newest official row is r5; first 10 in registration order ---
     "q105_contamination_scores",
-    "q40_text_stats",
 )
 
 

@@ -1440,3 +1440,61 @@ def q149_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@query(
+    "q150_chat_flatten",
+    oracle="""
+    WITH lines AS (
+      SELECT user_id, ts, event_id,
+             event_type || ': ' ||
+               CAST(CAST(round(value, 2) AS DECIMAL(18,2)) AS VARCHAR) AS line
+      FROM events WHERE user_id < 40
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT)                         AS n_turns,
+           CAST(length(string_agg(line, chr(10) ORDER BY ts, event_id)) AS BIGINT) AS n_chars,
+           md5(string_agg(line, chr(10) ORDER BY ts, event_id))         AS flat_md5
+    FROM lines
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q150_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation flattening — the SFT-data-prep step that turns an
+    event log into one training document per user: turns ordered by
+    (ts, event_id), rendered 'role: value' with exact-decimal value
+    formatting (DECIMAL(18,2) string form is identical on both
+    engines; raw double formatting is not), newline-joined, and
+    content-hashed. The oracle's ordered string_agg must reproduce the
+    Spark side's collect_list -> array_sort -> array_join byte-for-byte
+    — any ordering instability, separator drift, or number-format
+    divergence flips the md5.
+
+    Scale shape: one user_id-grain shuffle; the sort happens inside
+    each group's collected array (array_sort, JVM-side), bounded by a
+    user's turn count — the per-key-bounded pattern q96's document
+    reassembly uses.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    line = F.concat(
+        "event_type", F.lit(": "),
+        F.round("value", 2).cast("decimal(18,2)").cast("string"),
+    )
+    return (
+        ev.select("user_id", F.struct("ts", "event_id", line.alias("line")).alias("t"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("t")), lambda s: s.getField("line")), "\n"
+            ).alias("_flat"),
+        )
+        .select(
+            "user_id",
+            "n_turns",
+            F.length("_flat").alias("n_chars"),
+            F.md5("_flat").alias("flat_md5"),
+        )
+        .orderBy("user_id")
+    )
