@@ -43,11 +43,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # registration order, with the no-oracle (rows-only) queries last so the
 # window carries the maximum number of hash-verified rows.
 #
-# STALENESS POLICY (since round 5): with 123 oracled queries and a
-# 50-row window, ≤1-round staleness is arithmetically impossible (a
-# 2-round rotation covers 100). The guarantee is LEAST-RECENTLY-
-# VERIFIED-FIRST with ≤2-round staleness: every rotation leads with the
-# queries whose newest official row is oldest. Compensating control:
+# STALENESS POLICY (since round 5; arithmetic updated round 7): with
+# 141 oracled queries and a 50-row window, a full rotation now takes
+# ~3 rounds. The guarantee is LEAST-RECENTLY-VERIFIED-FIRST: every
+# rotation leads with queries that have zero official rows, then the
+# oldest-verified cohort — no query is ever passed over in favor of a
+# fresher one. Compensating control:
 # tools/driver_sim.py verifies EVERY oracled query against its DuckDB
 # oracle every round at sf0.01 (and the non-quadratic-oracle set at
 # sf0.1) under the official driver's canonicalizer replica
