@@ -44,7 +44,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # window carries the maximum number of hash-verified rows.
 #
 # STALENESS POLICY (since round 5; arithmetic updated round 7): with
-# 141 oracled queries and a 50-row window, a full rotation now takes
+# 142 oracled queries and a 50-row window, a full rotation now takes
 # ~3 rounds. The guarantee is LEAST-RECENTLY-VERIFIED-FIRST: every
 # rotation leads with queries that have zero official rows, then the
 # oldest-verified cohort — no query is ever passed over in favor of a
@@ -57,10 +57,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #
 # Round-7 rotation (VERDICT r6 next-round #1): lead with the ten round-6
 # queries that have ZERO official rows (the r6 window was spent on the
-# round-5 backlog), then the least-recently-verified cohort: all 30
-# r4-latest queries, then the first r5-latest queries in registration
-# order to fill the 50. Queries new THIS round are spliced in right
-# after the zero-row block as they land.
+# round-5 backlog), then the ten queries NEW this round (also zero
+# rows; q145 rows-only by design rides here so it gets its official
+# rows-only record), then the entire r4-latest cohort (30) — exactly 50.
+# The r5-latest block leads round 8.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (new in r6; sim-green) ---
     "q132_image_pixel_checksum",
@@ -83,6 +83,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q148_html_strip_roundtrip",
     "q149_url_canonicalize",
     "q150_chat_flatten",
+    "q151_pq_exact_topk",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -114,8 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q49_salted_join",
     "q98_incremental_topk_rollup",
     "q97_gap_filled_hourly",
-    # --- newest official row is r5; first 10 in registration order ---
-    "q105_contamination_scores",
 )
 
 

@@ -644,3 +644,47 @@ def q145_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
     return pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=8).orderBy("query_id", "rank")
+
+
+@query(
+    "q151_pq_exact_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_DOT.format(a='qe', b='ce')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}), 6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q151_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ pipeline in its deterministic configuration (the q100 rule
+    applied to the PQ family): rescore_factor covers the whole corpus,
+    so the ADC scan still runs the code path (codebook train, m-byte
+    encode, lookup-table scan, map-side shortlist) but EVERY candidate
+    reaches the exact serial cosine fold — reproducing brute-force
+    top-k bit-for-bit and giving the shared PQ machinery a value-hash
+    row against q35's oracle. The approximate production config stays
+    q145 (rows-only, recall-pinned). Unlike the pytest memorize config
+    (which collects the corpus driver-side and exists only for the
+    losslessness pin at test scale), this configuration is scale-safe:
+    the rescore join moves n rows per query, the codebook stays 8x64.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_topk(
+        emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=10**9
+    ).orderBy("query_id", "rank")
