@@ -176,3 +176,26 @@ def test_pii_scrub_agrees_with_python_re_on_adversarial_strings(spark):
         # nothing PII-shaped survives the scrub
         for _name, pat, _token in PII_PATTERNS:
             assert not re.search(pat, got[i][3].replace("[EMAIL]", "").replace("[PHONE]", "").replace("[IP]", ""))
+
+
+def test_html_strip_roundtrip_property():
+    """strip(wrap(text)) == text for adversarial content — entity-looking
+    literals ('&amp;', '&lt;'), angle brackets, quotes, newlines — the
+    exact inputs where a wrong decode order double-decodes."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.operators.text import html_escape, html_strip
+
+    texts = [
+        "&amp; already escaped?", "<script>alert(1)</script>", "a & b < c > d",
+        "&lt;nested&gt; &amp;lt;", "quotes \" and ' here", "line1\nline2\ttab",
+        "", "&", "<", ">", "&#39;", "&quot;ok&quot;",
+    ]
+    import kafka_connect_bigquery_storage_write_spark.session as S
+
+    spark = S.get_spark(app_name="html-prop", cpus=2, shuffle_partitions=2)
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    page = F.concat(F.lit("<html><body><p>"), html_escape("text"), F.lit("</p></body></html>"))
+    out = df.select("text", html_strip(page).alias("back")).collect()
+    for r in out:
+        assert r["back"] == r["text"], (r["text"], r["back"])
