@@ -446,3 +446,59 @@ def test_legacy_manifest_layout_still_readable(spark, kv_df, tmp_path):
         json.dump({"batch_id": 5}, f)
     assert pend.commit() == [5]
     assert pend.read(spark).count() == 2
+
+
+def test_randomized_op_interleavings_preserve_visibility(spark, kv_df, tmp_path):
+    """Property test over random op sequences (write / replay / stage /
+    commit / reset / compact / vacuum): after EVERY op, the visible
+    rowcount must equal 2 x |committed batch ids| — the single invariant
+    every manifest feature (idempotent replay, epoch publish, snapshot
+    absorption, retention vacuum) exists to preserve. Three seeds x 30
+    ops each; any interleaving bug (double-count after compaction,
+    vacuum eating a live dir, replay landing twice) breaks the count."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        mode = "pending" if seed % 2 else "committed"
+        sink = ManifestSinkTable(str(tmp_path / f"t{seed}"), write_mode=mode)
+        next_id = 0
+        committed: set[int] = set()
+        staged: set[int] = set()
+        # seed one write so read() has a frozen schema from op 1 on
+        sink.write_batch(kv_df, next_id)
+        (staged if mode == "pending" else committed).add(next_id)
+        next_id += 1
+        for _ in range(30):
+            op = rng.choice(["write", "write", "write", "replay", "commit", "reset", "compact", "vacuum"])
+            if op == "write":
+                sink.write_batch(kv_df, next_id)
+                (staged if mode == "pending" else committed).add(next_id)
+                next_id += 1
+            elif op == "replay" and (committed or staged):
+                bid = rng.choice(sorted(committed | staged))
+                assert sink.write_batch(kv_df, bid).already_exists
+            elif op == "commit":
+                got = sink.commit()
+                if mode == "pending":
+                    assert sorted(got) == sorted(staged)
+                    committed |= staged
+                    staged.clear()
+                else:
+                    assert got == []
+            elif op == "reset":
+                got = sink.reset()
+                if mode == "pending":
+                    assert sorted(got) == sorted(staged)
+                    staged.clear()
+                else:
+                    assert got == []
+            elif op == "compact":
+                sink.compact(spark, target_files=1)
+            elif op == "vacuum":
+                sink.vacuum(retention_s=0.0)
+            assert sink.read(spark).count() == 2 * len(committed), (seed, op, sorted(committed))
+        # end state: ids are exactly once regardless of path taken
+        if committed:
+            ids = sink.read(spark).groupBy("id").count().collect()
+            assert all(r["count"] == len(committed) for r in ids)
