@@ -1986,3 +1986,69 @@ def q130_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q152_window_frames",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                              RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+               AS near_price_sum,
+             nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS second_biggest,
+             last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey
+                                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+               AS next_window_key,
+             lead(o_orderkey, 1, -1) OVER (PARTITION BY o_custkey
+                                           ORDER BY o_totalprice DESC, o_orderkey)
+               AS following_key
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, near_price_sum,
+           second_biggest, next_window_key, following_key
+    FROM w WHERE o_custkey < 100
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q152_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window FRAME semantics — the E10 corners q13/q14/q115 don't touch:
+    a RANGE frame over a numeric ordering (value-based bounds, so
+    same-price ties land in each other's frames regardless of physical
+    order — the frame type that is deterministic under ties BY
+    CONSTRUCTION), nth_value within a running ROWS frame, last_value
+    over a bounded sliding frame, and lead() with an explicit default.
+    Money sums go through DECIMAL(18,2) inside the frame so both
+    engines aggregate exactly.
+
+    Scale shape: every function shares one (o_custkey) partitioning;
+    the two sort orders (price asc for the RANGE frame, desc for the
+    rank-side functions) cost one exchange + two in-partition sorts,
+    never a second shuffle.
+    """
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    asc = W.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-1000, 0)
+    desc = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(asc), 2)
+            .cast("double")
+            .alias("near_price_sum"),
+            F.nth_value("o_orderkey", 2).over(desc.rowsBetween(W.unboundedPreceding, W.currentRow)).alias(
+                "second_biggest"
+            ),
+            F.last("o_orderkey").over(desc.rowsBetween(-1, 1)).alias("next_window_key"),
+            F.lead("o_orderkey", 1, -1).over(desc).alias("following_key"),
+        )
+        .filter(F.col("o_custkey") < 100)
+        .orderBy("o_custkey", "o_orderkey")
+    )
