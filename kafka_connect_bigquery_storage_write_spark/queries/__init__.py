@@ -60,7 +60,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round-5 backlog), then the ten queries NEW this round (also zero
 # rows; q145 rows-only by design rides here so it gets its official
 # rows-only record), then the r4-latest cohort in registration order
-# (29 of 30 fit) — exactly 50. q97 + the r5-latest block lead round 8.
+# (28 of 30 fit) — exactly 50. q98/q97 + the r5-latest block lead round 8.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (new in r6; sim-green) ---
     "q132_image_pixel_checksum",
@@ -85,6 +85,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q150_chat_flatten",
     "q151_pq_exact_topk",
     "q152_window_frames",
+    "q153_length_bucketed_batches",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -114,7 +115,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q95_embedding_outliers",
     "q48_salted_agg",
     "q49_salted_join",
-    "q98_incremental_topk_rollup",
 )
 
 

@@ -1498,3 +1498,74 @@ def q150_chat_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q153_length_bucketed_batches",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(log2(greatest(n_tokens, 1))) AS BIGINT) AS bucket
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, bucket,
+             sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bcum
+      FROM b
+    )
+    SELECT bucket,
+           CAST(greatest(bcum - 1, 0) // 500 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT)  AS first_doc,
+           CAST(max(doc_id) AS BIGINT)  AS last_doc
+    FROM c
+    GROUP BY bucket, greatest(bcum - 1, 0) // 500
+    ORDER BY bucket, batch_id
+    """,
+)
+def q153_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch layout — the data-loader prep that groups
+    similar-length documents so per-batch padding waste is bounded by
+    the bucket's 2x length band: docs bucket by floor(log2(tokens)),
+    and within each bucket the running token count cuts ~500-token
+    batches (the q140 rule applied per bucket).
+
+    Scale shape (and why there is NO per-bucket keyed window): a bucket
+    holds a constant FRACTION of the corpus, so Window.partitionBy(
+    bucket) would serialize millions of rows through ~20 tasks — the
+    q112 cliff wearing a partition key. Instead ONE global
+    ranked_prefix_sum ordered (bucket, doc_id) yields the global cum;
+    per-bucket totals (a ≤64-row relation, log2-bounded) prefix-sum
+    into bucket base offsets through the same machinery; bucket-local
+    cum = global cum - bucket base. Every window in the plan is either
+    range-partition-parallel or over the bucket-count-bounded relation.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ranked_prefix_sum
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    d = docs.select(
+        "doc_id", F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n_tokens")
+    ).withColumn("bucket", F.floor(F.log2(F.greatest("n_tokens", F.lit(1)))).cast("long"))
+    c = ranked_prefix_sum(d, [F.col("bucket"), F.col("doc_id")], value="n_tokens", cum_col="gcum")
+    btot = c.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    boff = ranked_prefix_sum(btot, [F.col("bucket")], value="btok", cum_col="bend").select(
+        "bucket", (F.col("bend") - F.col("btok")).alias("bbase")
+    )
+    return (
+        c.join(F.broadcast(boff), "bucket")
+        .withColumn("bcum", F.col("gcum") - F.col("bbase"))
+        .withColumn("batch_id", F.expr("greatest(bcum - 1, 0L) div 500"))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
