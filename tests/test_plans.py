@@ -465,3 +465,17 @@ def test_q144_distinct_word_grain_and_takeordered(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 4, plan  # partial+final x2
+
+
+def test_q153_no_per_bucket_keyed_window(spark, sf_dir):
+    """Length-bucketed batching must run on the distributed prefix-sum
+    (range partition + offsets), never a Window.partitionBy(bucket) —
+    a bucket is a constant fraction of the corpus, so a keyed window
+    there serializes millions of rows through ~20 tasks."""
+    plan = _plan(spark, sf_dir, "q153_length_bucketed_batches")
+    assert "_rps_pid" in plan, plan  # ranked_prefix_sum machinery present
+    assert "rangepartitioning" in plan.lower(), plan
+    # no window exchange keyed on the bucket column alone
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(bucket" in line:
+            raise AssertionError(f"bucket-keyed exchange found: {line}")
