@@ -60,7 +60,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # round-5 backlog), then the ten queries NEW this round (also zero
 # rows; q145 rows-only by design rides here so it gets its official
 # rows-only record), then the r4-latest cohort in registration order
-# (28 of 30 fit) — exactly 50. q98/q97 + the r5-latest block lead round 8.
+# (27 of 30 fit) — exactly 50. q49/q98/q97 + the r5-latest block lead
+# round 8.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (new in r6; sim-green) ---
     "q132_image_pixel_checksum",
@@ -86,6 +87,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q151_pq_exact_topk",
     "q152_window_frames",
     "q153_length_bucketed_batches",
+    "q154_preference_pairs",
     # --- newest official row is r4; all 30, registration order ---
     "q14_running_customer_spend",
     "q15_union_all_counts",
@@ -114,7 +116,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q64_user_activity_similarity",
     "q95_embedding_outliers",
     "q48_salted_agg",
-    "q49_salted_join",
 )
 
 

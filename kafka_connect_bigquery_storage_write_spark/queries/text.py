@@ -1569,3 +1569,61 @@ def q153_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_id")
     )
+
+
+@query(
+    "q154_preference_pairs",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY} AS quality FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, quality,
+             row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS best,
+             row_number() OVER (PARTITION BY source ORDER BY quality ASC, doc_id DESC) AS worst
+      FROM scored
+    )
+    SELECT b.source,
+           b.doc_id                      AS chosen_doc,
+           w.doc_id                      AS rejected_doc,
+           round(b.quality - w.quality, 6) AS quality_gap
+    FROM (SELECT * FROM ranked WHERE best = 1) b
+    JOIN (SELECT * FROM ranked WHERE worst = 1) w USING (source)
+    WHERE b.doc_id <> w.doc_id
+    ORDER BY source
+    """,
+)
+def q154_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction — the RLHF/DPO data-prep step: per
+    group (source stands in for the prompt), pair the highest-quality
+    document (chosen) with the lowest (rejected), deterministic
+    tie-breaks on doc_id both ways, degenerate single-doc groups
+    dropped. The quality score is the same oracled expression q43
+    filters on, so the pair decision is hash-verifiable end to end.
+
+    Scale shape: both extreme picks ride ONE source-keyed window
+    exchange (two row_numbers over the same partitioning, opposite
+    orders — Catalyst shares the exchange and re-sorts in place); the
+    self-join joins two one-row-per-source relations, broadcast-sized
+    by construction.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.text import quality_score
+    from pyspark.sql import Window as W
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    scored = docs.select("doc_id", "source", quality_score("text").alias("quality"))
+    wb = W.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    ww = W.partitionBy("source").orderBy(F.col("quality").asc(), F.col("doc_id").desc())
+    ranked = scored.select(
+        "source", "doc_id", "quality",
+        F.row_number().over(wb).alias("best"),
+        F.row_number().over(ww).alias("worst"),
+    )
+    b = ranked.filter(F.col("best") == 1).select("source", F.col("doc_id").alias("chosen_doc"), F.col("quality").alias("_bq"))
+    w = ranked.filter(F.col("worst") == 1).select("source", F.col("doc_id").alias("rejected_doc"), F.col("quality").alias("_wq"))
+    return (
+        b.join(w, "source")
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select("source", "chosen_doc", "rejected_doc", F.round(F.col("_bq") - F.col("_wq"), 6).alias("quality_gap"))
+        .orderBy("source")
+    )
