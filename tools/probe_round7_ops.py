@@ -94,6 +94,74 @@ def probe_skewed_point_in_time(spark):
 def main():
     spark = get_spark(app_name="probe-round7", cpus=16, shuffle_partitions=32)
     probe_skewed_point_in_time(spark)
+    probe_pq_scan_vs_brute(spark)
+    probe_incremental_layout_fold_cost(spark)
+
+
+
+
+
+def probe_pq_scan_vs_brute(spark):
+    """PQ ADC scan + rescore vs brute-force cosine at sf0.1 (50k x 64):
+    the point is the SCANNED-BYTES story (8-byte codes vs 512-byte float
+    rows), but wall-clock should also hold or win once the corpus
+    outgrows the broadcast-fold regime."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_topk, pq_topk
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    t0 = time.perf_counter()
+    n_b = cosine_topk(emb, queries, k=5).count()
+    t_brute = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_pq = pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=8).count()
+    t_pq = time.perf_counter() - t0
+    print(
+        f"pq vs brute @50k x 64, 10 queries: brute {t_brute:.1f}s/{n_b} rows, "
+        f"pq(8x64, rf8, incl. train+encode) {t_pq:.1f}s/{n_pq} rows; "
+        f"scan relation: 8B codes vs 512B floats per row",
+        flush=True,
+    )
+
+
+def probe_incremental_layout_fold_cost(spark):
+    """The per-batch fold cost of IncrementalShardLayout must stay flat
+    as the table grows: the carried state is ONE scalar derived from the
+    shard-grain partials (bounded by shard count), never the documents."""
+    import shutil
+    import sys
+    import tempfile
+
+    sys.path.insert(0, "/root/repo")
+    from kafka_connect_bigquery_storage_write_spark.sinks.shards import IncrementalShardLayout
+
+    root = tempfile.mkdtemp(prefix="probe_layout_")
+    lay = IncrementalShardLayout(root + "/layout", tokens_per_shard=100_000)
+    batch_rows = 200_000
+    times = []
+    for b in range(8):
+        df = spark.range(b * batch_rows, (b + 1) * batch_rows).selectExpr(
+            "id as doc_id", "cast(id % 997 as int) as n_tokens"
+        )
+        t0 = time.perf_counter()
+        lay.process_batch(df, batch_id=b)
+        times.append(time.perf_counter() - t0)
+    n = lay.read(spark).count()
+    print(
+        f"incremental layout fold over 8 x {batch_rows} docs: per-batch "
+        f"{' '.join(f'{t:.1f}' for t in times)}s (flat = state is scalar), "
+        f"{n} shards total",
+        flush=True,
+    )
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
