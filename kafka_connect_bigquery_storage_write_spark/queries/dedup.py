@@ -517,3 +517,75 @@ def q131_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "quality", (F.col("rk") == 1).alias("is_survivor"))
         .orderBy("cluster_id", "doc_id")
     )
+
+
+@query(
+    "q157_boilerplate_salvage",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, md5(list_aggregate(t[s+1:s+10], 'string_agg', ' ')) AS h,
+             length(list_aggregate(t[s+1:s+10], 'string_agg', ' ')) AS seg_chars
+      FROM d, unnest(CASE WHEN len(t) >= 10 THEN range(0, len(t)-10+1, 10)
+                          ELSE CAST([] AS BIGINT[]) END) AS u(s)
+    ),
+    df AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY h)
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           CAST(sum(CASE WHEN d.n_docs < 2 THEN seg_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+           CAST(sum(CASE WHEN d.n_docs < 2
+                    THEN CAST('0x' || substr(h, 1, 12) AS BIGINT) ELSE 0 END) AS BIGINT) AS kept_checksum
+    FROM chunks c JOIN df d USING (h)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+)
+def q157_boilerplate_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal, CCNet-style (Wenzek et al. 2020):
+    every document is tiled into aligned 10-token segments (q137's
+    tiling, half the width), a segment occurring in >= 2 DISTINCT
+    documents is template/boilerplate and is dropped, and each document
+    keeps its unique segments — the salvage pass that strips navigation
+    chrome and licence headers WITHOUT discarding whole documents
+    (document-grain near-dup q31/q32 cannot see them, and q137 only
+    REPORTS the passages; this applies the removal per document).
+
+    Output is the per-document salvage panel: segment count, how many
+    were cross-document duplicates, surviving characters, and an
+    order-free integer checksum (sum of 48-bit md5 prefixes) pinning the
+    exact surviving segment SET without ordered reconstruction.
+
+    Scale shape: segments reduce to 16-byte digests before any shuffle —
+    the document-frequency aggregation and the scoring join both key on
+    the digest (q31's shingle-join economics); text leaves the initial
+    projection only as bounded seg_chars integers, and the final
+    re-aggregation keys on doc_id, the corpus partitioning.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("t")).withColumn("n_tok", F.size("t"))
+    starts = F.when(
+        F.col("n_tok") >= 10, F.sequence(F.lit(0), F.col("n_tok") - 10, F.lit(10))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    seg = F.array_join(F.slice("t", F.col("s") + 1, 10), " ")
+    segs = d.select("doc_id", F.explode(starts).alias("s"), "t").select(
+        "doc_id", F.md5(seg).alias("h"), F.length(seg).alias("seg_chars")
+    )
+    df = segs.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    dup = F.col("n_docs") >= 2
+    chk = F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+    return (
+        segs.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(dup, 1).otherwise(0)).alias("n_dup_segments"),
+            F.sum(F.when(~dup, F.col("seg_chars")).otherwise(0)).alias("kept_chars"),
+            F.sum(F.when(~dup, chk).otherwise(0)).alias("kept_checksum"),
+        )
+        .orderBy("doc_id")
+    )

@@ -989,6 +989,217 @@ def q110_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q155_bigram_surprisal",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg0 AS (SELECT doc_id, unnest(list_zip(t, t[2:])) AS p FROM d),
+    bg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg0 WHERE p[2] IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+    v AS (SELECT count(DISTINCT token) AS vocab
+          FROM (SELECT unnest({_TOKS}) AS token FROM documents)),
+    st AS (
+      SELECT w1, w2,
+             CAST(floor(ln((c1 + vocab) * 1.0 / (c12 + 1)) * 1000000.0 + 0.5) AS BIGINT) AS s
+      FROM c12 JOIN c1 USING (w1), v
+    )
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(s) * 1.0 / count(*) + 0.5) / 1000000.0 AS surprisal
+    FROM bg b JOIN st USING (w1, w2)
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def q155_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under an add-one-smoothed corpus
+    bigram model — q110's unigram filter upgraded one Markov order: the
+    cheapest context-aware perplexity gate (catches shuffled-word salads
+    that unigram surprisal scores as normal). p(w2|w1) = (c12+1)/(c1+V),
+    so surprisal = ln((c1+V)/(c12+1)) — an integer ratio under ln.
+
+    Exactness (q110 recipe): ln runs once per DISTINCT bigram over exact
+    integer counts and is fixed to micro-units; doc sums are exact int64,
+    one double division + portable floor-half-up round at the end.
+
+    Scale shape: bigram extraction is a pure projection (zip_with over the
+    token array — no window, no positional shuffle); the model table is
+    bigram-vocabulary-grain (c12 + broadcast c1 + broadcast scalar V) and
+    the scoring join keys on the bigram, never doc x doc. Docs with < 2
+    tokens have no bigrams and drop on both engines by construction.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("t"))
+    pairs = F.zip_with(
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .where(F.col("p.w2").isNotNull())
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("token")).agg(F.countDistinct("token").alias("vocab"))
+    )
+    st = (
+        c12.join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.floor(
+                F.log((F.col("c1") + F.col("vocab")).cast("double") / (F.col("c12") + F.lit(1)))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    return (
+        bg.join(st, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("s").alias("_ssum"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.floor(F.col("_ssum") * F.lit(1.0) / F.col("n_bigrams") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "surprisal"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q156_source_js_divergence",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+    tf AS (SELECT source, token, count(*) AS c FROM toks GROUP BY source, token),
+    n AS (SELECT source, sum(c) AS n FROM tf GROUP BY source),
+    co AS (
+      SELECT a.source AS sa, b.source AS sb, a.token,
+             a.c AS ca, b.c AS cb, na.n AS na, nb.n AS nb
+      FROM tf a JOIN tf b ON a.token = b.token AND a.source < b.source
+      JOIN n na ON na.source = a.source
+      JOIN n nb ON nb.source = b.source
+    ),
+    terms AS (
+      SELECT sa, sb,
+             CAST(count(*) AS BIGINT) AS shared,
+             sum(ca) AS ca_co, sum(cb) AS cb_co,
+             sum(ca * CAST(floor(ln(2.0 * (ca * 1.0 * nb) / (ca * 1.0 * nb + cb * 1.0 * na))
+                                 * 1000000.0 + 0.5) AS BIGINT)) AS s_a_co,
+             sum(cb * CAST(floor(ln(2.0 * (cb * 1.0 * na) / (ca * 1.0 * nb + cb * 1.0 * na))
+                                 * 1000000.0 + 0.5) AS BIGINT)) AS s_b_co
+      FROM co GROUP BY sa, sb
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, a.n AS na, b.n AS nb
+      FROM n a JOIN n b ON a.source < b.source
+    )
+    SELECT p.source_a, p.source_b,
+           COALESCE(t.shared, 0) AS n_shared_tokens,
+           floor(((COALESCE(t.s_a_co, 0) + (p.na - COALESCE(t.ca_co, 0)) * 693147) * 1.0 / p.na
+                 + (COALESCE(t.s_b_co, 0) + (p.nb - COALESCE(t.cb_co, 0)) * 693147) * 1.0 / p.nb)
+                 / 2.0 + 0.5) / 1000000.0 AS js_divergence
+    FROM pairs p LEFT JOIN terms t ON t.sa = p.source_a AND t.sb = p.source_b
+    ORDER BY p.source_a, p.source_b
+    """,
+)
+def q156_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the per-source unigram
+    distributions — the domain-shift / mixture-design diagnostic (which
+    sources are interchangeable, which add diversity) run before q45/q66
+    set mixture weights.
+
+    Exactness: for co-occurring tokens the log argument 2*p/(p+q) reduces
+    to the ratio 2*ca*nb / (ca*nb + cb*na) of exact counts — evaluated in
+    doubles (identical IEEE expression on both engines; double products
+    rather than int64 so a 100-TB corpus cannot overflow), quantized to
+    integer micro-units per DISTINCT (pair, token), then weighted by exact
+    integer counts. Tokens exclusive to one side contribute exactly
+    ln(2) == 693147 micro-units each, folded in closed form from the
+    exact totals — the token-exclusive tail never materializes as rows.
+    One double expression + portable floor-half-up round at the end.
+
+    Scale shape: everything after the tokenize pass runs at vocabulary
+    grain (tf is |V| x sources rows); the pair space is sources^2/2 —
+    mixture design is dozens of sources, so `pairs` broadcasts. The
+    co-occurrence join keys on token, never doc x doc.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "source", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    n = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    a = tf.alias("a")
+    b = tf.alias("b")
+    na = F.broadcast(n.select(F.col("source").alias("sa"), F.col("n").alias("na")))
+    nb = F.broadcast(n.select(F.col("source").alias("sb"), F.col("n").alias("nb")))
+    co = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source")))
+        .select(
+            F.col("a.source").alias("sa"),
+            F.col("b.source").alias("sb"),
+            F.col("a.c").alias("ca"),
+            F.col("b.c").alias("cb"),
+        )
+        .join(na, "sa")
+        .join(nb, "sb")
+    )
+    denom = F.col("ca") * F.lit(1.0) * F.col("nb") + F.col("cb") * F.lit(1.0) * F.col("na")
+    t_a = F.floor(F.log(F.lit(2.0) * (F.col("ca") * F.lit(1.0) * F.col("nb")) / denom) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    t_b = F.floor(F.log(F.lit(2.0) * (F.col("cb") * F.lit(1.0) * F.col("na")) / denom) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    terms = co.groupBy("sa", "sb").agg(
+        F.count(F.lit(1)).alias("shared"),
+        F.sum("ca").alias("ca_co"),
+        F.sum("cb").alias("cb_co"),
+        F.sum(F.col("ca") * t_a).alias("s_a_co"),
+        F.sum(F.col("cb") * t_b).alias("s_b_co"),
+    )
+    pairs = (
+        n.alias("x")
+        .join(n.alias("y"), F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.col("x.n").alias("pna"),
+            F.col("y.n").alias("pnb"),
+        )
+    )
+    LN2 = F.lit(693147)
+    s_a = F.coalesce(F.col("s_a_co"), F.lit(0)) + (F.col("pna") - F.coalesce(F.col("ca_co"), F.lit(0))) * LN2
+    s_b = F.coalesce(F.col("s_b_co"), F.lit(0)) + (F.col("pnb") - F.coalesce(F.col("cb_co"), F.lit(0))) * LN2
+    return (
+        pairs.join(
+            terms,
+            (F.col("sa") == F.col("source_a")) & (F.col("sb") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("shared"), F.lit(0)).alias("n_shared_tokens"),
+            (
+                F.floor(
+                    (s_a * F.lit(1.0) / F.col("pna") + s_b * F.lit(1.0) / F.col("pnb")) / F.lit(2.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("js_divergence"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@query(
     "q128_weighted_reservoir_sample",
     oracle="""
     WITH keyed AS (
