@@ -2052,3 +2052,47 @@ def q152_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_custkey") < 100)
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "q158_lateral_topk",
+    oracle="""
+    SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+    FROM nation n,
+         LATERAL (
+           SELECT c_name, c_acctbal FROM customer c
+           WHERE c.c_nationkey = n.n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 2
+         ) t
+    ORDER BY nation, t.c_acctbal DESC, t.c_name
+    """,
+)
+def q158_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT — the per-row
+    top-k join SQL:2016 writes natively and both optimizers must
+    decorrelate (Spark: DecorrelateInnerQuery rewrites the limit-per-key
+    lateral into a ranked window join, never a per-outer-row execution;
+    DuckDB performs the equivalent dependent-join unnesting). Completes
+    the correlation surface beside q58 (correlated scalar aggregate) and
+    q90 (EXISTS/NOT EXISTS): this is the correlated TABLE subquery.
+
+    Registered through spark.sql deliberately, like q58 — the operator
+    under test is the optimizer's decorrelation, not the query shape
+    (q13 already covers the hand-written window form). No float
+    arithmetic: acctbal passes through unmodified, ties broken on
+    c_name, so the hash is stable by construction.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation, t.c_name, t.c_acctbal
+        FROM nation_v n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        ORDER BY nation, t.c_acctbal DESC, t.c_name
+        """
+    )

@@ -3,7 +3,7 @@ operators Spark lacks, built from compositions per SURVEY's strategy)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.temporal import asof_join
@@ -562,4 +562,113 @@ def q139_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("purchase_id", "user_id", "p_ts", "state_version", "state_click_id", "value")
         .orderBy("purchase_id")
+    )
+
+
+@query(
+    "q159_hourly_autocorrelation",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+             CAST(round(sum(CAST(value AS DECIMAL(18,2))) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT time_bucket(INTERVAL '1 hour', min(ts)) AS lo,
+             time_bucket(INTERVAL '1 hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.hour
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           bounds,
+           LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi, INTERVAL '1 hour')) AS hour) g
+    ),
+    series AS (
+      SELECT g.event_type, g.hour, coalesce(h.cents, 0) AS x
+      FROM grid g LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+    ),
+    pairs AS (
+      SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY hour) AS y
+      FROM series
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT)  AS sx,  CAST(sum(y) AS BIGINT)  AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM pairs WHERE y IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           floor((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS autocorr
+    FROM m
+    WHERE n * sxx > sx * sx AND n * syy > sy * sy
+    ORDER BY event_type
+    """,
+)
+def q159_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's gap-filled hourly value
+    series — the persistence/seasonality screen (is this metric bursty or
+    mean-reverting?) that decides whether a series needs differencing
+    before anomaly thresholds like q114's z-scores are trusted.
+
+    Exactness (q119's recipe on q114's densified series): hourly sums are
+    integer cents, the (x_t, x_{t+1}) pair moments are exact int64 sums,
+    the degenerate constant-series guard is an integer comparison, and r
+    is one identical IEEE expression with a portable floor-half-up round.
+
+    Scale shape: events collapse to (type, hour) grain before anything
+    else touches them; the densified series is time-bounded (hours in
+    range x |types|), so the per-type lead() window is bounded by the
+    calendar, not the corpus — the q97 grid rule; moments ride one
+    type-keyed aggregation.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour")).agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("long").alias("cents")
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    )
+    series = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("cents", F.lit(0)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    pairs = series.withColumn("y", F.lead("x").over(w)).where(F.col("y").isNotNull())
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("n") * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        m.where(
+            (F.col("n") * F.col("sxx") > F.col("sx") * F.col("sx"))
+            & (F.col("n") * F.col("syy") > F.col("sy") * F.col("sy"))
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_pairs"),
+            (F.floor(num / den * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)).alias("autocorr"),
+        )
+        .orderBy("event_type")
     )

@@ -1838,3 +1838,66 @@ def q154_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "chosen_doc", "rejected_doc", F.round(F.col("_bq") - F.col("_wq"), 6).alias("quality_gap"))
         .orderBy("source")
     )
+
+
+@query(
+    "q160_rare_phrase_postings",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg0 AS (SELECT doc_id, unnest(list_zip(t, t[2:])) AS p FROM d),
+    bg AS (SELECT doc_id, p[1] || ' ' || p[2] AS gram FROM bg0 WHERE p[2] IS NOT NULL),
+    td AS (SELECT gram, doc_id, count(*) AS tf FROM bg GROUP BY gram, doc_id),
+    dfreq AS (SELECT gram, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              FROM td GROUP BY gram),
+    rare AS (SELECT gram, df, cf FROM dfreq ORDER BY df, gram LIMIT 30)
+    SELECT r.gram, r.df, r.cf,
+           string_agg(CAST(t.doc_id AS VARCHAR), ',' ORDER BY t.doc_id) AS postings
+    FROM rare r JOIN td t USING (gram)
+    GROUP BY r.gram, r.df, r.cf
+    ORDER BY r.df, r.gram
+    """,
+)
+def q160_rare_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-phrase inverted index: the 30 rarest word bigrams in the
+    corpus (df asc, gram tiebreak) with df, collection frequency, and the
+    ordered doc-id posting list — the index a memorization/contamination
+    audit probes (a rare phrase appearing verbatim in N documents is
+    either quotation, templating, or leakage; q137 finds REPEATED
+    passages, this finds the distinctive ones worth tracing). Posting
+    strings follow q150's byte-exact ordered-aggregation contract.
+
+    Scale shape: phrase extraction is q155's zip_with projection; stats
+    collapse to (gram, doc) then gram grain — digest-sized shuffles. The
+    rare-30 selection is a TakeOrdered heap (never a global sort), and
+    posting lists materialize ONLY for the 30 survivors via a broadcast
+    semi-join back onto the (gram, doc) relation — bounded by
+    construction (a rare gram's posting list is short by definition;
+    building postings for the full vocabulary is exactly what this plan
+    avoids).
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("t"))
+    pairs = F.zip_with(
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = (
+        d.select("doc_id", F.explode(pairs).alias("p"))
+        .where(F.col("p.w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "p.w1", "p.w2").alias("gram"))
+    )
+    td = bg.groupBy("gram", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = td.groupBy("gram").agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf"))
+    rare = dfreq.orderBy("df", "gram").limit(30)
+    return (
+        td.join(F.broadcast(rare), "gram")
+        .groupBy("gram", "df", "cf")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")), ","
+            ).alias("postings")
+        )
+        .orderBy("df", "gram")
+    )
