@@ -497,3 +497,105 @@ def q147_video_frame_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q161_image_ahash_dups",
+    oracle="""
+    SELECT min(doc_id)                          AS group_id,
+           CAST(count(*) AS BIGINT)             AS n_images,
+           CAST(count(DISTINCT doc_id % 3) AS BIGINT) AS n_containers,
+           CAST(sum(doc_id) AS BIGINT)          AS sum_doc_ids
+    FROM documents
+    GROUP BY doc_id % 40
+    ORDER BY group_id
+    """,
+)
+def q161_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by average-hash: every document carries a
+    real encoded image (PPM / BMP / PNG by doc_id mod 3) whose PIXELS
+    follow the closed form keyed on doc_id mod 40 — so each pixel
+    pattern exists in ~n/40 copies spread ACROSS CONTAINER FORMATS. The
+    kernel decodes each container (operators/imagecodec.py), computes
+    the 64-bit aHash (8x8 grid of exact integer cell sums compared to
+    the global mean — cell*64 > total, no floating point), and groups by
+    the hash: the dedup an image-corpus pipeline runs to collapse
+    re-encoded copies of the same picture, which byte-level dedup (q30)
+    can never see.
+
+    The oracle knows groups must be EXACTLY the doc_id mod 40 residue
+    classes (the 40 planted patterns have 40 distinct aHashes, asserted
+    in tests): count, container spread, and the sum-of-doc-ids pin exact
+    group MEMBERSHIP — any decode drift in any of the three container
+    paths, or any hash-bit instability, splits or merges a group and
+    breaks the sums.
+
+    Scale shape: images reduce to 8-byte signatures inside the Arrow
+    kernel (mapInPandas, no shuffle); the groupBy exchanges (hash,
+    doc_id) pairs only — the q30/q31 digest rule applied to pixels.
+    """
+    from collections.abc import Iterator
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    W_, H_ = 32, 24
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ahash", T.StringType(), False),
+        ]
+    )
+
+    def sign(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import (
+            decode_image,
+            encode_bmp,
+            encode_png,
+            encode_ppm,
+        )
+
+        idx = np.arange(H_ * W_ * 3, dtype=np.int64)
+        for pdf in batches:
+            hashes = []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % 40
+                img = ((g * 7 + idx * 13) % 256).astype(np.uint8).reshape(H_, W_, 3)
+                m = int(doc_id) % 3
+                payload = (
+                    encode_ppm(img)
+                    if m == 0
+                    else encode_bmp(img)
+                    if m == 1
+                    else encode_png(img, filter_mode="mixed")
+                )
+                dec = decode_image(payload).astype(np.int64)
+                gray = dec.sum(axis=2)
+                cells = gray.reshape(8, H_ // 8, 8, W_ // 8).sum(axis=(1, 3))
+                total = int(gray.sum())
+                bits = (cells.reshape(-1) * 64 > total)
+                h = 0
+                for k, b in enumerate(bits):
+                    if b:
+                        h |= 1 << k
+                hashes.append(f"{h:016x}")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ahash": hashes})
+
+    sigs = ids.mapInPandas(sign, schema=sig_schema)
+    return (
+        sigs.withColumn("container", F.col("doc_id") % 3)
+        .groupBy("ahash")
+        .agg(
+            F.min("doc_id").alias("group_id"),
+            F.count(F.lit(1)).alias("n_images"),
+            F.countDistinct("container").alias("n_containers"),
+            F.sum("doc_id").alias("sum_doc_ids"),
+        )
+        .drop("ahash")
+        .select("group_id", "n_images", "n_containers", "sum_doc_ids")
+        .orderBy("group_id")
+    )

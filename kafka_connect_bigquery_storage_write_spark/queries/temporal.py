@@ -672,3 +672,62 @@ def q159_hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q163_full_outer_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, c.click_id,
+           coalesce(p.user_id, c.user_id) AS user_id,
+           CAST((epoch_us(p.p_ts) - epoch_us(c.c_ts)) // 1000000 AS BIGINT) AS lag_s
+    FROM purchases p FULL JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts <= p.p_ts
+     AND p.p_ts < c.c_ts + INTERVAL 48 HOURS
+    ORDER BY purchase_id, click_id
+    """,
+)
+def q163_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer attribution: q123's interval join preserving BOTH
+    unmatched sides — organic purchases (no prior click, q133's rows)
+    AND dead-end clicks that never converted within the window, the rows
+    a funnel-leakage analysis needs. Completes the stream-stream join
+    family (inner q123, left-outer q133, full-outer here): Structured
+    Streaming supports exactly this shape with watermarks on both sides
+    — each unmatched row emits when the watermark proves its window
+    closed; tests/test_streaming_windows.py runs it as two real file
+    streams and pins equality with this batch result.
+
+    Scale shape identical to q123: one user_id shuffle per side, state
+    bounded by the 48h watermark horizon.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        purchases.join(
+            clicks,
+            (purchases.user_id == clicks.c_user)
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+            "full_outer",
+        )
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+            F.floor((us("p_ts") - us("c_ts")) / 1_000_000).cast("long").alias("lag_s"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

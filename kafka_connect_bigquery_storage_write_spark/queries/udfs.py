@@ -147,3 +147,52 @@ def q62_python_udf_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "priority_rank", "n_orders")
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q162_map_in_arrow_charge",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           {CHARGE_DECIMAL_SQL} AS charge
+    FROM lineitem
+    WHERE l_orderkey <= 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q162_map_in_arrow_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow computing the charge expression — the FOURTH Python
+    execution surface beside q62 (row UDF), q60 (pandas UDF) and q61
+    (grouped-map): batches arrive as raw ``pyarrow.RecordBatch`` with no
+    pandas materialization at all, the zero-copy floor of the Python
+    path (what vectorized feature-extraction kernels use when even the
+    pandas conversion is measurable overhead). Same integer-cents
+    arithmetic and the same oracle as q60 — the surfaces must agree
+    bit-for-bit.
+    """
+    import pyarrow as pa
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+
+    def kernel(batches):
+        for batch in batches:
+            pc = np.round(batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            dc = np.round(batch.column("l_discount").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            tc = np.round(batch.column("l_tax").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+            cents = (pc * (100 - dc) * (100 + tc) + 5_000) // 10_000
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_orderkey"), batch.column("l_linenumber"), pa.array(cents / 100.0)],
+                names=["l_orderkey", "l_linenumber", "charge"],
+            )
+
+    out = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.IntegerType()),
+            T.StructField("charge", T.DoubleType()),
+        ]
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax")
+        .mapInArrow(kernel, schema=out)
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -340,3 +340,39 @@ def test_png_multi_idat_and_dispatch():
 @given(_images())
 def test_png_roundtrip_property(img):
     assert np.array_equal(decode_png(encode_png(img, filter_mode="mixed")), img)
+
+
+def test_q161_planted_patterns_have_distinct_ahashes():
+    """q161's oracle equates aHash groups with doc_id%40 residue classes;
+    that only holds if the 40 planted pixel patterns produce 40 DISTINCT
+    aHashes through every container format. Pins the invariant, and that
+    the hash is container-independent (same pixels -> same hash via PPM,
+    BMP and PNG)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import (
+        decode_image,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    H_, W_ = 24, 32
+    idx = np.arange(H_ * W_ * 3, dtype=np.int64)
+
+    def ahash(payload: bytes) -> int:
+        dec = decode_image(payload).astype(np.int64)
+        gray = dec.sum(axis=2)
+        cells = gray.reshape(8, H_ // 8, 8, W_ // 8).sum(axis=(1, 3))
+        total = int(gray.sum())
+        h = 0
+        for k, b in enumerate(cells.reshape(-1) * 64 > total):
+            if b:
+                h |= 1 << k
+        return h
+
+    seen = set()
+    for g in range(40):
+        img = ((g * 7 + idx * 13) % 256).astype(np.uint8).reshape(H_, W_, 3)
+        hs = {ahash(encode_ppm(img)), ahash(encode_bmp(img)), ahash(encode_png(img, filter_mode="mixed"))}
+        assert len(hs) == 1, f"container-dependent aHash for pattern {g}"
+        seen.add(hs.pop())
+    assert len(seen) == 40

@@ -229,3 +229,83 @@ def test_stream_stream_left_outer_join_equals_batch(spark, tmp_path, sf_dir):
     assert got == batch_rows
     # the left-outer property actually fired: unmatched purchases exist
     assert any(r[1] is None for r in got)
+
+
+def test_stream_stream_full_outer_join_equals_batch(spark, tmp_path, sf_dir):
+    """q163 run as a REAL stream-stream FULL OUTER join: watermarks on
+    both sides; unmatched purchases AND unmatched clicks each emit once
+    the watermark proves their window closed. Same sentinel technique as
+    the left-outer pin: a far-future ghost pair (user -1) advances both
+    watermarks so the tail state flushes within one availableNow run;
+    sentinels (and their self-join row) are excluded from the compare."""
+    from kafka_connect_bigquery_storage_write_spark.queries.temporal import q163_full_outer_attribution
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    batch_rows = sorted(
+        (tuple(r) for r in q163_full_outer_attribution(spark, sf_dir).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+    src = tmp_path / "ev_parquet"
+    load_table(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type"
+    ).write.parquet(str(src / "part1"))
+    sentinels = spark.createDataFrame(
+        [(-100, "2030-01-01 00:00:00", -1, "click"), (-101, "2030-01-10 00:00:00", -1, "purchase")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    sentinels.coalesce(1).write.parquet(str(src / "part2"))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "48 hours")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "48 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 48 HOURS")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        F.floor(
+            (F.unix_micros(F.col("p_ts").cast("timestamp")) - F.unix_micros(F.col("c_ts").cast("timestamp")))
+            / 1_000_000
+        )
+        .cast("long")
+        .alias("lag_s"),
+    )
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (
+            tuple(r)
+            for r in spark.read.parquet(str(out)).filter(
+                (F.coalesce(F.col("user_id"), F.lit(0)) >= 0)
+            ).collect()
+        ),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+    assert got == batch_rows
+    assert len(got) > 0
