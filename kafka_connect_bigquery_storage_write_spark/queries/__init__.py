@@ -55,67 +55,68 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-7 rotation (VERDICT r6 next-round #1): lead with the ten round-6
-# queries that have ZERO official rows (the r6 window was spent on the
-# round-5 backlog), then the ten queries NEW this round (also zero
-# rows; q145 rows-only by design rides here so it gets its official
-# rows-only record), then the r4-latest cohort in registration order
-# (27 of 30 fit) — exactly 50. q49/q98/q97 + the r5-latest block lead
-# round 8.
+# Round-8 rotation (VERDICT r7 next-round #1 + ADVICE r7): lead with the
+# NINE queries added late in round 7 that have ZERO official rows
+# (q155-q163 — they landed after the r7 window was fixed, so they jump
+# the rotation per the zero-row rule), then the queries NEW this round,
+# then the r4-latest stragglers (q49/q98/q97), then the r5-latest cohort
+# in registration order until the window holds exactly 50. The r5
+# remainder + r6-latest cohort lead round 9.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never officially windowed (new in r6; sim-green) ---
-    "q132_image_pixel_checksum",
-    "q133_left_outer_attribution",
-    "q134_scd2_history",
-    "q135_expectation_checks",
-    "q136_bm25_ranking",
-    "q137_repeated_passages",
-    "q138_orc_source",
-    "q139_point_in_time_join",
-    "q140_token_balanced_shards",
-    "q141_count_min_estimates",
-    # --- new this round (r7) ---
-    "q142_audio_sample_checksum",
-    "q143_audio_activity_frames",
-    "q144_bpe_pair_stats",
-    "q145_pq_ann_topk",
-    "q146_avro_file_source",
-    "q147_video_frame_checksum",
-    "q148_html_strip_roundtrip",
-    "q149_url_canonicalize",
-    "q150_chat_flatten",
-    "q151_pq_exact_topk",
-    "q152_window_frames",
-    "q153_length_bucketed_batches",
-    "q154_preference_pairs",
-    # --- newest official row is r4; all 30, registration order ---
-    "q14_running_customer_spend",
-    "q15_union_all_counts",
-    "q16_intersect_except",
-    "q17_string_functions",
-    "q18_date_functions",
-    "q19_ship_delay",
-    "q20_math_functions",
-    "q21_array_functions",
-    "q22_json_functions",
-    "q23_approx_distinct",
-    "q28_full_outer_presence",
-    "q29_bag_setops",
-    "q34_pivot_status_matrix",
-    "q25_grouping_sets_sql",
-    "q26_map_functions",
-    "q27_percentiles",
-    "q24_explode_tokens",
-    "q58_small_quantity_revenue",
-    "q59_trailing_hour_window",
-    "q89_large_volume_customers",
-    "q90_waiting_suppliers",
-    "q91_idle_rich_customers",
-    "q35_cosine_topk",
-    "q37_embedding_near_dups",
-    "q64_user_activity_similarity",
-    "q95_embedding_outliers",
-    "q48_salted_agg",
+    # --- never officially windowed (added late in r7; sim-green) ---
+    "q155_bigram_surprisal",
+    "q156_source_js_divergence",
+    "q157_boilerplate_salvage",
+    "q158_lateral_topk",
+    "q159_hourly_autocorrelation",
+    "q160_rare_phrase_postings",
+    "q161_image_ahash_dups",
+    "q162_map_in_arrow_charge",
+    "q163_full_outer_attribution",
+    # --- new this round (r8) --- (inserted here as they land)
+    # --- newest official row is r4 ---
+    "q49_salted_join",
+    "q98_incremental_topk_rollup",
+    "q97_gap_filled_hourly",
+    # --- newest official row is r5; registration order, fills to 50 ---
+    "q105_contamination_scores",
+    "q40_text_stats",
+    "q41_language_histogram",
+    "q42_top_tokens",
+    "q44_train_test_split",
+    "q45_token_budget",
+    "q46_winnow_fingerprints",
+    "q43_quality_filter",
+    "q57_repetition_signals",
+    "q66_mixture_sampling",
+    "q74_tfidf_top_terms",
+    "q75_pii_scrub",
+    "q79_sequence_packing",
+    "q80_document_chunking",
+    "q82_stratified_sample",
+    "q96_vocab_encode",
+    "q72_avro_ingest_roundtrip",
+    "q01_pricing_summary",
+    "q02_filtered_scan",
+    "q03_shipping_priority",
+    "q04_order_priority_check",
+    "q05_supplier_region_volume",
+    "q06_forecast_revenue",
+    "q07_customer_order_counts",
+    "q08_customers_without_orders",
+    "q84_disjunctive_predicates",
+    "q85_global_threshold",
+    "q102_returned_items",
+    "q103_promo_revenue",
+    "q104_top_revenue_supplier",
+    "q100_ivf_exact_topk",
+    "q101_blocked_near_dups_exact",
+    "q76_embedding_quantize",
+    "q93_label_centroids",
+    "q107_embedding_gram_matrix",
+    "q81_heavy_hitters",
+    "q50_tumbling_window",
+    "q51_sliding_window",
 )
 
 

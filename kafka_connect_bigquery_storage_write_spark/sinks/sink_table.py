@@ -504,10 +504,18 @@ class ManifestSinkTable:
                 if bid in live_batches:
                     # the batch is live: drop loser/orphan attempt dirs the
                     # manifest doesn't reference — but only past retention,
-                    # because an attempt mid-CAS looks identical to a loser
+                    # because an attempt mid-CAS looks identical to a loser.
+                    # Legacy flat layout (marker without "dir": data files
+                    # sit directly under batch=<id>, live_dirs holds d
+                    # itself) has no attempt dirs to sweep — entries here
+                    # are the batch's parquet files, never losers.
+                    if d in live_dirs:
+                        continue
                     for att in os.listdir(os.path.join(data_root, d)):
                         rel = os.path.join(d, att)
-                        if rel not in live_dirs and _old_enough(os.path.join(data_root, rel)):
+                        if rel in live_dirs or not os.path.isdir(os.path.join(data_root, rel)):
+                            continue
+                        if _old_enough(os.path.join(data_root, rel)):
                             shutil.rmtree(os.path.join(data_root, rel))
                             removed.append(rel)
                     continue

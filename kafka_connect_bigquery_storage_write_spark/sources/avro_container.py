@@ -131,9 +131,18 @@ def read_ocf_bytes(data: bytes) -> tuple[dict | str | list, list]:
 
 def write_avro_container(df: DataFrame, path: str, avro_schema, codec: str = "deflate") -> None:
     """Distributed OCF write: each task serializes its partition into one
-    ``part-*.avro`` file under ``path`` (the task-writes/driver-never-
-    collects pattern; assumes a shared filesystem like every Spark
-    writer does). Column order and names must match the record schema.
+    ``part-<partitionId>.avro`` file under ``path`` (the task-writes/
+    driver-never-collects pattern; assumes a shared filesystem like every
+    Spark writer does). Column order and names must match the record
+    schema.
+
+    Task-commit protocol: the file name is DETERMINISTIC per partition
+    and published by atomic rename-over — a retried or speculative task
+    attempt re-derives the same partition contents and renames onto the
+    same final name, so at most one file per partition ever exists and
+    ``read_avro_container`` never double-counts after a task retry. The
+    per-attempt staging name carries a uuid so two live attempts never
+    interleave writes within one temp file.
     """
     import os
 
@@ -142,20 +151,20 @@ def write_avro_container(df: DataFrame, path: str, avro_schema, codec: str = "de
     os.makedirs(path, exist_ok=True)
 
     def write_part(batches):
-        import pandas as pd  # noqa: F401
+        import pandas as pd
+        from pyspark import TaskContext
 
         rows: list[dict] = []
         for pdf in batches:
             rows.extend(pdf[fields].to_dict("records"))
         if rows:
+            pid = TaskContext.get().partitionId()
             blob = write_ocf_bytes(rows, schema, codec=codec)
-            fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-            tmp = f"{fname}.tmp"
+            fname = os.path.join(path, f"part-{pid:05d}.avro")
+            tmp = f"{fname}.{uuid.uuid4().hex}.tmp"
             with open(tmp, "wb") as f:
                 f.write(blob)
-            os.rename(tmp, fname)
-        import pandas as pd
-
+            os.replace(tmp, fname)
         yield pd.DataFrame({"n": [len(rows)]})
 
     df.mapInPandas(write_part, "n long").write.format("noop").mode("overwrite").save()

@@ -332,6 +332,14 @@ class TestObjectContainerFile:
         assert back.count() == 1000
         got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
         assert got == [(i, f"n{i}", i * 0.5) for i in range(1000)]
+        # task-commit protocol: names are deterministic per partition and
+        # a re-executed write (the task-retry/speculation shape) renames
+        # over the same files — no duplicate parts, no double-counted rows
+        assert sorted(files) == [f"part-{i:05d}.avro" for i in range(4)]
+        write_avro_container(df, path, self.SCHEMA, codec="deflate")
+        files2 = [f for f in os.listdir(path) if f.endswith(".avro")]
+        assert sorted(files2) == sorted(files)
+        assert read_avro_container(spark, path, self.SCHEMA).count() == 1000
 
     def test_schema_mismatch_rejected(self, spark, tmp_path):
         import pytest as _pytest

@@ -438,6 +438,11 @@ def test_legacy_manifest_layout_still_readable(spark, kv_df, tmp_path):
     # and a NEW batch through the current code coexists with legacy dirs
     sink.write_batch(kv_df, 2)
     assert sink.read(spark).count() == 6
+    # vacuum must not treat a live flat-layout batch's data FILES as
+    # loser attempt dirs (regression: NotADirectoryError / data loss)
+    assert sink.vacuum(retention_s=0.0) == []
+    assert sink.read(spark).count() == 6
+    assert sink.read_as_of(spark, batch_id=0).count() == 2
     # legacy staged marker (pending-mode table)
     pend = ManifestSinkTable(str(tmp_path / "p"), write_mode="pending")
     kv_df.write.parquet(str(tmp_path / "p" / "data" / "batch=5"))
@@ -445,6 +450,8 @@ def test_legacy_manifest_layout_still_readable(spark, kv_df, tmp_path):
     with open(tmp_path / "p" / "_staged" / "5.marker", "w") as f:
         json.dump({"batch_id": 5}, f)
     assert pend.commit() == [5]
+    assert pend.read(spark).count() == 2
+    assert pend.vacuum(retention_s=0.0) == []
     assert pend.read(spark).count() == 2
 
 
