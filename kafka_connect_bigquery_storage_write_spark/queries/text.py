@@ -1534,6 +1534,110 @@ def q144_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Planted BPE merge table for q164 (rank order; each pair's parts are base
+# chars or outputs of earlier merges — well-formed, so rank-order sequential
+# application == the operator's rank-priority loop, see operators/bpe.py).
+# Every pair has distinct symbols, so each merge equals a greedy left-to-
+# right string replace — which is how the DuckDB oracle replays the table
+# with single-char sentinels (corpus alphabet is lowercase a-y, uppercase
+# sentinels cannot collide).
+_BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"),   # A = th
+    ("i", "n"),   # B = in
+    ("a", "n"),   # C = an
+    ("th", "e"),  # D = the
+    ("in", "g"),  # E = ing
+    ("e", "r"),   # F = er
+    ("o", "n"),   # G = on
+    ("r", "e"),   # H = re
+    ("e", "s"),   # I = es
+    ("th", "ing"),  # J = thing (depth-3 chain: A + E)
+]
+_BPE_SENT = ["A", "B", "C", "D", "E", "F", "G", "H", "I", "J"]
+_BPE_TOKENS = ["th", "in", "an", "the", "ing", "er", "on", "re", "es", "thing"]
+# the merge pair as the sentinel string the oracle replaces: parts that are
+# themselves merged tokens appear as THEIR sentinel at that point
+_BPE_PAIR_STR = ["th", "in", "an", "Ae", "Bg", "er", "on", "re", "es", "AE"]
+
+
+@query(
+    "q164_bpe_encode",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
+    words AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+    enc AS (
+      SELECT {"".join("replace(" for _ in _BPE_MERGES)}word
+             {"".join(f", '{p}', '{s}')" for p, s in zip(_BPE_PAIR_STR, _BPE_SENT))} AS s,
+             f
+      FROM words
+    ),
+    syms AS (SELECT unnest(string_split(s, '')) AS sym, f FROM enc),
+    tok AS (
+      SELECT CASE sym {" ".join(f"WHEN '{s}' THEN '{t}'" for s, t in zip(_BPE_SENT, _BPE_TOKENS))}
+             ELSE sym END AS token, f
+      FROM syms
+    ),
+    chars AS (SELECT DISTINCT unnest(string_split(word, '')) AS c FROM words),
+    alpha AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS INT) AS cid FROM chars),
+    mtab AS (SELECT * FROM (VALUES {", ".join(f"('{t}', {i + 1})" for i, t in enumerate(_BPE_TOKENS))}) m(token, r)),
+    vocab AS (
+      SELECT c AS token, cid AS token_id FROM alpha
+      UNION ALL
+      SELECT m.token, CAST((SELECT count(*) FROM alpha) + m.r AS INT) FROM mtab m
+    )
+    SELECT t.token, v.token_id, CAST(sum(t.f) AS BIGINT) AS n_occurrences
+    FROM tok t JOIN vocab v ON v.token = t.token
+    GROUP BY t.token, v.token_id
+    ORDER BY t.token
+    """,
+)
+def q164_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenization (the gap q144 pointed at): a ranked merge
+    table is APPLIED to the corpus, producing actual token ids + counts —
+    the step between text curation and sequence packing that q79/q153
+    previously proxied with whitespace counts. The merge table here is
+    planted (module constant) so DuckDB can replay it exactly: each merge
+    over distinct symbols equals one greedy string replace, so the oracle
+    encodes every word with a sentinel-replace chain in rank order and
+    reads tokens off the sentinel string — exact, not approximate
+    (operators/bpe.py docstring has the equivalence argument; the
+    operator itself also handles trained tables, see bpe_train tests).
+
+    Scale shape: the apply kernel runs at DISTINCT-WORD grain (the
+    q74/q96/q144 economics — Python cost is O(|vocab|), not O(corpus));
+    token expansion back to corpus weight is explode + sum(f), keyed on a
+    token space bounded by |alphabet| + |merges|; the id table is a
+    driver-built literal joined by broadcast (the corpus character set is
+    a bounded distinct-collect, like the PQ LUTs).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import bpe_tokens_udf, vocab_ids
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    chars = [
+        r["c"]
+        for r in words.select(F.explode(F.split("word", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    ]
+    ids = vocab_ids(chars, _BPE_MERGES)
+    vocab = spark.createDataFrame(sorted(ids.items()), "token string, token_id int")
+    enc = bpe_tokens_udf(_BPE_MERGES)
+    return (
+        words.select(F.explode(enc(F.col("word"))).alias("token"), "f")
+        .groupBy("token")
+        .agg(F.sum("f").alias("n_occurrences"))
+        .join(F.broadcast(vocab), "token")
+        .select("token", "token_id", "n_occurrences")
+        .orderBy("token")
+    )
+
+
 @query(
     "q148_html_strip_roundtrip",
     oracle="""
