@@ -137,6 +137,94 @@ class AppendResult:
     staged: bool = False
 
 
+# ---- data-skipping stats (the Delta/Iceberg zone-map rule) -----------------
+#
+# Each batch marker records per-file {name, rows, stats: {col: [min, max]}}
+# harvested from the parquet FOOTERS (pyarrow metadata read — no data pages
+# touched). read(where=...) prunes files whose bounds prove no row can match
+# a simple conjunctive predicate; at 100 TB a point/range read must not open
+# every file. Bounds from parquet statistics are valid even when the writer
+# truncated them (the spec requires truncated min to only decrease and
+# truncated max to only increase), so pruning on strings is safe. Stats are
+# computed driver-side here (files for one micro-batch); on a real cluster
+# the executor that wrote each file returns its stats with the task result —
+# the Delta model — and the manifest shape is unchanged.
+
+_PRUNE_OPS = ("==", "<", "<=", ">", ">=")
+
+
+def _stat_norm(v):
+    """Normalize a stats/predicate value for JSON storage + comparison:
+    date/datetime -> ISO string (ISO order == chronological order), numeric/
+    str/bool as-is, anything else -> None (unprunable, conservatively)."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return v
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return None
+
+
+def _collect_file_stats(data_dir: str, files: list[str]) -> list[dict]:
+    """Per-file min/max column stats from parquet footers. A column whose
+    statistics are missing in ANY row group (or whose type doesn't
+    normalize) gets no entry — readers keep such files, never wrong."""
+    import pyarrow.parquet as pq
+
+    out: list[dict] = []
+    for name in files:
+        md = pq.ParquetFile(os.path.join(data_dir, name)).metadata
+        bounds: dict[str, list] = {}
+        poisoned: set[str] = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                col = c.path_in_schema
+                if "." in col or col in poisoned:
+                    continue  # nested leaves don't map to a top-level column
+                st = c.statistics
+                mn = _stat_norm(st.min) if st is not None and st.has_min_max else None
+                mx = _stat_norm(st.max) if st is not None and st.has_min_max else None
+                if mn is None or mx is None:
+                    poisoned.add(col)
+                    bounds.pop(col, None)
+                    continue
+                if col in bounds:
+                    bounds[col] = [min(bounds[col][0], mn), max(bounds[col][1], mx)]
+                else:
+                    bounds[col] = [mn, mx]
+        out.append({"name": name, "rows": md.num_rows, "stats": bounds})
+    return out
+
+
+def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
+    """Zone-map test: False only when the file's bounds PROVE no row
+    matches. Missing stats for the column -> True (keep)."""
+    s = stats.get(col)
+    v = _stat_norm(value)
+    if not s or v is None:
+        return True
+    mn, mx = s
+    try:
+        if op == "==":
+            return mn <= v <= mx
+        if op == "<":
+            return mn < v
+        if op == "<=":
+            return mn <= v
+        if op == ">":
+            return mx > v
+        if op == ">=":
+            return mx >= v
+    except TypeError:
+        return True  # cross-type comparison: stats unusable for this predicate
+    return True
+
+
 @dataclass
 class ManifestSinkTable:
     root: str
@@ -232,36 +320,46 @@ class ManifestSinkTable:
         this fallback keeps old tables readable with no migration."""
         return f"batch={batch_id}"
 
-    def _committed_entries(self) -> dict[int, str]:
-        """Every committed micro-batch id -> its winning attempt dir
-        (relative to data/), from batch markers + epoch files. Markers
-        survive compaction, so the id set keeps absorbed replays
-        idempotent without any watermark over the shared id space."""
-        entries: dict[int, str] = {}
+    def _committed_manifests(self) -> dict[int, dict]:
+        """Every committed micro-batch id -> its manifest
+        ``{"dir": <rel>, "files": [...] | None}`` (files carry the
+        data-skipping stats; None for legacy markers/epochs written before
+        stats existed — readers then list the dir and skip nothing), from
+        batch markers + epoch files. Markers survive compaction, so the id
+        set keeps absorbed replays idempotent without any watermark over
+        the shared id space."""
+        entries: dict[int, dict] = {}
         commits = os.path.join(self.root, "_commits")
         for f in os.listdir(commits):
             if f.startswith("batch-") and f.endswith(".marker"):
                 with open(os.path.join(commits, f)) as fh:
                     m = json.load(fh)
                 bid = int(m["batch_id"])
-                entries[bid] = m.get("dir", self._legacy_dir(bid))
+                entries[bid] = {"dir": m.get("dir", self._legacy_dir(bid)), "files": m.get("files")}
             elif f.startswith("epoch-") and f.endswith(".json"):
                 with open(os.path.join(commits, f)) as fh:
                     e = json.load(fh)
                 if "dirs" in e:
                     for bid, d in e["dirs"].items():
-                        entries[int(bid)] = d
+                        entries[int(bid)] = {"dir": d, "files": (e.get("files") or {}).get(bid)}
                 else:  # legacy epoch: {"batch_ids": [...]} only
                     for bid in e["batch_ids"]:
-                        entries[int(bid)] = self._legacy_dir(int(bid))
+                        entries[int(bid)] = {"dir": self._legacy_dir(int(bid)), "files": None}
         return entries
 
-    def _staged_entries(self) -> dict[int, str]:
-        out: dict[int, str] = {}
+    def _committed_entries(self) -> dict[int, str]:
+        return {b: m["dir"] for b, m in self._committed_manifests().items()}
+
+    def _staged_manifests(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
         for b in self.staged_ids():
             with open(self._staged_marker(b)) as fh:
-                out[b] = json.load(fh).get("dir", self._legacy_dir(b))
+                m = json.load(fh)
+            out[b] = {"dir": m.get("dir", self._legacy_dir(b)), "files": m.get("files")}
         return out
+
+    def _staged_entries(self) -> dict[int, str]:
+        return {b: m["dir"] for b, m in self._staged_manifests().items()}
 
     def _marker_ids(self) -> set[int]:
         return set(self._committed_entries())
@@ -349,7 +447,11 @@ class ManifestSinkTable:
 
         self.retry.run(_append)
         rows = -1  # row count not recomputed here; callers count upstream if needed
-        payload = json.dumps({"batch_id": batch_id, "dir": rel_dir})
+        # footer-only stats pass over this batch's files (data skipping)
+        files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        payload = json.dumps(
+            {"batch_id": batch_id, "dir": rel_dir, "files": _collect_file_stats(data_dir, files)}
+        )
         marker = self._staged_marker(batch_id) if self.write_mode == "pending" else self._commit_marker(batch_id)
         if not self._atomic_create(marker, payload):
             # lost the CAS to a concurrent append of the same batch id
@@ -377,14 +479,22 @@ class ManifestSinkTable:
         # the set UNION of epoch batch-id lists, so a batch id that lands
         # in two racing epochs is still exactly-once to readers.
         while True:
-            entries = self._staged_entries()
-            staged = sorted(entries)
+            manifests = self._staged_manifests()
+            staged = sorted(manifests)
             if not staged:
                 return []
             epoch = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")])
             created = self._atomic_create(
                 os.path.join(self.root, "_commits", f"epoch-{epoch}.json"),
-                json.dumps({"batch_ids": staged, "dirs": {str(b): d for b, d in entries.items()}}),
+                json.dumps(
+                    {
+                        "batch_ids": staged,
+                        "dirs": {str(b): m["dir"] for b, m in manifests.items()},
+                        # per-file zone-map stats ride from staged marker to
+                        # epoch so pending-mode tables skip files too
+                        "files": {str(b): m["files"] for b, m in manifests.items() if m["files"] is not None},
+                    }
+                ),
             )
             if created:
                 break
@@ -406,11 +516,19 @@ class ManifestSinkTable:
         return sorted(entries)
 
     # -- maintenance -------------------------------------------------------
-    def compact(self, spark: SparkSession, target_files: int = 4) -> int | None:
+    def compact(self, spark: SparkSession, target_files: int = 4, order_by: list[str] | None = None) -> int | None:
         """Merge everything visible into one compacted directory (the
         small-files fix). Readers before the snapshot rename see the old
         layout, readers after see the compacted one — never a mix: the
         snapshot file is the atomic switch, exactly like the epoch commit.
+
+        ``order_by`` clusters the output (range-partition + sort within
+        files) so the merged files carry DISJOINT ranges of the named
+        columns — without it, a plain coalesce interleaves the inputs and
+        every merged file's zone-map straddles every key, silently
+        destroying data skipping on the compacted layout (the reason
+        Delta's OPTIMIZE grew ZORDER; a single-column sort is its 1-D
+        case).
 
         The compacted data lives under ``data/compacted-<n>`` — a separate
         namespace from micro-batch ids, so the next live micro-batch
@@ -438,8 +556,16 @@ class ManifestSinkTable:
         entries = self._committed_entries()
         paths = [os.path.join(self.root, "data", d) for d in prior_dirs]
         paths += [os.path.join(self.root, "data", entries[i]) for i in batch_ids]
-        merged = spark.read.schema(self.schema()).parquet(*paths).coalesce(target_files)
-        merged.write.mode("overwrite").parquet(os.path.join(self.root, "data", new_dir))
+        merged = spark.read.schema(self.schema()).parquet(*paths)
+        if order_by:
+            merged = merged.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
+        else:
+            merged = merged.coalesce(target_files)
+        out_dir = os.path.join(self.root, "data", new_dir)
+        merged.write.mode("overwrite").parquet(out_dir)
+        # stats survive compaction: the snapshot carries the merged files'
+        # own footer bounds (recomputed — merged files have new extents)
+        out_files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
         created = self._atomic_create(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
             json.dumps(
@@ -447,6 +573,7 @@ class ManifestSinkTable:
                     "index": n_snap,
                     "compacted_dirs": [new_dir],
                     "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
+                    "files": {new_dir: _collect_file_stats(out_dir, out_files)},
                 }
             ),
         )
@@ -595,16 +722,61 @@ class ManifestSinkTable:
         return spark.read.schema(schema).parquet(*paths)
 
     # -- read path ------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame:
-        """Visible rows = latest compaction snapshot's dirs plus committed
-        batch directories not absorbed by it."""
-        compacted, _ = self._snapshot_state()
-        entries = self._committed_entries()
-        paths = [os.path.join(self.root, "data", d) for d in compacted]
-        paths += [os.path.join(self.root, "data", entries[i]) for i in self.committed_ids()]
+    def _visible_manifests(self) -> list[dict]:
+        """Visible content = latest compaction snapshot's dirs plus
+        committed batches not absorbed by it, each as
+        ``{"dir": rel, "files": [{"name", "rows", "stats"}] | None}``."""
+        snap = self._latest_snapshot() or {}
+        compacted = list(snap.get("compacted_dirs", []))
+        manifests = [{"dir": d, "files": (snap.get("files") or {}).get(d)} for d in compacted]
+        committed = self._committed_manifests()
+        manifests += [committed[i] for i in self.committed_ids()]
+        return manifests
+
+    def visible_files(self, where: list[tuple] | None = None) -> list[str]:
+        """Absolute paths of the parquet files a read must open, after
+        zone-map pruning against ``where`` — a conjunctive list of
+        ``(column, op, literal)`` with op in ==, <, <=, >, >=. A file is
+        dropped only when its manifest min/max bounds PROVE no row matches;
+        files without stats (legacy markers, unsupported column types) are
+        always kept. This is the introspection surface the data-skipping
+        tests pin: ``len(visible_files(point_pred)) < len(visible_files())``.
+        """
+        if where is not None:
+            for _, op, _v in where:
+                if op not in _PRUNE_OPS:
+                    raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
+        paths: list[str] = []
+        for m in self._visible_manifests():
+            base = os.path.join(self.root, "data", m["dir"])
+            entries = m["files"]
+            if entries is None:  # legacy layout: list, keep everything
+                entries = [{"name": f, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
+            for e in entries:
+                stats = e.get("stats") or {}
+                if where is None or all(_file_may_match(stats, c, op, v) for c, op, v in where):
+                    paths.append(os.path.join(base, e["name"]))
+        return paths
+
+    def read(self, spark: SparkSession, where: list[tuple] | None = None) -> DataFrame:
+        """Visible rows; with ``where``, a pruned read: manifest stats drop
+        files that cannot contain a match (zone-map skipping) and the same
+        predicates are applied as a residual row filter, so
+        ``read(spark, where=p)`` always equals ``read(spark).filter(p)``.
+        """
+        paths = self.visible_files(where)
         schema = self.schema()
         if not paths:
             if schema is None:
                 raise ValueError(f"sink table at {self.root} has never been written")
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+            df = spark.createDataFrame([], schema)
+        else:
+            df = spark.read.schema(schema).parquet(*paths)
+        if where:
+            from pyspark.sql import functions as F
+
+            for c, op, v in where:
+                col = F.col(c)
+                cond = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+                df = df.filter(cond)
+        return df

@@ -509,3 +509,93 @@ def test_randomized_op_interleavings_preserve_visibility(spark, kv_df, tmp_path)
         if committed:
             ids = sink.read(spark).groupBy("id").count().collect()
             assert all(r["count"] == len(committed) for r in ids)
+
+
+def test_data_skipping_prunes_files(spark, tmp_path):
+    """Zone-map skipping (VERDICT r7 #5): batch markers carry per-file
+    min/max stats from the parquet footers; a point/range read must open
+    FEWER files than a full scan while returning identical rows, the stats
+    must survive compaction, and legacy (stat-less) manifests must degrade
+    to keep-everything, never wrong answers."""
+    import datetime
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    # three batches with disjoint key ranges, 4 files each
+    for b in range(3):
+        df = (
+            spark.range(b * 100, (b + 1) * 100)
+            .selectExpr(
+                "id AS k",
+                "concat('name-', lpad(cast(id as string), 5, '0')) AS name",
+                "date_add(date'2024-01-01', cast(id as int)) AS d",
+            )
+            .repartition(4)
+        )
+        sink.write_batch(df, b)
+    all_files = sink.visible_files()
+    assert len(all_files) == 12
+
+    # point predicate: only files whose [min,max] straddles 150 stay
+    pred = [("k", "==", 150)]
+    pruned = sink.visible_files(pred)
+    assert 0 < len(pruned) < len(all_files)
+    assert set(pruned) <= set(all_files)
+    got = sink.read(spark, where=pred).collect()
+    want = sink.read(spark).filter("k = 150").collect()
+    assert got == want and len(got) == 1
+
+    # range predicate on a string column (truncation-safe bounds) and a
+    # date column (ISO normalization): pruning + identical answers
+    for p, sql in [
+        ([("name", ">=", "name-00290")], "name >= 'name-00290'"),
+        ([("d", "<", datetime.date(2024, 1, 11))], "d < date'2024-01-11'"),
+        ([("k", ">", 240), ("k", "<=", 260)], "k > 240 AND k <= 260"),
+    ]:
+        assert len(sink.visible_files(p)) < len(all_files), p
+        got = {tuple(r) for r in sink.read(spark, where=p).collect()}
+        want = {tuple(r) for r in sink.read(spark).filter(sql).collect()}
+        assert got == want and got, p
+
+    # predicate proving emptiness opens zero files but still answers
+    assert sink.visible_files([("k", ">=", 10_000)]) == []
+    assert sink.read(spark, where=[("k", ">=", 10_000)]).count() == 0
+
+    # stats survive compaction; clustering (order_by) keeps them USEFUL —
+    # a plain coalesce would interleave ranges and every merged file would
+    # straddle every key
+    assert sink.compact(spark, target_files=6, order_by=["k"]) is not None
+    post = sink.visible_files()
+    assert 1 < len(post) <= 6
+    assert 0 < len(sink.visible_files(pred)) < len(post)
+    assert [r["k"] for r in sink.read(spark, where=pred).collect()] == [150]
+    assert sink.read(spark).count() == 300
+
+    # unsupported op fails loudly rather than silently scanning
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        sink.visible_files([("k", "!=", 1)])
+
+
+def test_data_skipping_legacy_manifest_keeps_everything(spark, kv_df, tmp_path):
+    """A legacy marker (no "files" key) must read as keep-everything."""
+    import json
+    import os
+
+    root = tmp_path / "t"
+    sink = ManifestSinkTable(str(root), write_mode="committed")
+    kv_df.write.parquet(str(root / "data" / "batch=0"))
+    (root / "_schema.json").write_text(kv_df.schema.json())
+    with open(root / "_commits" / "batch-0.marker", "w") as f:
+        json.dump({"batch_id": 0}, f)
+    n_parquet = len([f for f in os.listdir(root / "data" / "batch=0") if f.endswith(".parquet")])
+    assert len(sink.visible_files([("int_value", "==", -1)])) == n_parquet  # no stats -> no pruning
+    assert sink.read(spark, where=[("int_value", "==", 123)]).count() == 2
+
+
+def test_data_skipping_pending_epoch_carries_stats(spark, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    for b in range(2):
+        sink.write_batch(spark.range(b * 10, (b + 1) * 10).selectExpr("id AS k").coalesce(1), b)
+    assert sink.commit() == [0, 1]
+    assert len(sink.visible_files()) == 2
+    assert len(sink.visible_files([("k", "==", 15)])) == 1
+    assert [r["k"] for r in sink.read(spark, where=[("k", "==", 15)]).collect()] == [15]
