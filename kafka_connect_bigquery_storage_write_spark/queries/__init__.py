@@ -75,6 +75,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q163_full_outer_attribution",
     # --- new this round (r8) --- (inserted here as they land)
     "q164_bpe_encode",
+    "q165_jpeg_block_checksum",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q93_label_centroids",
     "q107_embedding_gram_matrix",
     "q81_heavy_hitters",
-    "q50_tumbling_window",
 )
 
 

@@ -129,7 +129,11 @@ def test_decode_image_dispatch():
     assert np.array_equal(decode_image(encode_ppm(img)), img)
     assert np.array_equal(decode_image(encode_bmp(img)), img)
     assert np.array_equal(decode_image(encode_png(img)), img)  # round-7: real PNG path
-    assert decode_image(b"\xff\xd8\xff\xe0 jpeg-is-not-implemented") is None
+    # round-8: JPEG dispatches to the real decoder (and raises on garbage
+    # after valid SOI rather than silently returning None)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-garbage")
+    assert decode_image(b"GIF89a not-a-supported-format") is None
     assert decode_image(b"") is None
 
 
@@ -347,16 +351,18 @@ def test_q161_planted_patterns_have_distinct_ahashes():
     that only holds if the 40 planted pixel patterns produce 40 DISTINCT
     aHashes through every container format. Pins the invariant, and that
     the hash is container-independent (same pixels -> same hash via PPM,
-    BMP and PNG)."""
+    BMP, PNG and baseline JPEG — the lossy container decodes these
+    block-constant patterns EXACTLY, see encode_jpeg_gray)."""
     from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import (
         decode_image,
         encode_bmp,
+        encode_jpeg_gray,
         encode_png,
         encode_ppm,
     )
 
     H_, W_ = 24, 32
-    idx = np.arange(H_ * W_ * 3, dtype=np.int64)
+    blk = (np.arange(H_)[:, None] // 8) * (W_ // 8) + (np.arange(W_)[None, :] // 8)
 
     def ahash(payload: bytes) -> int:
         dec = decode_image(payload).astype(np.int64)
@@ -371,8 +377,156 @@ def test_q161_planted_patterns_have_distinct_ahashes():
 
     seen = set()
     for g in range(40):
-        img = ((g * 7 + idx * 13) % 256).astype(np.uint8).reshape(H_, W_, 3)
-        hs = {ahash(encode_ppm(img)), ahash(encode_bmp(img)), ahash(encode_png(img, filter_mode="mixed"))}
+        gray8 = ((53 * (g + blk) + 7 * g * blk) % 256).astype(np.uint8)
+        img = np.repeat(gray8[:, :, None], 3, axis=2)
+        hs = {
+            ahash(encode_ppm(img)),
+            ahash(encode_bmp(img)),
+            ahash(encode_png(img, filter_mode="mixed")),
+            ahash(encode_jpeg_gray(gray8, qtable=8)),
+        }
         assert len(hs) == 1, f"container-dependent aHash for pattern {g}"
         seen.add(hs.pop())
     assert len(seen) == 40
+
+
+# ---- baseline JPEG (round 8) -------------------------------------------------
+
+
+def _naive_dct2(block: np.ndarray) -> np.ndarray:
+    """O(n^4) textbook DCT-II with JPEG normalization — an independent
+    reference for the codec's matrix form."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += block[x, y] * np.cos((2 * x + 1) * u * np.pi / 16) * np.cos((2 * y + 1) * v * np.pi / 16)
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def test_jpeg_dct_matrix_matches_naive_reference():
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import _DCT
+
+    rng = np.random.RandomState(3)
+    block = rng.randint(-128, 128, (8, 8)).astype(np.float64)
+    assert np.allclose(_DCT @ block @ _DCT.T, _naive_dct2(block), atol=1e-9)
+    # and the inverse really inverts (orthonormal)
+    assert np.allclose(_DCT.T @ (_DCT @ block @ _DCT.T) @ _DCT, block, atol=1e-9)
+
+
+def test_jpeg_huffman_tables_are_canonical_and_prefix_free():
+    """Independent check of the Annex-K table construction: code counts
+    per length match BITS, codes are canonical (sorted, dense per length)
+    and prefix-free."""
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_codes,
+    )
+
+    for bits, vals in [(_JPEG_DC_BITS, _JPEG_DC_VALS), (_JPEG_AC_BITS, _JPEG_AC_VALS)]:
+        assert sum(bits) == len(vals)
+        codes = _jpeg_codes(bits, vals)
+        assert len(codes) == len(vals)
+        by_len: dict[int, list[int]] = {}
+        for _sym, (code, ln) in codes.items():
+            by_len.setdefault(ln, []).append(code)
+        for ln, cs in by_len.items():
+            assert len(cs) == bits[ln - 1]
+            assert sorted(cs) == list(range(min(cs), min(cs) + len(cs)))  # dense
+        # prefix-free: no code is a prefix of a longer one
+        all_codes = sorted((ln, c) for c, ln in codes.values())
+        for i, (ln1, c1) in enumerate(all_codes):
+            for ln2, c2 in all_codes[i + 1 :]:
+                assert not (ln2 > ln1 and (c2 >> (ln2 - ln1)) == c1), "prefix violation"
+    assert len(_JPEG_AC_VALS) == 162  # the Annex-K luminance AC table size
+
+
+def test_jpeg_block_constant_roundtrip_is_exact():
+    rng = np.random.RandomState(0)
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_jpeg_gray, encode_jpeg_gray
+
+    img = np.repeat(np.repeat(rng.randint(0, 256, (3, 4)), 8, axis=0), 8, axis=1).astype(np.uint8)
+    back = decode_jpeg_gray(encode_jpeg_gray(img, qtable=8))
+    assert np.array_equal(back, img)
+
+
+def test_jpeg_q1_roundtrip_error_bound_and_odd_dims():
+    """With unit quantization the only loss is coefficient rounding; the
+    reconstruction must stay within 2 grey levels everywhere, including
+    edge-replicated padding of non-multiple-of-8 dimensions."""
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.RandomState(7)
+    for shape in [(24, 32), (13, 10), (8, 8), (1, 1), (9, 17)]:
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        back = decode_jpeg_gray(encode_jpeg_gray(img, qtable=1))
+        assert back.shape == shape
+        assert np.abs(back.astype(int) - img.astype(int)).max() <= 2, shape
+
+
+def test_jpeg_lossy_table_bounded_and_structure():
+    """A real lossy table still reconstructs within the quant-step bound,
+    and the container structure carries the mandatory baseline markers in
+    order with stuffed entropy bytes."""
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_jpeg_gray, encode_jpeg_gray
+
+    rng = np.random.RandomState(11)
+    # smooth image: low-frequency content, tight bound under coarse quant
+    y, x = np.mgrid[0:24, 0:32]
+    img = (128 + 80 * np.sin(x / 7.0) * np.cos(y / 5.0)).astype(np.uint8)
+    qt = np.full(64, 16, dtype=np.int64)
+    qt[0] = 8
+    data = encode_jpeg_gray(img, qtable=qt)
+    back = decode_jpeg_gray(data)
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 24
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    for marker in (b"\xff\xe0", b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in data, marker
+    # every 0xFF inside the entropy segment is stuffed (or the EOI)
+    sos = data.index(b"\xff\xda")
+    entropy = data[sos + 2 + int.from_bytes(data[sos + 2 : sos + 4], "big") : -2]
+    i = 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF:
+            assert entropy[i + 1] == 0x00, "unstuffed 0xFF in entropy data"
+            i += 2
+        else:
+            i += 1
+    # noise image under the same table: decoder never crashes, output in range
+    noisy = rng.randint(0, 256, (16, 16)).astype(np.uint8)
+    out = decode_jpeg_gray(encode_jpeg_gray(noisy, qtable=qt))
+    assert out.shape == (16, 16) and out.dtype == np.uint8
+
+
+def test_jpeg_decode_image_dispatch_replicates_channels():
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_image, encode_jpeg_gray
+
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    out = decode_image(encode_jpeg_gray(img, qtable=8))
+    assert out.shape == (8, 8, 3)
+    assert (out == 77).all()
+
+
+def test_jpeg_rejects_malformed():
+    import pytest
+
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_jpeg_gray, encode_jpeg_gray
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x00\x01")
+    img = np.full((8, 8), 10, dtype=np.uint8)
+    data = bytearray(encode_jpeg_gray(img, qtable=8))
+    with pytest.raises(ValueError):
+        decode_jpeg_gray(bytes(data[:-2]))  # EOI gone
+    with pytest.raises(ValueError, match="2-D uint8"):
+        encode_jpeg_gray(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="1..255"):
+        encode_jpeg_gray(img, qtable=0)
