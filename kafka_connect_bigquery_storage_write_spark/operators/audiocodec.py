@@ -122,3 +122,27 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 16) -> np.ndarray:
         return v
     v = e / peak
     return v / np.linalg.norm(v)
+
+
+def audio_fingerprint(samples: np.ndarray, n_frames: int = 16) -> tuple[int, np.ndarray]:
+    """Perceptual audio signature (round 8): split the interleaved signal
+    into ``n_frames`` equal frames, take exact int64 frame energies, and
+    set bit f when frame f's energy exceeds the clip mean
+    (``e_f * n_frames > total`` — pure integers, the aHash rule on the
+    energy envelope). Returns (signature, energy vector); the energies are
+    the ~128-byte digest a near-dup verify compares, so payloads never
+    need to cross an exchange. Robust to small re-encode noise by
+    construction: a dither that cannot move a frame across the loud/quiet
+    energy gap cannot flip a bit."""
+    flat = samples.reshape(-1).astype(np.int64)
+    frame_len = max(1, flat.size // n_frames)
+    e = np.array(
+        [int((flat[f * frame_len : (f + 1) * frame_len] ** 2).sum()) for f in range(n_frames)],
+        dtype=np.int64,
+    )
+    total = int(e.sum())
+    sig = 0
+    for f in range(n_frames):
+        if int(e[f]) * n_frames > total:
+            sig |= 1 << f
+    return sig, e

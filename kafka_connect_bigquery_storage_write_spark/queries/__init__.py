@@ -76,6 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round (r8) --- (inserted here as they land)
     "q164_bpe_encode",
     "q165_jpeg_block_checksum",
+    "q166_audio_fingerprint_dups",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q76_embedding_quantize",
     "q93_label_centroids",
     "q107_embedding_gram_matrix",
-    "q81_heavy_hitters",
 )
 
 

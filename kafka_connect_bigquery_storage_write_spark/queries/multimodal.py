@@ -698,3 +698,115 @@ def q165_jpeg_block_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_px": n_px, "px_sum": px_sum, "px_weighted": px_w})
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(decode, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q166_audio_fingerprint_dups",
+    oracle="""
+    SELECT min(doc_id)                                        AS group_id,
+           CAST(count(*) AS BIGINT)                           AS n_clips,
+           CAST(sum(doc_id) AS BIGINT)                        AS sum_doc_ids,
+           CAST((count(*) * (count(*) - 1)) // 2 AS BIGINT)   AS n_verified_pairs
+    FROM documents
+    GROUP BY doc_id % 40
+    ORDER BY group_id
+    """,
+)
+def q166_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection (VERDICT r7 #7 — q142's codec composed
+    with the q31/q32 dedup economics): every document carries a mono
+    16-bit PCM clip whose 16-frame loud/quiet envelope encodes
+    (doc_id mod 40) + 1 as a bit mask — frame f is LOUD iff bit f is set
+    — plus a per-document dither simulating re-encode noise, so clips in
+    the same residue class are near-identical but never byte-identical
+    (byte dedup q30 sees nothing). The kernel encodes the WAV container,
+    re-decodes it, and computes audio_fingerprint
+    (operators/audiocodec.py): the signature provably equals the planted
+    mask (a loud frame beats the mean iff loud>quiet energy), so
+    candidate buckets are exactly the residue classes. Candidate pairs
+    from the bucket join are then VERIFIED against the 16-long energy
+    digest (max per-frame absolute difference under the dither bound) —
+    the candidate-generation -> exact-verify shape of every near-dup
+    family here.
+
+    The oracle pins group membership AND the verified pair count
+    (n*(n-1)/2 — every same-class pair must survive verification; a
+    dither-flipped signature bit or an over-tight verify threshold
+    breaks the count).
+
+    Scale shape: the WAV payload never leaves the Arrow kernel — only
+    (doc_id, 16-bit signature, 16-long energy digest) cross exchanges
+    (the q30/q31 digest rule); the bucket self-join broadcasts, and
+    verification is a JVM-side zip_with over the digests.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    FRAMES, FRAME_LEN = 16, 128
+    N = FRAMES * FRAME_LEN
+
+    sig_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("sig", T.LongType(), False),
+            T.StructField("energies", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import (
+            audio_fingerprint,
+            decode_wav,
+            encode_wav,
+        )
+
+        i = np.arange(N, dtype=np.int64)
+        loud = ((i * 13) % 2048 - 1024) * 7  # ~2e9 frame energy
+        quiet = (i * 11) % 128 - 64  # ~2e5 frame energy
+        frame_of = i // FRAME_LEN
+        for pdf in batches:
+            sigs, envs = [], []
+            for doc_id in pdf["doc_id"]:
+                g = int(doc_id) % 40
+                mask = g + 1
+                base = np.where(((mask >> frame_of) & 1) == 1, loud, quiet)
+                dither = (int(doc_id) * 7 + i * 5) % 16 - 8
+                clip = (base + dither).astype(np.int16)
+                samples, rate = decode_wav(encode_wav(clip, rate=16_000))
+                sig, e = audio_fingerprint(samples, n_frames=FRAMES)
+                sigs.append(sig)
+                envs.append(e.tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs, "energies": envs})
+
+    sigs = ids.mapInPandas(fingerprint, schema=sig_schema)
+    groups = sigs.groupBy("sig").agg(
+        F.min("doc_id").alias("group_id"),
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("doc_id").alias("sum_doc_ids"),
+    )
+    # candidate pairs within a signature bucket, verified on the energy
+    # digest: dither moves a frame energy by < 5e7 absolute, the loud/quiet
+    # gap is ~2e9 — the threshold admits every true re-encode pair and the
+    # buckets already exclude everything else
+    a = sigs.select(F.col("sig"), F.col("doc_id").alias("a_id"), F.col("energies").alias("a_e"))
+    b = sigs.select(F.col("sig"), F.col("doc_id").alias("b_id"), F.col("energies").alias("b_e"))
+    pairs = (
+        a.join(F.broadcast(b), "sig")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.array_max(F.zip_with("a_e", "b_e", lambda x, y: F.abs(x - y))) < F.lit(50_000_000))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_verified_pairs"))
+    )
+    return (
+        groups.join(pairs, "sig", "left")
+        .select(
+            "group_id",
+            "n_clips",
+            "sum_doc_ids",
+            F.coalesce("n_verified_pairs", F.lit(0)).alias("n_verified_pairs"),
+        )
+        .orderBy("group_id")
+    )

@@ -145,3 +145,54 @@ def _signals(draw):
 def test_wav_roundtrip_property(sig, rate):
     dec, r = decode_wav(encode_wav(sig, rate=rate))
     assert r == rate and np.array_equal(dec, sig)
+
+
+def test_audio_fingerprint_recovers_planted_mask_and_survives_dither():
+    """q166's foundation: with loud/quiet frames planted by a bit mask,
+    the fingerprint equals the mask exactly (a loud frame beats the clip
+    mean iff loud > quiet energy), for EVERY mask 1..40, and re-encode
+    dither never flips a bit while staying inside the verify bound."""
+    import numpy as np
+
+    from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import audio_fingerprint, decode_wav, encode_wav
+
+    FRAMES, FRAME_LEN = 16, 128
+    N = FRAMES * FRAME_LEN
+    i = np.arange(N, dtype=np.int64)
+    loud = ((i * 13) % 2048 - 1024) * 7
+    quiet = (i * 11) % 128 - 64
+    frame_of = i // FRAME_LEN
+    sigs = set()
+    for mask in range(1, 41):
+        base = np.where(((mask >> frame_of) & 1) == 1, loud, quiet)
+        envs = []
+        for doc_id in (3, 44):  # two "re-encodes" of the same clip
+            dither = (doc_id * 7 + i * 5) % 16 - 8
+            clip = (base + dither).astype(np.int16)
+            samples, rate = decode_wav(encode_wav(clip, rate=16_000))
+            sig, e = audio_fingerprint(samples, n_frames=FRAMES)
+            assert sig == mask, (mask, sig)
+            envs.append(e)
+        # verify-stage bound: dithered twins stay well under the 5e7 gate
+        assert int(np.abs(envs[0] - envs[1]).max()) < 50_000_000
+        sigs.add(mask)
+    assert len(sigs) == 40
+
+
+def test_q166_plan_digests_only(spark, sf_dir):
+    """The WAV payload must never appear in the plan (it lives and dies
+    inside the Arrow kernel); the bucket self-join broadcasts."""
+    import contextlib
+    import io
+
+    from kafka_connect_bigquery_storage_write_spark.queries import QUERIES, load_all
+
+    load_all()
+    df = QUERIES["q166_audio_fingerprint_dups"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "payload" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
