@@ -114,3 +114,50 @@ def pagerank_integer(
         ranks.unpersist()  # release request; actual free deferred to the ContextCleaner
         ranks = stepped
     return ranks
+
+
+def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Exact per-vertex triangle counts by degree-ordered edge
+    orientation (the classic m^1.5 algorithm): orient every symmetric
+    edge from its lower-(degree, id) endpoint to the higher one — each
+    triangle then exists as exactly ONE wedge u->v, v->w closed by u->w,
+    so no triangle is counted twice and, decisively for scale, the wedge
+    join's cost is sum(out_degree²) where degree orientation bounds
+    out-degree by O(sqrt(m)) — a hub with a million neighbors generates
+    no million² wedge blowup because its edges all point INTO it.
+    Returns (vertex, degree, n_triangles); degree is the symmetric
+    neighbor count. Input must be the symmetric distinct edge relation
+    (both directions present, no self-loops) — coactivity_edges' output
+    shape.
+
+    Scale shape: three joins over 16-byte edge rows (ids only), one
+    explode to attribute each triangle to its three corners, one hash
+    aggregation at vertex grain.
+    """
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    e = (
+        edges.join(deg.withColumnRenamed("_d", "_ds"), src)
+        .join(
+            deg.select(F.col(src).alias(dst), F.col("_d").alias("_dd")),
+            dst,
+        )
+    )
+    oriented = e.filter(
+        (F.col("_ds") < F.col("_dd")) | ((F.col("_ds") == F.col("_dd")) & (F.col(src) < F.col(dst)))
+    ).select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(F.col("e1.a").alias("u"), F.col("e1.b").alias("v"), F.col("e2.b").alias("w"))
+    )
+    tri = wedges.join(
+        oriented.select(F.col("a").alias("u"), F.col("b").alias("w")), ["u", "w"]
+    )
+    per_vertex = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return per_vertex.join(
+        deg.select(F.col(src).alias("vertex"), F.col("_d").alias("degree")), "vertex"
+    ).select("vertex", "degree", "n_triangles")

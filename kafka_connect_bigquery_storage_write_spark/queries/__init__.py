@@ -77,6 +77,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q164_bpe_encode",
     "q165_jpeg_block_checksum",
     "q166_audio_fingerprint_dups",
+    "q167_xml_source",
+    "q168_triangle_count",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -114,8 +116,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q104_top_revenue_supplier",
     "q100_ivf_exact_topk",
     "q101_blocked_near_dups_exact",
-    "q76_embedding_quantize",
-    "q93_label_centroids",
     "q107_embedding_gram_matrix",
 )
 

@@ -73,3 +73,53 @@ def q122_pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_micro").desc(), "user_id")
         .limit(50)
     )
+
+
+@query(
+    "q168_triangle_count",
+    oracle="""
+    WITH hu AS (SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS h, user_id AS u FROM events),
+    edges AS (SELECT DISTINCT a.u AS src, b.u AS dst FROM hu a JOIN hu b ON a.h = b.h AND a.u <> b.u),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    ori AS (SELECT e.src, e.dst FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
+            WHERE (a.d < b.d) OR (a.d = b.d AND e.src < e.dst)),
+    tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+            FROM ori e1 JOIN ori e2 ON e1.dst = e2.src
+                        JOIN ori e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+    pv AS (SELECT u AS vertex FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri)
+    SELECT p.vertex                    AS user_id,
+           CAST(d.d AS BIGINT)         AS degree,
+           CAST(count(*) AS BIGINT)    AS n_triangles
+    FROM pv p JOIN deg d ON d.src = p.vertex
+    GROUP BY p.vertex, d.d
+    ORDER BY n_triangles DESC, user_id
+    LIMIT 20
+    """,
+)
+def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by exact triangle participation in the co-activity
+    graph — the local-clustering/community-density member of the graph
+    family (CC: same entity; PageRank: influence; triangles: how tightly
+    knit a vertex's neighborhood is — the basis of clustering
+    coefficients and spam-ring detection).
+
+    Exactness: pure integer counting, no arithmetic to drift — the
+    oracle runs the SAME degree-ordered orientation in SQL. Scale shape
+    (operators/graph.triangle_counts): orientation by (degree, id) makes
+    each triangle ONE closed wedge and bounds wedge-join cost at
+    sum(out_deg²) with out_deg = O(sqrt(m)) — the hub-explosion guard —
+    and every join moves 16-byte id pairs, never payloads; the edge
+    build reuses coactivity_edges' md5-rank bucket cap (fixture buckets
+    sit far below it, keeping the oracle exact).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import coactivity_edges, triangle_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(F.date_trunc("hour", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
+    edges = coactivity_edges(hu, max_bucket_members=2000)
+    return (
+        triangle_counts(edges)
+        .select(F.col("vertex").alias("user_id"), "degree", "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "user_id")
+        .limit(20)
+    )

@@ -271,6 +271,9 @@ def _source_roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     elif fmt == "orc":
         writer.orc(path)
         back = reader.orc(path)
+    elif fmt == "xml":
+        writer.option("rootTag", "orders").option("rowTag", "order").format("xml").save(path)
+        back = reader.option("rowTag", "order").format("xml").load(path)
     else:
         writer.json(path)
         back = reader.json(path)
@@ -317,6 +320,20 @@ def q138_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip doubles bit-exactly by construction; the check guards
     the writer/reader pair and schema mapping, not text parsing."""
     return _source_roundtrip(spark, sf_dir, "orc")
+
+
+@query("q167_xml_source", oracle=_SRC_ORACLE)
+def q167_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source format (E1's sixth format, round 8): orders written
+    through Spark 4's NATIVE xml datasource (the spark-xml lineage
+    merged upstream — rowTag framing, element-per-column encoding) and
+    re-read with an explicit schema under the identical value-hash
+    contract as q124/q125/q138/q146. XML is the interchange format
+    enterprise feeds still arrive in; the explicit-schema read guards
+    against the tag-soup type inference the XML reader would otherwise
+    attempt (a full extra pass, promotion-nondeterministic — the same
+    rule as q124)."""
+    return _source_roundtrip(spark, sf_dir, "xml")
 
 
 @query("q146_avro_file_source", oracle=_SRC_ORACLE)

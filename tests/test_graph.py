@@ -55,3 +55,50 @@ def test_q122_fixture_ranks_unchanged_by_cap(spark, sf_dir):
         ]
 
     assert top50(coactivity_edges(hu, max_bucket_members=2000)) == top50(coactivity_edges(hu))
+
+
+def _sym(spark, pairs):
+    rows = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_triangle_counts_known_graphs(spark):
+    """Hand-checkable graphs: K4 (every vertex in C(3,2)=3 triangles),
+    a triangle with a pendant vertex, and a square (no triangles)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import triangle_counts
+
+    k4 = _sym(spark, [(a, b) for a in range(4) for b in range(a + 1, 4)])
+    got = {r["vertex"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(k4).collect()}
+    assert got == {v: (3, 3) for v in range(4)}
+
+    tri_pendant = _sym(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    got = {r["vertex"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(tri_pendant).collect()}
+    assert got == {0: (2, 1), 1: (2, 1), 2: (3, 1)}  # pendant 3 has none -> absent
+
+    square = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0)])
+    assert triangle_counts(square).count() == 0
+
+
+def test_triangle_counts_match_brute_force_on_random_graph(spark):
+    """Degree-ordered wedge counting == brute-force triple enumeration on
+    a random graph (the orientation must count each triangle exactly
+    once, ties included)."""
+    import itertools
+    import random
+
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import triangle_counts
+
+    rng = random.Random(13)
+    n = 24
+    und = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.25}
+    adj = {v: set() for v in range(n)}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    got = {r["vertex"]: r["n_triangles"] for r in triangle_counts(_sym(spark, und)).collect()}
+    assert got == want and sum(want.values()) > 0
