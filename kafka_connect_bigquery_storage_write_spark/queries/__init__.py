@@ -79,6 +79,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q166_audio_fingerprint_dups",
     "q167_xml_source",
     "q168_triangle_count",
+    "q169_sink_pruned_read",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q104_top_revenue_supplier",
     "q100_ivf_exact_topk",
     "q101_blocked_near_dups_exact",
-    "q107_embedding_gram_matrix",
 )
 
 

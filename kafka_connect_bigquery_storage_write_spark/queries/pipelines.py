@@ -380,3 +380,58 @@ def q146_avro_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q169_sink_pruned_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 40000
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q169_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping made driver-visible (round 8, the query
+    face of the manifest sink's file pruning): orders land in a
+    ManifestSinkTable as FOUR key-range batches, then a range predicate
+    goes through ``read(where=...)`` — manifest min/max stats drop the
+    batches whose files cannot match BEFORE any scan, the residual
+    filter handles the straddling files, and the aggregate must equal
+    plain SQL over the source table. A wrong bound, an off-by-one in
+    the prune comparison, or stats lost through the marker round-trip
+    all change the sums. The files-actually-skipped property is pinned
+    separately in tests/test_sinks.py (a query can't assert its own
+    file count); at 100 TB this read opens the manifest and ~1/4 of the
+    files, never the table.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = src.agg(F.max("o_orderkey")).first()[0] + 1
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q169_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed")
+    step = (hi + 3) // 4
+    for b in range(4):
+        sink.write_batch(
+            src.filter((F.col("o_orderkey") >= b * step) & (F.col("o_orderkey") < (b + 1) * step)).coalesce(2),
+            b,
+        )
+    pruned = sink.read(spark, where=[("o_orderkey", ">=", 1000), ("o_orderkey", "<", 40000)])
+    return (
+        pruned.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -353,8 +353,15 @@ class ManifestSinkTable:
     def _staged_manifests(self) -> dict[int, dict]:
         out: dict[int, dict] = {}
         for b in self.staged_ids():
-            with open(self._staged_marker(b)) as fh:
-                m = json.load(fh)
+            try:
+                with open(self._staged_marker(b)) as fh:
+                    m = json.load(fh)
+            except FileNotFoundError:
+                # a racing commit() consumed this marker between the listing
+                # and the read — the winner's epoch publishes it; this
+                # committer simply doesn't claim it (exactly-once holds:
+                # visibility is the set union of epoch batch-id lists)
+                continue
             out[b] = {"dir": m.get("dir", self._legacy_dir(b)), "files": m.get("files")}
         return out
 
