@@ -161,3 +161,38 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     return per_vertex.join(
         deg.select(F.col(src).alias("vertex"), F.col("_d").alias("degree")), "vertex"
     ).select("vertex", "degree", "n_triangles")
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFrame:
+    """Exact minimum-hop distance from a seed set, bounded at
+    ``max_hops`` — the iterative frontier expansion every lineage /
+    blast-radius / k-hop-neighborhood question runs. Returns
+    (vertex, dist) for every vertex reached within the bound; pure
+    integer set algebra, so the result is engine- and replay-exact.
+
+    Scale shape per hop: one join of the CURRENT FRONTIER (not the
+    visited set) against the 16-byte edge relation + one left-anti join
+    against visited — cost tracks the frontier wave, not the graph; the
+    loop localCheckpoints every generation (the round-4 iterate-loop
+    rule: otherwise AQE re-plans the accumulated tree and lineage grows
+    quadratically).
+    """
+    verts = edges.select(F.col("src").alias("vertex")).distinct()
+    visited = seeds.select("vertex").distinct().join(verts, "vertex").withColumn(
+        "dist", F.lit(0)
+    ).localCheckpoint(eager=True)
+    frontier = visited.select("vertex")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier.vertex == edges.src)
+            .select(F.col("dst").alias("vertex"))
+            .distinct()
+            .join(visited.select("vertex"), "vertex", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("vertex")
+    return visited

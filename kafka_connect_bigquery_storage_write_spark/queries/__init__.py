@@ -80,6 +80,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q167_xml_source",
     "q168_triangle_count",
     "q169_sink_pruned_read",
+    "q170_sink_time_travel",
+    "q171_schema_evolution_read",
+    "q172_reachability_bfs",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -114,9 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q85_global_threshold",
     "q102_returned_items",
     "q103_promo_revenue",
-    "q104_top_revenue_supplier",
-    "q100_ivf_exact_topk",
-    "q101_blocked_near_dups_exact",
 )
 
 

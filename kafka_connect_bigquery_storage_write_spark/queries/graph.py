@@ -123,3 +123,63 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "q172_reachability_bfs",
+    oracle="""
+    WITH hu AS (SELECT DISTINCT time_bucket(INTERVAL '1 minute', ts) AS h, user_id AS u FROM events),
+    edges AS (SELECT DISTINCT a.u AS src, b.u AS dst FROM hu a JOIN hu b ON a.h = b.h AND a.u <> b.u),
+    verts AS (SELECT DISTINCT src AS v FROM edges),
+    d0 AS (SELECT v FROM verts WHERE v % 50 = 0),
+    d1 AS (SELECT DISTINCT e.dst AS v FROM edges e JOIN d0 ON d0.v = e.src
+           WHERE e.dst NOT IN (SELECT v FROM d0)),
+    d2 AS (SELECT DISTINCT e.dst AS v FROM edges e JOIN d1 ON d1.v = e.src
+           WHERE e.dst NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM d1)),
+    d3 AS (SELECT DISTINCT e.dst AS v FROM edges e JOIN d2 ON d2.v = e.src
+           WHERE e.dst NOT IN (SELECT v FROM d0 UNION ALL SELECT v FROM d1 UNION ALL SELECT v FROM d2)),
+    reach AS (SELECT v, 0 AS dist FROM d0 UNION ALL SELECT v, 1 FROM d1
+              UNION ALL SELECT v, 2 FROM d2 UNION ALL SELECT v, 3 FROM d3)
+    SELECT CAST(dist AS INT)          AS dist,
+           CAST(count(*) AS BIGINT)   AS n_users,
+           CAST(sum(v) AS BIGINT)     AS sum_user_ids,
+           CAST(min(v) AS BIGINT)     AS min_user,
+           CAST(max(v) AS BIGINT)     AS max_user
+    FROM reach
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def q172_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the MINUTE-grain co-activity graph (sparser than
+    q122/q168's hour grain, so the waves have real depth — the sf0.01
+    fixture populates all four distances): minimum hop distance (<=3)
+    from the seed set (user_id % 50 == 0, restricted to graph vertices)
+    — the k-hop-neighborhood / blast-radius primitive beside CC (q73),
+    PageRank (q122) and triangles (q168), and the engine's canonical
+    ITERATIVE frontier loop made oracle-visible: each hop is one
+    frontier-vs-edges join plus an anti-join against visited,
+    eager-checkpointed per generation (SCALING.md round-4 rule). The
+    oracle unrolls the same three expansions as chained CTEs; exactness
+    is pure integer set algebra. Per-distance aggregates (count, sum,
+    min, max of user ids) pin exact WAVE membership — a hop that leaks a
+    visited vertex or misses a frontier edge shifts the sums.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import bfs_distances, coactivity_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(F.date_trunc("minute", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
+    edges = coactivity_edges(hu, max_bucket_members=2000).localCheckpoint(eager=True)
+    seeds = edges.select(F.col("src").alias("vertex")).distinct().filter(F.col("vertex") % 50 == 0)
+    reach = bfs_distances(edges, seeds, max_hops=3)
+    return (
+        reach.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("vertex").alias("sum_user_ids"),
+            F.min("vertex").alias("min_user"),
+            F.max("vertex").alias("max_user"),
+        )
+        .select(F.col("dist").cast("int").alias("dist"), "n_users", "sum_user_ids", "min_user", "max_user")
+        .orderBy("dist")
+    )

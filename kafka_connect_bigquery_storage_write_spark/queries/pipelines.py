@@ -435,3 +435,105 @@ def q169_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q170_sink_time_travel",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderkey) + 1 AS h FROM orders),
+    cut AS (SELECT 2 * ((h + 2) // 3) AS c FROM hi)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders, cut
+    WHERE o_orderkey < cut.c
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q170_sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel made driver-visible (R17's audit surface as a query):
+    orders land as THREE key-range batches; ``read_as_of(batch_id=1)``
+    must reconstruct the table exactly as it stood after the second
+    commit — batches 0 and 1, nothing of batch 2 — and the aggregate
+    must equal plain SQL over the equivalent key range (the oracle
+    re-derives the same cut arithmetic from max(o_orderkey)). A marker
+    mis-sort, an absorbed-dir mixup, or a time-travel read that leaks a
+    newer batch all change the sums.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = src.agg(F.max("o_orderkey")).first()[0] + 1
+    step = (hi + 2) // 3
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q170_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed")
+    for b in range(3):
+        sink.write_batch(
+            src.filter((F.col("o_orderkey") >= b * step) & (F.col("o_orderkey") < (b + 1) * step)).coalesce(2),
+            b,
+        )
+    as_of = sink.read_as_of(spark, batch_id=1)
+    return (
+        as_of.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "q171_schema_evolution_read",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderkey) + 1 AS h FROM orders),
+    cut AS (SELECT (h + 1) // 2 AS c FROM hi)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN o_orderkey >= cut.c THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+           CAST(round(sum(CASE WHEN o_orderkey >= cut.c
+                                THEN CAST(o_totalprice AS DECIMAL(18,2))
+                                ELSE CAST(0 AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS total_priced
+    FROM orders, cut
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q171_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution made driver-visible: batch 0 lands with
+    (o_orderkey, o_orderstatus) only; batch 1 lands with a NEW nullable
+    o_totalprice column (the table schema grows to the union). The read
+    must serve old files with NULL in the new column and new files with
+    their values — counted and summed per status, matched against SQL
+    that re-derives which half of the key space carries a price. A
+    reader that drops the new column for old files (or the old rows
+    entirely) changes n_with_price or the totals.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = src.agg(F.max("o_orderkey")).first()[0] + 1
+    cut = (hi + 1) // 2
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q171_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed", schema_evolution="additive")
+    sink.write_batch(
+        src.filter(F.col("o_orderkey") < cut).select("o_orderkey", "o_orderstatus").coalesce(2), 0
+    )
+    sink.write_batch(src.filter(F.col("o_orderkey") >= cut).coalesce(2), 1)
+    return (
+        sink.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").isNotNull().cast("long")).alias("n_with_price"),
+            F.round(
+                F.sum(F.coalesce(F.col("o_totalprice").cast("decimal(18,2)"), F.lit(0).cast("decimal(18,2)"))), 2
+            )
+            .cast("double")
+            .alias("total_priced"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -102,3 +102,22 @@ def test_triangle_counts_match_brute_force_on_random_graph(spark):
                 want[v] = want.get(v, 0) + 1
     got = {r["vertex"]: r["n_triangles"] for r in triangle_counts(_sym(spark, und)).collect()}
     assert got == want and sum(want.values()) > 0
+
+
+def test_bfs_distances_chain_and_bound(spark):
+    """Path graph 0-1-2-3-4-5 seeded at 0: distances are the chain
+    positions, the max_hops bound truncates the far tail, and a second
+    seed merges waves by MINIMUM distance."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import bfs_distances
+
+    chain = _sym(spark, [(i, i + 1) for i in range(5)])
+    seeds = spark.createDataFrame([(0,)], "vertex long")
+    got = {r["vertex"]: r["dist"] for r in bfs_distances(chain, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond the bound
+    # two seeds: min-distance wins where waves meet
+    seeds2 = spark.createDataFrame([(0,), (5,)], "vertex long")
+    got2 = {r["vertex"]: r["dist"] for r in bfs_distances(chain, seeds2, max_hops=3).collect()}
+    assert got2 == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2, 3: 2}
+    # seed not in the graph contributes nothing
+    ghost = spark.createDataFrame([(99,)], "vertex long")
+    assert bfs_distances(chain, ghost, max_hops=3).count() == 0
