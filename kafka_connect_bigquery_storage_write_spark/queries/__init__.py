@@ -83,6 +83,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q170_sink_time_travel",
     "q171_schema_evolution_read",
     "q172_reachability_bfs",
+    "q173_bpe_token_shards",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q84_disjunctive_predicates",
     "q85_global_threshold",
     "q102_returned_items",
-    "q103_promo_revenue",
 )
 
 

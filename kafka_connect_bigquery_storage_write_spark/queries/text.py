@@ -1639,6 +1639,82 @@ def q164_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q173_bpe_token_shards",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({_TOKS}) AS word FROM documents),
+    enc AS (
+      SELECT word,
+             length({"".join("replace(" for _ in _BPE_MERGES)}word
+             {"".join(f", '{p}', '{s}')" for p, s in zip(_BPE_PAIR_STR, _BPE_SENT))}) AS n_tok
+      FROM (SELECT DISTINCT word FROM w)
+    ),
+    d AS (
+      SELECT doc.doc_id, CAST(coalesce(sum(e.n_tok), 0) AS BIGINT) AS n_tokens
+      FROM documents doc
+      LEFT JOIN w ON w.doc_id = doc.doc_id
+      LEFT JOIN enc e ON e.word = w.word
+      GROUP BY doc.doc_id
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    )
+    SELECT CAST(greatest(cum - 1, 0) // 512 AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(min(doc_id) AS BIGINT)   AS first_doc,
+           CAST(max(doc_id) AS BIGINT)   AS last_doc
+    FROM c
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+)
+def q173_bpe_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize -> budget -> pack integration (q164's REAL BPE
+    tokenizer feeding q140's shard layout): documents are costed in
+    actual BPE tokens under the planted merge table — token count per
+    document = sum over its word occurrences of the encoded length,
+    computed at DISTINCT-WORD grain and joined back — then laid out into
+    ~512-token shards by the global prefix sum. This replaces q140's
+    whitespace proxy with the number a training loader actually packs
+    by; the oracle re-derives per-word token counts as the LENGTH of the
+    sentinel-replace encoding (each final token is one sentinel char —
+    the q164 equivalence) and runs the same cumulative cut.
+
+    Scale shape: the Python kernel touches only the distinct-word
+    relation (q164's economics); the doc-grain cost is a broadcast-size
+    join + sum; the layout is ranked_prefix_sum (no single-task window).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import bpe_tokens_udf
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    w = docs.select("doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word"))
+    enc = bpe_tokens_udf(_BPE_MERGES)
+    word_cost = w.select("word").distinct().select("word", F.size(enc(F.col("word"))).alias("n_tok"))
+    d = (
+        docs.select("doc_id")
+        .join(w, "doc_id", "left")
+        .join(word_cost, "word", "left")
+        .groupBy("doc_id")
+        .agg(F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"))
+    )
+    c = ranked_prefix_sum(d, [F.col("doc_id")], value="n_tokens", cum_col="cum")
+    return (
+        c.withColumn("shard_id", F.expr("greatest(cum - 1, 0L) div 512"))
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+@query(
     "q148_html_strip_roundtrip",
     oracle="""
     SELECT doc_id,
