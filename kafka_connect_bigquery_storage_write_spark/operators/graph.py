@@ -134,7 +134,12 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
     explode to attribute each triangle to its three corners, one hash
     aggregation at vertex grain.
     """
-    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d"))
+    # deg is consumed three times (both orientation sides + the final
+    # degree join) and oriented three times (both wedge sides + the
+    # closing join) — materialize each once or the upstream edge build
+    # re-executes per reference (the eager multi-consumer rule,
+    # SCALING.md; q122 does the same for its edge relation)
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_d")).localCheckpoint(eager=True)
     e = (
         edges.join(deg.withColumnRenamed("_d", "_ds"), src)
         .join(
@@ -142,9 +147,13 @@ def triangle_counts(edges: DataFrame, src: str = "src", dst: str = "dst") -> Dat
             dst,
         )
     )
-    oriented = e.filter(
-        (F.col("_ds") < F.col("_dd")) | ((F.col("_ds") == F.col("_dd")) & (F.col(src) < F.col(dst)))
-    ).select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    oriented = (
+        e.filter(
+            (F.col("_ds") < F.col("_dd")) | ((F.col("_ds") == F.col("_dd")) & (F.col(src) < F.col(dst)))
+        )
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .localCheckpoint(eager=True)
+    )
     wedges = (
         oriented.alias("e1")
         .join(oriented.alias("e2"), F.col("e1.b") == F.col("e2.a"))
