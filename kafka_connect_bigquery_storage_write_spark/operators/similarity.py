@@ -1501,3 +1501,183 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rescore_factor: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF-PQ serving — the FAISS IndexIVFPQ architecture, completing the
+    ANN ladder (float q35 → int8 q88 → PQ q145 → IVF-restricted PQ):
+    a coarse quantizer routes each vector to an inverted list AND the
+    vector is PQ-coded, so a query ADC-scans only the codes of its
+    ``n_probe`` probed lists instead of the whole code table.
+
+    The two memory/computation bounds COMPOSE: the scanned relation per
+    query is (n_probe / n_lists) of the corpus (IVF) at m bytes + id +
+    4-byte list id per row (PQ) — at 1e9 x d=64 with 1024 lists / 8
+    probes that is ~1/128 of the rows at 1/64 of the bytes each. The
+    scan kernel keeps pq_topk's map-side shortlist (per-batch
+    argpartition heap), the tail is the identical shortlist-window +
+    exact float rescore.
+
+    Deterministic exact configuration (the q100/q151 rule): with
+    ``n_probe == n_lists`` and ``rescore_factor`` covering the corpus,
+    every candidate reaches the exact cosine fold and the result equals
+    brute force bit-for-bit regardless of quantizer or codebook quality
+    — the oracle-able face of the machinery (q174); the production
+    config is recall-pinned in pytest (q175 rows-only).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, sample_size=sample_size,
+            seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes,
+            sample_size=sample_size, seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+
+    # one fused corpus pass: assign to the nearest list AND PQ-encode —
+    # the stored relation is (neighbor_id, list_id, codes), never joined
+    # back to itself (an id-keyed corpus-grain self-join would be a
+    # gratuitous extra shuffle at 1e9 rows)
+    sc = corpus.sparkSession.sparkContext
+    b_cent = sc.broadcast(centroids)
+    b_books = sc.broadcast(codebooks)
+    coded_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("list_id", T.IntegerType(), False),
+            T.StructField("codes", T.BinaryType(), False),
+        ]
+    )
+
+    def encode_assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = b_cent.value
+        books = b_books.value
+        dt = _code_dtype(books)
+        n_sub, _kc, sub = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            lists = np.argmax(vn @ cents.T, axis=1).astype(np.int32)
+            codes = np.zeros((len(vn), n_sub), dtype=dt)
+            for m in range(n_sub):
+                xm = vn[:, m * sub : (m + 1) * sub]
+                d2 = ((xm[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1).astype(dt)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf.iloc[:, 0].to_numpy(),
+                    "list_id": lists,
+                    "codes": [c.tobytes() for c in codes],
+                }
+            )
+
+    coded = ensure_compute_parallelism(corpus).select(id_col, vec_col).mapInPandas(
+        encode_assign, schema=coded_schema
+    )
+
+    # driver-side query prep (Q is tiny): probed lists + ADC lookup tables
+    qrows = queries.select(query_id_col, vec_col).collect()
+    n_sub, _kc, sub = codebooks.shape
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qv = np.stack([np.array(r[1], dtype=np.float64) for r in qrows])
+    qn = qv / np.linalg.norm(qv, axis=1, keepdims=True)
+    sims = qn @ centroids.T  # (Q, n_lists)
+    order = np.argsort(-sims, axis=1)[:, : min(n_probe, len(centroids))].astype(np.int32)
+    luts = np.stack(
+        [
+            np.stack([codebooks[m] @ qn[i, m * sub : (m + 1) * sub] for m in range(n_sub)])
+            for i in range(len(qids))
+        ]
+    )
+    b_q = sc.broadcast((qids, order, luts))
+
+    approx_schema = T.StructType(
+        [
+            T.StructField(query_id_col, T.LongType(), False),
+            T.StructField("neighbor_id", T.LongType(), False),
+            T.StructField("approx", T.DoubleType(), False),
+        ]
+    )
+    dt = _code_dtype(codebooks)
+    shortlist_n = k * rescore_factor
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, probed, tables = b_q.value
+        nq = len(ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.frombuffer(b, dtype=dt) for b in pdf["codes"]])
+            nb = pdf["neighbor_id"].to_numpy()
+            lid = pdf["list_id"].to_numpy()
+            out_q, out_nb, out_s = [], [], []
+            for qi in range(nq):
+                # the IVF restriction: this query touches only its probed
+                # lists' codes (plus the usual self-match exclusion)
+                mask = np.isin(lid, probed[qi]) & (nb != ids[qi])
+                if not mask.any():
+                    continue
+                cm = codes[mask]
+                t = tables[qi]
+                s = np.zeros(len(cm), dtype=np.float64)
+                for m in range(cm.shape[1]):
+                    s += t[m][cm[:, m]]
+                nb_m = nb[mask]
+                keep_n = min(shortlist_n, len(s))
+                top = np.argpartition(-s, keep_n - 1)[:keep_n] if keep_n < len(s) else np.arange(len(s))
+                out_q.append(np.full(keep_n, ids[qi], dtype=np.int64))
+                out_nb.append(nb_m[top])
+                out_s.append(s[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_nb),
+                    "approx": np.concatenate(out_s),
+                }
+            )
+
+    approx = coded.mapInPandas(scan, schema=approx_schema)
+    w_a = W.partitionBy(query_id_col).orderBy(F.col("approx").desc(), F.col("neighbor_id"))
+    shortlist = approx.withColumn("_arank", F.row_number().over(w_a)).filter(
+        F.col("_arank") <= shortlist_n
+    )
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
+    w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.join(floats, "neighbor_id")
+        .join(F.broadcast(qvecs), query_id_col)
+        .withColumn("cosine", F.round(cosine(F.col("_qv"), F.col("_cvec")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine", "rank")
+    )

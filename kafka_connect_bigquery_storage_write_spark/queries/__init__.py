@@ -84,6 +84,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q171_schema_evolution_read",
     "q172_reachability_bfs",
     "q173_bpe_token_shards",
+    "q174_ivfpq_exact_topk",
+    "q175_ivfpq_topk",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -115,8 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q07_customer_order_counts",
     "q08_customers_without_orders",
     "q84_disjunctive_predicates",
-    "q85_global_threshold",
-    "q102_returned_items",
 )
 
 

@@ -688,3 +688,68 @@ def q151_pq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(
         emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=10**9
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q174_ivfpq_exact_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round({_DOT.format(a='qe', b='ce')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}), 6) AS cosine
+      FROM q CROSS JOIN c
+      WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def q174_ivfpq_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IndexIVFPQ architecture, operators/similarity.
+    ivfpq_topk) in its deterministic configuration — the q100/q151 rule
+    applied to the COMPOSED index: n_probe spans every list and
+    rescore_factor spans the corpus, so the full machinery runs (coarse
+    quantizer train, fused assign+encode pass, per-list ADC scan with
+    map-side shortlist) while every candidate reaches the exact cosine
+    fold — bit-identical to brute force, a value-hash row for the
+    IVF-restricted scan against q35's oracle. The production
+    configuration (n_probe << n_lists) is q175, rows-only +
+    recall-pinned.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivfpq_topk(
+        emb, queries, k=5, n_lists=8, n_probe=8, n_subspaces=8, n_codes=64, rescore_factor=10**9
+    ).orderBy("query_id", "rank")
+
+
+@query("q175_ivfpq_topk")
+def q175_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ in its PRODUCTION configuration: 16 lists / 4 probes, 8x16
+    codebooks, rescore factor 8 — per query the ADC scan touches ~1/4 of
+    the corpus rows at 8 bytes of codes each (the two reductions
+    compose; at 1e9 x 1024-list scale the scanned bytes drop ~4 orders
+    of magnitude vs the float table). Approximate by design — probing
+    can miss a list holding a true neighbor and the codes are lossy —
+    so rows-only; recall@5 vs brute force is pinned in
+    tests/test_dedup_similarity.py (>= 0.6 on the near-random fixture,
+    the honest worst case for coarse+product quantization; real
+    embedding corpora cluster and probe far better).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivfpq_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, n_subspaces=8, n_codes=16, rescore_factor=8
+    ).orderBy("query_id", "rank")
