@@ -78,7 +78,7 @@ def q122_pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q168_triangle_count",
     oracle="""
-    WITH hu AS (SELECT DISTINCT time_bucket(INTERVAL '1 hour', ts) AS h, user_id AS u FROM events),
+    WITH hu AS (SELECT DISTINCT time_bucket(INTERVAL '1 minute', ts) AS h, user_id AS u FROM events),
     edges AS (SELECT DISTINCT a.u AS src, b.u AS dst FROM hu a JOIN hu b ON a.h = b.h AND a.u <> b.u),
     deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
     ori AS (SELECT e.src, e.dst FROM edges e JOIN deg a ON a.src = e.src JOIN deg b ON b.src = e.dst
@@ -97,8 +97,11 @@ def q122_pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 users by exact triangle participation in the co-activity
-    graph — the local-clustering/community-density member of the graph
+    """Top-20 users by exact triangle participation in the MINUTE-grain
+    co-activity graph (q172's substrate: the hour-grain graph q122 ranks
+    is near-COMPLETE at sf0.1 — 1500 users sharing hours — and exact
+    triangle enumeration on a near-clique is cubic no matter the
+    algorithm, so the operator runs where triangles are informative) — the local-clustering/community-density member of the graph
     family (CC: same entity; PageRank: influence; triangles: how tightly
     knit a vertex's neighborhood is — the basis of clustering
     coefficients and spam-ring detection).
@@ -115,7 +118,7 @@ def q168_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_storage_write_spark.operators.graph import coactivity_edges, triangle_counts
 
     ev = load_table(spark, sf_dir, "events")
-    hu = ev.select(F.date_trunc("hour", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
+    hu = ev.select(F.date_trunc("minute", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
     edges = coactivity_edges(hu, max_bucket_members=2000)
     return (
         triangle_counts(edges)
