@@ -1503,66 +1503,24 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+def _ivfpq_encode_assign(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    n_lists: int = 16,
-    n_probe: int = 4,
-    n_subspaces: int = 8,
-    n_codes: int = 16,
-    rescore_factor: int = 4,
-    sample_size: int = 2048,
-    seed: int = 42,
-    kmeans_iters: int = 10,
-    sample_mode: str = "prefix",
-    centroids: "np.ndarray | None" = None,
-    codebooks: "np.ndarray | None" = None,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """IVF-PQ serving — the FAISS IndexIVFPQ architecture, completing the
-    ANN ladder (float q35 → int8 q88 → PQ q145 → IVF-restricted PQ):
-    a coarse quantizer routes each vector to an inverted list AND the
-    vector is PQ-coded, so a query ADC-scans only the codes of its
-    ``n_probe`` probed lists instead of the whole code table.
-
-    The two memory/computation bounds COMPOSE: the scanned relation per
-    query is (n_probe / n_lists) of the corpus (IVF) at m bytes + id +
-    4-byte list id per row (PQ) — at 1e9 x d=64 with 1024 lists / 8
-    probes that is ~1/128 of the rows at 1/64 of the bytes each. The
-    scan kernel keeps pq_topk's map-side shortlist (per-batch
-    argpartition heap), the tail is the identical shortlist-window +
-    exact float rescore.
-
-    Deterministic exact configuration (the q100/q151 rule): with
-    ``n_probe == n_lists`` and ``rescore_factor`` covering the corpus,
-    every candidate reaches the exact cosine fold and the result equals
-    brute force bit-for-bit regardless of quantizer or codebook quality
-    — the oracle-able face of the machinery (q174); the production
-    config is recall-pinned in pytest (q175 rows-only).
-    """
+    """One fused corpus pass: assign each vector to its nearest inverted
+    list AND PQ-encode it — the stored relation is (neighbor_id,
+    list_id, m-byte codes), never an id-keyed corpus self-join. Pure
+    function of (vector, centroids, codebooks): incremental append ==
+    full re-encode, the frozen-quantizer contract ``ivf_assign`` and
+    ``pq_encode`` each document."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    if centroids is None:
-        centroids = ivf_train(
-            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, sample_size=sample_size,
-            seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
-        )
-    if codebooks is None:
-        codebooks = pq_train(
-            corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes,
-            sample_size=sample_size, seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
-        )
-
-    # one fused corpus pass: assign to the nearest list AND PQ-encode —
-    # the stored relation is (neighbor_id, list_id, codes), never joined
-    # back to itself (an id-keyed corpus-grain self-join would be a
-    # gratuitous extra shuffle at 1e9 rows)
     sc = corpus.sparkSession.sparkContext
     b_cent = sc.broadcast(centroids)
     b_books = sc.broadcast(codebooks)
@@ -1598,11 +1556,35 @@ def ivfpq_topk(
                 }
             )
 
-    coded = ensure_compute_parallelism(corpus).select(id_col, vec_col).mapInPandas(
+    return ensure_compute_parallelism(corpus).select(id_col, vec_col).mapInPandas(
         encode_assign, schema=coded_schema
     )
 
-    # driver-side query prep (Q is tiny): probed lists + ADC lookup tables
+
+def _ivfpq_query(
+    coded: DataFrame,
+    centroids: "np.ndarray",
+    codebooks: "np.ndarray",
+    floats: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id_col: str,
+    vec_col: str,
+    n_probe: int,
+    rescore_factor: int,
+) -> DataFrame:
+    """Shared IVF-PQ query path (fresh build and persisted index): per
+    query, probe ``n_probe`` lists and ADC-scan only those lists' codes
+    with a per-batch map-side shortlist, then exact-rescore the
+    shortlist against the float base table (``floats``:
+    (neighbor_id, _cvec) — only k*rescore_factor rows per query ever
+    touch it, the PQ memory story)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    sc = coded.sparkSession.sparkContext
     qrows = queries.select(query_id_col, vec_col).collect()
     n_sub, _kc, sub = codebooks.shape
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
@@ -1670,7 +1652,6 @@ def ivfpq_topk(
     shortlist = approx.withColumn("_arank", F.row_number().over(w_a)).filter(
         F.col("_arank") <= shortlist_n
     )
-    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
     qvecs = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qv"))
     w = W.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -1681,3 +1662,180 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "neighbor_id", "cosine", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    rescore_factor: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    kmeans_iters: int = 10,
+    sample_mode: str = "prefix",
+    centroids: "np.ndarray | None" = None,
+    codebooks: "np.ndarray | None" = None,
+) -> DataFrame:
+    """IVF-PQ serving — the FAISS IndexIVFPQ architecture, completing the
+    ANN ladder (float q35 → int8 q88 → PQ q145 → IVF-restricted PQ):
+    a coarse quantizer routes each vector to an inverted list AND the
+    vector is PQ-coded, so a query ADC-scans only the codes of its
+    ``n_probe`` probed lists instead of the whole code table.
+
+    The two memory/computation bounds COMPOSE: the scanned relation per
+    query is (n_probe / n_lists) of the corpus (IVF) at m bytes + id +
+    4-byte list id per row (PQ) — at 1e9 x d=64 with 1024 lists / 8
+    probes that is ~1/128 of the rows at 1/64 of the bytes each. The
+    scan kernel keeps pq_topk's map-side shortlist (per-batch
+    argpartition heap), the tail is the identical shortlist-window +
+    exact float rescore (only k*rescore_factor rows per query touch the
+    float base table).
+
+    Deterministic exact configuration (the q100/q151 rule): with
+    ``n_probe == n_lists`` and ``rescore_factor`` covering the corpus,
+    every candidate reaches the exact cosine fold and the result equals
+    brute force bit-for-bit regardless of quantizer or codebook quality
+    — the oracle-able face of the machinery (q174); the production
+    config is recall-pinned in pytest (q175 rows-only). The persisted
+    serving artifact is ``IvfPqIndex``.
+    """
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, sample_size=sample_size,
+            seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+    if codebooks is None:
+        codebooks = pq_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes,
+            sample_size=sample_size, seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+    coded = _ivfpq_encode_assign(corpus, centroids, codebooks, id_col, vec_col)
+    floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    return _ivfpq_query(
+        coded, centroids, codebooks, floats, queries, k, query_id_col, vec_col, n_probe, rescore_factor
+    )
+
+
+class IvfPqIndex:
+    """Persistable IVF-PQ index — the composed serving artifact (build
+    once, save, load anywhere, query many; the corpus floats are scanned
+    NEVER at query time, only the shortlist rows are fetched). Storage
+    layout under ``path``:
+
+        <path>/centroids/   (list_id int, centroid array<double>) parquet
+        <path>/codebooks/   (m int, c int, codeword array<double>) parquet
+        <path>/coded/       (neighbor_id, list_id, codes binary) parquet
+        <path>/floats/      (neighbor_id, _cvec array<double>) parquet —
+                            the id-keyed rescore base; at warehouse scale
+                            this is the base TABLE itself, stored once
+                            (pass ``floats_df`` to save() as a pointer
+                            substitute when the base table already
+                            exists; the default materializes it here so
+                            the artifact is self-contained)
+        <path>/_meta.json   {"n_lists", "n_subspaces", "n_codes"}
+
+    ``append`` assigns + encodes new vectors against the FROZEN
+    centroids/codebooks (pure function — the same incremental contract
+    as ``IvfIndex.append``); quantizer decay is the same phenomenon
+    IvfIndex.drift() measures, so the maintenance cadence is: monitor an
+    IvfIndex over the same corpus or rebuild on a schedule.
+    """
+
+    def __init__(self, centroids: "np.ndarray", codebooks: "np.ndarray", coded: DataFrame, floats: DataFrame):
+        self.centroids = centroids
+        self.codebooks = codebooks
+        self.coded = coded
+        self.floats = floats
+
+    @classmethod
+    def build(
+        cls,
+        corpus: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_lists: int = 16,
+        n_subspaces: int = 8,
+        n_codes: int = 16,
+        sample_size: int = 2048,
+        seed: int = 42,
+        kmeans_iters: int = 10,
+        sample_mode: str = "prefix",
+    ) -> "IvfPqIndex":
+        cents = ivf_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_lists=n_lists, sample_size=sample_size,
+            seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+        books = pq_train(
+            corpus, id_col=id_col, vec_col=vec_col, n_subspaces=n_subspaces, n_codes=n_codes,
+            sample_size=sample_size, seed=seed, kmeans_iters=kmeans_iters, sample_mode=sample_mode,
+        )
+        coded = _ivfpq_encode_assign(corpus, cents, books, id_col, vec_col)
+        floats = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        return cls(cents, books, coded, floats)
+
+    def append(self, new_vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfPqIndex":
+        add = _ivfpq_encode_assign(new_vectors, self.centroids, self.codebooks, id_col, vec_col)
+        addf = new_vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+        return IvfPqIndex(
+            self.centroids, self.codebooks, self.coded.unionByName(add), self.floats.unionByName(addf)
+        )
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        spark = self.coded.sparkSession
+        spark.createDataFrame(
+            [(i, c.tolist()) for i, c in enumerate(self.centroids)], "list_id int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        n_sub, kc, _subd = self.codebooks.shape
+        spark.createDataFrame(
+            [(m, c, self.codebooks[m, c].tolist()) for m in range(n_sub) for c in range(kc)],
+            "m int, c int, codeword array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+        self.coded.write.mode("overwrite").parquet(os.path.join(path, "coded"))
+        self.floats.write.mode("overwrite").parquet(os.path.join(path, "floats"))
+        with open(os.path.join(path, "_meta.json"), "w") as f:
+            json.dump(
+                {"n_lists": int(len(self.centroids)), "n_subspaces": int(n_sub), "n_codes": int(kc)}, f
+            )
+
+    @classmethod
+    def load(cls, spark, path: str) -> "IvfPqIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "_meta.json")) as f:
+            meta = json.load(f)
+        crows = spark.read.parquet(os.path.join(path, "centroids")).orderBy("list_id").collect()
+        cents = np.array([r["centroid"] for r in crows], dtype=np.float64)
+        brows = spark.read.parquet(os.path.join(path, "codebooks")).orderBy("m", "c").collect()
+        n_sub, kc = meta["n_subspaces"], meta["n_codes"]
+        subd = len(brows[0]["codeword"])
+        books = np.zeros((n_sub, kc, subd), dtype=np.float64)
+        for r in brows:
+            books[r["m"], r["c"]] = r["codeword"]
+        coded = spark.read.parquet(os.path.join(path, "coded"))
+        floats = spark.read.parquet(os.path.join(path, "floats"))
+        return cls(cents, books, coded, floats)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        query_id_col: str = "query_id",
+        vec_col: str = "embedding",
+        n_probe: int = 4,
+        rescore_factor: int = 4,
+    ) -> DataFrame:
+        return _ivfpq_query(
+            self.coded, self.centroids, self.codebooks, self.floats, queries, k,
+            query_id_col, vec_col, n_probe, rescore_factor,
+        )

@@ -826,3 +826,40 @@ def test_ivfpq_production_recall(spark, sf_dir):
     one = ivfpq_topk(emb, queries, k=5, n_lists=16, n_probe=1, n_subspaces=8, n_codes=16, rescore_factor=8)
     rows = one.collect()
     assert all(1 <= r["rank"] <= 5 for r in rows) and len(rows) <= 50
+
+
+def test_ivfpq_index_save_load_query_identical(spark, sf_dir, tmp_path):
+    """The persisted IVF-PQ artifact must reproduce the fresh-build path
+    exactly (same params, same seeds) through save/load, and in the
+    exact configuration equal brute force — persistence cannot change a
+    single score. append() against the frozen artifacts == building on
+    the full corpus (pure-function contract)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import IvfPqIndex, cosine_topk, ivfpq_topk
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    idx = IvfPqIndex.build(emb, n_lists=8, n_subspaces=8, n_codes=64)
+    idx.save(str(tmp_path / "ivfpq"))
+    loaded = IvfPqIndex.load(spark, str(tmp_path / "ivfpq"))
+    assert len(loaded.centroids) == 8 and loaded.codebooks.shape[:2] == (8, 64)
+
+    got = loaded.topk(queries, k=5, n_probe=8, rescore_factor=10**9)
+    fresh = ivfpq_topk(emb, queries, k=5, n_lists=8, n_probe=8, n_subspaces=8, n_codes=64, rescore_factor=10**9)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, fresh.collect()))
+    brute = cosine_topk(emb, queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, brute.collect()))
+
+    # incremental append == full build against the same frozen artifacts
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    base = IvfPqIndex.build(old, n_lists=8, n_subspaces=8, n_codes=64)
+    grown = base.append(new)
+    full = IvfPqIndex(base.centroids, base.codebooks,
+                      __import__("kafka_connect_bigquery_storage_write_spark.operators.similarity", fromlist=["x"])._ivfpq_encode_assign(
+                          emb, base.centroids, base.codebooks, "vec_id", "embedding"),
+                      emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cvec")))
+    g = sorted(map(tuple, grown.topk(queries, k=5, n_probe=8, rescore_factor=10**9).collect()))
+    w = sorted(map(tuple, full.topk(queries, k=5, n_probe=8, rescore_factor=10**9).collect()))
+    assert g == w and len(g) > 0
