@@ -599,3 +599,36 @@ def test_data_skipping_pending_epoch_carries_stats(spark, tmp_path):
     assert len(sink.visible_files()) == 2
     assert len(sink.visible_files([("k", "==", 15)])) == 1
     assert [r["k"] for r in sink.read(spark, where=[("k", "==", 15)]).collect()] == [15]
+
+
+def test_data_skipping_randomized_predicates_equal_plain_filter(spark, tmp_path):
+    """Property check over 24 random predicates (ops x columns x
+    literals, incl. out-of-range and boundary literals): a pruned read
+    must ALWAYS equal read().filter(...) — zone maps may only skip
+    provably-empty files, never change answers."""
+    import random
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(4):
+        df = (
+            spark.range(b * 250, (b + 1) * 250)
+            .selectExpr("id AS k", "concat('v', lpad(cast((id * 37) % 1000 as string), 4, '0')) AS s")
+            .coalesce(2)
+        )
+        sink.write_batch(df, b)
+    full = sink.read(spark)
+    rng = random.Random(99)
+    ops = ["==", "<", "<=", ">", ">="]
+    sqlop = {"==": "=", "<": "<", "<=": "<=", ">": ">", ">=": ">="}
+    for _ in range(24):
+        op = rng.choice(ops)
+        if rng.random() < 0.5:
+            col, lit = "k", rng.choice([-5, 0, 1, 249, 250, 500, 777, 999, 1000, 2000])
+            sql = f"k {sqlop[op]} {lit}"
+        else:
+            col, lit = "s", f"v{rng.randrange(0, 1100):04d}"
+            sql = f"s {sqlop[op]} '{lit}'"
+        got = sorted(tuple(r) for r in sink.read(spark, where=[(col, op, lit)]).collect())
+        want = sorted(tuple(r) for r in full.filter(sql).collect())
+        assert got == want, (col, op, lit)
+        assert set(sink.visible_files([(col, op, lit)])) <= set(sink.visible_files())
