@@ -86,6 +86,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q173_bpe_token_shards",
     "q174_ivfpq_exact_topk",
     "q175_ivfpq_topk",
+    "q176_sink_merge_upsert",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -116,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q06_forecast_revenue",
     "q07_customer_order_counts",
     "q08_customers_without_orders",
-    "q84_disjunctive_predicates",
 )
 
 

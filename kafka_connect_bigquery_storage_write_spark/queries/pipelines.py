@@ -537,3 +537,70 @@ def q171_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q176_sink_merge_upsert",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderkey) AS mk FROM orders),
+    merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN CAST(o_orderkey AS DOUBLE) * 2.0
+                  ELSE o_totalprice END AS p
+      FROM orders
+      UNION ALL
+      SELECT hi.mk + g.i, 'U', CAST(g.i AS DOUBLE) * 1.5
+      FROM hi, generate_series(1, 50) g(i)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q176_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE/upsert made driver-visible (the copy-on-write write
+    path beside q169/q170/q171's read paths): orders land as two
+    batches, then ONE merge_rows call updates every key divisible by 97
+    (new totalprice = 2*key) AND inserts 50 fresh keys with status 'U' —
+    the SQL MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT shape,
+    materialized as one atomic snapshot (ManifestSinkTable.rewrite).
+    The read-back aggregate must equal the SQL emulation (CASE + UNION)
+    over the source; a row updated twice, an insert lost, or an
+    unmatched row disturbed all shift the per-status sums.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = src.agg(F.max("o_orderkey")).first()[0]
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q176_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed")
+    cut = (hi + 2) // 2
+    sink.write_batch(src.filter(F.col("o_orderkey") < cut).coalesce(2), 0)
+    sink.write_batch(src.filter(F.col("o_orderkey") >= cut).coalesce(2), 1)
+    updates = src.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
+    ).unionByName(
+        spark.range(1, 51).select(
+            (F.col("id") + hi).alias("o_orderkey"),
+            F.lit("U").alias("o_orderstatus"),
+            (F.col("id").cast("double") * 1.5).alias("o_totalprice"),
+        )
+    )
+    if sink.merge_rows(spark, updates, keys=["o_orderkey"]) is None:
+        raise RuntimeError("q176 merge lost the snapshot CAS unexpectedly")
+    return (
+        sink.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -545,9 +545,101 @@ class ManifestSinkTable:
         commit normally. Returns the snapshot index, or None if there was
         nothing to compact.
         """
+        return self._rewrite_visible(spark, None, target_files, order_by, require_multiple=True)
+
+    def rewrite(
+        self,
+        spark: SparkSession,
+        fn,
+        target_files: int = 4,
+        order_by: list[str] | None = None,
+    ) -> int | None:
+        """COPY-ON-WRITE rewrite: replace the visible table with
+        ``fn(visible_df)`` in one atomic snapshot switch — the substrate
+        for row-level DELETE (``fn = df.filter(NOT pred)``) and keyed
+        MERGE/upsert (``merge_rows``), i.e. the Delta/Iceberg
+        copy-on-write model on this manifest. Readers before the
+        snapshot CAS see the old content, readers after see the
+        rewritten content, never a mix; concurrent rewriters race the
+        snapshot index and exactly one wins (the loser's output dir is
+        removed and it reports None — retry on the fresh state).
+        ``fn`` must preserve the table schema. Returns the snapshot
+        index, or None if the table is empty or the CAS was lost.
+
+        Scale note: this rewrites every visible file (whole-table COW —
+        correct and atomic at any size, cost proportional to the table).
+        File-level COW (rewrite only the files whose zone maps intersect
+        the predicate) needs a file-grained manifest and is the
+        documented next step; the read-side machinery (per-file stats)
+        already exists.
+        """
+        return self._rewrite_visible(spark, fn, target_files, order_by, require_multiple=False)
+
+    def delete_where(
+        self, spark: SparkSession, where: list[tuple], target_files: int = 4,
+        order_by: list[str] | None = None,
+    ) -> int | None:
+        """Row-level DELETE via copy-on-write: drops rows matching the
+        conjunctive ``(column, op, literal)`` predicates (same predicate
+        language as ``read(where=...)``)."""
+        from pyspark.sql import functions as F
+
+        for _c, op, _v in where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
+
+        def _drop(df: DataFrame) -> DataFrame:
+            cond = None
+            for c, op, v in where:
+                col = F.col(c)
+                this = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+                cond = this if cond is None else (cond & this)
+            return df.filter(~cond)
+
+        return self.rewrite(spark, _drop, target_files=target_files, order_by=order_by)
+
+    def merge_rows(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        target_files: int = 4,
+        order_by: list[str] | None = None,
+    ) -> int | None:
+        """Keyed MERGE/upsert via copy-on-write: rows of ``updates``
+        REPLACE current rows sharing their key; unmatched update keys
+        insert. The SQL MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+        INSERT shape (whole-row updates), materialized as one atomic
+        snapshot. ``updates`` must carry the table schema; duplicate
+        keys WITHIN updates are rejected (ambiguous merge source, the
+        standard MERGE error)."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise ValueError("merge_rows: updates contain duplicate keys (ambiguous merge source)")
+        cols = [f.name for f in self.schema().fields]
+
+        def _merge(df: DataFrame) -> DataFrame:
+            tagged = df.select(*cols).withColumn("_prec", F.lit(0)).unionByName(
+                updates.select(*cols).withColumn("_prec", F.lit(1))
+            )
+            w = Window.partitionBy(*keys).orderBy(F.col("_prec").desc())
+            return (
+                tagged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_prec", "_rn")
+            )
+
+        return self.rewrite(spark, _merge, target_files=target_files, order_by=order_by)
+
+    def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple):
         batch_ids = self.committed_ids()
         prior_dirs, absorbed = self._snapshot_state()
-        if len(batch_ids) + len(prior_dirs) <= 1:
+        if require_multiple and len(batch_ids) + len(prior_dirs) <= 1:
+            return None
+        if len(batch_ids) + len(prior_dirs) == 0:
             return None
         snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
@@ -564,6 +656,10 @@ class ManifestSinkTable:
         paths = [os.path.join(self.root, "data", d) for d in prior_dirs]
         paths += [os.path.join(self.root, "data", entries[i]) for i in batch_ids]
         merged = spark.read.schema(self.schema()).parquet(*paths)
+        if fn is not None:
+            merged = fn(merged)
+            if [f.name for f in merged.schema.fields] != [f.name for f in self.schema().fields]:
+                raise ValueError("rewrite transform must preserve the table schema")
         if order_by:
             merged = merged.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
         else:

@@ -632,3 +632,55 @@ def test_data_skipping_randomized_predicates_equal_plain_filter(spark, tmp_path)
         want = sorted(tuple(r) for r in full.filter(sql).collect())
         assert got == want, (col, op, lit)
         assert set(sink.visible_files([(col, op, lit)])) <= set(sink.visible_files())
+
+
+def test_rewrite_delete_where(spark, tmp_path):
+    """Copy-on-write DELETE: rows matching the predicate disappear in one
+    atomic snapshot; everything else (incl. zone-map pruned reads and
+    replay idempotence of absorbed ids) keeps working on the rewritten
+    layout."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(3):
+        sink.write_batch(spark.range(b * 100, (b + 1) * 100).selectExpr("id AS k", "id * 2 AS v").coalesce(2), b)
+    assert sink.read(spark).count() == 300
+    snap = sink.delete_where(spark, [("k", ">=", 100), ("k", "<", 200)], order_by=["k"])
+    assert snap is not None
+    assert sink.read(spark).count() == 200
+    assert sink.read(spark).filter("k >= 100 AND k < 200").count() == 0
+    # pruned reads still correct on the rewritten files
+    assert [r["k"] for r in sink.read(spark, where=[("k", "==", 250)]).collect()] == [250]
+    # absorbed batch ids stay idempotent
+    assert sink.write_batch(spark.range(2).selectExpr("id AS k", "id AS v"), 1).already_exists
+    # deleting everything leaves an empty (but readable) table
+    sink.delete_where(spark, [("k", ">=", 0)])
+    assert sink.read(spark).count() == 0
+
+
+def test_rewrite_merge_rows_upsert(spark, tmp_path):
+    """Keyed MERGE: updates replace matched keys, new keys insert, all in
+    one snapshot; duplicate update keys are rejected."""
+    import pytest as _pytest
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(spark.range(10).selectExpr("id AS k", "cast(id * 10 as long) AS v").coalesce(1), 0)
+    sink.write_batch(spark.range(10, 20).selectExpr("id AS k", "cast(id * 10 as long) AS v").coalesce(1), 1)
+    updates = spark.createDataFrame([(5, 999), (15, 888), (40, 777)], "k long, v long")
+    assert sink.merge_rows(spark, updates, keys=["k"]) is not None
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert len(got) == 21  # 20 original keys + 1 inserted
+    assert got[5] == 999 and got[15] == 888 and got[40] == 777
+    assert got[6] == 60  # untouched rows preserved
+    dup = spark.createDataFrame([(1, 1), (1, 2)], "k long, v long")
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        sink.merge_rows(spark, dup, keys=["k"])
+    # schema-breaking transform rejected
+    with _pytest.raises(ValueError, match="preserve the table schema"):
+        sink.rewrite(spark, lambda df: df.drop("v"))
+
+
+def test_rewrite_single_batch_allowed_but_compact_still_requires_multiple(spark, kv_df, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(kv_df, 0)
+    assert sink.compact(spark) is None  # unchanged compact contract
+    assert sink.rewrite(spark, lambda df: df.filter("int_value >= 0")) == 0
+    assert sink.read(spark).count() == 2
