@@ -598,6 +598,87 @@ class ManifestSinkTable:
 
         return self.rewrite(spark, _drop, target_files=target_files, order_by=order_by)
 
+    def delete_where_pruned(self, spark: SparkSession, where: list[tuple], target_files: int = 2) -> int | None:
+        """FILE-LEVEL copy-on-write DELETE: zone maps pick the candidate
+        files (exactly ``visible_files(where)``); only those are read,
+        filtered and rewritten — every other visible file is carried
+        into the new snapshot by hardlink, i.e. a manifest pointer copy,
+        no data movement (object-store mapping: the new manifest simply
+        references the old objects in place, the Delta/Iceberg COW
+        model). Its stats ride along unchanged, so skipping keeps
+        working without re-reading footers. At 100 TB a point delete
+        rewrites the handful of straddling files, not the table.
+
+        Same predicate language as ``read(where=...)``. Returns the
+        snapshot index, None when the table is empty or the CAS lost.
+        """
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        for _c, op, _v in where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
+        # one listing drives everything (the compact() rule)
+        manifests = self._visible_manifests()
+        if not manifests:
+            return None
+        batch_ids = self.committed_ids()
+        _prior, absorbed = self._snapshot_state()
+        snap = self._latest_snapshot()
+        n_snap = (snap["index"] + 1) if snap else 0
+        new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.root, "data", new_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        kept_entries: list[dict] = []
+        cand_paths: list[str] = []
+        k = 0
+        for m in manifests:
+            base = os.path.join(self.root, "data", m["dir"])
+            entries = m["files"]
+            if entries is None:
+                entries = [{"name": f, "rows": None, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
+            for e in entries:
+                stats = e.get("stats") or {}
+                if all(_file_may_match(stats, c, op, v) for c, op, v in where):
+                    cand_paths.append(os.path.join(base, e["name"]))
+                else:
+                    # untouched: pointer-copy (hardlink) + stats carryover
+                    name = f"keep-{k:05d}.parquet"
+                    k += 1
+                    os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
+                    kept_entries.append({"name": name, "rows": e.get("rows"), "stats": stats})
+        if cand_paths:
+            cond = None
+            for c, op, v in where:
+                col = F.col(c)
+                this = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+                cond = this if cond is None else (cond & this)
+            survivors = spark.read.schema(self.schema()).parquet(*cand_paths).filter(~cond)
+            tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
+            survivors.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
+            for f in sorted(os.listdir(tmp_out)):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        rewritten = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet") and not f.startswith("keep-"))
+        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten)
+        created = self._atomic_create(
+            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
+            json.dumps(
+                {
+                    "index": n_snap,
+                    "compacted_dirs": [new_dir],
+                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
+                    "files": {new_dir: file_entries},
+                }
+            ),
+        )
+        if not created:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        return n_snap
+
     def merge_rows(
         self,
         spark: SparkSession,

@@ -684,3 +684,46 @@ def test_rewrite_single_batch_allowed_but_compact_still_requires_multiple(spark,
     assert sink.compact(spark) is None  # unchanged compact contract
     assert sink.rewrite(spark, lambda df: df.filter("int_value >= 0")) == 0
     assert sink.read(spark).count() == 2
+
+
+def test_delete_where_pruned_rewrites_only_candidate_files(spark, tmp_path):
+    """File-level COW delete: zone maps pick the straddling files; every
+    other file is carried by hardlink (pointer copy) with its stats —
+    verified by inode identity, rewritten-file count, answer equality
+    with the whole-table delete, and skipping still working afterward."""
+    import os
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(8):
+        sink.write_batch(
+            spark.range(b * 100, (b + 1) * 100).selectExpr("id AS k", "id * 3 AS v").coalesce(2), b
+        )
+    all_before = sink.visible_files()
+    assert len(all_before) == 16
+    inode_before = {os.path.basename(p): os.stat(p).st_ino for p in all_before}
+    cand = sink.visible_files([("k", ">=", 150), ("k", "<", 170)])
+    assert 0 < len(cand) <= 2  # one batch's straddling files
+
+    snap = sink.delete_where_pruned(spark, [("k", ">=", 150), ("k", "<", 170)])
+    assert snap is not None
+    after = sink.visible_files()
+    kept = [p for p in after if os.path.basename(p).startswith("keep-")]
+    rewritten = [p for p in after if not os.path.basename(p).startswith("keep-")]
+    assert len(kept) == 16 - len(cand)
+    assert len(rewritten) <= 2  # coalesce(target_files=2) of the survivors
+    # pointer copy, not data copy: kept files share inodes with originals
+    orig_inodes = set(inode_before.values())
+    assert all(os.stat(p).st_ino in orig_inodes for p in kept)
+
+    # answers correct and skipping still effective on the new layout
+    assert sink.read(spark).count() == 800 - 20
+    assert sink.read(spark).filter("k >= 150 AND k < 170").count() == 0
+    assert [r["k"] for r in sink.read(spark, where=[("k", "==", 700)]).collect()] == [700]
+    assert len(sink.visible_files([("k", "==", 700)])) < len(after)
+    # carried stats prune exactly like before for untouched ranges
+    assert len(sink.visible_files([("k", "==", 50)])) <= 2
+
+    # a second pruned delete on the snapshot layout also works
+    assert sink.delete_where_pruned(spark, [("k", "==", 700)]) is not None
+    assert sink.read(spark).filter("k = 700").count() == 0
+    assert sink.read(spark).count() == 800 - 20 - 1
