@@ -39,6 +39,16 @@ class PipelineConfig:
     # whose sink_schema gained nullable columns keeps writing to the same
     # table; earlier batches read the new columns as null)
     sink_schema_evolution: str = "frozen"
+    # CDC/upsert ingestion (round 8, extension beyond the reference's
+    # append-only sink): when ``upsert_keys`` is set, each micro-batch's
+    # valid rows apply as a keyed MERGE (ManifestSinkTable.merge_rows —
+    # WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) instead of an
+    # append. ``upsert_order_col`` names the column that orders multiple
+    # changes to one key WITHIN a batch (latest wins); without it a
+    # batch must carry at most one row per key. Requires committed mode
+    # (a staged-then-epoch merge has no defined point-in-time base).
+    upsert_keys: list[str] | None = None
+    upsert_order_col: str | None = None
 
     def __post_init__(self) -> None:
         if self.write_mode not in WRITE_MODES:
@@ -57,3 +67,7 @@ class PipelineConfig:
             raise ValueError("dlq_topic and dlq_bootstrap_servers must be set together")
         if self.dlq_topic is not None and self.dlq_path is not None:
             raise ValueError("configure either dlq_path (parquet DLQ) or dlq_topic (Kafka DLQ), not both")
+        if self.upsert_order_col is not None and self.upsert_keys is None:
+            raise ValueError("upsert_order_col requires upsert_keys")
+        if self.upsert_keys is not None and self.write_mode != "committed":
+            raise ValueError("upsert_keys requires write_mode='committed' (merge has no pending-epoch semantics)")

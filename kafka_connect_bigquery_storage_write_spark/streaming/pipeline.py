@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -172,7 +172,10 @@ class IngestPipeline:
                 else:
                     bad_out = bad.drop("_value_struct")
                 self._dlq.write(bad_out, batch_id)
-            result = self._sink.write_batch(good_rows, batch_id)
+            if self.config.upsert_keys:
+                result = self._upsert_batch(good_rows, batch_id)
+            else:
+                result = self._sink.write_batch(good_rows, batch_id)
             stats = BatchStats(
                 batch_id=batch_id,
                 input_rows=n_input,
@@ -184,6 +187,37 @@ class IngestPipeline:
             return stats
         finally:
             validated.unpersist()
+
+    def _upsert_batch(self, rows: DataFrame, batch_id: int):
+        """Apply one micro-batch as a keyed MERGE (CDC ingestion).
+
+        Exactly-once under replay: a ``merge-<batch_id>.marker`` CAS in
+        the sink's commit dir short-circuits a replayed batch exactly
+        like write_batch's batch markers; if the driver dies between the
+        merge and the marker, the replayed merge re-applies the SAME
+        changes onto the merged state — a by-value no-op (whole-row
+        upserts are idempotent) — and then sets the marker.
+        """
+        import json as _json
+        import os as _os
+
+        from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import AppendResult
+
+        marker = _os.path.join(self._sink.root, "_commits", f"merge-{batch_id}.marker")
+        if _os.path.exists(marker):
+            return AppendResult(batch_id=batch_id, rows=0, already_exists=True)
+        keys = list(self.config.upsert_keys)
+        if self.config.upsert_order_col:
+            w = Window.partitionBy(*keys).orderBy(F.col(self.config.upsert_order_col).desc())
+            rows = rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        if self._sink.schema() is None or not self._sink.committed_ids() and not self._sink._latest_snapshot():
+            # first batch: nothing to merge onto — plain append seeds the table
+            result = self._sink.write_batch(rows, batch_id)
+            self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "seed": True}))
+            return result
+        self._sink.merge_rows(rows.sparkSession, rows, keys=keys)
+        self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id}))
+        return AppendResult(batch_id=batch_id, rows=-1)
 
     # -- batch entry (tests/backfill/bench) ---------------------------------
     def run_batch(self, df: DataFrame, batch_id: int = 0) -> BatchStats:
