@@ -87,6 +87,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q174_ivfpq_exact_topk",
     "q175_ivfpq_topk",
     "q176_sink_merge_upsert",
+    "q177_cdc_upsert_pipeline",
+    "q178_pmi_collocations",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -115,8 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q04_order_priority_check",
     "q05_supplier_region_volume",
     "q06_forecast_revenue",
-    "q07_customer_order_counts",
-    "q08_customers_without_orders",
 )
 
 

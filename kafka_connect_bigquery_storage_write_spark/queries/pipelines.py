@@ -604,3 +604,69 @@ def q176_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q177_cdc_upsert_pipeline",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rk
+      FROM events
+    )
+    SELECT user_id,
+           CAST(event_id AS BIGINT) AS last_event_id,
+           event_type               AS last_type,
+           round(value, 2)          AS last_value
+    FROM ranked WHERE rk = 1
+    ORDER BY user_id
+    """,
+)
+def q177_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC/upsert ingestion mode driver-visible end to end (q130
+    computes latest-state as a READ; this MATERIALIZES it through the
+    pipeline's keyed-MERGE write path): events are enveloped as keyed
+    changes (key user_id, change order event_id) and ingested in three
+    arrival-ordered micro-batches with ``upsert_keys`` set — each batch
+    reduces to its latest change per key, then MERGES onto the sink
+    (ManifestSinkTable.merge_rows under merge-marker idempotence). The
+    sink's final content must be exactly the globally-latest change per
+    user, which the oracle computes as one rank window over the source.
+    A lost insert, a stale replace, or a within-batch order slip all
+    change some user's surviving row.
+
+    Scale shape: per batch, one key-partitioned window + the COW merge;
+    arrival order across batches is the CDC log's own guarantee.
+    """
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = ensure_compute_parallelism(load_table(spark, sf_dir, "events"))
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    step = (hi + 2) // 3
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q177_")
+    cfg = PipelineConfig(
+        sink_path=f"{root}/sink", write_mode="committed",
+        upsert_keys=["user_id"], upsert_order_col="event_id",
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
+    for b in range(3):
+        batch = ev.filter((F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step))
+        pipe.run_batch(_encode_envelope(batch), batch_id=b)
+    return (
+        pipe.read_sink(spark)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -2081,3 +2081,80 @@ def q160_rare_phrase_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df", "gram")
     )
+
+
+@query(
+    "q178_pmi_collocations",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    bg0 AS (SELECT unnest(list_zip(t, t[2:])) AS p FROM d),
+    bg AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg0 WHERE p[2] IS NOT NULL),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    cl AS (SELECT w1, sum(c12) AS cl FROM c12 GROUP BY w1),
+    cr AS (SELECT w2, sum(c12) AS cr FROM c12 GROUP BY w2),
+    n AS (SELECT sum(c12) AS n FROM c12),
+    scored AS (
+      SELECT w1, w2, c12,
+             CAST(floor(ln((n * 1.0 * c12) / (cl * 1.0 * cr)) * 1000000.0 + 0.5) AS BIGINT) AS pmi_micro
+      FROM c12 JOIN cl USING (w1) JOIN cr USING (w2), n
+      WHERE c12 >= 5
+    )
+    SELECT w1, w2, CAST(c12 AS BIGINT) AS n_occurrences, pmi_micro
+    FROM scored
+    ORDER BY pmi_micro DESC, w1, w2
+    LIMIT 30
+    """,
+)
+def q178_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 collocations by pointwise mutual information — the phrase
+    detector that runs before tokenizer training folds multiword units
+    (Mikolov-style phrase mining): PMI = ln(N*c12 / (cL*cR)) over the
+    corpus bigram model, with a min-count floor (c12 >= 5) so rare
+    accidents don't dominate. Completes the bigram family: q144 counts
+    pairs, q155 scores documents, this ranks the PAIRS themselves.
+
+    Exactness: N, c12, cL, cR are exact integers small enough that
+    N*c12 and cL*cR are exactly-representable doubles (< 2^53 at any
+    fixture SF), so the division and ln are identical IEEE expressions
+    on both engines, fixed to micro-units (the q110/q156 recipe).
+
+    Scale shape: bigram extraction is the q155 zip_with projection; the
+    model tables live at bigram-vocabulary grain; the margins broadcast
+    back onto c12; top-30 is a TakeOrdered heap.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select(toks.alias("t"))
+    pairs = F.zip_with(
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = (
+        d.select(F.explode(pairs).alias("p"))
+        .where(F.col("p.w2").isNotNull())
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    cl = c12.groupBy("w1").agg(F.sum("c12").alias("cl"))
+    cr = c12.groupBy("w2").agg(F.sum("c12").alias("cr"))
+    n = c12.agg(F.sum("c12").alias("n"))
+    return (
+        c12.filter(F.col("c12") >= 5)
+        .join(F.broadcast(cl), "w1")
+        .join(F.broadcast(cr), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").alias("n_occurrences"),
+            F.floor(
+                F.log((F.col("n") * 1.0 * F.col("c12")) / (F.col("cl") * 1.0 * F.col("cr"))) * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(30)
+    )
