@@ -670,3 +670,141 @@ def q177_cdc_upsert_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_VARINT_WIDTH_SQL = """CASE
+        WHEN {v} < 128 THEN 1 WHEN {v} < 16384 THEN 2
+        WHEN {v} < 2097152 THEN 3 WHEN {v} < 268435456 THEN 4
+        WHEN {v} < 34359738368 THEN 5 WHEN {v} < 4398046511104 THEN 6
+        WHEN {v} < 562949953421312 THEN 7 WHEN {v} < 72057594037927936 THEN 8
+        WHEN {v} < 9223372036854775807 THEN 9 ELSE 10 END"""
+
+
+@query(
+    "q179_protobuf_wire_roundtrip",
+    oracle=f"""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      min(epoch_us(l_shipdate)) AS min_ship_us,
+      max(epoch_us(l_shipdate)) AS max_ship_us,
+      CAST(sum(
+        28
+        + {_VARINT_WIDTH_SQL.format(v='l_orderkey')}
+        + {_VARINT_WIDTH_SQL.format(v='epoch_us(l_shipdate)')}
+      ) AS BIGINT) AS wire_bytes
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q179_protobuf_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-Write payload parity made driver-visible: rows ride the real
+    proto2 wire format end to end inside the query.
+
+    Per Arrow batch the kernel (a) encodes each lineitem row against the
+    descriptor `sinks/protowire.py` derives from the Spark schema, (b)
+    frames the batch as one ``AppendRowsRequest`` — write_stream + offset
+    (Int64Value) + writer_schema (real DescriptorProto bytes) + ProtoRows
+    — exactly the frame the reference emits per
+    `BigqueryStreamWriter.java:281` append, (c) re-parses the frame and
+    decodes every row back, and emits ONLY frame-decoded values plus each
+    row's encoded byte count.  The DuckDB oracle recomputes the byte count
+    arithmetically from the wire spec (tag widths + varint widths + fixed64
+    + length-delimited), so a single mis-sized tag, length prefix, or
+    varint anywhere in the codec shifts ``wire_bytes`` and fails the hash.
+
+    Scale: encoding is batch-local Python (the documented jar-less trade,
+    like `sources/avro_container.py`); on a cluster `F.to_protobuf` with
+    ``descriptor_file_set`` bytes replaces the kernel one-for-one.  The
+    aggregation after the kernel is a plain partial-agg groupBy on two
+    1-char keys — no extra shuffle beyond the final 6-group exchange.
+    """
+    import pandas as pd
+
+    from kafka_connect_bigquery_storage_write_spark.sinks import protowire as pw
+
+    cols = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_linenumber", T.LongType()),
+            T.StructField("l_quantity", T.DoubleType()),
+            T.StructField("l_extendedprice", T.DoubleType()),
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("l_shipdate", T.TimestampType()),
+        ]
+    )
+    desc = pw.descriptor_for_spark_schema(cols, name="LineItem")
+    out_schema = T.StructType(
+        [
+            T.StructField("l_returnflag", T.StringType()),
+            T.StructField("l_linestatus", T.StringType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("ship_us", T.LongType()),
+            T.StructField("wire_bytes", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            ship_us = (pdf["l_shipdate"].astype("int64") // 1000).tolist()
+            rows = []
+            for i, t in enumerate(pdf.itertuples(index=False)):
+                rows.append(
+                    pw.encode_message(
+                        {
+                            "l_orderkey": int(t.l_orderkey),
+                            "l_linenumber": int(t.l_linenumber),
+                            "l_quantity": float(t.l_quantity),
+                            "l_extendedprice": float(t.l_extendedprice),
+                            "l_returnflag": t.l_returnflag,
+                            "l_linestatus": t.l_linestatus,
+                            "l_shipdate": ship_us[i],
+                        },
+                        desc,
+                    )
+                )
+            frame = pw.append_rows_request(
+                "projects/p/datasets/d/tables/lineitem/streams/_default",
+                rows,
+                offset=0,
+                writer_schema=desc,
+            )
+            parsed = pw.parse_append_rows_request(frame)
+            decoded = [pw.decode_message(r, desc) for r in parsed["rows"]]
+            yield pd.DataFrame(
+                {
+                    "l_returnflag": [d["l_returnflag"] for d in decoded],
+                    "l_linestatus": [d["l_linestatus"] for d in decoded],
+                    "qty": [int(d["l_quantity"]) for d in decoded],
+                    "ship_us": [d["l_shipdate"] for d in decoded],
+                    "wire_bytes": [len(r) for r in parsed["rows"]],
+                }
+            )
+
+    li = ensure_compute_parallelism(
+        load_table(spark, sf_dir, "lineitem").select([f.name for f in cols.fields])
+    )
+    wired = li.select(
+        F.col("l_orderkey").cast("long"),
+        F.col("l_linenumber").cast("long"),
+        F.col("l_quantity").cast("double"),
+        F.col("l_extendedprice").cast("double"),
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("timestamp"),
+    ).mapInPandas(kernel, schema=out_schema)
+    return (
+        wired.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qty").alias("sum_qty"),
+            F.min("ship_us").alias("min_ship_us"),
+            F.max("ship_us").alias("max_ship_us"),
+            F.sum("wire_bytes").alias("wire_bytes"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
