@@ -808,3 +808,62 @@ def q179_protobuf_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@query(
+    "q180_sink_bloom_pruned_read",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderkey) AS h FROM orders),
+    ks AS (
+      SELECT (SELECT max(o_orderkey) FROM orders, hi WHERE o_orderkey <= h // 4) AS k
+      UNION ALL
+      SELECT (SELECT max(o_orderkey) FROM orders, hi WHERE o_orderkey <= h // 2)
+      UNION ALL
+      SELECT (SELECT max(o_orderkey) FROM orders, hi WHERE o_orderkey <= 3 * (h // 4))
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+           CAST(round(CAST(o.o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+    FROM orders o JOIN ks ON o.o_orderkey = ks.k
+    ORDER BY o.o_orderkey
+    """,
+)
+def q180_sink_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookup made driver-visible (the skipping mode zone
+    maps cannot provide): orders land in the manifest sink as four batches
+    SCATTERED by ``o_orderkey % 4`` — every file's [min, max] straddles
+    every key, so range stats prune nothing — and three point reads go
+    through ``read(where=[("o_orderkey", "==", k)])``, where the per-file
+    Bloom filters written into the batch markers drop the three
+    non-owning files per key before any scan (no false negatives by
+    construction; ~1% false-positive keeps). The rows returned must equal
+    the plain SQL point lookups. File-count economics are pinned in
+    tests/test_sinks.py::test_bloom_skipping_prunes_scattered_keys; at
+    100 TB this is the difference between a point read opening ~fpp of
+    the files and opening all of them.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    hi = src.agg(F.max("o_orderkey")).first()[0]
+    keys = [
+        src.filter(F.col("o_orderkey") <= bound).agg(F.max("o_orderkey")).first()[0]
+        for bound in (hi // 4, hi // 2, 3 * (hi // 4))
+    ]
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q180_")
+    sink = ManifestSinkTable(
+        f"{root}/orders", write_mode="committed", bloom_columns=("o_orderkey",)
+    )
+    for b in range(4):
+        sink.write_batch(src.filter(F.pmod("o_orderkey", F.lit(4)) == b).coalesce(1), b)
+    out = None
+    for k in keys:
+        part = sink.read(spark, where=[("o_orderkey", "==", int(k))])
+        out = part if out is None else out.unionAll(part)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").alias("price"),
+    ).orderBy("o_orderkey")

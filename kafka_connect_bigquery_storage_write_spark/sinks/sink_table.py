@@ -168,10 +168,15 @@ def _stat_norm(v):
     return None
 
 
-def _collect_file_stats(data_dir: str, files: list[str]) -> list[dict]:
+def _collect_file_stats(
+    data_dir: str, files: list[str], bloom_columns: tuple[str, ...] = ()
+) -> list[dict]:
     """Per-file min/max column stats from parquet footers. A column whose
     statistics are missing in ANY row group (or whose type doesn't
-    normalize) gets no entry — readers keep such files, never wrong."""
+    normalize) gets no entry — readers keep such files, never wrong.
+    ``bloom_columns`` additionally get a per-file Bloom filter (one
+    column-pruned read of just those columns — the only stats pass that
+    touches data pages)."""
     import pyarrow.parquet as pq
 
     out: list[dict] = []
@@ -197,7 +202,18 @@ def _collect_file_stats(data_dir: str, files: list[str]) -> list[dict]:
                     bounds[col] = [min(bounds[col][0], mn), max(bounds[col][1], mx)]
                 else:
                     bounds[col] = [mn, mx]
-        out.append({"name": name, "rows": md.num_rows, "stats": bounds})
+        entry = {"name": name, "rows": md.num_rows, "stats": bounds}
+        want = [c for c in bloom_columns if c in (md.schema.names or [])]
+        if want:
+            tbl = pq.read_table(os.path.join(data_dir, name), columns=want)
+            blooms = {}
+            for c in want:
+                b = _bloom_build(tbl.column(c).to_pylist())
+                if b is not None:
+                    blooms[c] = b
+            if blooms:
+                entry["bloom"] = blooms
+        out.append(entry)
     return out
 
 
@@ -225,6 +241,89 @@ def _file_may_match(stats: dict, col: str, op: str, value) -> bool:
     return True
 
 
+# ---- bloom-filter file skipping (the Delta bloom-index rule) ---------------
+#
+# Zone maps prune RANGES; they are blind to point lookups on keys that are
+# SCATTERED across files (every file's [min, max] straddles every key — the
+# normal shape for surrogate ids under hash ingest). A per-file Bloom filter
+# over the configured columns answers "might this file contain k == v?" with
+# no false negatives, so a point read opens ~fpp of the files instead of all
+# of them. Stored inline in the manifest entry (m/k + base64 bits); built at
+# write time from the file's distinct keys (on a cluster the writing executor
+# returns it with the task result, like the stats). Only int/str columns are
+# bloomed — float equality is not a sane bloom key; other types fall back to
+# "keep". A column whose file exceeds the distinct cap gets no bloom (keep).
+
+_BLOOM_FPP = 0.01
+_BLOOM_MAX_DISTINCT = 200_000
+
+
+def _bloom_key_bytes(v) -> bytes | None:
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i:%d" % v
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    return None
+
+
+def _bloom_positions(key: bytes, m: int, k: int):
+    import hashlib
+
+    h = hashlib.blake2b(key, digest_size=16).digest()
+    h1 = int.from_bytes(h[:8], "little")
+    h2 = int.from_bytes(h[8:], "little") | 1  # odd => full-period double hashing
+    return ((h1 + i * h2) % m for i in range(k))
+
+
+def _bloom_build(values) -> dict | None:
+    """Bloom filter sized for ~_BLOOM_FPP over the distinct keys, or None
+    when the column isn't bloomable (no keys / too many / wrong types)."""
+    import base64
+    import math
+
+    keys = {b for b in (_bloom_key_bytes(v) for v in values) if b is not None}
+    if not keys or len(keys) > _BLOOM_MAX_DISTINCT:
+        return None
+    n = len(keys)
+    m = max(64, math.ceil(-n * math.log(_BLOOM_FPP) / (math.log(2) ** 2)))
+    m = (m + 7) // 8 * 8
+    k = max(1, round(m / n * math.log(2)))
+    bits = bytearray(m // 8)
+    for key in keys:
+        for p in _bloom_positions(key, m, k):
+            bits[p >> 3] |= 1 << (p & 7)
+    return {"m": m, "k": k, "b64": base64.b64encode(bytes(bits)).decode()}
+
+
+def _bloom_test(bloom: dict, value) -> bool:
+    """True = file may contain value; False ONLY when provably absent."""
+    import base64
+
+    key = _bloom_key_bytes(value)
+    if key is None:
+        return True
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[p >> 3] >> (p & 7) & 1 for p in _bloom_positions(key, bloom["m"], bloom["k"])
+    )
+
+
+def _entry_may_match(entry: dict, where: list[tuple] | None) -> bool:
+    """Combined zone-map + bloom file test for one manifest entry."""
+    if not where:
+        return True
+    stats = entry.get("stats") or {}
+    if not all(_file_may_match(stats, c, op, v) for c, op, v in where):
+        return False
+    blooms = entry.get("bloom") or {}
+    for c, op, v in where:
+        if op == "==" and c in blooms and not _bloom_test(blooms[c], v):
+            return False
+    return True
+
+
 @dataclass
 class ManifestSinkTable:
     root: str
@@ -235,6 +334,9 @@ class ManifestSinkTable:
     #   grows to the union, old files read the new columns as null. Type
     #   changes and dropping a required column are always rejected.
     schema_evolution: str = "frozen"
+    # columns that get a per-file Bloom filter in the manifest at write
+    # time (point-lookup skipping on scattered keys; int/str only)
+    bloom_columns: tuple[str, ...] = ()
     retry: RetryPolicy = field(default_factory=RetryPolicy)
 
     def __post_init__(self) -> None:
@@ -457,7 +559,7 @@ class ManifestSinkTable:
         # footer-only stats pass over this batch's files (data skipping)
         files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
         payload = json.dumps(
-            {"batch_id": batch_id, "dir": rel_dir, "files": _collect_file_stats(data_dir, files)}
+            {"batch_id": batch_id, "dir": rel_dir, "files": _collect_file_stats(data_dir, files, self.bloom_columns)}
         )
         marker = self._staged_marker(batch_id) if self.write_mode == "pending" else self._commit_marker(batch_id)
         if not self._atomic_create(marker, payload):
@@ -639,15 +741,17 @@ class ManifestSinkTable:
             if entries is None:
                 entries = [{"name": f, "rows": None, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
             for e in entries:
-                stats = e.get("stats") or {}
-                if all(_file_may_match(stats, c, op, v) for c, op, v in where):
+                if _entry_may_match(e, where):
                     cand_paths.append(os.path.join(base, e["name"]))
                 else:
-                    # untouched: pointer-copy (hardlink) + stats carryover
+                    # untouched: pointer-copy (hardlink) + stats/bloom carryover
                     name = f"keep-{k:05d}.parquet"
                     k += 1
                     os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
-                    kept_entries.append({"name": name, "rows": e.get("rows"), "stats": stats})
+                    kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
+                    if e.get("bloom"):
+                        kept["bloom"] = e["bloom"]
+                    kept_entries.append(kept)
         if cand_paths:
             cond = None
             for c, op, v in where:
@@ -662,7 +766,7 @@ class ManifestSinkTable:
                     os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
             shutil.rmtree(tmp_out, ignore_errors=True)
         rewritten = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet") and not f.startswith("keep-"))
-        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten)
+        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns)
         created = self._atomic_create(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
             json.dumps(
@@ -757,7 +861,7 @@ class ManifestSinkTable:
                     "index": n_snap,
                     "compacted_dirs": [new_dir],
                     "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
-                    "files": {new_dir: _collect_file_stats(out_dir, out_files)},
+                    "files": {new_dir: _collect_file_stats(out_dir, out_files, self.bloom_columns)},
                 }
             ),
         )
@@ -937,8 +1041,7 @@ class ManifestSinkTable:
             if entries is None:  # legacy layout: list, keep everything
                 entries = [{"name": f, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
             for e in entries:
-                stats = e.get("stats") or {}
-                if where is None or all(_file_may_match(stats, c, op, v) for c, op, v in where):
+                if _entry_may_match(e, where):
                     paths.append(os.path.join(base, e["name"]))
         return paths
 

@@ -727,3 +727,77 @@ def test_delete_where_pruned_rewrites_only_candidate_files(spark, tmp_path):
     assert sink.delete_where_pruned(spark, [("k", "==", 700)]) is not None
     assert sink.read(spark).filter("k = 700").count() == 0
     assert sink.read(spark).count() == 800 - 20 - 1
+
+
+def test_bloom_skipping_prunes_scattered_keys(spark, tmp_path):
+    """Bloom-index skipping (round 8): keys scattered by k % 4 make every
+    file's [min, max] straddle every key — zone maps keep ALL files — yet
+    a point read on a bloomed column must open (nearly) one file, with
+    zero false negatives, identical rows, and blooms surviving both
+    compaction and the hardlink carryover of file-level COW delete."""
+    sink = ManifestSinkTable(
+        str(tmp_path / "t"), write_mode="committed", bloom_columns=("k", "name")
+    )
+    for b in range(4):
+        df = spark.range(0, 4000).filter(f"id % 4 = {b}").selectExpr(
+            "id AS k", "concat('u-', cast(id AS string)) AS name", "id * 2 AS v"
+        ).coalesce(1)
+        sink.write_batch(df, b)
+    all_files = sink.visible_files()
+    assert len(all_files) == 4
+
+    # zone maps alone cannot prune a mid-range key (all ranges straddle it)
+    stats_only = [
+        e for m in sink._visible_manifests() for e in m["files"]
+    ]
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import _file_may_match
+
+    assert all(_file_may_match(e["stats"], "k", "==", 1998) for e in stats_only)
+
+    # bloom prunes to the single owning file (fpp may rarely keep 2)
+    pruned = sink.visible_files([("k", "==", 1998)])
+    assert 1 <= len(pruned) <= 2
+    got = sink.read(spark, where=[("k", "==", 1998)]).collect()
+    assert len(got) == 1 and got[0]["v"] == 3996
+
+    # string column blooms work the same way
+    assert 1 <= len(sink.visible_files([("name", "==", "u-1997")])) <= 2
+
+    # no false negatives: every present key keeps its owning file
+    for k in range(0, 4000, 97):
+        sub = sink.read(spark, where=[("k", "==", k)]).collect()
+        assert len(sub) == 1 and sub[0]["k"] == k
+
+    # absent keys (right dtype, never written) usually prune to zero files
+    missing = [sink.visible_files([("k", "==", k)]) for k in range(100_000, 100_050)]
+    assert sum(1 for m in missing if len(m) == 0) >= 45  # fpp 1% leaves slack
+
+    # blooms are rebuilt through compaction (clustered -> zone maps also help,
+    # but the bloom must exist and point reads still prune)
+    assert sink.compact(spark, target_files=4, order_by=["k"]) is not None
+    post = sink.visible_files()
+    assert 0 < len(sink.visible_files([("k", "==", 1998)])) < len(post)
+    assert sink.read(spark, where=[("k", "==", 1998)]).count() == 1
+
+    # file-level COW delete: untouched files carry their blooms via hardlink
+    sink2 = ManifestSinkTable(str(tmp_path / "t2"), write_mode="committed", bloom_columns=("k",))
+    for b in range(4):
+        df = spark.range(0, 4000).filter(f"id % 4 = {b}").selectExpr("id AS k", "id * 2 AS v").coalesce(1)
+        sink2.write_batch(df, b)
+    assert sink2.delete_where_pruned(spark, [("k", "==", 1998)]) is not None
+    assert sink2.read(spark).count() == 3999
+    kept = sink2.visible_files([("k", "==", 1999)])
+    assert 1 <= len(kept) <= 2, "bloom lost through hardlink carryover"
+    assert sink2.read(spark, where=[("k", "==", 1999)]).count() == 1
+
+
+def test_bloom_unbloomable_types_keep_files(spark, tmp_path):
+    """Float/unsupported bloom keys and un-bloomed columns degrade to
+    keep — never a wrong prune."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed", bloom_columns=("f", "k"))
+    df = spark.range(0, 100).selectExpr("id AS k", "cast(id AS double) / 7 AS f")
+    sink.write_batch(df.coalesce(1), 0)
+    # float column gets no bloom entry -> predicate keeps the file
+    assert len(sink.visible_files([("f", "==", 0.0)])) == 1
+    # bloomed int column still prunes nothing existing
+    assert len(sink.visible_files([("k", "==", 50)])) == 1
