@@ -867,3 +867,72 @@ def q180_sink_bloom_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").alias("price"),
     ).orderBy("o_orderkey")
+
+
+@query(
+    "q181_sink_zorder_read",
+    oracle="""
+    WITH b AS (
+      SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+             min(l_suppkey) AS smn, max(l_suppkey) AS smx
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(min(l_partkey) AS BIGINT) AS min_pk,
+           CAST(max(l_suppkey) AS BIGINT) AS max_sk
+    FROM lineitem, b
+    WHERE l_partkey >= b.pmn + (b.pmx - b.pmn) // 4
+      AND l_partkey <  b.pmn + (b.pmx - b.pmn) // 2
+      AND l_suppkey >= b.smn + (b.smx - b.smn) // 4
+      AND l_suppkey <  b.smn + (b.smx - b.smn) // 2
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q181_sink_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order compaction made driver-visible: lineitem lands in the sink
+    as four arbitrary batches, is compacted with
+    ``zorder_by=["l_partkey", "l_suppkey"]`` (Morton-interleaved layout —
+    every output file a tight rectangle in BOTH key dimensions), and a
+    2-D range read goes through ``read(where=...)`` so the zone maps of
+    the z-ordered files drive the prune. The aggregate must equal plain
+    SQL over the source; the files-opened economics (both single-dim
+    predicates prune, which linear clustering cannot give) are pinned in
+    tests/test_sinks.py::test_zorder_compaction_multi_column_skipping.
+    The Morton value is built from shiftleft/shiftright/bitwiseAND
+    column arithmetic only — the layout pass stays in whole-stage
+    codegen, no UDF.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_returnflag"
+    )
+    b = src.agg(
+        F.min("l_partkey").alias("pmn"), F.max("l_partkey").alias("pmx"),
+        F.min("l_suppkey").alias("smn"), F.max("l_suppkey").alias("smx"),
+    ).first()
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q181_")
+    sink = ManifestSinkTable(f"{root}/lineitem", write_mode="committed")
+    for i in range(4):
+        sink.write_batch(src.filter(F.pmod("l_orderkey", F.lit(4)) == i).coalesce(2), i)
+    assert sink.compact(spark, target_files=16, zorder_by=["l_partkey", "l_suppkey"]) is not None
+    where = [
+        ("l_partkey", ">=", b.pmn + (b.pmx - b.pmn) // 4),
+        ("l_partkey", "<", b.pmn + (b.pmx - b.pmn) // 2),
+        ("l_suppkey", ">=", b.smn + (b.smx - b.smn) // 4),
+        ("l_suppkey", "<", b.smn + (b.smx - b.smn) // 2),
+    ]
+    return (
+        sink.read(spark, where=where)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.min("l_partkey").alias("min_pk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -310,6 +310,37 @@ def _bloom_test(bloom: dict, value) -> bool:
     )
 
 
+def _zorder_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: int = 16):
+    """Morton/Z-value expression interleaving ``bits`` bits per column —
+    pure built-in column arithmetic (shiftleft/shiftright/bitwiseAND), so
+    the whole computation stays inside whole-stage codegen. Each column is
+    min/max-normalized into [0, 2^bits) first; the interleave puts bit b
+    of column i at position b*ncols+i, giving every output file a tight
+    hyper-rectangle in ALL named dimensions instead of only the leading
+    one (Delta OPTIMIZE ZORDER's rationale: multi-column zone-map
+    skipping survives the compaction)."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    top = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = bounds[c]
+        span = (mx - mn) or 1.0
+        scaled = F.least(
+            F.lit(top).cast("long"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                ((F.col(c).cast("double") - F.lit(mn)) * F.lit(top / span)).cast("long"),
+            ),
+        )
+        for b in range(bits):
+            z = z + F.shiftleft(
+                F.shiftright(scaled, b).bitwiseAND(F.lit(1).cast("long")), b * n + i
+            )
+    return z
+
+
 def _entry_may_match(entry: dict, where: list[tuple] | None) -> bool:
     """Combined zone-map + bloom file test for one manifest entry."""
     if not where:
@@ -625,7 +656,13 @@ class ManifestSinkTable:
         return sorted(entries)
 
     # -- maintenance -------------------------------------------------------
-    def compact(self, spark: SparkSession, target_files: int = 4, order_by: list[str] | None = None) -> int | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        target_files: int = 4,
+        order_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> int | None:
         """Merge everything visible into one compacted directory (the
         small-files fix). Readers before the snapshot rename see the old
         layout, readers after see the compacted one — never a mix: the
@@ -647,7 +684,9 @@ class ManifestSinkTable:
         commit normally. Returns the snapshot index, or None if there was
         nothing to compact.
         """
-        return self._rewrite_visible(spark, None, target_files, order_by, require_multiple=True)
+        return self._rewrite_visible(
+            spark, None, target_files, order_by, require_multiple=True, zorder_by=zorder_by
+        )
 
     def rewrite(
         self,
@@ -819,7 +858,9 @@ class ManifestSinkTable:
 
         return self.rewrite(spark, _merge, target_files=target_files, order_by=order_by)
 
-    def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple):
+    def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple, zorder_by=None):
+        if order_by and zorder_by:
+            raise ValueError("pass order_by or zorder_by, not both")
         batch_ids = self.committed_ids()
         prior_dirs, absorbed = self._snapshot_state()
         if require_multiple and len(batch_ids) + len(prior_dirs) <= 1:
@@ -845,7 +886,21 @@ class ManifestSinkTable:
             merged = fn(merged)
             if [f.name for f in merged.schema.fields] != [f.name for f in self.schema().fields]:
                 raise ValueError("rewrite transform must preserve the table schema")
-        if order_by:
+        if zorder_by:
+            from pyspark.sql import functions as F
+
+            row = merged.agg(
+                *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(zorder_by)],
+                *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(zorder_by)],
+            ).first()
+            bounds = {c: (row[f"mn_{i}"], row[f"mx_{i}"]) for i, c in enumerate(zorder_by)}
+            merged = (
+                merged.withColumn("__z", _zorder_expr(zorder_by, bounds))
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif order_by:
             merged = merged.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
         else:
             merged = merged.coalesce(target_files)

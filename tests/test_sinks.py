@@ -801,3 +801,56 @@ def test_bloom_unbloomable_types_keep_files(spark, tmp_path):
     assert len(sink.visible_files([("f", "==", 0.0)])) == 1
     # bloomed int column still prunes nothing existing
     assert len(sink.visible_files([("k", "==", 50)])) == 1
+
+
+def test_zorder_compaction_multi_column_skipping(spark, tmp_path):
+    """Z-ORDER clustered compaction (round 8): on a 2-D uniform grid,
+    linear clustering on x makes y-predicates unprunable (every file
+    straddles all of y); z-order interleaving gives every output file a
+    tight rectangle in BOTH dimensions, so narrow range predicates on x
+    alone AND on y alone each prune most files — and reads stay equal."""
+    import pyspark.sql.functions as F
+
+    def build(root, **compact_kw):
+        sink = ManifestSinkTable(str(root), write_mode="committed")
+        grid = spark.range(0, 64 * 64).selectExpr(
+            "id % 64 AS x", "id DIV 64 AS y", "id AS payload"
+        )
+        for b in range(2):
+            sink.write_batch(grid.filter(F.pmod("id", F.lit(2)) == b).coalesce(2), b)
+        assert sink.compact(spark, target_files=16, **compact_kw) is not None
+        return sink
+
+    linear = build(tmp_path / "lin", order_by=["x"])
+    z = build(tmp_path / "z", zorder_by=["x", "y"])
+
+    n_lin, n_z = len(linear.visible_files()), len(z.visible_files())
+    assert n_lin == 16 and n_z == 16
+    x_pred = [("x", ">=", 8), ("x", "<", 16)]
+    y_pred = [("y", ">=", 8), ("y", "<", 16)]
+
+    # linear: x prunes, y cannot (each x-sorted file spans all y)
+    assert len(linear.visible_files(x_pred)) <= 4
+    assert len(linear.visible_files(y_pred)) == n_lin
+
+    # z-order: BOTH dims prune (16 files over a 64x64 grid -> 4x4 tiles;
+    # an /8th-wide band intersects at most one tile row/column + slack)
+    zx, zy = len(z.visible_files(x_pred)), len(z.visible_files(y_pred))
+    assert zx <= 8 and zy <= 8, (zx, zy)
+    assert zy < n_z  # the property linear clustering cannot give
+
+    # correctness unchanged through the layout change
+    for pred, n_want in ((x_pred, 8 * 64), (y_pred, 8 * 64), (x_pred + y_pred, 8 * 8)):
+        got = sorted(r["payload"] for r in z.read(spark, where=pred).collect())
+        want = sorted(r["payload"] for r in linear.read(spark, where=pred).collect())
+        assert got == want and len(got) == n_want
+
+
+def test_zorder_rejects_order_by_combo(spark, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(spark.range(10).selectExpr("id AS x", "id AS y"), 0)
+    sink.write_batch(spark.range(10, 20).selectExpr("id AS x", "id AS y"), 1)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.compact(spark, order_by=["x"], zorder_by=["y"])
