@@ -1839,3 +1839,63 @@ class IvfPqIndex:
             self.coded, self.centroids, self.codebooks, self.floats, queries, k,
             query_id_col, vec_col, n_probe, rescore_factor,
         )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+def rademacher_matrix(in_dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic ±1 projection matrix seeded by md5("j:k") — the
+    Achlioptas database-friendly JL construction (signs instead of
+    Gaussians; the JL guarantee holds with the same distortion bound).
+    md5 is the one hash Spark, DuckDB, and Python compute identically,
+    so an oracle can re-derive the exact matrix in SQL."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[0], 16) < 8 else -1.0
+            for j in range(in_dim)
+        ]
+        for k in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    prefix: str = "p",
+    ndigits: int | None = 6,
+) -> DataFrame:
+    """Project ``vec_col`` (array<float|double>, length ``in_dim``) onto
+    ``out_dim`` Rademacher directions scaled by 1/sqrt(out_dim) (the JL
+    normalization: E[||x'||^2] = ||x||^2, so distances carry over
+    unbiased), emitting scalar columns ``{prefix}0..{prefix}{out_dim-1}``.
+
+    Scale: one narrow map pass — zip_with + aggregate higher-order folds
+    per output dim, all JVM-side inside whole-stage codegen; no shuffle,
+    no UDF, no driver traffic beyond the baked sign literals (in_dim ×
+    out_dim doubles). This is the standard pre-reduction before ANN on
+    wide embeddings: distances are preserved within (1±eps) while scanned
+    bytes drop by in_dim/out_dim.
+    """
+    import math
+
+    mat = rademacher_matrix(in_dim, out_dim)
+    scale = 1.0 / math.sqrt(out_dim)
+    vec = F.col(vec_col).cast("array<double>")
+    outs = []
+    for k in range(out_dim):
+        signs = F.array(*[F.lit(s) for s in mat[k]])
+        acc = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) * F.lit(scale)
+        outs.append(
+            (F.round(acc, ndigits) if ndigits is not None else acc).alias(f"{prefix}{k}")
+        )
+    return df.select("*", *outs)

@@ -753,3 +753,55 @@ def q175_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, k=5, n_lists=16, n_probe=4, n_subspaces=8, n_codes=16, rescore_factor=8
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q182_jl_projection",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, t.range AS j, CAST(embedding[t.range + 1] AS DOUBLE) AS x
+      FROM embeddings, range(64) t
+    ),
+    s AS (
+      SELECT tj.range AS j, tk.range AS k,
+             CASE WHEN strpos('01234567', substr(md5(tj.range || ':' || tk.range), 1, 1)) > 0
+                  THEN 1.0 ELSE -1.0 END AS sgn
+      FROM range(64) tj, range(8) tk
+    ),
+    p AS (
+      SELECT u.vec_id, s.k, sum(u.x * s.sgn) * (1.0 / sqrt(8.0)) AS v
+      FROM u JOIN s ON u.j = s.j
+      GROUP BY u.vec_id, s.k
+    )
+    SELECT vec_id,
+           round(sum(CASE WHEN k = 0 THEN v END), 6) AS p0,
+           round(sum(CASE WHEN k = 1 THEN v END), 6) AS p1,
+           round(sum(CASE WHEN k = 2 THEN v END), 6) AS p2,
+           round(sum(CASE WHEN k = 3 THEN v END), 6) AS p3,
+           round(sum(CASE WHEN k = 4 THEN v END), 6) AS p4,
+           round(sum(CASE WHEN k = 5 THEN v END), 6) AS p5,
+           round(sum(CASE WHEN k = 6 THEN v END), 6) AS p6,
+           round(sum(CASE WHEN k = 7 THEN v END), 6) AS p7
+    FROM p GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q182_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64 -> 8 dims, exact to the
+    hash: the Rademacher sign matrix is seeded by md5("j:k") so the
+    DuckDB oracle re-derives the IDENTICAL matrix in SQL (range x range
+    cross product + md5 first hex digit) and recomputes every projected
+    coordinate. Spark side is zip_with/aggregate folds over baked sign
+    literals — one narrow JVM pass, no shuffle, no UDF (contrast q60's
+    UDF surface); the operator is the standard width reduction before
+    ANN (scanned bytes drop 8x while pairwise distances hold within
+    1±eps — the JL lemma). Distance preservation is pinned in
+    tests/test_dedup_similarity.py.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return (
+        random_projection(emb, in_dim=64, out_dim=8)
+        .drop("embedding")
+        .orderBy("vec_id")
+    )

@@ -863,3 +863,33 @@ def test_ivfpq_index_save_load_query_identical(spark, sf_dir, tmp_path):
     g = sorted(map(tuple, grown.topk(queries, k=5, n_probe=8, rescore_factor=10**9).collect()))
     w = sorted(map(tuple, full.topk(queries, k=5, n_probe=8, rescore_factor=10**9).collect()))
     assert g == w and len(g) > 0
+
+
+def test_jl_projection_preserves_distances_unbiased(spark, sf_dir):
+    """JL pin for q182: under the 1/sqrt(out_dim) Rademacher projection,
+    squared-distance ratios are unbiased (mean ~ 1) — the lemma's E[.]
+    statement — and individually bounded on the fixture (8 dims is a
+    deliberately loose sketch; the operator's contract is unbiasedness +
+    an out_dim knob, not a fixed eps)."""
+    import numpy as np
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import random_projection
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = random_projection(emb, in_dim=64, out_dim=8, ndigits=None)
+    rows = proj.orderBy("vec_id").collect()
+    E = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    P = np.array([[r[f"p{k}"] for k in range(8)] for r in rows])
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, len(rows), size=(1000, 2))
+    ratios = []
+    for a, b in idx:
+        if a == b:
+            continue
+        d0 = float(np.sum((E[a] - E[b]) ** 2))
+        if d0 > 0:
+            ratios.append(float(np.sum((P[a] - P[b]) ** 2)) / d0)
+    r = np.array(ratios)
+    assert 0.8 < r.mean() < 1.2, r.mean()
+    assert r.min() > 0.02 and r.max() < 10.0, (r.min(), r.max())
