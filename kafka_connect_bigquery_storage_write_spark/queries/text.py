@@ -2158,3 +2158,57 @@ def q178_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(30)
     )
+
+
+@query(
+    "q183_group_disjoint_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN CAST('0x' || substr(md5(source), 1, 2) AS INT) % 10 < 8 THEN 'train'
+                  WHEN CAST('0x' || substr(md5(source), 1, 2) AS INT) % 10 < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_groups,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc
+    FROM tagged
+    GROUP BY split
+    ORDER BY split
+    """,
+)
+def q183_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-disjoint train/val/test split (80/10/10 by md5 of the
+    provenance group, not the document): every document of a source lands
+    in the same split by construction, so near-duplicates and templated
+    shards that cluster within a provenance domain can never straddle
+    train and eval — the leakage control q44's per-doc split cannot give.
+    Reproducible across runs/engines/cluster sizes (hash, not
+    randomSplit); disjointness itself is pinned in
+    tests/test_text.py::test_group_disjoint_split_no_straddle.
+
+    Scale: the split tag is a scalar hash on an existing column — no
+    shuffle is added at all; the only exchange is the final 3-group
+    aggregate. Group assignment stays balanced because md5 is uniform
+    over sources, and rebalancing only ever requires changing the bucket
+    thresholds, never data movement.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    bucket = F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("int") % 10
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_groups"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .orderBy("split")
+    )

@@ -199,3 +199,22 @@ def test_html_strip_roundtrip_property():
     out = df.select("text", html_strip(page).alias("back")).collect()
     for r in out:
         assert r["back"] == r["text"], (r["text"], r["back"])
+
+
+def test_group_disjoint_split_no_straddle(spark, sf_dir):
+    """q183's contract: no source appears in two splits, every doc is in
+    exactly one split, and all three splits are nonempty on the fixture."""
+    import pyspark.sql.functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("source"), 1, 2), 16, 10).cast("int") % 10
+    tagged = docs.withColumn(
+        "split", F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    per_source = tagged.groupBy("source").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_source)
+    assert tagged.count() == docs.count()
+    splits = {r["split"] for r in tagged.select("split").distinct().collect()}
+    assert splits == {"train", "val", "test"}
