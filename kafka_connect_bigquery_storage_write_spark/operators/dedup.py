@@ -912,3 +912,124 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src_id", "dst_id", "containment")
     )
+
+
+def prefix_filtered_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs at ``threshold`` via prefix filtering —
+    the AllPairs/PPJoin candidate economics (Bayardo et al. WWW'07; Xiao
+    et al. WWW'08) without MinHash's false-negative risk.
+
+    Principle: order every doc's shingles by ascending document frequency
+    (rarest first, (df, shingle) as the global total order). If
+    J(A,B) >= t then, since any qualifying partner has size >= ceil(t*|A|),
+    the required overlap is >= ceil(t*|A|) — so A and B must share a
+    shingle within their first ``|x| - ceil(t*|x|) + 1`` tokens. Joining
+    PREFIXES (a ~(1-t) fraction of each doc, made of its RAREST shingles)
+    instead of whole shingle sets collapses the candidate join's
+    Sum df^2 cost: the corpus-common shingles that dominate q31's join
+    fall in suffixes and never generate candidates. A symmetric length
+    filter (t*|A| <= |B| <= |A|/t) prunes further. Candidates are then
+    verified EXACTLY (full intersection count), so output == q31's
+    byte-for-byte; the candidate-count economics are pinned in
+    tests/test_dedup_similarity.py.
+
+    Scale: prefix length and df ordering are per-doc decisions off a
+    distinct-shingle df relation — no global rank, no window; the only
+    exchanges are the df join (by shingle), the prefix self-join (by rare
+    shingle), and the verify joins (by candidate doc id).
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n).persist()
+    sh.count()  # materialization barrier (see jaccard_near_dup_pairs)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df_s", "shingle"))).alias("toks"))
+        .withColumn("n_sh", F.size("toks"))
+        .withColumn(
+            "p",
+            F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + F.lit(1),
+        )
+    )
+    prefixes = per_doc.select(
+        id_col,
+        "n_sh",
+        F.explode(F.expr("transform(slice(toks, 1, p), t -> t.shingle)")).alias("shingle"),
+    )
+    a = prefixes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = prefixes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    sha = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    shb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def prefix_join_candidate_count(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3, threshold: float = 0.8
+) -> tuple[int, int]:
+    """(prefix-filtered candidate pairs, full shingle-join candidate pairs)
+    — the economics probe the tests pin. Not part of the query surface."""
+    sh = _exploded_shingles(df, id_col, text_col, n).persist()
+    sh.count()
+    full = (
+        sh.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.struct("df_s", "shingle"))).alias("toks"))
+        .withColumn("n_sh", F.size("toks"))
+        .withColumn("p", F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int") + F.lit(1))
+    )
+    prefixes = per_doc.select(
+        id_col, "n_sh",
+        F.explode(F.expr("transform(slice(toks, 1, p), t -> t.shingle)")).alias("shingle"),
+    )
+    a = prefixes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = prefixes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle")
+    pref = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    return pref, full

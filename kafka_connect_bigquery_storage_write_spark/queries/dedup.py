@@ -589,3 +589,30 @@ def q157_boilerplate_salvage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q184_ppjoin_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.8
+    ORDER BY id_a, id_b
+    """,
+)
+def q184_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs at 0.8 via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate economics): docs join only through the
+    rarest ``|x| - ceil(0.8|x|) + 1`` shingles of each doc (df-ascending
+    order) plus a symmetric length filter, then candidates are verified
+    exactly. Same answer as q31 — same oracle — but the candidate join no
+    longer pays Sum df^2 over corpus-common shingles, which is the term
+    that kills the plain shingle join at 1e9 docs; and unlike MinHash
+    (q32) there is NO false-negative probability to budget. Candidate
+    economics pinned in tests/test_dedup_similarity.py.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+        prefix_filtered_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filtered_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")

@@ -893,3 +893,26 @@ def test_jl_projection_preserves_distances_unbiased(spark, sf_dir):
     r = np.array(ratios)
     assert 0.8 < r.mean() < 1.2, r.mean()
     assert r.min() > 0.02 and r.max() < 10.0, (r.min(), r.max())
+
+
+def test_ppjoin_matches_plain_jaccard_and_prunes_candidates(spark, sf_dir):
+    """q184's two contracts: (a) EXACTNESS — prefix-filtered output equals
+    the plain shingle-join output byte-for-byte (no false negatives,
+    unlike MinHash); (b) ECONOMICS — the prefix join generates strictly
+    fewer candidate pairs than the full shingle join on the fixture."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+        jaccard_near_dup_pairs,
+        prefix_filtered_jaccard_pairs,
+        prefix_join_candidate_count,
+    )
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = sorted(map(tuple, jaccard_near_dup_pairs(docs, threshold=0.8).collect()))
+    pp = sorted(map(tuple, prefix_filtered_jaccard_pairs(docs, threshold=0.8).collect()))
+    assert pp == plain and len(pp) > 0
+
+    n_pref, n_full = prefix_join_candidate_count(docs, threshold=0.8)
+    assert n_pref < n_full, (n_pref, n_full)
+    # every emitted pair was a candidate
+    assert len(pp) <= n_pref
