@@ -2212,3 +2212,151 @@ def q183_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+@query(
+    "q185_trigram_backoff_lm",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    tg0 AS (SELECT doc_id, unnest(list_zip(t, t[2:], t[3:])) AS p FROM d),
+    tg AS (SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3
+           FROM tg0 WHERE p[3] IS NOT NULL),
+    tr AS (SELECT * FROM tg WHERE doc_id <= 250),
+    c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM tr GROUP BY 1, 2, 3),
+    c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c123 GROUP BY 1, 2),
+    c23 AS (SELECT w2, w3, count(*) AS c23 FROM tr GROUP BY 1, 2),
+    c2 AS (SELECT w2, sum(c23) AS c2 FROM c23 GROUP BY 1),
+    c3 AS (SELECT w3, count(*) AS c3 FROM tr GROUP BY 1),
+    nn AS (SELECT sum(c3) AS n FROM c3),
+    types AS (SELECT DISTINCT w1, w2, w3 FROM tg),
+    st AS (
+      SELECT t.w1, t.w2, t.w3,
+             CASE
+               WHEN a.c123 IS NOT NULL THEN 1
+               WHEN b.c23 IS NOT NULL THEN 2
+               WHEN u.c3 IS NOT NULL THEN 3
+               ELSE 4
+             END AS lvl,
+             CAST(floor(
+               CASE
+                 WHEN a.c123 IS NOT NULL THEN ln(g.c12 * 1.0 / a.c123)
+                 WHEN b.c23 IS NOT NULL THEN ln(5 * h.c2 * 1.0 / (2 * b.c23))
+                 WHEN u.c3 IS NOT NULL THEN ln(25 * nn.n * 1.0 / (4 * u.c3))
+                 ELSE ln(25 * nn.n * 1.0 / 4)
+               END * 1000000.0 + 0.5) AS BIGINT) AS s
+      FROM types t
+      LEFT JOIN c123 a USING (w1, w2, w3)
+      LEFT JOIN c12 g USING (w1, w2)
+      LEFT JOIN c23 b USING (w2, w3)
+      LEFT JOIN c2 h USING (w2)
+      LEFT JOIN c3 u USING (w3)
+      CROSS JOIN nn
+    )
+    SELECT tg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+           CAST(sum(CASE WHEN lvl >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo3,
+           floor(sum(s) * 1.0 / count(*) + 0.5) / 1000000.0 AS score
+    FROM tg JOIN st USING (w1, w2, w3)
+    GROUP BY tg.doc_id
+    ORDER BY tg.doc_id
+    """,
+)
+def q185_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram language-model score under STUPID BACKOFF
+    (Brants et al. 2007 — the large-corpus LM the Google n-gram pipeline
+    ran): S(w3|w1w2) = c123/c12, backing off to 0.4*c23/c2, then
+    0.4^2*c3/N, then 0.4^2/N for OOV — trained on the doc_id <= 250 half
+    so held-out docs genuinely exercise every backoff level (the oracle
+    counts per-level hits per doc). The quality gate one Markov order
+    above q155, and the realistic form: at web scale nobody normalizes
+    Kneser-Ney; stupid backoff is the published trade.
+
+    Exactness: 0.4 = 2/5 folds INTO the ln argument, so every score is
+    ln of an exact integer ratio (c12/c123, 5*c2/(2*c23), 25*N/(4*c3)) —
+    identical IEEE doubles on both engines (the q110/q155 recipe),
+    micro-fixed at distinct-TYPE grain, exact int64 doc sums, one final
+    division + portable half-up round.
+
+    Scale shape: model tables live at n-gram-type grain (c123 and its
+    marginals — the things that fit in a shuffle); scoring joins corpus
+    trigram instances to the type-grain score table on the trigram key.
+    No window, no doc x doc, no Python. Backoff chains that in
+    MapReduce-era pipelines took k passes are ONE multi-way left join.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("t"))
+    triples = F.zip_with(
+        F.zip_with(
+            F.col("t"),
+            F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        F.slice(F.col("t"), 3, F.greatest(F.size("t") - 2, F.lit(1))),
+        lambda xy, z: F.struct(xy.w1.alias("w1"), xy.w2.alias("w2"), z.alias("w3")),
+    )
+    tg = (
+        d.select("doc_id", F.explode(triples).alias("p"))
+        .where(F.col("p.w3").isNotNull())
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+    )
+    tr = tg.filter(F.col("doc_id") <= 250)
+    c123 = tr.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c123"))
+    c12 = c123.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"))
+    c23 = tr.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("c23"))
+    c2 = c23.groupBy("w2").agg(F.sum("c23").alias("c2"))
+    c3 = tr.groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
+    nn = c3.agg(F.sum("c3").alias("n"))
+    types = tg.select("w1", "w2", "w3").distinct()
+    lvl = (
+        F.when(F.col("c123").isNotNull(), 1)
+        .when(F.col("c23").isNotNull(), 2)
+        .when(F.col("c3").isNotNull(), 3)
+        .otherwise(4)
+    )
+    raw = (
+        F.when(
+            F.col("c123").isNotNull(),
+            F.log(F.col("c12").cast("double") / F.col("c123")),
+        )
+        .when(
+            F.col("c23").isNotNull(),
+            F.log((5 * F.col("c2")).cast("double") / (2 * F.col("c23"))),
+        )
+        .when(
+            F.col("c3").isNotNull(),
+            F.log((25 * F.col("n")).cast("double") / (4 * F.col("c3"))),
+        )
+        .otherwise(F.log((25 * F.col("n")).cast("double") / F.lit(4.0)))
+    )
+    st = (
+        types.join(c123, ["w1", "w2", "w3"], "left")
+        .join(c12, ["w1", "w2"], "left")
+        .join(c23, ["w2", "w3"], "left")
+        .join(c2, ["w2"], "left")
+        .join(c3, ["w3"], "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "w1", "w2", "w3",
+            lvl.alias("lvl"),
+            F.floor(raw * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("s"),
+        )
+    )
+    return (
+        tg.join(st, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("lvl") == 1).cast("long")).alias("n_hit"),
+            F.sum((F.col("lvl") == 2).cast("long")).alias("n_bo2"),
+            F.sum((F.col("lvl") >= 3).cast("long")).alias("n_bo3"),
+            F.sum("s").alias("_ssum"),
+        )
+        .select(
+            "doc_id", "n_trigrams", "n_hit", "n_bo2", "n_bo3",
+            (F.floor(F.col("_ssum") * F.lit(1.0) / F.col("n_trigrams") + F.lit(0.5)) / F.lit(1000000.0)).alias("score"),
+        )
+        .orderBy("doc_id")
+    )
