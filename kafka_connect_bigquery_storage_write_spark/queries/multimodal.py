@@ -810,3 +810,139 @@ def q166_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+@query(
+    "q186_video_scene_cuts",
+    oracle="""
+    WITH f AS (
+      SELECT d.doc_id, g.k,
+             CASE WHEN (d.doc_id * 31 + g.k * 17) % 5 = 0 THEN 1 ELSE 0 END AS cut
+      FROM documents d, generate_series(1, 7) g(k)
+    ),
+    s AS (
+      SELECT doc_id, k, cut,
+             sum(cut) OVER (PARTITION BY doc_id ORDER BY k) AS sk
+      FROM f
+    ),
+    lv AS (
+      SELECT doc_id, k, cut,
+             16 + 24 * ((doc_id + sk) % 7)        AS lev,
+             16 + 24 * ((doc_id + sk - cut) % 7)  AS prev_lev
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(sum(cut) AS BIGINT) AS n_cuts,
+           CAST(coalesce(sum(CASE WHEN cut = 1 THEN CAST(pow(2, k) AS BIGINT) END), 0) AS BIGINT) AS cut_mask,
+           CAST(coalesce(sum(CASE WHEN cut = 1 THEN abs(lev - prev_lev) END), 0) AS BIGINT) AS diff_sum
+    FROM lv
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q186_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection on REAL Y4M video — the
+    classic mean-absolute-luma-difference detector every video curation
+    pipeline runs before frame sampling, with a closed-form oracle: each
+    document gets an 8-frame clip whose planted scene structure (cut at
+    frame k iff (doc_id*31 + k*17) % 5 == 0; each scene's constant luma
+    level 16 + 24*((doc_id + scene) % 7)) guarantees consecutive scenes
+    differ by >= 24 luma while intra-scene diffs are exactly 0, so the
+    threshold-12 detector provably finds exactly the planted cuts. The
+    detector kernel sees only container bytes — it re-decodes the Y4M
+    (operators/videocodec.py), computes per-frame-pair mean |Y_t - Y_{t-1}|
+    from integer plane sums, and emits the cut count, a 2^k cut BITMASK
+    (order-exact, not just count-exact), and the integer sum of cut
+    magnitudes; the SQL oracle re-derives all three from the plant
+    arithmetic (cumulative-cut window for the scene index).
+
+    Scale shape: q147's — two mapInPandas passes, one 4.6KB clip per
+    row, detection is byte-local per clip, no shuffle until the final
+    orderBy.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    W_, H_, NF = 16, 12, 8
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.videocodec import encode_y4m
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                frames = []
+                scene = 0
+                for k in range(NF):
+                    if k >= 1 and (did * 31 + k * 17) % 5 == 0:
+                        scene += 1
+                    lev = 16 + 24 * ((did + scene) % 7)
+                    frames.append(
+                        {
+                            "y": np.full((H_, W_), lev, dtype=np.uint8),
+                            "cb": np.full((H_, W_), 128, dtype=np.uint8),
+                            "cr": np.full((H_, W_), 128, dtype=np.uint8),
+                        }
+                    )
+                payloads.append(encode_y4m(frames, W_, H_, chroma="444"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_frames", T.LongType(), False),
+            T.StructField("n_cuts", T.LongType(), False),
+            T.StructField("cut_mask", T.LongType(), False),
+            T.StructField("diff_sum", T.LongType(), False),
+        ]
+    )
+
+    def detect(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.videocodec import decode_y4m
+
+        npix = H_ * W_
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                frames, w, h, chroma = decode_y4m(bytes(p))
+                n_cuts = 0
+                cut_mask = 0
+                diff_sum = 0
+                for k in range(1, len(frames)):
+                    sad = int(
+                        np.abs(
+                            frames[k]["y"].astype(np.int64) - frames[k - 1]["y"].astype(np.int64)
+                        ).sum()
+                    )
+                    # mean abs diff > 12  <=>  SAD > 12 * npix (exact ints)
+                    if sad > 12 * npix:
+                        n_cuts += 1
+                        cut_mask += 1 << k
+                        diff_sum += sad // npix  # constant planes: exact level gap
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": len(frames),
+                        "n_cuts": n_cuts,
+                        "cut_mask": cut_mask,
+                        "diff_sum": diff_sum,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(detect, schema=out_schema).orderBy("doc_id")
