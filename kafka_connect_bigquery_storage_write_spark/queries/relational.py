@@ -2096,3 +2096,148 @@ def q158_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation, t.c_acctbal DESC, t.c_name
         """
     )
+
+
+@query(
+    "q187_winsorized_stats",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             row_number() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    kept AS (
+      SELECT l_returnflag, p, n
+      FROM r
+      WHERE rn > n // 20 AND rn <= n - n // 20
+    )
+    SELECT l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(round(sum(p), 2) AS DOUBLE) AS trimmed_sum,
+           CAST(min(p) AS DOUBLE) AS p05_floor,
+           CAST(max(p) AS DOUBLE) AS p95_ceil
+    FROM kept
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q187_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (5%-trimmed) group statistics by EXACT rank trimming — the
+    outlier-resistant aggregate a quality pipeline uses where plain means
+    get dragged by heavy tails. Percentile-function semantics differ
+    between engines (interpolation modes), so the airtight form trims by
+    row_number over a TOTAL order (value + unique key tiebreak): both
+    engines drop exactly the same floor(n/20) rows from each end.
+    Decimal(18,2) arithmetic end-to-end (the half-boundary recipe).
+
+    Scale: one window per group partition — the same shuffle the final
+    aggregate needs anyway; no second pass, no percentile sketch. For
+    groups too large for a single partition's sort, the rank trimming
+    degrades gracefully to approx_percentile bounds + a plain filter
+    (documented alternative, not needed at fixture scale).
+    """
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = W.partitionBy("l_returnflag").orderBy("p", "l_orderkey", "l_linenumber")
+    r = li.select(
+        "l_returnflag",
+        "p",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("l_returnflag")).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.floor(F.col("n") / 20)) & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 20))
+    )
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.max("n").alias("n_total"),
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("p"), 2).cast("double").alias("trimmed_sum"),
+            F.min("p").cast("double").alias("p05_floor"),
+            F.max("p").cast("double").alias("p95_ceil"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q188_equidepth_binning",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+             ntile(8) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(p) AS DOUBLE) AS lo,
+           CAST(max(p) AS DOUBLE) AS hi,
+           CAST(round(sum(p), 2) AS DOUBLE) AS mass,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f
+    FROM r
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def q188_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) feature binning, exact and DISTRIBUTED: the
+    SQL-standard ntile(8) row assignment over a total order (value +
+    unique-key tiebreak, so both engines place every row identically) —
+    the discretization step for histogram features / monotonic-binning
+    pipelines, with per-bin boundaries, mass, and a class count (the
+    inputs to WoE/IV scoring). No percentile interpolation anywhere.
+
+    Scale: the oracle writes ``ntile(8) OVER (ORDER BY ...)`` but the
+    Spark side does NOT use a global window (the single-task cliff the
+    AST guard in tests/test_plans.py bans): the global rank comes from
+    ``ranked_prefix_sum`` (range-partition + per-partition window +
+    P-row offset join) and the ntile bucket is recomputed from (rank, n)
+    with the standard remainder formula — first n%8 buckets get one
+    extra row. Exactly DuckDB's assignment, at any scale.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ranked_prefix_sum
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        "o_orderkey",
+        F.col("o_totalprice").alias("raw"),
+    )
+    ranked = ranked_prefix_sum(od, order=[F.col("raw"), F.col("o_orderkey")], rank_col="r")
+    n_total = od.agg(F.count(F.lit(1)).alias("n"))
+    base = F.floor(F.col("n") / 8)
+    rem = F.col("n") % 8
+    fat = rem * (base + 1)  # rows covered by the first n%8 (larger) buckets
+    bin_expr = (
+        F.when(F.col("r") <= fat, F.floor((F.col("r") - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((F.col("r") - fat - 1) / base) + 1)
+        .cast("int")
+    )
+    r = ranked.crossJoin(F.broadcast(n_total)).select(
+        "o_orderstatus", "p", bin_expr.alias("bin")
+    )
+    return (
+        r.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p").cast("double").alias("lo"),
+            F.max("p").cast("double").alias("hi"),
+            F.round(F.sum("p"), 2).cast("double").alias("mass"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        )
+        .orderBy("bin")
+    )
