@@ -2201,7 +2201,7 @@ def q188_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines, with per-bin boundaries, mass, and a class count (the
     inputs to WoE/IV scoring). No percentile interpolation anywhere.
 
-    Scale: the oracle writes ``ntile(8) OVER (ORDER BY ...)`` but the
+    Scale: the oracle writes a globally-ordered ntile(8) window, but the
     Spark side does NOT use a global window (the single-task cliff the
     AST guard in tests/test_plans.py bans): the global rank comes from
     ``ranked_prefix_sum`` (range-partition + per-partition window +
