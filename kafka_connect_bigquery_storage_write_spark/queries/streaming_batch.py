@@ -536,3 +536,67 @@ def q120_theta_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q189_cohort_retention",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cw FROM events GROUP BY user_id
+    ),
+    a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+    j AS (
+      SELECT a.user_id, f.cw,
+             CAST(date_diff('day', CAST(f.cw AS DATE), CAST(a.w AS DATE)) // 7 AS INT) AS off
+      FROM a JOIN f USING (user_id)
+    ),
+    c AS (SELECT cw, count(*) AS n_cohort FROM f GROUP BY cw)
+    SELECT CAST(CAST(j.cw AS DATE) AS VARCHAR) AS cohort_week,
+           off AS week_offset,
+           CAST(count(DISTINCT j.user_id) AS BIGINT) AS n_active,
+           CAST(max(c.n_cohort) AS BIGINT) AS n_cohort
+    FROM j JOIN c USING (cw)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q189_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product/engagement rollup:
+    users cohorted by their FIRST active ISO week, then each cohort's
+    distinct-active count at week offsets 0, 1, 2, ... (offset = exact
+    day difference of Monday-aligned week starts / 7, so both engines
+    bucket identically; week starts emitted as date STRINGS per the
+    cross-engine date gotcha). n_cohort rides along so retention rates
+    are a trivial downstream division.
+
+    Scale shape: first-activity is a min-aggregate (map-side combined)
+    keyed by user; activity distinct-ifies at (user, week) grain before
+    the join, so the join input is bounded by users x active-weeks, not
+    raw events; the final matrix is cohorts x offsets — tiny. One
+    shuffle on user_id (shared by both sides), one on the matrix key.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts").cast("timestamp")).alias("w")
+    )
+    first = ev.groupBy("user_id").agg(F.min("w").alias("cw"))
+    act = ev.distinct()
+    j = act.join(first, "user_id").select(
+        "user_id",
+        "cw",
+        F.floor(F.datediff(F.col("w").cast("date"), F.col("cw").cast("date")) / 7)
+        .cast("int")
+        .alias("off"),
+    )
+    cohorts = first.groupBy("cw").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        j.join(cohorts, "cw")
+        .groupBy(
+            F.col("cw").cast("date").cast("string").alias("cohort_week"),
+            F.col("off").alias("week_offset"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_active"),
+            F.max("n_cohort").alias("n_cohort"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
