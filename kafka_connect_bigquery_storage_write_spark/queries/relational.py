@@ -2241,3 +2241,83 @@ def q188_equidepth_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "q190_entity_resolution",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey + 1000000 AS d_key,
+             substr(c_name, 1, length(c_name) - 1) || 'X' AS d_name,
+             c_nationkey AS d_nation,
+             c_acctbal + 0.5 AS d_bal,
+             c_mktsegment AS d_seg
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    cand AS (
+      SELECT c.c_custkey AS a_key, d.d_key AS b_key,
+             levenshtein(c.c_name, d.d_name) AS lev,
+             abs(c.c_acctbal - d.d_bal) AS bal_gap
+      FROM customer c JOIN dirty d
+        ON c.c_nationkey = d.d_nation AND c.c_mktsegment = d.d_seg
+    ),
+    scored AS (
+      SELECT a_key, b_key,
+             (CASE WHEN lev <= 1 THEN 4 ELSE 0 END
+              + CASE WHEN bal_gap < 1.0 THEN 2 ELSE 0 END
+              + 2) AS score
+      FROM cand
+    )
+    SELECT a_key, b_key, CAST(score AS INT) AS score
+    FROM scored WHERE score >= 7
+    ORDER BY a_key, b_key
+    """,
+)
+def q190_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage / entity resolution with BLOCKING — the
+    Fellegi-Sunter shape every dedup-across-sources pipeline runs: a
+    deterministically perturbed copy of every 10th customer (key+1e6,
+    last name char swapped, balance shifted 0.5) is linked back against
+    the clean table. Candidates form only inside (nation, segment)
+    blocks — never the full n^2 — then field-agreement weights score
+    each candidate (name levenshtein <= 1 -> +4, balance gap < 1.0 ->
+    +2, block agreement +2) and threshold 7 decides matches. Every
+    planted duplicate scores 8 by construction; the oracle re-derives
+    the identical rule, so blocking, edit distance, and scoring are all
+    hash-checked.
+
+    Scale shape: the blocking join's cost is Sum over blocks of
+    |clean_b| x |dirty_b| — bounded by the blocking-key histogram
+    (~n^2/100 here, and in practice blocks are capped like q32's
+    max_df); the score is pure column arithmetic, no UDF; levenshtein
+    is a JVM builtin on short strings.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("b_key"),
+        F.concat(
+            F.substring(F.col("c_name"), 1, F.length("c_name") - 1), F.lit("X")
+        ).alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        (F.col("c_acctbal") + 0.5).alias("d_bal"),
+        F.col("c_mktsegment").alias("d_seg"),
+    )
+    cand = cust.join(
+        dirty,
+        (F.col("c_nationkey") == F.col("d_nation"))
+        & (F.col("c_mktsegment") == F.col("d_seg")),
+    )
+    score = (
+        F.when(F.levenshtein("c_name", "d_name") <= 1, 4).otherwise(0)
+        + F.when(F.abs(F.col("c_acctbal") - F.col("d_bal")) < 1.0, 2).otherwise(0)
+        + F.lit(2)
+    )
+    return (
+        cand.select(
+            F.col("c_custkey").alias("a_key"),
+            "b_key",
+            score.cast("int").alias("score"),
+        )
+        .filter(F.col("score") >= 7)
+        .orderBy("a_key", "b_key")
+    )
