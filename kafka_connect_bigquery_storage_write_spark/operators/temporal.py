@@ -22,9 +22,15 @@ def asof_join(
     right_ts: str,
     right_payload: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, the latest right row with right_ts <= left_ts,
-    matched within the ``by`` key (backward as-of join, ties match).
+    """For each left row, the latest right row with right_ts <= left_ts
+    (``direction="backward"``, the default; ties match) or the earliest
+    right row with right_ts >= left_ts (``direction="forward"``) —
+    matched within the ``by`` key. Both directions are the SAME one
+    shuffle + one sort; forward flips the tie order and reads the
+    following frame instead of the preceding one. (The "nearest"
+    variant composes the two — see q191.)
 
     Mechanics: tag + union both sides, window-sort by (ts, right-first),
     carry the right payload forward as one struct via last(ignorenulls)
@@ -37,6 +43,8 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError("asof_join supports inner/left")
+    if direction not in ("backward", "forward"):
+        raise ValueError("asof_join direction must be backward|forward")
     payload = F.struct(*[F.col(c) for c in right_payload])
     r = right.select(
         F.col(by).alias("_k"),
@@ -54,9 +62,16 @@ def asof_join(
     )
     r_aligned = r.select("_k", "_ts", "_is_right", "_payload", *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}") for c in left_cols])
     unioned = l.unionByName(r_aligned)
-    # right rows sort before left rows at equal ts so ties match (>= semantics)
-    w = W.partitionBy("_k").orderBy(F.col("_ts"), F.col("_is_right").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
-    matched = unioned.withColumn("_match", F.last("_payload", ignorenulls=True).over(w)).filter(F.col("_is_right") == 0)
+    if direction == "backward":
+        # right rows sort before left rows at equal ts so ties match (>= semantics)
+        w = W.partitionBy("_k").orderBy(F.col("_ts"), F.col("_is_right").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+        match_expr = F.last("_payload", ignorenulls=True).over(w)
+    else:
+        # right rows sort after left rows at equal ts so the current-row-
+        # anchored following frame still sees an equal-ts right (ties match)
+        w = W.partitionBy("_k").orderBy(F.col("_ts"), F.col("_is_right").asc()).rowsBetween(W.currentRow, W.unboundedFollowing)
+        match_expr = F.first("_payload", ignorenulls=True).over(w)
+    matched = unioned.withColumn("_match", match_expr).filter(F.col("_is_right") == 0)
     if how == "inner":
         matched = matched.filter(F.col("_match").isNotNull())
     return matched.select(

@@ -731,3 +731,77 @@ def q163_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@query(
+    "q191_asof_directions",
+    oracle="""
+    WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT c.event_id, max(p.p_ts) AS b_ts
+      FROM clicks c JOIN p ON p.user_id = c.user_id AND p.p_ts <= c.ts
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT c.event_id, min(p.p_ts) AS f_ts
+      FROM clicks c JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts
+      GROUP BY 1
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(b.b_ts) AS b_us,
+           epoch_us(f.f_ts) AS f_us,
+           CASE WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN 'none'
+                WHEN f.f_ts IS NULL THEN 'b'
+                WHEN b.b_ts IS NULL THEN 'f'
+                WHEN epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts) THEN 'b'
+                ELSE 'f' END AS nearest
+    FROM clicks c LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    ORDER BY c.event_id
+    """,
+)
+def q191_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join DIRECTION variants — backward (latest right at-or-
+    before), forward (earliest right at-or-after), and the composed
+    nearest pick (smaller absolute gap, ties backward): the full match
+    vocabulary pandas merge_asof exposes, here on asof_join's
+    union+window machinery so BOTH directions cost exactly one shuffle
+    and one sort each (forward just flips the tie order and reads the
+    following frame — no extra join, no per-row lookups). Gaps compare
+    in exact integer microseconds; the oracle re-derives both directions
+    as correlated min/max joins.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    back = asof_join(
+        clicks, purchases.select("user_id", F.col("p_ts").alias("b_ts"), F.col("p_ts")),
+        by="user_id", left_ts="ts", right_ts="p_ts", right_payload=["b_ts"],
+        how="left", direction="backward",
+    )
+    fwd = asof_join(
+        clicks.select("event_id", "user_id", "ts"),
+        purchases.select("user_id", F.col("p_ts").alias("f_ts"), F.col("p_ts")),
+        by="user_id", left_ts="ts", right_ts="p_ts", right_payload=["f_ts"],
+        how="left", direction="forward",
+    ).select("event_id", "f_ts")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    joined = back.join(fwd, "event_id", "left")
+    nearest = (
+        F.when(F.col("b_ts").isNull() & F.col("f_ts").isNull(), "none")
+        .when(F.col("f_ts").isNull(), "b")
+        .when(F.col("b_ts").isNull(), "f")
+        .when(us("ts") - us("b_ts") <= us("f_ts") - us("ts"), "b")
+        .otherwise("f")
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        us("b_ts").alias("b_us"),
+        us("f_ts").alias("f_us"),
+        nearest.alias("nearest"),
+    ).orderBy("event_id")
