@@ -62,6 +62,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # then the r4-latest stragglers (q49/q98/q97), then the r5-latest cohort
 # in registration order until the window holds exactly 50. The r5
 # remainder + r6-latest cohort lead round 9.
+#
+# Mid-round update: q179-q191 (thirteen queries added in the round-8
+# continuation session) also have zero official rows, so they join the
+# zero-row block ahead of q49/q98/q97; the r5 cohort tail shrinks to
+# keep the window at exactly 50. Displaced r5 names stay next in the
+# round-9 rotation order.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (added late in r7; sim-green) ---
     "q155_bigram_surprisal",
@@ -89,6 +95,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q176_sink_merge_upsert",
     "q177_cdc_upsert_pipeline",
     "q178_pmi_collocations",
+    # --- new in the round-8 continuation (zero official rows) ---
+    "q179_protobuf_wire_roundtrip",
+    "q180_sink_bloom_pruned_read",
+    "q181_sink_zorder_read",
+    "q182_jl_projection",
+    "q183_group_disjoint_split",
+    "q184_ppjoin_jaccard_pairs",
+    "q185_trigram_backoff_lm",
+    "q186_video_scene_cuts",
+    "q187_winsorized_stats",
+    "q188_equidepth_binning",
+    "q189_cohort_retention",
+    "q190_entity_resolution",
+    "q191_asof_directions",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -104,19 +124,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q43_quality_filter",
     "q57_repetition_signals",
     "q66_mixture_sampling",
-    "q74_tfidf_top_terms",
-    "q75_pii_scrub",
-    "q79_sequence_packing",
-    "q80_document_chunking",
-    "q82_stratified_sample",
-    "q96_vocab_encode",
-    "q72_avro_ingest_roundtrip",
-    "q01_pricing_summary",
-    "q02_filtered_scan",
-    "q03_shipping_priority",
-    "q04_order_priority_check",
-    "q05_supplier_region_volume",
-    "q06_forecast_revenue",
 )
 
 
