@@ -583,6 +583,26 @@ def bilinear_resize(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return np.floor(out + 0.5).astype(np.uint8)
 
 
+def box_downsample(img: np.ndarray, factor: int) -> np.ndarray:
+    """Integer box-filter (area) downsample by an exact divisor.
+
+    Each ``factor x factor`` block collapses to the floor of its mean —
+    pure integer arithmetic, so the result is bit-reproducible across
+    platforms and expressible in SQL (the q192 oracle recomputes it from
+    the planted pixel formula). This is the thumbnailing resample every
+    image-curation pipeline runs before feature extraction; for
+    non-divisor targets use :func:`bilinear_resize`.
+    """
+    h, w = img.shape[:2]
+    if factor <= 0 or h % factor or w % factor:
+        raise ValueError(f"factor {factor} must evenly divide {h}x{w}")
+    c = img.shape[2] if img.ndim == 3 else 1
+    blocks = img.reshape(h // factor, factor, w // factor, factor, c).astype(np.int64)
+    out = blocks.sum(axis=(1, 3)) // (factor * factor)
+    out = out.astype(np.uint8)
+    return out if img.ndim == 3 else out[..., 0]
+
+
 def image_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
     """Deterministic pixel feature: resize to the smallest square grid
     covering ``dim``, integer luma (299/587/114 per mille, floor), first

@@ -1899,3 +1899,76 @@ def random_projection(
             (F.round(acc, ndigits) if ndigits is not None else acc).alias(f"{prefix}{k}")
         )
     return df.select("*", *outs)
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hardest-negative / hardest-positive mining for contrastive training.
+
+    For each anchor: the highest-cosine candidate with a DIFFERENT label
+    (the hard negative a triplet/InfoNCE batch builder wants) and the
+    highest-cosine candidate with the SAME label, plus the margin between
+    them (negative margin = the anchor's neighborhood is dominated by
+    another class — a label-noise signal).
+
+    Scale: broadcast(anchors) x corpus like cosine_topk, but the per-anchor
+    argmax is ONE hash aggregate, not a rank window — and it stays a
+    whole-stage-codegen HashAggregate (a struct-typed max falls back to
+    SortAggregate) because each candidate packs into a single BIGINT key:
+
+        key = (round(cos*1e6) + 1e6) * 2^40 + (2^40 - 1 - id)
+
+    Bias keeps the key non-negative; bigger cosine wins, ties prefer the
+    smaller id via the complement; max is 2e6*2^40 ~ 2.2e18 < 2^63. The
+    decode (div / pmod by 2^40) is exact integer arithmetic, so the
+    reported cosine is micro/1e6 — bit-identical in any engine. Holds to
+    id < 2^40 and nothing exchanges except |A| groups of 8-byte partials.
+    At 1e9 corpus rows, swap the crossJoin for IVF/LSH candidate
+    generation (IvfIndex.probe) and keep the reducer unchanged.
+    """
+    SHIFT = 1 << 40
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_avec"),
+    )
+    c = ensure_compute_parallelism(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("_nlabel"),
+            F.col(vec_col).alias("_cvec"),
+        )
+    )
+    cm = (F.round(cosine(F.col("_avec"), F.col("_cvec")) * 1000000.0).cast("long") + F.lit(1000000)).alias("_cm")
+    key = (F.col("_cm") * F.lit(SHIFT) + (F.lit(SHIFT - 1) - F.col("neighbor_id"))).alias("_key")
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .select("anchor_id", "anchor_label", "_nlabel", "neighbor_id", cm)
+        .select("anchor_id", "anchor_label", "_nlabel", key)
+    )
+    same = F.col("_nlabel") == F.col("anchor_label")
+    agg = scored.groupBy("anchor_id", "anchor_label").agg(
+        F.max(F.when(same, F.col("_key"))).alias("_pk"),
+        F.max(F.when(~same, F.col("_key"))).alias("_nk"),
+    )
+
+    def unpack(k: str, id_name: str, cos_name: str) -> list:
+        micro = F.expr(f"{k} div {SHIFT}") - F.lit(1000000)
+        rid = F.lit(SHIFT - 1) - F.pmod(F.col(k), F.lit(SHIFT))
+        return [rid.alias(id_name), (micro.cast("double") / 1000000.0).alias(cos_name)]
+
+    return agg.select(
+        "anchor_id",
+        "anchor_label",
+        *unpack("_pk", "pos_id", "pos_cos"),
+        *unpack("_nk", "neg_id", "neg_cos"),
+        (
+            (F.expr(f"_pk div {SHIFT}") - F.expr(f"_nk div {SHIFT}")).cast("double") / 1000000.0
+        ).alias("margin"),
+    )

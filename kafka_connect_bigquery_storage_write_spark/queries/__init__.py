@@ -68,6 +68,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # zero-row block ahead of q49/q98/q97; the r5 cohort tail shrinks to
 # keep the window at exactly 50. Displaced r5 names stay next in the
 # round-9 rotation order.
+#
+# Second continuation update: q192-q196 (five more new-this-round
+# queries, zero official rows) extend the same block; five more r5
+# fills (q45/q46/q43/q57/q66) roll to the round-9 rotation head.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (added late in r7; sim-green) ---
     "q155_bigram_surprisal",
@@ -109,6 +113,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q189_cohort_retention",
     "q190_entity_resolution",
     "q191_asof_directions",
+    "q192_image_resize_checksum",
+    "q193_hard_negative_mining",
+    "q194_sparse_cosine_topk",
+    "q195_ewma_user_scores",
+    "q196_bitext_margin_mining",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -119,11 +128,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q41_language_histogram",
     "q42_top_tokens",
     "q44_train_test_split",
-    "q45_token_budget",
-    "q46_winnow_fingerprints",
-    "q43_quality_filter",
-    "q57_repetition_signals",
-    "q66_mixture_sampling",
 )
 
 

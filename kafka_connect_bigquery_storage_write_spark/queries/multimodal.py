@@ -946,3 +946,127 @@ def q186_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(detect, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q192_image_resize_checksum",
+    oracle="""
+    WITH g AS (
+      SELECT d.doc_id, y.y, x.x, c.c
+      FROM documents d,
+           generate_series(0, 11) y(y),
+           generate_series(0, 15) x(x),
+           generate_series(0, 2)  c(c)
+    ),
+    o AS (
+      SELECT doc_id, y, x, c,
+        (  (doc_id*7 + (((2*y  )*32 + 2*x    )*3 + c)*13) % 256
+         + (doc_id*7 + (((2*y  )*32 + 2*x + 1)*3 + c)*13) % 256
+         + (doc_id*7 + (((2*y+1)*32 + 2*x    )*3 + c)*13) % 256
+         + (doc_id*7 + (((2*y+1)*32 + 2*x + 1)*3 + c)*13) % 256
+        ) // 4 AS v
+      FROM g
+    )
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'png' END AS fmt,
+           CAST(12 AS INT) AS out_h,
+           CAST(16 AS INT) AS out_w,
+           CAST(count(*) AS BIGINT)                        AS n_px,
+           CAST(sum(v) AS BIGINT)                          AS px_sum,
+           CAST(sum(((y*16 + x)*3 + c) * v) AS BIGINT)     AS px_weighted
+    FROM o
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q192_image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (thumbnailing), oracle-checked to the pixel —
+    the resample step every image-curation pipeline runs between decode
+    and feature extraction, pinned with q132's closed-form economics.
+
+    Per document a 32x24 RGB image with planted pixels
+    (doc_id*7 + idx*13) % 256 is encoded into a real container
+    (doc_id mod 3 -> PPM / BMP / PNG), then a separate kernel decodes it
+    and 2x box-downsamples with operators/imagecodec.box_downsample —
+    each 2x2 block collapses to floor(mean), pure integer arithmetic —
+    and reports count/sum/index-weighted-sum over the 16x12 result. The
+    SQL oracle recomputes the identical 4-tap floor-mean from the pixel
+    formula, so any decode drift, block misalignment, channel swap, or
+    rounding difference in the resampler shifts the weighted sum.
+
+    Scale shape: q132's — two mapInPandas passes over Arrow batches,
+    per-row state one 2.3KB image, zero shuffle until the final orderBy.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    W, H = 32, 24
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import encode_bmp, encode_png, encode_ppm
+
+        idx = np.arange(H * W * 3, dtype=np.int64)
+        for pdf in batches:
+            payloads, fmts = [], []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 7 + idx * 13) % 256).astype(np.uint8).reshape(H, W, 3)
+                m = doc_id % 3
+                if m == 0:
+                    payloads.append(encode_ppm(img))
+                    fmts.append("ppm")
+                elif m == 1:
+                    payloads.append(encode_bmp(img))
+                    fmts.append("bmp")
+                else:
+                    payloads.append(encode_png(img, filter_mode="mixed"))
+                    fmts.append("png")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fmt": fmts, "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("out_h", T.IntegerType(), False),
+            T.StructField("out_w", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("px_sum", T.LongType(), False),
+            T.StructField("px_weighted", T.LongType(), False),
+        ]
+    )
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import box_downsample, decode_image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, fmt, p in zip(pdf["doc_id"], pdf["fmt"], pdf["payload"]):
+                small = box_downsample(decode_image(bytes(p)), 2)
+                flat = small.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "fmt": fmt,
+                        "out_h": small.shape[0],
+                        "out_w": small.shape[1],
+                        "n_px": int(flat.size),
+                        "px_sum": int(flat.sum()),
+                        "px_weighted": int((np.arange(flat.size, dtype=np.int64) * flat).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(resize, schema=out_schema).orderBy("doc_id")

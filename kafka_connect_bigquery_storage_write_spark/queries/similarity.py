@@ -805,3 +805,175 @@ def q182_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("embedding")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "q193_hard_negative_mining",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label, embedding AS ae
+      FROM embeddings WHERE vec_id < 100
+    ),
+    c AS (SELECT vec_id AS neighbor_id, label AS nl, embedding AS ce FROM embeddings),
+    s AS (
+      SELECT anchor_id, anchor_label, nl,
+             (CAST(round({_DOT.format(a='ae', b='ce')}
+                   / ({_NORM.format(a='ae')} * {_NORM.format(a='ce')}) * 1000000) AS BIGINT)
+              + 1000000) * 1099511627776
+             + (1099511627775 - neighbor_id) AS key
+      FROM a CROSS JOIN c
+      WHERE neighbor_id <> anchor_id
+    ),
+    g AS (
+      SELECT anchor_id, anchor_label,
+             max(CASE WHEN nl =  anchor_label THEN key END) AS pk,
+             max(CASE WHEN nl <> anchor_label THEN key END) AS nk
+      FROM s
+      GROUP BY anchor_id, anchor_label
+    )
+    SELECT anchor_id, anchor_label,
+           CAST(1099511627775 - (pk % 1099511627776) AS BIGINT)            AS pos_id,
+           CAST((pk // 1099511627776) - 1000000 AS DOUBLE) / 1000000.0     AS pos_cos,
+           CAST(1099511627775 - (nk % 1099511627776) AS BIGINT)            AS neg_id,
+           CAST((nk // 1099511627776) - 1000000 AS DOUBLE) / 1000000.0     AS neg_cos,
+           CAST((pk // 1099511627776) - (nk // 1099511627776) AS DOUBLE) / 1000000.0 AS margin
+    FROM g
+    ORDER BY anchor_id
+    """,
+)
+def q193_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training batches — for each
+    of 100 anchors, the highest-cosine DIFFERENT-label candidate (the
+    hard negative), the highest-cosine same-label candidate, and the
+    micro-exact margin between them; a negative margin flags probable
+    label noise.
+
+    Scale: the per-anchor argmax is a single whole-stage-codegen
+    HashAggregate over a PACKED BIGINT key
+    (biased-micro-cosine * 2^40 + id-complement — a struct-typed max
+    would fall back to SortAggregate); partial map-side, no rank window,
+    only |A| 8-byte partials cross the wire (contrast q35, where top-K
+    NEEDS the window). The oracle re-derives the identical packing, so
+    cosines, tie-breaks, and margins are exact integer arithmetic in
+    both engines. At 1e9 corpus rows the crossJoin swaps for
+    IvfIndex.probe candidate generation with this reducer unchanged.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import hard_negative_mining
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 100)
+    return hard_negative_mining(emb, anchors).orderBy("anchor_id")
+
+
+@query(
+    "q196_bitext_margin_mining",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id AS x_id, embedding AS xe FROM embeddings
+      WHERE vec_id % 2 = 0 AND vec_id < 200
+    ),
+    y AS (SELECT vec_id AS y_id, embedding AS ye FROM embeddings WHERE vec_id % 2 = 1),
+    s AS (
+      SELECT x_id, y_id,
+             round({_DOT.format(a='xe', b='ye')}
+                   / ({_NORM.format(a='xe')} * {_NORM.format(a='ye')}), 6) AS cosine
+      FROM x CROSS JOIN y
+    ),
+    rx AS (
+      SELECT x_id, cosine,
+             row_number() OVER (PARTITION BY x_id ORDER BY cosine DESC, y_id) AS r
+      FROM s
+    ),
+    ax AS (
+      SELECT x_id,
+             (max(CASE WHEN r = 1 THEN cosine END) + max(CASE WHEN r = 2 THEN cosine END)
+            + max(CASE WHEN r = 3 THEN cosine END) + max(CASE WHEN r = 4 THEN cosine END)) / 4.0 AS xavg
+      FROM rx WHERE r <= 4 GROUP BY x_id
+    ),
+    ry AS (
+      SELECT y_id, cosine,
+             row_number() OVER (PARTITION BY y_id ORDER BY cosine DESC, x_id) AS r
+      FROM s
+    ),
+    ay AS (
+      SELECT y_id,
+             (max(CASE WHEN r = 1 THEN cosine END) + max(CASE WHEN r = 2 THEN cosine END)
+            + max(CASE WHEN r = 3 THEN cosine END) + max(CASE WHEN r = 4 THEN cosine END)) / 4.0 AS yavg
+      FROM ry WHERE r <= 4 GROUP BY y_id
+    ),
+    m AS (
+      SELECT s.x_id, s.y_id, s.cosine,
+             round(2.0 * s.cosine / (ax.xavg + ay.yavg), 6) AS margin
+      FROM s JOIN ax USING (x_id) JOIN ay USING (y_id)
+    ),
+    best AS (
+      SELECT x_id,
+             max(struct_pack(m := margin, i := -y_id, c := cosine)) AS b
+      FROM m GROUP BY x_id
+    )
+    SELECT x_id,
+           CAST(-struct_extract(b, 'i') AS BIGINT) AS y_id,
+           struct_extract(b, 'c') AS cosine,
+           struct_extract(b, 'm') AS margin
+    FROM best
+    ORDER BY x_id
+    """,
+)
+def q196_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (the ratio-margin criterion from
+    the public bitext-mining literature): even vec_ids act as the source
+    side, odd as the target pool; each source picks the target maximizing
+    cosine normalized by BOTH sides' mean top-4 neighborhoods — raw
+    cosine alone over-selects hub vectors, the two-sided margin cancels
+    hubness. All statistics are in-batch: both neighborhood means derive
+    from the ONE anchors x pool score matrix, so nothing beyond it is
+    ever computed.
+
+    Parity: cosines round to 6dp first; each top-4 mean sums exactly four
+    rank-pivoted doubles in a fixed expression order (r1+r2+r3+r4 — no
+    aggregation-order reassociation); margin is one divide + round.
+    Scale: broadcast(anchors) x pool for the matrix, two rank windows
+    (keys = |X| and |Y|, skew-free), argmax is a struct-max hash
+    aggregate, map-side partial.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 200)).select(
+        F.col("vec_id").alias("x_id"), F.col("embedding").alias("_xe")
+    )
+    y = ensure_compute_parallelism(
+        emb.filter(F.col("vec_id") % 2 == 1).select(F.col("vec_id").alias("y_id"), F.col("embedding").alias("_ye"))
+    )
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine
+
+    s = (
+        y.crossJoin(F.broadcast(x))
+        .withColumn("cosine", F.round(cosine(F.col("_xe"), F.col("_ye")), 6))
+        .select("x_id", "y_id", "cosine")
+        .persist()
+    )
+    s.count()  # barrier: three consumers (two rank windows + the margin join)
+
+    def top4_mean(side: str, order_other: str) -> DataFrame:
+        w = W.partitionBy(side).orderBy(F.col("cosine").desc(), F.col(order_other))
+        r = s.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 4)
+        pick = lambda k: F.max(F.when(F.col("r") == k, F.col("cosine")))
+        return r.groupBy(side).agg(
+            ((pick(1) + pick(2) + pick(3) + pick(4)) / 4.0).alias(f"{side[0]}avg")
+        )
+
+    ax = top4_mean("x_id", "y_id")
+    ay = top4_mean("y_id", "x_id")
+    m = (
+        s.join(ax, "x_id")
+        .join(ay, "y_id")
+        .withColumn("margin", F.round(2.0 * F.col("cosine") / (F.col("xavg") + F.col("yavg")), 6))
+    )
+    best = m.groupBy("x_id").agg(
+        F.max(F.struct(F.col("margin").alias("m"), (-F.col("y_id")).alias("i"), F.col("cosine").alias("c"))).alias("_b")
+    )
+    return best.select(
+        "x_id",
+        (-F.col("_b.i")).alias("y_id"),
+        F.col("_b.c").alias("cosine"),
+        F.col("_b.m").alias("margin"),
+    ).orderBy("x_id")

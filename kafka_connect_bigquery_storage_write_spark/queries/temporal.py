@@ -805,3 +805,52 @@ def q191_asof_directions(spark: SparkSession, sf_dir: str) -> DataFrame:
         us("f_ts").alias("f_us"),
         nearest.alias("nearest"),
     ).orderBy("event_id")
+
+
+@query(
+    "q195_ewma_user_scores",
+    oracle="""
+    WITH t AS (
+      SELECT user_id,
+             CAST(floor(date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') / 7) AS BIGINT) AS w,
+             CAST(round(value * 1000000) AS BIGINT) AS vmic
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(CAST(sum(vmic * (1 << CAST(4 - w AS INT))) AS DOUBLE) / 16000000.0, 6) AS ewma_score
+    FROM t
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q195_ewma_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per user (half-life one
+    week, as-of 2024-01-31) — the freshness weighting behind decayed
+    engagement ranking and recency-weighted mixture sampling.
+
+    Exactness across engines: the half-life weight is a POWER OF TWO
+    (2^(4 - weeks_ago), weeks_ago in 0..4 over the 30-day fixture), so
+    each term value_micros * 2^k is an exact BIGINT — the decayed sum is
+    reassociation-free in any aggregation order; the single float step
+    is the final divide/round. Scale: one hash aggregate with map-side
+    partials, nothing shuffles but (user, 8-byte partial); the grain
+    generalizes (day-grain half-life => weight 2^(span-days_ago)) until
+    span*|value| approaches 2^63, at which point split the sum by epoch.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = F.lit("2024-01-31").cast("date")
+    t = ev.select(
+        "user_id",
+        F.floor(F.datediff(ref, F.col("ts").cast("date")) / 7).cast("long").alias("w"),
+        F.round(F.col("value") * 1000000).cast("long").alias("vmic"),
+    )
+    term = F.col("vmic") * F.expr("shiftleft(1L, CAST(4 - w AS INT))")
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(term).cast("double") / 16000000.0, 6).alias("ewma_score"),
+        )
+        .orderBy("user_id")
+    )

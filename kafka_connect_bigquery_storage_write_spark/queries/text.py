@@ -2360,3 +2360,127 @@ def q185_trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q194_sparse_cosine_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS term
+      FROM t
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    df AS (SELECT term, count(*) AS df FROM sh GROUP BY term),
+    -- prune corpus-common shingles (df <= 10% of docs): stop-shingle
+    -- removal AND the posting-join bound in one rule
+    w AS (
+      SELECT sh.doc_id, sh.term,
+             CAST(round(ln(n.n_docs * 1.0 / df.df) * 1000) AS BIGINT) AS iw
+      FROM sh JOIN df USING (term) CROSS JOIN n
+      WHERE df.df * 10 <= n.n_docs
+    ),
+    norms AS (SELECT doc_id, sum(iw * iw) AS nsq FROM w GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, sum(a.iw * b.iw) AS dot
+      FROM w a JOIN w b USING (term)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    sym AS (
+      SELECT d1 AS doc_id, d2 AS neighbor_id, dot FROM dots
+      UNION ALL
+      SELECT d2 AS doc_id, d1 AS neighbor_id, dot FROM dots
+    ),
+    scored AS (
+      SELECT s.doc_id, s.neighbor_id,
+             round(CAST(s.dot AS DOUBLE)
+                   / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))), 6) AS sim
+      FROM sym s
+      JOIN norms n1 ON n1.doc_id = s.doc_id
+      JOIN norms n2 ON n2.doc_id = s.neighbor_id
+    ),
+    ranked AS (
+      SELECT doc_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def q194_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-retrieval related documents: top-3 neighbors per document by
+    IDF-weighted shingle cosine through inverted-posting joins — the
+    sparse twin of q35's dense ANN (lexical retrieval needs no
+    embeddings and catches overlaps embeddings miss). Terms are distinct
+    3-word shingles with binary tf; weight = round(ln(N/df)*1e3) as
+    BIGINT, so dots and norm-squares are exact integer sums in any order
+    — the one float step is a final sqrt/divide/round,
+    reassociation-free (cross-engine parity by construction).
+
+    Scale: postings shuffle (8-byte xxhash64 shingle, doc, 8-byte
+    weight), never documents; candidate volume is sum df^2 over the
+    pruned vocabulary (df <= 10% of N — stop-shingle removal and the
+    q31/PPJoin join bound in one rule; measured sum df^2 = 54k at
+    sf0.01, 2.8M at sf0.1); norms are doc-grain scalars joined back onto
+    pairs. The DuckDB oracle keeps string terms — ln(N/df) depends only
+    on df, so the 8-byte hash substitution changes nothing (collision
+    odds ~n_distinct^2/2^65, the q31 trade).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import _exploded_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    sh = _exploded_shingles(docs, "doc_id", "text", 3)
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ilog = F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000).cast("long")
+    w = (
+        sh.join(df, "shingle")
+        .filter(F.col("df") * 10 <= F.lit(n_docs))
+        .select("doc_id", "shingle", ilog.alias("iw"))
+        .persist()
+    )
+    w.count()  # barrier: norms and the posting self-join both consume w
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("iw") * F.col("iw")).alias("nsq"))
+    a = w.select(F.col("doc_id").alias("d1"), "shingle", F.col("iw").alias("iw1"))
+    b = w.select(F.col("doc_id").alias("d2"), "shingle", F.col("iw").alias("iw2"))
+    dots = (
+        a.join(b, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.sum(F.col("iw1") * F.col("iw2")).alias("dot"))
+    )
+    sym = dots.select(F.col("d1").alias("doc_id"), F.col("d2").alias("neighbor_id"), "dot").unionAll(
+        dots.select(F.col("d2").alias("doc_id"), F.col("d1").alias("neighbor_id"), "dot")
+    )
+    n1 = norms.select(F.col("doc_id"), F.col("nsq").alias("nsq1"))
+    n2 = norms.select(F.col("doc_id").alias("neighbor_id"), F.col("nsq").alias("nsq2"))
+    scored = (
+        sym.join(n1, "doc_id")
+        .join(n2, "neighbor_id")
+        .withColumn(
+            "sim",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("nsq1").cast("double")) * F.sqrt(F.col("nsq2").cast("double"))),
+                6,
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rw = W.partitionBy("doc_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "neighbor_id", "sim", "rank")
+        .orderBy("doc_id", "rank")
+    )

@@ -530,3 +530,31 @@ def test_jpeg_rejects_malformed():
         encode_jpeg_gray(np.zeros((4, 4, 3), dtype=np.uint8))
     with pytest.raises(ValueError, match="1..255"):
         encode_jpeg_gray(img, qtable=0)
+
+
+def test_box_downsample_matches_naive_blocks():
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import box_downsample
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(12, 8, 3), dtype=np.uint8)
+    for f in (1, 2, 4):
+        out = box_downsample(img, f)
+        assert out.shape == (12 // f, 8 // f, 3)
+        for y in range(12 // f):
+            for x in range(8 // f):
+                for c in range(3):
+                    block = img[y * f : (y + 1) * f, x * f : (x + 1) * f, c].astype(np.int64)
+                    assert out[y, x, c] == int(block.sum()) // (f * f)
+
+
+def test_box_downsample_grayscale_and_bad_factor():
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import box_downsample
+
+    g = np.arange(24, dtype=np.uint8).reshape(4, 6)
+    out = box_downsample(g, 2)
+    assert out.shape == (2, 3)
+    assert out[0, 0] == (0 + 1 + 6 + 7) // 4
+    with pytest.raises(ValueError):
+        box_downsample(g, 5)
+    with pytest.raises(ValueError):
+        box_downsample(g, 0)

@@ -479,3 +479,48 @@ def test_q153_no_per_bucket_keyed_window(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning(bucket" in line:
             raise AssertionError(f"bucket-keyed exchange found: {line}")
+
+
+def test_q193_argmax_is_aggregate_not_window(spark, sf_dir):
+    """Hard-negative mining's per-anchor argmax must be the struct-max
+    hash aggregate (map-side partial, |A| groups on the wire), never a
+    rank window over the scored pairs; anchors must broadcast."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q193_hard_negative_mining")
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # broadcast(anchors) x corpus
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) >= 2, plan  # partial+final
+
+
+def test_q194_posting_join_on_hash_no_cartesian(spark, sf_dir):
+    """Sparse cosine must pair documents through the shingle posting join
+    (8-byte xxhash64 keys), never any nested-loop/cartesian shape."""
+    plan = _plan(spark, sf_dir, "q194_sparse_cosine_topk")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "xxhash64" in plan, plan  # shingles travel as 64-bit hashes
+
+
+def test_q195_single_aggregate_no_join(spark, sf_dir):
+    """The decayed score is one hash aggregate with map-side partials:
+    no join, no window, exactly one key exchange."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q195_ewma_user_scores")
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    exchanges = [l for l in plan.splitlines() if re.search(r"\bExchange hashpartitioning", l)]
+    assert len(exchanges) <= 1, plan
+
+
+def test_q196_two_rank_windows_argmax_aggregate(spark, sf_dir):
+    """Bitext margin mining: exactly the two neighborhood rank windows
+    (keys |X| and |Y|); the final best-pair argmax must stay a struct-max
+    aggregate, not a third window."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q196_bitext_margin_mining")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "CartesianProduct" not in plan, plan
