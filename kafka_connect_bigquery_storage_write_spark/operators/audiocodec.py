@@ -146,3 +146,25 @@ def audio_fingerprint(samples: np.ndarray, n_frames: int = 16) -> tuple[int, np.
         if int(e[f]) * n_frames > total:
             sig |= 1 << f
     return sig, e
+
+
+def decimate(samples: np.ndarray, factor: int) -> np.ndarray:
+    """Integer box decimation by an exact divisor along the frame axis —
+    the sample-rate reduction step of an audio curation pipeline (16k ->
+    8k before feature extraction), as int16-exact arithmetic: each group
+    of ``factor`` frames collapses per channel to floor(mean), computed
+    in shifted unsigned space (u = v + 32768; out = sum(u)//factor -
+    32768) so the division is on non-negative integers — where floor and
+    truncation agree — making the result bit-reproducible and
+    SQL-expressible (the q200 oracle recomputes it from the planted
+    sample formula). A real anti-aliasing decimator slots in above this;
+    the box mean is the first-order version with the same data movement.
+    """
+    n = samples.shape[0]
+    if factor <= 0 or n % factor:
+        raise ValueError(f"factor {factor} must evenly divide {n} frames")
+    ch = samples.shape[1] if samples.ndim == 2 else 1
+    u = samples.reshape(n // factor, factor, ch).astype(np.int64) + 32768
+    out = u.sum(axis=1) // factor - 32768
+    out = out.astype(np.int16)
+    return out if samples.ndim == 2 else out[:, 0]

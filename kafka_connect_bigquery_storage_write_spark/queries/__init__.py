@@ -69,9 +69,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # keep the window at exactly 50. Displaced r5 names stay next in the
 # round-9 rotation order.
 #
-# Second continuation update: q192-q196 (five more new-this-round
-# queries, zero official rows) extend the same block; five more r5
-# fills (q45/q46/q43/q57/q66) roll to the round-9 rotation head.
+# Second continuation update: q192-q200 (nine more new-this-round
+# queries, zero official rows) extend the same block; nine more r5
+# fills (q45/q46/q43/q57/q66/q42/q44/q40/q41) roll to the round-9
+# rotation head.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (added late in r7; sim-green) ---
     "q155_bigram_surprisal",
@@ -118,16 +119,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q194_sparse_cosine_topk",
     "q195_ewma_user_scores",
     "q196_bitext_margin_mining",
+    "q197_sink_stats_only_agg",
+    "q198_phrase_blocklist",
+    "q199_k_anonymity_audit",
+    "q200_audio_decimate_checksum",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
     "q97_gap_filled_hourly",
     # --- newest official row is r5; registration order, fills to 50 ---
     "q105_contamination_scores",
-    "q40_text_stats",
-    "q41_language_histogram",
-    "q42_top_tokens",
-    "q44_train_test_split",
 )
 
 

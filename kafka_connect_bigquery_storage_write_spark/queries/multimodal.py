@@ -1070,3 +1070,101 @@ def q192_image_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(resize, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q200_audio_decimate_checksum",
+    oracle="""
+    WITH s AS (
+      SELECT d.doc_id, g.j,
+             (d.doc_id * 31 + (2*g.j)   * 17) % 65536 AS u1,
+             (d.doc_id * 31 + (2*g.j+1) * 17) % 65536 AS u2
+      FROM documents d, generate_series(0, 999) g(j)
+    ),
+    o AS (SELECT doc_id, j, (u1 + u2) // 2 - 32768 AS v FROM s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)    AS n_out,
+           CAST(sum(v) AS BIGINT)      AS out_sum,
+           CAST(sum(j * v) AS BIGINT)  AS out_weighted,
+           CAST(sum(v * v) AS BIGINT)  AS out_energy
+    FROM o
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q200_audio_decimate_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample (2x decimation 16k -> 8k), oracle-checked to
+    the sample — the audio twin of q192's image resize, completing the
+    geometry-changing ops over decoded media. Each document's 2000-sample
+    WAV (q142's planted formula) is encoded to a real RIFF container,
+    re-decoded, and box-decimated by 2 with
+    operators/audiocodec.decimate — pairs collapse to floor(mean) in
+    shifted unsigned space, exact integer arithmetic — and the kernel
+    reports count/sum/index-weighted-sum/energy over the 1000-sample
+    result; the oracle recomputes the identical shifted halving from the
+    plant. Any header drift, sample misalignment, or rounding difference
+    in the decimator shifts the weighted sum.
+
+    Scale shape: q142's — two mapInPandas passes, one 4KB clip per row,
+    byte-local kernels, no shuffle until the final orderBy.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    N = 2000
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import encode_wav
+
+        idx = np.arange(N, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                flat = ((int(doc_id) * 31 + idx * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav(flat.reshape(N, 1), rate=16_000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_out", T.LongType(), False),
+            T.StructField("out_sum", T.LongType(), False),
+            T.StructField("out_weighted", T.LongType(), False),
+            T.StructField("out_energy", T.LongType(), False),
+        ]
+    )
+
+    def resample(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import decimate, decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(p))
+                assert rate == 16_000
+                out = decimate(samples, 2).reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_out": int(out.size),
+                        "out_sum": int(out.sum()),
+                        "out_weighted": int((np.arange(out.size, dtype=np.int64) * out).sum()),
+                        "out_energy": int((out * out).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(resample, schema=out_schema).orderBy("doc_id")

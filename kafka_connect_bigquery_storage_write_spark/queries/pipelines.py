@@ -936,3 +936,53 @@ def q181_sink_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q197_sink_stats_only_agg",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           min(o_totalprice)               AS min_price,
+           max(o_totalprice)               AS max_price
+    FROM orders
+    """,
+)
+def q197_sink_stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only aggregation made driver-visible (the Iceberg/Delta
+    metadata-scan): orders land in a ManifestSinkTable as three key-range
+    batches, then count/min/max are answered by ``stats_agg`` from the
+    MANIFEST ALONE — no Spark job, no parquet data file is ever opened —
+    and must equal plain SQL over the source. Any stats drift through the
+    write -> footer -> marker -> snapshot chain (truncation, a lost file,
+    a row-count mismatch, min/max swapped) changes the answer. The
+    zero-files-opened property is pinned in tests/test_sinks.py by
+    DELETING the data files and asking again; at 100 TB this aggregate
+    costs one manifest read instead of a table scan.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = src.agg(F.max("o_orderkey")).first()[0] + 1
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q197_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed")
+    step = (hi + 2) // 3
+    for b in range(3):
+        sink.write_batch(
+            src.filter((F.col("o_orderkey") >= b * step) & (F.col("o_orderkey") < (b + 1) * step)).coalesce(2),
+            b,
+        )
+    s = sink.stats_agg(["o_orderkey", "o_totalprice"])
+    row = [
+        (
+            int(s["rows"]),
+            int(s["min"]["o_orderkey"]),
+            int(s["max"]["o_orderkey"]),
+            float(s["min"]["o_totalprice"]),
+            float(s["max"]["o_totalprice"]),
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_rows long, min_key long, max_key long, min_price double, max_price double"
+    )

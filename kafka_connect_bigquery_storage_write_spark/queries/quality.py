@@ -102,3 +102,70 @@ def q135_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+@query(
+    "q199_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+      SELECT c_custkey,
+             c_nationkey,
+             c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    grp AS (
+      SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS k
+      FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+    )
+    SELECT CASE WHEN k = 1 THEN 'k=1 (unique)'
+                WHEN k < 5 THEN 'k in 2..4'
+                WHEN k < 10 THEN 'k in 5..9'
+                ELSE 'k >= 10' END AS risk_bucket,
+           CAST(count(*) AS BIGINT)  AS n_groups,
+           CAST(sum(k) AS BIGINT)    AS n_individuals,
+           CAST(min(k) AS BIGINT)    AS min_k,
+           CAST(max(k) AS BIGINT)    AS max_k
+    FROM grp
+    GROUP BY 1
+    ORDER BY min_k
+    """,
+)
+def q199_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the re-identification
+    risk profile a privacy review runs before releasing or training on
+    user-adjacent data: individuals whose (nation, segment,
+    balance-band) combination is unique (k=1) are directly
+    re-identifiable; the query buckets every equivalence class by its k
+    and counts exposed individuals per risk tier. (q75 scrubs direct
+    identifiers; this measures the INDIRECT ones scrubbing can't fix —
+    the two halves of the standard privacy pass.)
+
+    Scale: one hash aggregate at QI-group grain (groups, not people, on
+    the wire), then a second tiny aggregate over |groups| rows; banding
+    the continuous column is plain column arithmetic, and generalizing
+    a QI (coarser bands) to raise k re-runs only this plan.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    grp = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(F.count(F.lit(1)).alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, "k=1 (unique)")
+        .when(F.col("k") < 5, "k in 2..4")
+        .when(F.col("k") < 10, "k in 5..9")
+        .otherwise("k >= 10")
+    )
+    return (
+        grp.groupBy(bucket.alias("risk_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("k").alias("n_individuals"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("min_k")
+    )

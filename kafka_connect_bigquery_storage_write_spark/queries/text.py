@@ -2439,7 +2439,11 @@ def q194_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
-    sh = _exploded_shingles(docs, "doc_id", "text", 3)
+    # persist the exploded postings: the shingling regex is the CPU hot
+    # spot, and BOTH the df aggregate and the weight join consume sh —
+    # without the barrier the explode (and regex) runs twice
+    sh = _exploded_shingles(docs, "doc_id", "text", 3).persist()
+    sh.count()
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ilog = F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000).cast("long")
     w = (
@@ -2483,4 +2487,91 @@ def q194_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "neighbor_id", "sim", "rank")
         .orderBy("doc_id", "rank")
+    )
+
+
+# Blocklist phrases for q198 — literal in BOTH engines so the match
+# semantics (token-boundary n-gram equality, overlap-counting) are pinned
+# by construction, not by regex-dialect luck.
+_BLOCK2 = ("slow table", "fast scan", "key agg", "data column", "hash join", "sort merge")
+_BLOCK3 = ("table table table", "scan scan slow")
+
+
+@query(
+    "q198_phrase_blocklist",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS g
+      FROM t
+    ),
+    g3 AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(toks)-2),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+      FROM t
+    ),
+    p AS (
+      SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _BLOCK2 + _BLOCK3)}) v(g)
+    ),
+    u AS (SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+    SELECT p.g AS phrase,
+           CAST(count(u.doc_id) AS BIGINT)          AS n_hits,
+           CAST(count(DISTINCT u.doc_id) AS BIGINT) AS n_docs
+    FROM p LEFT JOIN u USING (g)
+    GROUP BY p.g
+    ORDER BY phrase
+    """,
+)
+def q198_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-phrase auditing — the multi-pattern filter every web
+    curation pipeline runs (banned phrases, boilerplate markers, template
+    signatures): per phrase, total occurrences and distinct documents hit,
+    counted at TOKEN-BOUNDARY n-gram grain (overlap-correct; substring
+    regexes undercount self-overlapping phrases like 'table table table'
+    because non-overlapping regex scans consume shared delimiters).
+
+    Scale: the phrase table broadcasts (a blocklist is KB-to-MB); the
+    document side explodes length-partitioned n-grams only for the
+    lengths the blocklist contains (2 and 3 here) and the broadcast hash
+    join drops non-matching grams before any shuffle — the only exchange
+    is |phrases| count partials. For blocklists of thousands of mixed
+    lengths, the same plan holds (one explode per distinct length); an
+    Aho-Corasick pandas kernel only wins when the pattern set outgrows
+    broadcast, and keeps this query's oracle.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks")
+    )
+    g2 = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), i -> concat(toks[i], ' ', toks[i+1])) ELSE array() END")
+        ).alias("g"),
+    )
+    g3 = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE array() END")
+        ).alias("g"),
+    )
+    phrases = spark.createDataFrame([(p,) for p in _BLOCK2 + _BLOCK3], "g string")
+    u = g2.unionAll(g3)
+    hits = u.join(F.broadcast(phrases), "g")
+    agg = hits.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        F.broadcast(phrases)
+        .join(agg, "g", "left")
+        .select(
+            F.col("g").alias("phrase"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("phrase")
     )

@@ -1122,3 +1122,39 @@ class ManifestSinkTable:
                 cond = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
                 df = df.filter(cond)
         return df
+
+    def stats_agg(self, cols: list[str]) -> dict:
+        """count(*) / min / max served from the MANIFEST alone — zero data
+        files opened (the Iceberg/Delta stats-only scan: planning metadata
+        already holds the answer, so at 100 TB these aggregates cost one
+        manifest read instead of a table scan). Returns
+        ``{"rows": n, "min": {col: v}, "max": {col: v}}`` over the visible
+        snapshot. Raises instead of guessing when any visible file lacks a
+        row count or a requested column's stats (legacy pre-stats markers,
+        unsupported column types) — a partial-stats answer would be silently
+        wrong. Footer min/max for the int/float/string types the writer
+        emits are exact, and COW rewrites re-derive stats from rewritten
+        content, so min-of-mins / max-of-maxs equal the true extremes.
+        """
+        total = 0
+        mins: dict[str, object] = {c: None for c in cols}
+        maxs: dict[str, object] = {c: None for c in cols}
+        for m in self._visible_manifests():
+            entries = m["files"]
+            if entries is None:
+                raise ValueError(f"legacy layout without stats under {m['dir']}; compact first")
+            for e in entries:
+                rows = e.get("rows")
+                if rows is None:
+                    raise ValueError(f"file {e.get('name')} has no row count in the manifest")
+                total += rows
+                if rows == 0:
+                    continue
+                st = e.get("stats") or {}
+                for c in cols:
+                    b = st.get(c)
+                    if not b or b[0] is None or b[1] is None:
+                        raise ValueError(f"no usable stats for column {c!r} in file {e.get('name')}")
+                    mins[c] = b[0] if mins[c] is None else min(mins[c], b[0])
+                    maxs[c] = b[1] if maxs[c] is None else max(maxs[c], b[1])
+        return {"rows": total, "min": mins, "max": maxs}

@@ -196,3 +196,23 @@ def test_q166_plan_digests_only(spark, sf_dir):
     assert "payload" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decimate_matches_naive_and_validates():
+    import pytest as _pytest
+
+    from kafka_connect_bigquery_storage_write_spark.operators.audiocodec import decimate
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=(12, 2), dtype=np.int16)
+    out = decimate(samples, 3)
+    assert out.shape == (4, 2) and out.dtype == np.int16
+    for j in range(4):
+        for c in range(2):
+            u = samples[3 * j : 3 * j + 3, c].astype(np.int64) + 32768
+            assert out[j, c] == int(u.sum()) // 3 - 32768
+    # mono 1-D input keeps its shape family
+    mono = decimate(samples[:, 0], 2)
+    assert mono.shape == (6,)
+    with _pytest.raises(ValueError):
+        decimate(samples, 5)

@@ -854,3 +854,42 @@ def test_zorder_rejects_order_by_combo(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         sink.compact(spark, order_by=["x"], zorder_by=["y"])
+
+
+def test_stats_agg_serves_from_manifest_with_files_deleted(spark, tmp_path):
+    """stats_agg must answer count/min/max WITHOUT opening any data file:
+    after deleting every parquet file from disk, the manifest-only answer
+    still matches what a real read computed beforehand. Also: empty-file
+    tolerance, and a loud error (never a guess) for a stats-less column."""
+    import glob
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    df = spark.range(0, 1000).selectExpr("id AS k", "CAST(id % 7 AS DOUBLE) * 1.5 AS v")
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(df.filter("k < 400").coalesce(2), 0)
+    sink.write_batch(df.filter("k >= 400").coalesce(2), 1)
+
+    real = sink.read(spark).agg(
+        F.count(F.lit(1)).alias("n"), F.min("k"), F.max("k"), F.min("v"), F.max("v")
+    ).first()
+    s = sink.stats_agg(["k", "v"])
+    assert s["rows"] == real[0] == 1000
+    assert s["min"]["k"] == real[1] and s["max"]["k"] == real[2]
+    assert s["min"]["v"] == real[3] and s["max"]["v"] == real[4]
+
+    # the point: delete every data file — the manifest still answers
+    removed = 0
+    for p in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True):
+        os.remove(p)
+        removed += 1
+    assert removed > 0
+    assert sink.stats_agg(["k", "v"]) == s
+
+    # a column the manifest has no stats for must raise, not guess
+    with _pytest.raises(ValueError, match="no usable stats"):
+        sink.stats_agg(["missing_col"])
