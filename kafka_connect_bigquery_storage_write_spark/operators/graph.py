@@ -205,3 +205,56 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("vertex")
     return visited
+
+
+def kcore_peel(edges: DataFrame, k: int | None = None) -> tuple[DataFrame, int, int]:
+    """k-core peeling — the dense-community extraction primitive (spam
+    rings, coordinated accounts, collaboration cores): iteratively
+    remove every vertex whose degree WITHIN THE SURVIVING SUBGRAPH is
+    below k until none qualifies. Returns (trace, k, n_rounds) where
+    trace has one row per peel round: (round, n_removed, sum_ids,
+    min_id, max_id) — exact wave membership, the q172 pinning style.
+    ``k=None`` derives k = max_degree // 2 from the input (scale-free
+    across fixture densities).
+
+    Scale shape per round: two left-semi joins restrict edges to the
+    alive set (16-byte pairs), one degree aggregate, one anti-join to
+    shrink alive — cost tracks surviving edges, which only shrinks; the
+    alive relation localCheckpoints every round (the round-4
+    iterate-loop rule). The driver holds 4 scalars per round, never
+    vertices. Peeling converges in <= diameter-ish rounds on real
+    graphs; the caller's oracle bound is asserted by the returned
+    n_rounds.
+    """
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    if k is None:
+        k = deg0.agg(F.max("_d")).first()[0] // 2
+    alive = deg0.select(F.col("src").alias("v")).localCheckpoint(eager=True)
+    rows: list[tuple] = []
+    rnd = 0
+    while True:
+        rnd += 1
+        e2 = edges.join(alive.select(F.col("v").alias("src")), "src", "left_semi").join(
+            alive.select(F.col("v").alias("dst")), "dst", "left_semi"
+        )
+        d = e2.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        rm = (
+            alive.join(d.select(F.col("src").alias("v"), "_d"), "v", "left")
+            .filter(F.coalesce(F.col("_d"), F.lit(0)) < F.lit(k))
+            .select("v")
+        )
+        stats = rm.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        ).first()
+        if stats["n"] == 0:
+            break
+        rows.append((rnd, int(stats["n"]), int(stats["s"]), int(stats["mn"]), int(stats["mx"])))
+        alive = alive.join(rm, "v", "left_anti").localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    trace = spark.createDataFrame(
+        rows, "round int, n_removed long, sum_ids long, min_id long, max_id long"
+    )
+    return trace, k, rnd - 1

@@ -69,10 +69,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # keep the window at exactly 50. Displaced r5 names stay next in the
 # round-9 rotation order.
 #
-# Second continuation update: q192-q200 (nine more new-this-round
-# queries, zero official rows) extend the same block; nine more r5
-# fills (q45/q46/q43/q57/q66/q42/q44/q40/q41) roll to the round-9
-# rotation head.
+# Second continuation update: q192-q201 (ten more new-this-round
+# queries, zero official rows) extend the same block; the remaining r5
+# fills (q45/q46/q43/q57/q66/q42/q44/q40/q41/q105) roll to the round-9
+# rotation head — the window is now exactly the 50 queries with zero
+# official rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (added late in r7; sim-green) ---
     "q155_bigram_surprisal",
@@ -123,12 +124,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q198_phrase_blocklist",
     "q199_k_anonymity_audit",
     "q200_audio_decimate_checksum",
+    "q201_kcore_peel_trace",
     # --- newest official row is r4 ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
     "q97_gap_filled_hourly",
-    # --- newest official row is r5; registration order, fills to 50 ---
-    "q105_contamination_scores",
 )
 
 

@@ -186,3 +186,77 @@ def q172_reachability_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("dist").cast("int").alias("dist"), "n_users", "sum_user_ids", "min_user", "max_user")
         .orderBy("dist")
     )
+
+
+def _kcore_oracle(rounds: int = 8) -> str:
+    """Unrolled peel rounds (generated, constant at import): the Spark
+    side iterates to fixpoint; the fixture converges in 3 rounds at both
+    sf0.01 and sf0.1 (probed), so 8 unrolled rounds carry >2x margin —
+    extra rounds peel nothing and emit no trace row. Every CTE is
+    MATERIALIZED: a{i} references a{i-1} several times, and DuckDB
+    re-inlines plain CTEs per reference, which makes the unrolled tree
+    (and its parquet opens) exponential in the round count."""
+    parts = [
+        """
+    WITH hu AS MATERIALIZED (SELECT DISTINCT time_bucket(INTERVAL '1 minute', ts) AS h,
+                                event_type AS t, user_id AS u FROM events),
+    edges AS MATERIALIZED (SELECT DISTINCT a.u AS src, b.u AS dst
+              FROM hu a JOIN hu b ON a.h = b.h AND a.t = b.t AND a.u <> b.u),
+    deg0 AS MATERIALIZED (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+    kk AS MATERIALIZED (SELECT max(d) // 2 AS k FROM deg0),
+    a0 AS MATERIALIZED (SELECT v FROM deg0)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(f""",
+    d{i} AS MATERIALIZED (SELECT e.src AS v, count(*) AS d FROM edges e
+             JOIN a{i-1} s ON s.v = e.src JOIN a{i-1} t2 ON t2.v = e.dst
+             GROUP BY e.src),
+    rm{i} AS MATERIALIZED (SELECT a.v FROM a{i-1} a LEFT JOIN d{i} dd USING (v) CROSS JOIN kk
+              WHERE coalesce(dd.d, 0) < kk.k),
+    a{i} AS MATERIALIZED (SELECT v FROM a{i-1} EXCEPT SELECT v FROM rm{i}),
+    tr{i} AS (SELECT {i} AS round, count(*) AS n, sum(v) AS s, min(v) AS mn, max(v) AS mx FROM rm{i})""")
+    union = "\n      UNION ALL ".join(f"SELECT * FROM tr{i}" for i in range(1, rounds + 1))
+    parts.append(f"""
+    SELECT CAST(round AS INT)  AS round,
+           CAST(n AS BIGINT)   AS n_removed,
+           CAST(s AS BIGINT)   AS sum_ids,
+           CAST(mn AS BIGINT)  AS min_id,
+           CAST(mx AS BIGINT)  AS max_id
+    FROM ({union})
+    WHERE n > 0
+    ORDER BY round""")
+    return "".join(parts)
+
+
+@query("q201_kcore_peel_trace", oracle=_kcore_oracle())
+def q201_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition trace on the TYPED-minute co-activity graph
+    (same minute AND same event type — sparser than q168/q172's
+    substrate, so peeling has real structure at both fixture scales):
+    vertices below k = max_degree // 2 are removed round by round until
+    the k-core (possibly empty) remains — the dense-community
+    extraction behind spam-ring and coordinated-activity mining, and
+    the engine's canonical DATA-DEPENDENT fixpoint loop (q172's BFS is
+    bounded by a constant; peeling terminates only when a round removes
+    nothing). Each trace row pins exact wave membership
+    (count/sum/min/max of removed ids); the oracle unrolls 8 rounds —
+    probed fixture convergence is 3 at both SFs (>2x margin), and a
+    formula change that slows convergence past 8 shows up as a row the
+    oracle lacks, not a silent pass.
+
+    Scale shape per round (operators/graph.kcore_peel): two left-semi
+    joins + one degree aggregate over SURVIVING edges (shrinks
+    monotonically), localCheckpoint per round; the driver holds 4
+    scalars per round. Edge build reuses coactivity_edges' capped
+    bucket economics.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import coactivity_edges, kcore_peel
+
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.select(
+        F.concat_ws("|", F.date_trunc("minute", "ts").cast("string"), "event_type").alias("h"),
+        F.col("user_id").alias("u"),
+    ).distinct()
+    edges = coactivity_edges(hu, max_bucket_members=2000).localCheckpoint(eager=True)
+    trace, _k, _rounds = kcore_peel(edges)
+    return trace.orderBy("round")

@@ -121,3 +121,39 @@ def test_bfs_distances_chain_and_bound(spark):
     # seed not in the graph contributes nothing
     ghost = spark.createDataFrame([(99,)], "vertex long")
     assert bfs_distances(chain, ghost, max_hops=3).count() == 0
+
+
+def test_kcore_peel_planted_structure(spark):
+    """Planted graph: a 5-clique (degree 4 inside) plus a 3-chain of
+    pendants hanging off vertex 0. With k=3 the pendants peel in
+    cascade order (leaf first) and the clique survives; the trace rows
+    pin each wave exactly."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import kcore_peel
+
+    clique = [(a, b) for a in range(5) for b in range(5) if a != b]
+    # chain 0-10, 10-11, 11-12
+    chain = [(0, 10), (10, 0), (10, 11), (11, 10), (11, 12), (12, 11)]
+    edges = spark.createDataFrame(clique + chain, "src long, dst long")
+
+    # k=2: the chain peels in CASCADE order (leaf 12 first — 11 still has
+    # two alive neighbors that round — then 11, then 10); clique survives
+    trace, k, n_rounds = kcore_peel(edges, k=2)
+    rows = [tuple(r) for r in trace.orderBy("round").collect()]
+    assert k == 2 and n_rounds == 3
+    assert rows == [
+        (1, 1, 12, 12, 12),
+        (2, 1, 11, 11, 11),
+        (3, 1, 10, 10, 10),
+    ]
+
+    # k=3: all three chain vertices fall below k AT ONCE (simultaneous
+    # peel semantics — the standard round definition, and what the
+    # unrolled oracle computes)
+    trace3, k3, r3 = kcore_peel(edges, k=3)
+    assert k3 == 3 and r3 == 1
+    assert [tuple(r) for r in trace3.collect()] == [(1, 3, 33, 10, 12)]
+
+    # derived k on the clique alone: max degree 4 -> k=2, nothing peels
+    edges2 = spark.createDataFrame(clique, "src long, dst long")
+    trace2, k2, r2 = kcore_peel(edges2)
+    assert k2 == 2 and r2 == 0 and trace2.count() == 0
