@@ -618,3 +618,39 @@ def image_features(img: np.ndarray, dim: int = 64) -> np.ndarray:
         v[0] = 1.0
         return v
     return v / n
+
+
+def equalize_hist(img: np.ndarray) -> np.ndarray:
+    """Global histogram equalization per channel, integer-exact: the
+    standard contrast-normalization step of an image curation pipeline,
+    with the remap defined as
+
+        out(v) = ((cdf(v) - cdf_min) * 255) // (N - cdf_min)
+
+    — floor division on non-negative integers, so the result is
+    bit-reproducible and SQL-expressible (the q202 oracle recomputes the
+    identical cdf remap from the planted pixel formula). cdf_min is the
+    count of the smallest occupied bin (Gonzalez-Woods form); a constant
+    channel (N == cdf_min) maps to 0.
+    """
+    if img.ndim == 2:
+        img = img[:, :, None]
+        squeeze = True
+    else:
+        squeeze = False
+    out = np.empty_like(img)
+    n = img.shape[0] * img.shape[1]
+    for c in range(img.shape[2]):
+        chan = img[:, :, c]
+        hist = np.bincount(chan.reshape(-1), minlength=256).astype(np.int64)
+        cdf = hist.cumsum()
+        nz = np.nonzero(hist)[0]
+        cdf_min = int(cdf[nz[0]]) if nz.size else 0
+        denom = n - cdf_min
+        if denom <= 0:
+            lut = np.zeros(256, dtype=np.int64)
+        else:
+            lut = ((cdf - cdf_min) * 255) // denom
+            lut = np.clip(lut, 0, 255)
+        out[:, :, c] = lut[chan].astype(img.dtype)
+    return out[:, :, 0] if squeeze else out

@@ -1168,3 +1168,116 @@ def q200_audio_decimate_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return ids.mapInPandas(build, schema=payload_schema).mapInPandas(resample, schema=out_schema).orderBy("doc_id")
+
+
+@query(
+    "q202_image_equalize_checksum",
+    oracle="""
+    WITH px AS (
+      SELECT d.doc_id, g.i, g.i % 3 AS c,
+             (d.doc_id * 7 + g.i * 13) % 256 AS v
+      FROM documents d, generate_series(0, 2303) g(i)
+    ),
+    hist AS (SELECT doc_id, c, v, count(*) AS cnt FROM px GROUP BY doc_id, c, v),
+    cdf AS (
+      SELECT doc_id, c, v,
+             sum(cnt) OVER (PARTITION BY doc_id, c ORDER BY v) AS cdf
+      FROM hist
+    ),
+    cm AS (SELECT doc_id, c, min(cdf) AS cdf_min FROM cdf GROUP BY doc_id, c),
+    lut AS (
+      SELECT cdf.doc_id, cdf.c, cdf.v,
+             CASE WHEN 768 - cm.cdf_min <= 0 THEN 0
+                  ELSE ((cdf.cdf - cm.cdf_min) * 255) // (768 - cm.cdf_min) END AS o
+      FROM cdf JOIN cm ON cm.doc_id = cdf.doc_id AND cm.c = cdf.c
+    )
+    SELECT px.doc_id,
+           CAST(count(*) AS BIGINT)        AS n_px,
+           CAST(sum(lut.o) AS BIGINT)      AS eq_sum,
+           CAST(sum(px.i * lut.o) AS BIGINT) AS eq_weighted
+    FROM px JOIN lut ON lut.doc_id = px.doc_id AND lut.c = px.c AND lut.v = px.v
+    GROUP BY px.doc_id
+    ORDER BY px.doc_id
+    """,
+)
+def q202_image_equalize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL histogram equalization (per-channel contrast normalization),
+    oracle-checked to the pixel — the third geometry/intensity transform
+    over decoded images (q132 decode, q192 resize, this remap). Each
+    document's planted 32x24 RGB image goes through a real container
+    (doc_id mod 3 -> PPM/BMP/PNG), is re-decoded, and equalized with
+    operators/imagecodec.equalize_hist — the Gonzalez-Woods cdf remap
+    with FLOOR division, out = ((cdf(v)-cdf_min)*255) // (N-cdf_min),
+    exact integer arithmetic — and the kernel reports count/sum/
+    index-weighted-sum of the equalized pixels. The oracle rebuilds the
+    per-(doc, channel) histogram, running-sum cdf, and the identical
+    remap in SQL; a channel mixup, cdf off-by-one, or rounding drift in
+    the remap shifts the weighted sum.
+
+    Scale shape: q132's — two mapInPandas passes, byte-local kernels
+    (the histogram is per image, 256 bins in-kernel, never a shuffle),
+    no exchange until the final orderBy.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    ids = docs.select("doc_id")
+
+    W, H = 32, 24
+
+    payload_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def build(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import encode_bmp, encode_png, encode_ppm
+
+        idx = np.arange(H * W * 3, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                img = ((int(doc_id) * 7 + idx * 13) % 256).astype(np.uint8).reshape(H, W, 3)
+                m = doc_id % 3
+                if m == 0:
+                    payloads.append(encode_ppm(img))
+                elif m == 1:
+                    payloads.append(encode_bmp(img))
+                else:
+                    payloads.append(encode_png(img, filter_mode="mixed"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("eq_sum", T.LongType(), False),
+            T.StructField("eq_weighted", T.LongType(), False),
+        ]
+    )
+
+    def equalize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import decode_image, equalize_hist
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                eq = equalize_hist(decode_image(bytes(p)))
+                flat = eq.reshape(-1).astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_px": int(flat.size),
+                        "eq_sum": int(flat.sum()),
+                        "eq_weighted": int((np.arange(flat.size, dtype=np.int64) * flat).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(build, schema=payload_schema).mapInPandas(equalize, schema=out_schema).orderBy("doc_id")

@@ -977,3 +977,176 @@ def q196_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_b.c").alias("cosine"),
         F.col("_b.m").alias("margin"),
     ).orderBy("x_id")
+
+
+@query(
+    "q203_mmr_diversified_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             CAST(round({_DOT.format(a='qe', b='ce')}
+                   / ({_NORM.format(a='qe')} * {_NORM.format(a='ce')}) * 1000000) AS BIGINT) AS cm
+      FROM q CROSS JOIN c WHERE neighbor_id <> query_id
+    ),
+    pool AS (
+      SELECT query_id, neighbor_id, cm,
+             row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, neighbor_id) AS r
+      FROM scored
+    ),
+    p AS (SELECT query_id, neighbor_id, cm FROM pool WHERE r <= 10),
+    pv AS (SELECT p.query_id, p.neighbor_id, p.cm, e.embedding AS v
+           FROM p JOIN embeddings e ON e.vec_id = p.neighbor_id),
+    pairs AS (
+      SELECT a.query_id, a.neighbor_id AS ida, b.neighbor_id AS idb,
+             CAST(round({_DOT.format(a='a.v', b='b.v')}
+                   / ({_NORM.format(a='a.v')} * {_NORM.format(a='b.v')}) * 1000000) AS BIGINT) AS cmp
+      FROM pv a JOIN pv b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    ),
+    s1 AS (
+      SELECT query_id, neighbor_id AS s1_id, cm AS s1_cm, 7 * cm AS sc1
+      FROM (SELECT query_id, neighbor_id, cm,
+                   row_number() OVER (PARTITION BY query_id ORDER BY cm DESC, neighbor_id) AS r
+            FROM p) t WHERE r = 1
+    ),
+    c2 AS (
+      SELECT p.query_id, p.neighbor_id, p.cm, 7 * p.cm - 3 * pr.cmp AS sc
+      FROM p JOIN s1 ON s1.query_id = p.query_id AND p.neighbor_id <> s1.s1_id
+      JOIN pairs pr ON pr.query_id = p.query_id AND pr.ida = p.neighbor_id AND pr.idb = s1.s1_id
+    ),
+    s2 AS (
+      SELECT query_id, neighbor_id AS s2_id, cm AS s2_cm, sc AS sc2
+      FROM (SELECT query_id, neighbor_id, cm, sc,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS r
+            FROM c2) t WHERE r = 1
+    ),
+    c3 AS (
+      SELECT p.query_id, p.neighbor_id, p.cm,
+             7 * p.cm - 3 * greatest(p1.cmp, p2.cmp) AS sc
+      FROM p
+      JOIN s1 ON s1.query_id = p.query_id
+      JOIN s2 ON s2.query_id = p.query_id
+      JOIN pairs p1 ON p1.query_id = p.query_id AND p1.ida = p.neighbor_id AND p1.idb = s1.s1_id
+      JOIN pairs p2 ON p2.query_id = p.query_id AND p2.ida = p.neighbor_id AND p2.idb = s2.s2_id
+      WHERE p.neighbor_id <> s1.s1_id AND p.neighbor_id <> s2.s2_id
+    ),
+    s3 AS (
+      SELECT query_id, neighbor_id AS s3_id, cm AS s3_cm, sc AS sc3
+      FROM (SELECT query_id, neighbor_id, cm, sc,
+                   row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, neighbor_id) AS r
+            FROM c3) t WHERE r = 1
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine, mmr FROM (
+      SELECT query_id, 1 AS rank, s1_id AS neighbor_id,
+             CAST(s1_cm AS DOUBLE) / 1000000.0 AS cosine,
+             CAST(sc1 AS DOUBLE) / 10000000.0 AS mmr FROM s1
+      UNION ALL
+      SELECT query_id, 2, s2_id, CAST(s2_cm AS DOUBLE) / 1000000.0,
+             CAST(sc2 AS DOUBLE) / 10000000.0 FROM s2
+      UNION ALL
+      SELECT query_id, 3, s3_id, CAST(s3_cm AS DOUBLE) / 1000000.0,
+             CAST(sc3 AS DOUBLE) / 10000000.0 FROM s3
+    ) ORDER BY query_id, rank
+    """,
+)
+def q203_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diversified retrieval — the
+    standard result-diversification step between ANN and a RAG context
+    window (raw top-k returns near-duplicates; MMR trades relevance
+    against similarity to what's already picked, lambda = 0.7): for 10
+    query vectors, a top-10 cosine candidate pool, then three greedy MMR
+    selections. ALL scoring is integer micro-cosine arithmetic
+    (score = 7*cm - 3*max_pen, exact BIGINTs; lambda folds into the 7/3
+    split at scale 1e7), so selection order and tie-breaks are
+    bit-identical across engines; the oracle unrolls the identical three
+    stages.
+
+    Scale: candidate generation is q35's broadcast top-k; every MMR
+    stage after it runs at POOL grain (|Q| x k rows) — packed-key hash
+    argmax per stage (q193's trick), pairwise cosines only within pools
+    (|Q| x k^2). The greedy loop is k iterations of tiny aggregates, not
+    a k-deep window; for production k, checkpoint every few stages.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine, cosine_topk
+
+    SHIFT = 1 << 36
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    pool = (
+        cosine_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id", F.round(F.col("cosine") * 1000000.0).cast("long").alias("cm"))
+        .persist()
+    )
+    pool.count()  # barrier: pairs, and every stage, consume the pool
+    ev = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_v"))
+    pv = pool.join(ev, "neighbor_id").select("query_id", "neighbor_id", "cm", "_v")
+    a = pv.select(F.col("query_id"), F.col("neighbor_id").alias("ida"), F.col("_v").alias("_va"))
+    b = pv.select(F.col("query_id"), F.col("neighbor_id").alias("idb"), F.col("_v").alias("_vb"))
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            "query_id", "ida", "idb",
+            F.round(cosine(F.col("_va"), F.col("_vb")) * 1000000.0).cast("long").alias("cmp"),
+        )
+        .persist()
+    )
+    pairs.count()  # two stages reuse the pairwise relation
+
+    def argmax(df: DataFrame, score, id_col: str, bias: int):
+        key = (score + F.lit(bias)) * F.lit(SHIFT) + (F.lit(SHIFT - 1) - F.col(id_col))
+        top = df.groupBy("query_id").agg(F.max(key).alias("_k"))
+        sel_id = (F.lit(SHIFT - 1) - F.pmod(F.col("_k"), F.lit(SHIFT))).alias("sel_id")
+        sel_score = (F.expr(f"_k div {SHIFT}") - F.lit(bias)).alias("sel_score")
+        return top.select("query_id", sel_id, sel_score)
+
+    # stage 1: pure relevance (empty selected set -> penalty 0, score 7*cm)
+    s1 = argmax(pool.withColumn("_sc", 7 * F.col("cm")), F.col("_sc"), "neighbor_id", 10_000_000)
+    s1 = s1.select("query_id", F.col("sel_id").alias("s1_id"), F.col("sel_score").alias("sc1"))
+    # stage 2
+    c2 = (
+        pool.join(s1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1_id"))
+        .join(
+            pairs.select("query_id", F.col("ida").alias("neighbor_id"), F.col("idb").alias("s1_id"), "cmp"),
+            ["query_id", "neighbor_id", "s1_id"],
+        )
+        .withColumn("_sc", 7 * F.col("cm") - 3 * F.col("cmp"))
+    )
+    s2 = argmax(c2, F.col("_sc"), "neighbor_id", 10_000_000)
+    s2 = s2.select("query_id", F.col("sel_id").alias("s2_id"), F.col("sel_score").alias("sc2"))
+    # stage 3
+    p1 = pairs.select("query_id", F.col("ida").alias("neighbor_id"), F.col("idb").alias("s1_id"), F.col("cmp").alias("cmp1"))
+    p2 = pairs.select("query_id", F.col("ida").alias("neighbor_id"), F.col("idb").alias("s2_id"), F.col("cmp").alias("cmp2"))
+    c3 = (
+        pool.join(s1, "query_id")
+        .join(s2, "query_id")
+        .filter((F.col("neighbor_id") != F.col("s1_id")) & (F.col("neighbor_id") != F.col("s2_id")))
+        .join(p1, ["query_id", "neighbor_id", "s1_id"])
+        .join(p2, ["query_id", "neighbor_id", "s2_id"])
+        .withColumn("_sc", 7 * F.col("cm") - 3 * F.greatest("cmp1", "cmp2"))
+    )
+    s3 = argmax(c3, F.col("_sc"), "neighbor_id", 10_000_000)
+    s3 = s3.select("query_id", F.col("sel_id").alias("s3_id"), F.col("sel_score").alias("sc3"))
+
+    cm_of = pool.select("query_id", F.col("neighbor_id").alias("_nid"), F.col("cm").alias("_cm"))
+
+    def stage_rows(sel: DataFrame, id_name: str, sc_name: str, rank: int) -> DataFrame:
+        return (
+            sel.join(cm_of, (cm_of["_nid"] == sel[id_name]) & (cm_of["query_id"] == sel["query_id"]))
+            .select(
+                sel["query_id"],
+                F.lit(rank).alias("rank"),
+                F.col(id_name).alias("neighbor_id"),
+                (F.col("_cm").cast("double") / 1000000.0).alias("cosine"),
+                (F.col(sc_name).cast("double") / 10000000.0).alias("mmr"),
+            )
+        )
+
+    out = (
+        stage_rows(s1, "s1_id", "sc1", 1)
+        .unionAll(stage_rows(s2, "s2_id", "sc2", 2))
+        .unionAll(stage_rows(s3, "s3_id", "sc3", 3))
+    )
+    return out.orderBy("query_id", "rank")

@@ -558,3 +558,25 @@ def test_box_downsample_grayscale_and_bad_factor():
         box_downsample(g, 5)
     with pytest.raises(ValueError):
         box_downsample(g, 0)
+
+
+def test_equalize_hist_matches_naive_and_edges():
+    from kafka_connect_bigquery_storage_write_spark.operators.imagecodec import equalize_hist
+
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    out = equalize_hist(img)
+    n = 70
+    for c in range(3):
+        chan = img[:, :, c].ravel()
+        hist = np.bincount(chan, minlength=256)
+        cdf = hist.cumsum()
+        cdf_min = cdf[np.nonzero(hist)[0][0]]
+        for px, o in zip(chan, out[:, :, c].ravel()):
+            assert o == ((cdf[px] - cdf_min) * 255) // (n - cdf_min)
+
+    # constant channel: N == cdf_min -> all zeros, no div-by-zero
+    flat = np.full((4, 4), 123, dtype=np.uint8)
+    assert (equalize_hist(flat) == 0).all()
+    # grayscale input keeps 2-D shape
+    assert equalize_hist(img[:, :, 0]).shape == (10, 7)
