@@ -524,3 +524,12 @@ def test_q196_two_rank_windows_argmax_aggregate(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q196_bitext_margin_mining")
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q203_argmax_stages_stay_hash_aggregates(spark, sf_dir):
+    """Every MMR stage's argmax must be the packed-key HashAggregate
+    (q193's recipe) — a struct max would silently degrade the whole
+    greedy loop to SortAggregates."""
+    plan = _plan(spark, sf_dir, "q203_mmr_diversified_topk")
+    assert "SortAggregate" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
