@@ -228,7 +228,11 @@ def kcore_peel(edges: DataFrame, k: int | None = None) -> tuple[DataFrame, int, 
     """
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     if k is None:
-        k = deg0.agg(F.max("_d")).first()[0] // 2
+        mx = deg0.agg(F.max("_d")).first()[0]
+        # empty graph: no vertices, nothing to peel (k=0 keeps the loop a
+        # no-op and the trace empty — matching the SQL oracle, whose NULL
+        # k makes every round's removal predicate NULL/false)
+        k = (mx or 0) // 2
     alive = deg0.select(F.col("src").alias("v")).localCheckpoint(eager=True)
     rows: list[tuple] = []
     rnd = 0

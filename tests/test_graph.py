@@ -157,3 +157,14 @@ def test_kcore_peel_planted_structure(spark):
     edges2 = spark.createDataFrame(clique, "src long, dst long")
     trace2, k2, r2 = kcore_peel(edges2)
     assert k2 == 2 and r2 == 0 and trace2.count() == 0
+
+
+def test_kcore_peel_empty_graph(spark):
+    """Derived k on an EMPTY edge relation (the sf0.001 typed-minute
+    graph has no co-active pairs) must yield an empty trace, not a
+    NoneType crash — parity with the oracle's NULL-k no-op rounds."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    trace, k, n_rounds = kcore_peel(edges)
+    assert k == 0 and n_rounds == 0 and trace.count() == 0
