@@ -141,3 +141,53 @@ def vocab_ids(chars: list[str], merges: list[tuple[str, str]]) -> dict[str, int]
     for j, (a, b) in enumerate(merges):
         ids[a + b] = len(chars) + j + 1
     return ids
+
+
+def viterbi_segment(word: str, scores: dict[str, int]) -> tuple[int, int]:
+    """Unigram-LM (SentencePiece-style) optimal segmentation by Viterbi
+    DP over integer micro-log-prob piece scores: returns
+    (best_score, n_optimal) — the maximum total score over ALL
+    segmentations of ``word`` into vocabulary pieces, and the exact
+    number of distinct segmentations achieving it. Pure integer
+    arithmetic, so both values are engine- and replay-exact (q204's
+    oracle recomputes them by exhaustive 2^(n-1) mask enumeration).
+
+    Every single character is expected to be in ``scores`` (the unigram
+    vocab always contains the alphabet), so a segmentation always
+    exists; raises if a character is missing rather than guessing.
+    """
+    n = len(word)
+    NEG = None
+    best = [NEG] * (n + 1)
+    ways = [0] * (n + 1)
+    best[0], ways[0] = 0, 1
+    for i in range(1, n + 1):
+        for j in range(max(0, i - 8), i):  # pieces longer than 8 never in vocab
+            if best[j] is None:
+                continue
+            s = scores.get(word[j:i])
+            if s is None:
+                continue
+            cand = best[j] + s
+            if best[i] is None or cand > best[i]:
+                best[i], ways[i] = cand, ways[j]
+            elif cand == best[i]:
+                ways[i] += ways[j]
+    if best[n] is None:
+        raise ValueError(f"word {word!r} has no segmentation under the vocab")
+    return best[n], ways[n]
+
+
+def viterbi_udf(scores: dict[str, int]) -> Column:
+    """Arrow-batched kernel applying viterbi_segment at DISTINCT-WORD
+    grain (the q144/q164 economics: per-vocabulary-entry cost, never
+    per-occurrence). ``scores`` ships in the closure — vocabulary-sized,
+    a broadcast variable on a real cluster. Returns a struct column
+    (best_micro, n_best)."""
+
+    @pandas_udf("best_micro long, n_best long")
+    def _seg(words: pd.Series) -> pd.DataFrame:
+        rows = [viterbi_segment(w, scores) for w in words]
+        return pd.DataFrame(rows, columns=["best_micro", "n_best"])
+
+    return _seg

@@ -69,11 +69,11 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # keep the window at exactly 50. Displaced r5 names stay next in the
 # round-9 rotation order.
 #
-# Second continuation update: q192-q203 (twelve more new-this-round
+# Second continuation update: q192-q204 (thirteen more new-this-round
 # queries, zero official rows) extend the same block; the remaining r5
 # fills (q45/q46/q43/q57/q66/q42/q44/q40/q41/q105) and r4 stragglers
-# q98/q97 roll to the round-9 rotation head — the window is now the 49
-# zero-row queries plus the oldest-verified r4 straggler q49.
+# q49/q98/q97 roll to the round-9 rotation head — the window is now
+# EXACTLY the 50 queries with zero official rows (q155-q204).
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- never officially windowed (added late in r7; sim-green) ---
     "q155_bigram_surprisal",
@@ -127,8 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q201_kcore_peel_trace",
     "q202_image_equalize_checksum",
     "q203_mmr_diversified_topk",
-    # --- newest official row is r4 ---
-    "q49_salted_join",
+    "q204_unigram_viterbi",
 )
 
 

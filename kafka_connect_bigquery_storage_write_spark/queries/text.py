@@ -2575,3 +2575,102 @@ def q198_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("phrase")
     )
+
+
+@query(
+    "q204_unigram_viterbi",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
+    words AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+    wchars AS (SELECT unnest(string_split(word, '')) AS p, f FROM words),
+    pieces AS (
+      SELECT p AS piece, sum(cnt) AS cnt FROM (
+        SELECT word AS p, f AS cnt FROM words
+        UNION ALL
+        SELECT p, f FROM wchars
+      ) GROUP BY p
+    ),
+    tot AS (SELECT sum(cnt) AS total FROM pieces),
+    sc AS (SELECT piece, CAST(round(ln(cnt * 1.0 / total) * 1000000) AS BIGINT) AS s
+           FROM pieces, tot),
+    masks AS (
+      SELECT w.word, w.f, len(w.word) AS n, g.mask
+      FROM words w, generate_series(0, 127) g(mask)
+      WHERE g.mask < (1 << (len(w.word) - 1))
+    ),
+    chpos AS (
+      SELECT m.word, m.f, m.mask, i.i, substr(m.word, i.i, 1) AS ch,
+             CASE WHEN i.i = 1 THEN 1 ELSE (m.mask >> (i.i - 2)) & 1 END AS b
+      FROM masks m, generate_series(1, 8) i(i) WHERE i.i <= m.n
+    ),
+    cp AS (SELECT word, f, mask, i, ch,
+                  sum(b) OVER (PARTITION BY word, mask ORDER BY i) AS pid
+           FROM chpos),
+    pcs AS (SELECT word, f, mask, pid, string_agg(ch, '' ORDER BY i) AS piece
+            FROM cp GROUP BY word, f, mask, pid),
+    scored AS (
+      SELECT p.word, p.f, p.mask,
+             count(*) AS n_pieces, count(sc.s) AS n_in_vocab, sum(sc.s) AS total_s
+      FROM pcs p LEFT JOIN sc ON sc.piece = p.piece
+      GROUP BY p.word, p.f, p.mask
+    ),
+    valid AS (SELECT word, f, mask, total_s FROM scored WHERE n_pieces = n_in_vocab),
+    best AS (SELECT word, f, max(total_s) AS best_micro FROM valid GROUP BY word, f),
+    nb AS (SELECT v.word, count(*) AS n_best FROM valid v
+           JOIN best b ON b.word = v.word AND v.total_s = b.best_micro GROUP BY v.word)
+    SELECT b.word, CAST(b.f AS BIGINT) AS f, CAST(len(b.word) AS INT) AS n_chars,
+           CAST(b.best_micro AS BIGINT) AS best_micro, CAST(nb.n_best AS BIGINT) AS n_best
+    FROM best b JOIN nb ON nb.word = b.word
+    ORDER BY b.word
+    """,
+)
+def q204_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (the SentencePiece family, completing the
+    tokenizer coverage next to q164's BPE): vocabulary = corpus words +
+    single characters with integer micro-log-prob scores
+    (round(ln(cnt/total)*1e6), the established micro-ln parity pattern),
+    then the OPTIMAL segmentation of every distinct word by Viterbi DP
+    (operators/bpe.viterbi_segment) — best total score and the exact
+    count of co-optimal segmentations, both pure-integer and therefore
+    engine-exact. The oracle does NOT trust the DP: it enumerates all
+    2^(n-1) segmentations per word (n <= 8 on the fixture) in SQL via
+    boundary bitmasks and recomputes max + argmax-count exhaustively;
+    viterbi_segment is additionally pinned against the same enumeration
+    on 200 random vocabularies in tests/test_bpe.py.
+
+    Scale: everything past the frequency aggregate runs at
+    DISTINCT-WORD grain (the q144/q164 economics); the vocabulary ships
+    to the Arrow kernel in the closure (a broadcast variable on a real
+    cluster); scores come from JVM-side F.log so both engines round the
+    same doubles.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import viterbi_udf
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word"))
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f")).persist()
+    words.count()  # barrier: vocab counts and the segmentation both consume it
+    wchars = words.select(
+        F.explode(F.filter(F.split("word", ""), lambda c: c != "")).alias("piece"),
+        F.col("f").alias("cnt"),
+    )
+    pieces = (
+        words.select(F.col("word").alias("piece"), F.col("f").alias("cnt"))
+        .unionAll(wchars)
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .persist()
+    )
+    total = pieces.agg(F.sum("cnt")).first()[0]
+    scored = pieces.select(
+        "piece",
+        F.round(F.log(F.col("cnt") * 1.0 / F.lit(float(total))) * 1000000).cast("long").alias("s"),
+    )
+    # vocabulary-sized relation -> kernel closure (broadcast at scale)
+    scores = {r["piece"]: int(r["s"]) for r in scored.collect()}
+    seg = viterbi_udf(scores)(F.col("word")).alias("_seg")
+    return (
+        words.select("word", "f", F.length("word").cast("int").alias("n_chars"), seg)
+        .select("word", "f", "n_chars", F.col("_seg.best_micro"), F.col("_seg.n_best"))
+        .orderBy("word")
+    )

@@ -149,3 +149,45 @@ def test_q164_plan_applies_at_distinct_word_grain(spark, sf_dir):
     # at least one aggregate sits BELOW the python eval in the tree text
     # (formatted header prints root first, so below = larger line index)
     assert any(a > min(py_lines) for a in agg_lines), plan
+
+
+def test_viterbi_segment_matches_exhaustive_enumeration():
+    """DP best score AND co-optimal count equal brute-force enumeration
+    of all 2^(n-1) boundary masks, across 200 random vocabularies."""
+    import random
+
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import viterbi_segment
+
+    rng = random.Random(5)
+    for _ in range(200):
+        w = "".join(rng.choice("abc") for _ in range(rng.randint(1, 8)))
+        scores = {c: rng.randint(-50, -1) for c in "abc"}
+        for _ in range(4):
+            i = rng.randint(0, len(w) - 1)
+            j = rng.randint(i + 1, len(w))
+            scores[w[i:j]] = rng.randint(-60, -1)
+        best, cnt = None, 0
+        n = len(w)
+        for mask in range(1 << (n - 1)):
+            pieces, start = [], 0
+            for i in range(1, n):
+                if mask >> (i - 1) & 1:
+                    pieces.append(w[start:i])
+                    start = i
+            pieces.append(w[start:])
+            if all(p in scores for p in pieces):
+                s = sum(scores[p] for p in pieces)
+                if best is None or s > best:
+                    best, cnt = s, 1
+                elif s == best:
+                    cnt += 1
+        assert viterbi_segment(w, scores) == (best, cnt), (w, scores)
+
+
+def test_viterbi_segment_raises_on_unsegmentable():
+    import pytest as _pytest
+
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import viterbi_segment
+
+    with _pytest.raises(ValueError):
+        viterbi_segment("xy", {"x": -1})
