@@ -112,10 +112,34 @@ def main() -> None:
     ref_mins: dict[str, float] = {}
     ref_cal: list[float] | None = None
     repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # per-query implementation fingerprint: the min-merge and the 3x-retry
+    # rule must only reuse a historical minimum measured on the SAME query
+    # source — otherwise a genuine regression can never raise the committed
+    # minimum and the reference drifts from the code being benchmarked
+    # (ADVICE r8). Registered query functions are thin wrappers over the
+    # operators, so their own source is the right invalidation grain:
+    # coarser (whole module) would wipe every sibling's minima on any edit.
+    import hashlib
+    import inspect
+
+    impl_hash: dict[str, str] = {}
+    for _name, _fn in QUERIES.items():
+        try:
+            src = inspect.getsource(_fn)
+        except (OSError, TypeError):
+            src = _name
+        impl_hash[_name] = hashlib.sha1(src.encode()).hexdigest()[:12]
     try:
         with open(os.path.join(repo_dir, "BENCH_LOCAL.json")) as f:
             _ref = json.load(f)
-        ref_mins = {k: float(v) for k, v in _ref.get("queries", {}).items()}
+        _ref_hash = _ref.get("impl_hash", {})
+        ref_mins = {
+            k: float(v)
+            for k, v in _ref.get("queries", {}).items()
+            # a missing stored hash (pre-r9 reference) keeps the min — the
+            # one-time migration stamps hashes on the next healthy persist
+            if _ref_hash.get(k) in (None, impl_hash.get(k))
+        }
         ref_cal = _ref.get("host_cal_ref")
     except (OSError, ValueError):
         pass
@@ -238,8 +262,12 @@ def main() -> None:
     # to tighten a min, never inflate one — merge this run's minima with
     # the committed reference so BENCH_LOCAL accumulates the steady state
     # (queries renamed/removed from the registry drop out; new ones enter)
+    # (ref_mins already excludes queries whose implementation hash changed,
+    # so a regressed rewrite starts a fresh minimum instead of inheriting
+    # the old implementation's number)
     detail["queries"] = {k: min(v, ref_mins[k]) if k in ref_mins else v for k, v in best.items()}
     detail["value"] = round(sum(detail["queries"].values()), 3)
+    detail["impl_hash"] = impl_hash
     # BENCH_LOCAL.json is the committed steady-state reference the retry
     # rule reads — a contended run must NOT overwrite it with inflated
     # minima (observed: a theft window wrote q122=128.6s where the steady
@@ -253,7 +281,7 @@ def main() -> None:
     # leave no per-query evidence to min-merge from (the r7 methodology:
     # minima across contended runs can only fail to tighten)
     with open(os.path.join(repo_dir, "BENCH_RUN_LAST.json"), "w") as f:
-        json.dump({**dict(payload), "queries": best, "healthy": factor >= 0.85}, f, indent=1)
+        json.dump({**dict(payload), "queries": best, "impl_hash": impl_hash, "healthy": factor >= 0.85}, f, indent=1)
     if factor >= 0.85 or not os.path.exists(local_path):
         # the persisted reference calibration tracks the QUIETEST window
         # ever observed on this host (min per shape), so the retry/normalize

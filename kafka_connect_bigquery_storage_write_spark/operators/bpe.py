@@ -143,7 +143,7 @@ def vocab_ids(chars: list[str], merges: list[tuple[str, str]]) -> dict[str, int]
     return ids
 
 
-def viterbi_segment(word: str, scores: dict[str, int]) -> tuple[int, int]:
+def viterbi_segment(word: str, scores: dict[str, int], max_piece: int | None = None) -> tuple[int, int]:
     """Unigram-LM (SentencePiece-style) optimal segmentation by Viterbi
     DP over integer micro-log-prob piece scores: returns
     (best_score, n_optimal) — the maximum total score over ALL
@@ -161,8 +161,13 @@ def viterbi_segment(word: str, scores: dict[str, int]) -> tuple[int, int]:
     best = [NEG] * (n + 1)
     ways = [0] * (n + 1)
     best[0], ways[0] = 0, 1
+    # DP window = the vocab's true max piece length: a hardcoded cap would
+    # silently drop segmentations using longer pieces, breaking the
+    # "optimal over ALL segmentations" contract (ADVICE r8)
+    if max_piece is None:
+        max_piece = max(map(len, scores), default=1)
     for i in range(1, n + 1):
-        for j in range(max(0, i - 8), i):  # pieces longer than 8 never in vocab
+        for j in range(max(0, i - max_piece), i):
             if best[j] is None:
                 continue
             s = scores.get(word[j:i])
@@ -185,9 +190,11 @@ def viterbi_udf(scores: dict[str, int]) -> Column:
     a broadcast variable on a real cluster. Returns a struct column
     (best_micro, n_best)."""
 
+    mp = max(map(len, scores), default=1)  # scan the vocab once, not per word
+
     @pandas_udf("best_micro long, n_best long")
     def _seg(words: pd.Series) -> pd.DataFrame:
-        rows = [viterbi_segment(w, scores) for w in words]
+        rows = [viterbi_segment(w, scores, mp) for w in words]
         return pd.DataFrame(rows, columns=["best_micro", "n_best"])
 
     return _seg

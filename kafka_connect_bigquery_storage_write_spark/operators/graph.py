@@ -207,7 +207,12 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
     return visited
 
 
-def kcore_peel(edges: DataFrame, k: int | None = None) -> tuple[DataFrame, int, int]:
+def kcore_peel(
+    edges: DataFrame,
+    k: int | None = None,
+    max_rounds: int = 300,
+    local_finish_max_edges: int | None = 100_000,
+) -> tuple[DataFrame, int, int]:
     """k-core peeling — the dense-community extraction primitive (spam
     rings, coordinated accounts, collaboration cores): iteratively
     remove every vertex whose degree WITHIN THE SURVIVING SUBGRAPH is
@@ -222,9 +227,37 @@ def kcore_peel(edges: DataFrame, k: int | None = None) -> tuple[DataFrame, int, 
     shrink alive — cost tracks surviving edges, which only shrinks; the
     alive relation localCheckpoints every round (the round-4
     iterate-loop rule). The driver holds 4 scalars per round, never
-    vertices. Peeling converges in <= diameter-ish rounds on real
-    graphs; the caller's oracle bound is asserted by the returned
-    n_rounds.
+    vertices (until/unless the local finish below engages).
+
+    ADVERSARIAL WORST CASE (VERDICT r8 #3): peeling removes only
+    currently-sub-k vertices per round, so a path graph at k=2 sheds
+    two ENDPOINTS per round — Θ(n) driver-coordinated rounds, the same
+    cliff class min-label CC had before its star escape hatch. Real
+    graphs cascade (fixture convergence: 3 rounds; SCALING.md k-core
+    probes), but the operator no longer trusts that:
+
+    * ``local_finish_max_edges`` — once the surviving subgraph fits the
+      bound (known exactly from the round's degree aggregate, no extra
+      job), the remaining edges collect to the driver and the peel
+      finishes locally with IDENTICAL wave semantics (the waves are
+      algorithm-defined, not execution-defined, so the trace is
+      bit-equal either way — pytest-pinned). A chain that starts under
+      the bound never pays a distributed round; one that starts above
+      it pays shrinking distributed rounds only until it fits. The
+      default (100k directed edges ≈ 1.6 MB of pairs) keeps the
+      collect a bounded artifact, not a hot path; None disables for a
+      pure-distributed trace.
+    * ``max_rounds`` — hard guard for graphs that stay above the local
+      bound AND refuse to cascade (adversarial at 100 TB): raises
+      loudly naming both knobs instead of looping for days.
+
+    The degeneracy-ordering alternative (exact core numbers via
+    distributed h-index iteration, Lü et al. 2016) converges in
+    O(iterations-to-fixpoint) rounds independent of peel depth but
+    computes ALL core numbers — heavier per round and a different
+    output contract (per-vertex coreness, not per-round waves), so it
+    is documented here as the escalation path rather than implemented
+    under this trace-producing API.
     """
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     if k is None:
@@ -238,10 +271,20 @@ def kcore_peel(edges: DataFrame, k: int | None = None) -> tuple[DataFrame, int, 
     rnd = 0
     while True:
         rnd += 1
+        if rnd > max_rounds:
+            raise RuntimeError(
+                f"kcore_peel exceeded max_rounds={max_rounds} (chain-shaped graph? "
+                "raise max_rounds or lower local_finish_max_edges)"
+            )
         e2 = edges.join(alive.select(F.col("v").alias("src")), "src", "left_semi").join(
             alive.select(F.col("v").alias("dst")), "dst", "left_semi"
         )
-        d = e2.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        d = e2.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).localCheckpoint(eager=True)
+        n_surviving_edges = d.agg(F.sum("_d")).first()[0] or 0
+        if local_finish_max_edges is not None and n_surviving_edges <= local_finish_max_edges:
+            rows.extend(_kcore_peel_local(e2, alive, k, first_round=rnd))
+            rnd = len(rows) + 1  # n_rounds below reports total waves + 0
+            break
         rm = (
             alive.join(d.select(F.col("src").alias("v"), "_d"), "v", "left")
             .filter(F.coalesce(F.col("_d"), F.lit(0)) < F.lit(k))
@@ -262,3 +305,37 @@ def kcore_peel(edges: DataFrame, k: int | None = None) -> tuple[DataFrame, int, 
         rows, "round int, n_removed long, sum_ids long, min_id long, max_id long"
     )
     return trace, k, rnd - 1
+
+
+def _kcore_peel_local(e2: DataFrame, alive: DataFrame, k: int, first_round: int) -> list[tuple]:
+    """Driver-local continuation of kcore_peel once the surviving subgraph
+    fits ``local_finish_max_edges``: same round/wave semantics in O(V + E)
+    total — each round\'s wave candidates are only the vertices whose degree
+    CHANGED last round (plus everyone, once, in the first), so a Θ(n)-round
+    chain costs a linear scan here instead of Θ(n) Spark jobs. Isolated
+    alive vertices (degree 0) peel in the first local wave exactly as the
+    distributed left-join/coalesce(0) does."""
+    deg: dict[int, int] = {int(r["v"]): 0 for r in alive.collect()}
+    adj: dict[int, list[int]] = {}
+    for r in e2.select("src", "dst").collect():
+        s, t = int(r["src"]), int(r["dst"])
+        adj.setdefault(s, []).append(t)
+        deg[s] = deg.get(s, 0) + 1
+    rows: list[tuple] = []
+    rnd = first_round
+    candidates = set(deg)
+    while True:
+        wave = [v for v in candidates if v in deg and deg[v] < k]
+        if not wave:
+            break
+        rows.append((rnd, len(wave), sum(wave), min(wave), max(wave)))
+        for v in wave:
+            del deg[v]
+        candidates = set()
+        for v in wave:
+            for t in adj.pop(v, ()):  # directed pairs both ways: each
+                if t in deg:  # removal decrements its mirror\'s degree
+                    deg[t] -= 1
+                    candidates.add(t)
+        rnd += 1
+    return rows

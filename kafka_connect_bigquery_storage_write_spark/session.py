@@ -112,6 +112,12 @@ def get_spark(
         # fixture `events` parquet stores TIMESTAMP(NANOS); read as long and
         # convert to micros in the loader (Spark has no native ns timestamps)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # write timestamps as TIMESTAMP_MICROS, not legacy INT96: INT96
+        # columns carry NO parquet footer min/max statistics, which blinds
+        # both engine-side row-group skipping and the manifest sink's
+        # zone-map pruning for every timestamp column (observed: ts stats
+        # absent under INT96). Micros is also what Iceberg/Delta mandate.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     )
     if extra_conf:
         for k, v in extra_conf.items():

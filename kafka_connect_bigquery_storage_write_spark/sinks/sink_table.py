@@ -155,16 +155,32 @@ _PRUNE_OPS = ("==", "<", "<=", ">", ">=")
 
 def _stat_norm(v):
     """Normalize a stats/predicate value for JSON storage + comparison:
-    date/datetime -> ISO string (ISO order == chronological order), numeric/
-    str/bool as-is, anything else -> None (unprunable, conservatively)."""
+    date/datetime -> UTC epoch micros (naive treated as UTC), numeric/
+    str/bool as-is, anything else -> None (unprunable, conservatively).
+
+    Epoch micros, NOT isoformat: Spark-written parquet footers yield
+    tz-AWARE stats ('...+00:00') while predicate literals are typically
+    naive datetimes, and lexicographic ISO order diverges from
+    chronological order the moment representations mix — a wrongly
+    pruned file violates read(where=p) == read().filter(p) (ADVICE r8).
+    A single integer representation makes the comparison tz-shape-proof;
+    manifests written before this change stored ISO strings, and a
+    str-vs-int comparison raises TypeError which every caller already
+    treats as "keep the file" — stale stats degrade to no pruning, never
+    to a wrong prune."""
     import datetime
 
     if isinstance(v, bool) or v is None:
         return v
     if isinstance(v, (int, float, str)):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        d = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days * 86_400_000_000
     return None
 
 
@@ -322,6 +338,12 @@ def _zorder_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: 
     from pyspark.sql import functions as F
 
     n = len(cols)
+    # the interleave's highest bit position is (bits-1)*n + (n-1); clamp so
+    # it stays below bit 63 — at 4 columns x 16 bits the top bit would land
+    # ON the long sign bit and the largest z-values would wrap negative,
+    # splitting the keyspace discontinuously under repartitionByRange and
+    # silently degrading clustering for >=4 zorder columns (ADVICE r8)
+    bits = min(bits, 63 // n)
     top = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for i, c in enumerate(cols):
@@ -375,7 +397,7 @@ class ManifestSinkTable:
             raise ValueError(f"write.mode must be committed|pending, got {self.write_mode!r}")
         if self.schema_evolution not in ("frozen", "additive"):
             raise ValueError(f"schema_evolution must be frozen|additive, got {self.schema_evolution!r}")
-        for d in ("data", "_staged", "_commits"):
+        for d in ("data", "_staged", "_commits", "_deletes"):
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
 
     # -- paths ------------------------------------------------------------
@@ -768,6 +790,11 @@ class ManifestSinkTable:
         _prior, absorbed = self._snapshot_state()
         snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
+        # visible delete vectors: files they reference must be REWRITTEN
+        # (pointer-copied files get new names, which would orphan the DV
+        # and resurrect its rows), and the new snapshot absorbs the DVs
+        dvs = self.visible_dvs()
+        dv_files = {f for d in dvs for f in d.get("files", [])}
         new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, "data", new_dir)
         os.makedirs(out_dir, exist_ok=True)
@@ -780,7 +807,7 @@ class ManifestSinkTable:
             if entries is None:
                 entries = [{"name": f, "rows": None, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
             for e in entries:
-                if _entry_may_match(e, where):
+                if _entry_may_match(e, where) or e["name"] in dv_files:
                     cand_paths.append(os.path.join(base, e["name"]))
                 else:
                     # untouched: pointer-copy (hardlink) + stats/bloom carryover
@@ -797,7 +824,12 @@ class ManifestSinkTable:
                 col = F.col(c)
                 this = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
                 cond = this if cond is None else (cond & this)
-            survivors = spark.read.schema(self.schema()).parquet(*cand_paths).filter(~cond)
+            survivors = spark.read.schema(self.schema()).parquet(*cand_paths)
+            if dvs:  # tombstoned rows must not survive into the rewrite
+                survivors = self._apply_dv(survivors, self._dv_relation(spark, dvs)).select(
+                    *[f.name for f in self.schema().fields]
+                )
+            survivors = survivors.filter(~cond)
             tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
             survivors.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
             for f in sorted(os.listdir(tmp_out)):
@@ -814,6 +846,7 @@ class ManifestSinkTable:
                     "compacted_dirs": [new_dir],
                     "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
                     "files": {new_dir: file_entries},
+                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
                 }
             ),
         )
@@ -821,6 +854,200 @@ class ManifestSinkTable:
             shutil.rmtree(out_dir, ignore_errors=True)
             return None
         return n_snap
+
+    # -- merge-on-read delete vectors (Iceberg v2 / Delta DV model) --------
+    #
+    # delete_where_pruned (file-level COW) still REWRITES every straddling
+    # file — at 100 TB a point delete should write a positional tombstone
+    # and merge it at read, letting compaction absorb the tombstones later
+    # (VERDICT r8 #4). A delete vector here is a parquet relation of
+    # (file basename, row position) pairs under <root>/_deletes/, published
+    # by a CAS'd commit `_commits/dv-<i>.json`. Readers anti-join visible
+    # DVs on (_metadata.file_path basename, _metadata.row_index); every
+    # rewrite (compact / merge_rows / delete_where_pruned) applies visible
+    # DVs to the data it merges and records them in the new snapshot's
+    # ``absorbed_dv_ids``.
+    #
+    # Concurrency protocol (no lost updates, pure CAS): a DV computed
+    # against snapshot s is valid only while no REAL snapshot s+1 rewrites
+    # the files it references (parquet part names embed uuids and are never
+    # reused, so a stale DV degrades to a no-op — rows RESURRECT rather
+    # than corrupt, which is still wrong). So after committing dv-<i>, the
+    # deleter CAS-creates snapshot-(s+1) as a BARRIER — a content-identical
+    # copy of snapshot s (plus {"barrier": true}). Exactly one of
+    # {deleter's barrier, a concurrent compactor's real snapshot} wins
+    # index s+1:
+    #   * barrier won  -> any later rewrite starts from s+1 and must list
+    #     dv-<i>, apply it, and absorb it;
+    #   * real snapshot won -> if it lists dv-<i> in absorbed_dv_ids the
+    #     compactor applied it (done); if a barrier from ANOTHER deleter
+    #     won, files are unchanged — re-guard at s+2; otherwise this DV
+    #     raced a rewrite and lost: it is void (dead basenames) and the
+    #     delete recomputes against the fresh layout.
+    # Void DVs stay in the log unabsorbed until the next rewrite absorbs
+    # them as no-ops; they never affect results.
+
+    def _dv_commits(self) -> dict[int, dict]:
+        out: dict[int, dict] = {}
+        commits = os.path.join(self.root, "_commits")
+        for f in os.listdir(commits):
+            if f.startswith("dv-") and f.endswith(".json"):
+                with open(os.path.join(commits, f)) as fh:
+                    d = json.load(fh)
+                out[int(d["index"])] = d
+        return out
+
+    def _absorbed_dv_ids(self) -> set[int]:
+        snap = self._latest_snapshot()
+        return set((snap or {}).get("absorbed_dv_ids", []))
+
+    def visible_dvs(self) -> list[dict]:
+        """DV commits not yet absorbed by the latest snapshot (includes
+        raced-and-void DVs, which no-op via dead basenames)."""
+        absorbed = self._absorbed_dv_ids()
+        return [d for i, d in sorted(self._dv_commits().items()) if i not in absorbed]
+
+    def _dv_relation(self, spark: SparkSession, dvs: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.root, d["dir"]) for d in dvs]
+        return spark.read.schema("file string, pos long").parquet(*paths).select("file", "pos").distinct()
+
+    @staticmethod
+    def _apply_dv(df: DataFrame, dvrel: DataFrame) -> DataFrame:
+        """Anti-join a file scan against a DV relation. Must be applied
+        directly on the parquet scan (before other projections) so the
+        hidden ``_metadata`` struct is still resolvable."""
+        from pyspark.sql import functions as F
+
+        tagged = df.withColumn(
+            "_dv_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        ).withColumn("_dv_pos", F.col("_metadata.row_index"))
+        out = tagged.join(
+            dvrel.withColumnRenamed("file", "_dv_file").withColumnRenamed("pos", "_dv_pos"),
+            ["_dv_file", "_dv_pos"],
+            "left_anti",
+        )
+        return out.drop("_dv_file", "_dv_pos")
+
+    def _create_barrier_snapshot(self, prior: dict | None) -> bool:
+        """CAS a content-identical barrier at the next snapshot index."""
+        n = (prior["index"] + 1) if prior else 0
+        payload = {
+            "index": n,
+            "compacted_dirs": list((prior or {}).get("compacted_dirs", [])),
+            "absorbed_batch_ids": list((prior or {}).get("absorbed_batch_ids", [])),
+            "files": (prior or {}).get("files", {}),
+            "absorbed_dv_ids": list((prior or {}).get("absorbed_dv_ids", [])),
+            "barrier": True,
+        }
+        return self._atomic_create(
+            os.path.join(self.root, "_commits", f"snapshot-{n}.json"), json.dumps(payload)
+        )
+
+    def delete_where_dv(
+        self, spark: SparkSession, where: list[tuple], op_id: str | None = None
+    ) -> tuple[int, int] | None:
+        """MERGE-ON-READ row delete: writes a delete vector instead of
+        rewriting files. Same predicate language as ``read(where=...)``;
+        zone-map/bloom pruning picks the candidate files, only THOSE are
+        scanned (for positions, not rewritten). Returns
+        ``(dv_index, n_deleted)`` or None when no row matches (or a
+        replayed ``op_id`` short-circuits). ``op_id`` gives replay
+        idempotence: a CAS'd ``dvop-<op_id>.marker`` makes re-running the
+        same logical delete a no-op — without it a replay would no-op
+        anyway (positions already tombstoned are excluded), but would
+        burn a DV commit per replay.
+
+        At 100 TB: a point delete costs one pruned scan + one tombstone
+        parquet of the matching positions — no data rewrite. Reads pay
+        one anti-join against the (small) DV relation until compaction
+        absorbs it; ``compact()`` restores the zero-join read path.
+        """
+        for _c, op, _v in where:
+            if op not in _PRUNE_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
+        marker = os.path.join(self.root, "_commits", f"dvop-{op_id}.marker") if op_id else None
+        if marker and os.path.exists(marker):
+            return None
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        for _attempt in range(5):
+            prior = self._latest_snapshot()
+            cand = self.visible_files(where)
+            if not cand:
+                if marker:
+                    self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+                return None
+            cond = None
+            for c, op, v in where:
+                col = F.col(c)
+                this = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+                cond = this if cond is None else (cond & this)
+            hits = (
+                spark.read.schema(self.schema()).parquet(*cand)
+                .withColumn("file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+                .withColumn("pos", F.col("_metadata.row_index"))
+                .filter(cond)
+                .select("file", "pos")
+            )
+            dvs = self.visible_dvs()
+            if dvs:
+                # already-tombstoned positions don't re-delete (exact count)
+                hits = hits.join(self._dv_relation(spark, dvs), ["file", "pos"], "left_anti")
+            rel_dir = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
+            out_dir = os.path.join(self.root, rel_dir)
+            hits.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            back = spark.read.schema("file string, pos long").parquet(out_dir)
+            n = back.count()
+            if n == 0:
+                shutil.rmtree(out_dir, ignore_errors=True)
+                if marker:
+                    self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+                return None
+            files_ref = sorted(r["file"] for r in back.select("file").distinct().collect())
+            while True:  # dv-index CAS (concurrent deleters bump past each other)
+                idx = max(self._dv_commits(), default=-1) + 1
+                created = self._atomic_create(
+                    os.path.join(self.root, "_commits", f"dv-{idx}.json"),
+                    json.dumps(
+                        {
+                            "index": idx,
+                            "dir": rel_dir,
+                            "rows": n,
+                            "files": files_ref,
+                            "where": [[c, op, _stat_norm(v)] for c, op, v in where],
+                            "read_snapshot": prior["index"] if prior else -1,
+                            "as_of_batch": max(self.committed_ids(), default=-1),
+                            "as_of_epoch": len(
+                                [f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")]
+                            ) - 1,
+                            "op_id": op_id,
+                        }
+                    ),
+                )
+                if created:
+                    break
+            # guard loop: occupy (or inspect) the next snapshot index
+            guard = prior
+            while True:
+                if self._create_barrier_snapshot(guard):
+                    if marker:
+                        self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
+                    return idx, n
+                latest = self._latest_snapshot()
+                if idx in set(latest.get("absorbed_dv_ids", [])):
+                    # a real snapshot raced us AND applied this DV
+                    if marker:
+                        self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
+                    return idx, n
+                if latest.get("barrier"):
+                    guard = latest  # another deleter's barrier: files unchanged
+                    continue
+                break  # real snapshot rewrote our files: dv is void; recompute
+        raise RuntimeError(
+            "delete_where_dv: lost the snapshot race 5 times to concurrent rewrites"
+        )
 
     def merge_rows(
         self,
@@ -863,7 +1090,10 @@ class ManifestSinkTable:
             raise ValueError("pass order_by or zorder_by, not both")
         batch_ids = self.committed_ids()
         prior_dirs, absorbed = self._snapshot_state()
-        if require_multiple and len(batch_ids) + len(prior_dirs) <= 1:
+        pending_dvs = self.visible_dvs()
+        # a single data dir normally needs no compaction — unless delete
+        # vectors are pending, whose absorption is itself the point
+        if require_multiple and len(batch_ids) + len(prior_dirs) <= 1 and not pending_dvs:
             return None
         if len(batch_ids) + len(prior_dirs) == 0:
             return None
@@ -882,6 +1112,17 @@ class ManifestSinkTable:
         paths = [os.path.join(self.root, "data", d) for d in prior_dirs]
         paths += [os.path.join(self.root, "data", entries[i]) for i in batch_ids]
         merged = spark.read.schema(self.schema()).parquet(*paths)
+        # apply-and-absorb visible delete vectors: without this, the
+        # rewrite would resurrect tombstoned rows into the new snapshot.
+        # The same listing moment drives data, absorbed batches AND
+        # absorbed DVs; a DV committed after this listing guards itself
+        # via the barrier-snapshot protocol (see delete vector section).
+        dvs = self.visible_dvs()
+        if dvs:
+            merged = self._apply_dv(merged, self._dv_relation(spark, dvs)).select(
+                *[f.name for f in self.schema().fields]
+            )
+        absorbed_dv = sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs})
         if fn is not None:
             merged = fn(merged)
             if [f.name for f in merged.schema.fields] != [f.name for f in self.schema().fields]:
@@ -917,6 +1158,7 @@ class ManifestSinkTable:
                     "compacted_dirs": [new_dir],
                     "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
                     "files": {new_dir: _collect_file_stats(out_dir, out_files, self.bloom_columns)},
+                    "absorbed_dv_ids": absorbed_dv,
                 }
             ),
         )
@@ -1001,6 +1243,22 @@ class ManifestSinkTable:
                 continue
             shutil.rmtree(os.path.join(data_root, d))
             removed.append(d)
+        # delete-vector dirs: absorbed DVs were applied by a rewrite and
+        # are only needed for time travel (same rule as absorbed batch
+        # dirs — reclaim regardless of age); committed-but-live DVs stay;
+        # dirs with no dv-commit at all are crashed attempts (retention)
+        dv_dirs_live = {c["dir"] for c in self._dv_commits().values() if c["index"] not in self._absorbed_dv_ids()}
+        dv_dirs_committed = {c["dir"] for c in self._dv_commits().values()}
+        del_root = os.path.join(self.root, "_deletes")
+        for d in os.listdir(del_root):
+            rel = os.path.join("_deletes", d)
+            full = os.path.join(del_root, d)
+            if rel in dv_dirs_live:
+                continue
+            if rel not in dv_dirs_committed and not _old_enough(full):
+                continue
+            shutil.rmtree(full)
+            removed.append(rel)
         return sorted(removed)
 
     # -- time travel ---------------------------------------------------------
@@ -1019,6 +1277,13 @@ class ManifestSinkTable:
                 entries.append(
                     {"kind": "batch", "id": int(m["batch_id"]), "batch_ids": [int(m["batch_id"])],
                      "committed_at": os.path.getmtime(path)}
+                )
+            elif f.startswith("dv-") and f.endswith(".json"):
+                with open(path) as fh:
+                    d = json.load(fh)
+                entries.append(
+                    {"kind": "dv", "id": int(d["index"]), "batch_ids": [],
+                     "rows_deleted": int(d.get("rows", 0)), "committed_at": os.path.getmtime(path)}
                 )
             elif f.startswith("epoch-") and f.endswith(".json"):
                 with open(path) as fh:
@@ -1062,7 +1327,33 @@ class ManifestSinkTable:
             if schema is None:
                 raise ValueError(f"sink table at {self.root} has never been written")
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        # delete-vector interplay: a DV is part of history at the point it
+        # was taken — apply exactly those whose as-of stamp precedes the
+        # travel target, regardless of later compaction-absorption (travel
+        # bypasses compacted layouts by reading the original batch dirs).
+        dvs = [
+            d
+            for d in self._dv_commits().values()
+            if (d.get("as_of_epoch", -1) <= epoch if epoch is not None else d.get("as_of_batch", -1) <= batch_id)
+        ]
+        if dvs:
+            traveled = {f for p in paths for f in os.listdir(p) if f.endswith(".parquet")}
+            for d in dvs:
+                missing_dv = not os.path.exists(os.path.join(self.root, d["dir"]))
+                if missing_dv:
+                    raise ValueError(f"time travel target's delete vector {d['index']} was vacuumed")
+                if not set(d.get("files", [])) <= traveled:
+                    # the DV was taken on a compacted layout the traveled
+                    # batch dirs don't contain — the historical state is
+                    # not representable from surviving artifacts
+                    raise ValueError(
+                        f"delete vector {d['index']} references a compacted layout; "
+                        "this historical point is not reconstructible (compact-then-"
+                        "travel across a delete)"
+                    )
+            df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
+        return df
 
     # -- read path ------------------------------------------------------------
     def _visible_manifests(self) -> list[dict]:
@@ -1114,6 +1405,11 @@ class ManifestSinkTable:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*paths)
+            dvs = self.visible_dvs()
+            if dvs:
+                # merge-on-read: tombstoned positions drop via one anti-join
+                # against the DV relation (small; absorbed by compaction)
+                df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
         if where:
             from pyspark.sql import functions as F
 
@@ -1136,6 +1432,13 @@ class ManifestSinkTable:
         emits are exact, and COW rewrites re-derive stats from rewritten
         content, so min-of-mins / max-of-maxs equal the true extremes.
         """
+        if self.visible_dvs():
+            # manifest row counts include tombstoned rows; a stats-only
+            # answer would overcount. compact() absorbs the DVs and
+            # restores the zero-scan path — raise, never guess.
+            raise ValueError(
+                "stats-only aggregates unavailable while delete vectors are pending; run compact() first"
+            )
         total = 0
         mins: dict[str, object] = {c: None for c in cols}
         maxs: dict[str, object] = {c: None for c in cols}

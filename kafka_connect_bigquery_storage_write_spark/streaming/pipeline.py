@@ -215,7 +215,22 @@ class IngestPipeline:
             result = self._sink.write_batch(rows, batch_id)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "seed": True}))
             return result
-        self._sink.merge_rows(rows.sparkSession, rows, keys=keys)
+        # merge_rows returns None when the snapshot CAS is lost to a
+        # concurrent rewriter (compact/vacuum-era maintenance racing this
+        # merge). The table is non-empty here (the seed branch above
+        # handled empty), so None can ONLY mean a lost CAS — retry against
+        # the fresh state (merge_rows re-reads the visible snapshot each
+        # call) and create the merge marker ONLY after a snapshot actually
+        # landed; marking an un-applied batch would short-circuit replay
+        # and silently drop its changes (ADVICE r8).
+        for _ in range(5):
+            if self._sink.merge_rows(rows.sparkSession, rows, keys=keys) is not None:
+                break
+        else:
+            raise RuntimeError(
+                f"merge batch {batch_id}: snapshot CAS lost 5 times to concurrent "
+                "maintenance; not marking the batch committed (replay will retry)"
+            )
         self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id}))
         return AppendResult(batch_id=batch_id, rows=-1)
 

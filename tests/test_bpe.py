@@ -191,3 +191,18 @@ def test_viterbi_segment_raises_on_unsegmentable():
 
     with _pytest.raises(ValueError):
         viterbi_segment("xy", {"x": -1})
+
+
+def test_viterbi_segment_pieces_longer_than_eight_chars():
+    """ADVICE r8: the DP window derives from the vocab's true max piece
+    length — a 12-char piece must win, not be silently skipped."""
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import viterbi_segment
+
+    word = "abcdefghijkl"
+    scores = {c: -10 for c in word}
+    assert viterbi_segment(word, scores) == (-120, 1)
+    scores[word] = -5  # one 12-char piece beats 12 singles
+    assert viterbi_segment(word, scores) == (-5, 1)
+    # explicit window narrower than the vocab still honors the contract via
+    # the caller passing the true max; the default derives it
+    assert viterbi_segment(word, scores, max_piece=len(word)) == (-5, 1)

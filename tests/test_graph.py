@@ -168,3 +168,54 @@ def test_kcore_peel_empty_graph(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     trace, k, n_rounds = kcore_peel(edges)
     assert k == 0 and n_rounds == 0 and trace.count() == 0
+
+
+def test_kcore_chain_graph_local_finish_and_guard(spark):
+    """VERDICT r8 #3: a path graph at k=2 is the O(n)-rounds adversarial
+    case (two endpoints peel per round). The local finish absorbs it in
+    one collect with EXACT wave semantics; with the finish disabled the
+    max_rounds guard raises loudly instead of looping for days."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import kcore_peel
+
+    n = 10_000
+    fwd = spark.range(n - 1).select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    edges = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    trace, k, n_rounds = kcore_peel(edges, k=2)  # 19,998 directed edges -> local
+    rows = trace.orderBy("round").collect()
+    assert k == 2 and n_rounds == n // 2 == len(rows)
+    # wave r removes exactly the two current endpoints: r-1 and n-r
+    for r in rows[:5] + rows[-2:]:
+        i = r["round"]
+        lo, hi = i - 1, n - i
+        if lo == hi:  # odd-length tail would merge; n even -> last wave is a pair
+            assert (r["n_removed"], r["min_id"], r["max_id"]) == (1, lo, lo)
+        else:
+            assert (r["n_removed"], r["sum_ids"], r["min_id"], r["max_id"]) == (2, lo + hi, lo, hi)
+
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        kcore_peel(edges, k=2, max_rounds=10, local_finish_max_edges=None)
+
+
+def test_kcore_local_finish_waves_equal_distributed(spark):
+    """The local finish is execution detail, not semantics: on a random
+    graph the trace is row-identical whether the peel runs distributed
+    end-to-end or collects immediately."""
+    import random
+
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import kcore_peel
+
+    rng = random.Random(9)
+    pairs = {(rng.randrange(60), rng.randrange(60)) for _ in range(160)}
+    sym = sorted({(a, b) for a, b in pairs if a != b} | {(b, a) for a, b in pairs if a != b})
+    edges = spark.createDataFrame(sym, "src long, dst long").localCheckpoint(eager=True)
+
+    dist, k1, r1 = kcore_peel(edges, local_finish_max_edges=None)
+    loc, k2, r2 = kcore_peel(edges, local_finish_max_edges=10**9)
+    assert k1 == k2 and r1 == r2
+    assert [tuple(r) for r in dist.orderBy("round").collect()] == [
+        tuple(r) for r in loc.orderBy("round").collect()
+    ]

@@ -7,6 +7,8 @@ immediately; pending mode invisible until commit; idempotent replay
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from kafka_connect_bigquery_storage_write_spark.sinks import AppendResult, ManifestSinkTable, RetryPolicy, UnretryableSinkError, classify_retriable
@@ -893,3 +895,226 @@ def test_stats_agg_serves_from_manifest_with_files_deleted(spark, tmp_path):
     # a column the manifest has no stats for must raise, not guess
     with _pytest.raises(ValueError, match="no usable stats"):
         sink.stats_agg(["missing_col"])
+
+
+def test_stat_norm_timestamps_chronological_not_lexicographic():
+    """ADVICE r8: datetimes normalize to UTC epoch micros (naive == UTC),
+    so pruning compares chronologically regardless of tz shape; legacy
+    ISO-string stats degrade to keep-the-file, never a wrong prune."""
+    import datetime as dt
+
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import _file_may_match, _stat_norm
+
+    aware = dt.datetime(2024, 1, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    naive = dt.datetime(2024, 1, 1, 12, 0, 0)
+    assert _stat_norm(aware) == _stat_norm(naive) == 1_704_110_400_000_000
+    # non-UTC offset normalizes to the same instant
+    est = dt.datetime(2024, 1, 1, 7, 0, 0, tzinfo=dt.timezone(dt.timedelta(hours=-5)))
+    assert _stat_norm(est) == _stat_norm(aware)
+    # date at midnight UTC compares chronologically against datetimes
+    assert _stat_norm(dt.date(2024, 1, 1)) < _stat_norm(aware)
+
+    # the ADVICE failure case: predicate "<= min-bound instant" with a
+    # naive literal against aware-derived stats MUST keep the file (the
+    # old isoformat comparison pruned it: '...T12:00:00+00:00' > '...T12:00:00')
+    stats = {
+        "ts": [
+            _stat_norm(aware),
+            _stat_norm(dt.datetime(2024, 1, 2, tzinfo=dt.timezone.utc)),
+        ]
+    }
+    assert _file_may_match(stats, "ts", "<=", naive)
+    assert _file_may_match(stats, "ts", "==", naive)
+    # a provably-disjoint predicate still prunes
+    assert not _file_may_match(stats, "ts", "<", dt.datetime(2024, 1, 1, 0, 0))
+    assert not _file_may_match(stats, "ts", ">", dt.datetime(2024, 1, 3))
+    # legacy manifests stored ISO strings: str-vs-int comparison -> keep
+    legacy = {"ts": ["2024-01-01T12:00:00+00:00", "2024-01-02T00:00:00+00:00"]}
+    assert _file_may_match(legacy, "ts", "<", dt.datetime(2023, 1, 1))
+
+
+def test_timestamp_pruned_read_equals_residual_filter(spark, tmp_path):
+    """End-to-end: read(where=ts-predicate) == read().filter(...) even when
+    the predicate literal equals a file's min/max bound exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 48).select(
+        F.col("id").alias("k"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(df.filter("k < 24").coalesce(1), 0)
+    sink.write_batch(df.filter("k >= 24").coalesce(1), 1)
+
+    # bound instants of the two files (session tz is UTC)
+    for lit in (dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 2, 0, 0), dt.datetime(2024, 1, 2, 23, 0)):
+        for op in ("==", "<", "<=", ">", ">="):
+            want = sorted(r["k"] for r in sink.read(spark).filter(
+                {"==": F.col("ts") == lit, "<": F.col("ts") < lit, "<=": F.col("ts") <= lit,
+                 ">": F.col("ts") > lit, ">=": F.col("ts") >= lit}[op]
+            ).collect())
+            got = sorted(r["k"] for r in sink.read(spark, where=[("ts", op, lit)]).collect())
+            assert got == want, (op, lit, got, want)
+    # and the pruning is real: a one-file predicate opens one file
+    assert len(sink.visible_files([("ts", "<", dt.datetime(2024, 1, 1, 12, 0))])) == 1
+
+
+def test_zorder_four_columns_stays_non_negative(spark):
+    """ADVICE r8: at 4 columns the per-column bits clamp to 15 so the top
+    interleaved bit stays below the long sign bit — z-values never wrap
+    negative and the all-max row owns the global max z."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import _zorder_expr
+
+    cols = ["a", "b", "c", "d"]
+    df = spark.range(0, 4096).selectExpr(
+        "id % 16 AS a", "CAST(id / 16 AS LONG) % 16 AS b",
+        "CAST(id / 256 AS LONG) % 16 AS c", "id % 16 AS d",
+    )
+    bounds = {c: (0.0, 15.0) for c in cols}
+    z = df.withColumn("z", _zorder_expr(cols, bounds, bits=16))
+    mn, mx = z.agg(F.min("z"), F.max("z")).first()
+    assert mn >= 0, mn
+    # the row with every column at its max must map to the max z-value
+    top = z.filter("a = 15 AND b = 15 AND c = 15 AND d = 15").agg(F.max("z")).first()[0]
+    assert top == mx
+
+
+# ---- merge-on-read delete vectors (round 9, VERDICT r8 #4) ----------------
+
+
+def _dv_table(spark, tmp_path, nfiles=4, rows=400):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    per = rows // nfiles
+    for b in range(nfiles):
+        df = spark.range(b * per, (b + 1) * per).selectExpr("id AS k", "id * 2 AS v")
+        sink.write_batch(df.coalesce(1), b)
+    return sink
+
+
+def test_dv_delete_no_rewrite_and_read_merge(spark, tmp_path):
+    """delete_where_dv tombstones rows WITHOUT touching data files; reads
+    merge the DV; read(where=p) still equals read().filter(p)."""
+    import glob as _glob
+
+    sink = _dv_table(spark, tmp_path)
+    before = sorted(_glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    inodes = {p: os.stat(p).st_ino for p in before}
+
+    res = sink.delete_where_dv(spark, [("k", ">=", 150), ("k", "<", 170)])
+    assert res is not None and res[1] == 20
+    after = sorted(_glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    assert after == before and all(os.stat(p).st_ino == inodes[p] for p in after)
+
+    assert sink.read(spark).count() == 380
+    assert sink.read(spark).filter("k >= 150 AND k < 170").count() == 0
+    got = sorted(r["k"] for r in sink.read(spark, where=[("k", "<", 200)]).collect())
+    assert got == [k for k in range(200) if not (150 <= k < 170)]
+    # pruning still works (zone maps untouched)
+    assert len(sink.visible_files([("k", "==", 50)])) == 1
+
+    # second delete of the same range: positions already tombstoned -> None
+    assert sink.delete_where_dv(spark, [("k", ">=", 150), ("k", "<", 170)]) is None
+    # overlapping delete counts only NEW positions
+    res2 = sink.delete_where_dv(spark, [("k", ">=", 165), ("k", "<", 175)])
+    assert res2 is not None and res2[1] == 5
+    assert sink.read(spark).count() == 375
+
+
+def test_dv_op_id_replay_idempotent(spark, tmp_path):
+    sink = _dv_table(spark, tmp_path)
+    res = sink.delete_where_dv(spark, [("k", "==", 7)], op_id="del-7")
+    assert res is not None and res[1] == 1
+    # replay with the same op id: marker short-circuits before any scan
+    assert sink.delete_where_dv(spark, [("k", "==", 7)], op_id="del-7") is None
+    assert sink.read(spark).count() == 399
+
+
+def test_dv_compaction_absorbs_and_restores_stats(spark, tmp_path):
+    sink = _dv_table(spark, tmp_path)
+    sink.delete_where_dv(spark, [("k", "<", 10)])
+    assert len(sink.visible_dvs()) == 1
+    with pytest.raises(ValueError, match="delete vectors are pending"):
+        sink.stats_agg(["k"])
+
+    snap = sink.compact(spark, target_files=2)
+    assert snap is not None
+    assert sink.visible_dvs() == []  # absorbed
+    assert sink.read(spark).count() == 390
+    assert sink.read(spark).filter("k < 10").count() == 0
+    s = sink.stats_agg(["k"])
+    assert s["rows"] == 390 and s["min"]["k"] == 10 and s["max"]["k"] == 399
+
+    # vacuum reclaims the absorbed DV parquet (and absorbed batch dirs)
+    removed = sink.vacuum(retention_s=0.0)
+    assert any(r.startswith("_deletes/") for r in removed)
+    assert sink.read(spark).count() == 390
+
+
+def test_dv_then_pruned_delete_rewrites_dv_files(spark, tmp_path):
+    """delete_where_pruned must rewrite files a pending DV references —
+    pointer-copying them under new names would orphan the DV and
+    resurrect its rows."""
+    sink = _dv_table(spark, tmp_path)
+    sink.delete_where_dv(spark, [("k", "==", 5)])      # file 0
+    snap = sink.delete_where_pruned(spark, [("k", ">=", 390)])  # file 3
+    assert snap is not None
+    assert sink.visible_dvs() == []  # absorbed by the pruned-delete snapshot
+    ks = {r["k"] for r in sink.read(spark).collect()}
+    assert 5 not in ks and not any(k >= 390 for k in ks)
+    assert len(ks) == 400 - 1 - 10
+
+
+def test_dv_merge_rows_does_not_resurrect(spark, tmp_path):
+    sink = _dv_table(spark, tmp_path)
+    sink.delete_where_dv(spark, [("k", "==", 42)])
+    upd = spark.createDataFrame([(43, 9999)], "k long, v long")
+    assert sink.merge_rows(spark, upd, keys=["k"]) is not None
+    rows = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert 42 not in rows and rows[43] == 9999 and len(rows) == 399
+    assert sink.visible_dvs() == []
+
+
+def test_dv_time_travel_interplay(spark, tmp_path):
+    """A DV is history at its as-of batch: travel BEFORE it shows the
+    rows, travel AT/AFTER applies it; a delete taken on a compacted
+    layout makes earlier points unreconstructible -> loud error."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(spark.range(0, 100).selectExpr("id AS k").coalesce(1), 0)
+    sink.write_batch(spark.range(100, 200).selectExpr("id AS k").coalesce(1), 1)
+    sink.delete_where_dv(spark, [("k", "==", 50)])  # as_of_batch = 1
+    sink.write_batch(spark.range(200, 300).selectExpr("id AS k").coalesce(1), 2)
+
+    assert sink.read_as_of(spark, batch_id=0).count() == 100  # pre-delete
+    assert sink.read_as_of(spark, batch_id=1).count() == 199  # delete applied
+    assert sink.read_as_of(spark, batch_id=2).count() == 299
+    assert sink.read(spark).count() == 299
+
+    # compact (absorbs the DV), then delete on the compacted layout
+    sink.compact(spark, target_files=2)
+    sink.delete_where_dv(spark, [("k", "==", 150)])
+    with pytest.raises(ValueError, match="not reconstructible"):
+        sink.read_as_of(spark, batch_id=2)
+
+
+def test_dv_barrier_snapshot_protocol(spark, tmp_path):
+    """The DV commit publishes a barrier at the next snapshot index; a
+    later compaction starts from it and MUST absorb the DV."""
+    sink = _dv_table(spark, tmp_path)
+    sink.delete_where_dv(spark, [("k", "==", 1)])
+    snap = sink._latest_snapshot()
+    assert snap is not None and snap.get("barrier") is True
+    # a second DV stacks a second barrier
+    sink.delete_where_dv(spark, [("k", "==", 2)])
+    snap2 = sink._latest_snapshot()
+    assert snap2["index"] == snap["index"] + 1 and snap2.get("barrier") is True
+    # compaction wins the next index, absorbs both, and reads stay exact
+    n = sink.compact(spark, target_files=2)
+    assert n == snap2["index"] + 1
+    latest = sink._latest_snapshot()
+    assert latest.get("barrier") is None
+    assert set(latest["absorbed_dv_ids"]) == {0, 1}
+    assert sink.read(spark).count() == 398
