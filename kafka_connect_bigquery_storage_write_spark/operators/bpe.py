@@ -198,3 +198,56 @@ def viterbi_udf(scores: dict[str, int]) -> Column:
         return pd.DataFrame(rows, columns=["best_micro", "n_best"])
 
     return _seg
+
+
+# ---- byte-level BPE (round 9, VERDICT r8 #5) -------------------------------
+#
+# Production GPT-2-family tokenizers operate on UTF-8 BYTES, not unicode
+# chars, with a printable byte<->char bijection making every byte a
+# one-char symbol — that is what makes the tokenizer TOTAL on arbitrary
+# unicode (any codepoint decomposes into bytes already in the alphabet;
+# nothing is ever OOV). This engine uses the uniform bijection
+# byte b -> chr(256 + b): every byte-symbol lands in U+0100..U+01FF,
+# disjoint from ASCII (so oracle sentinels stay collision-free) and
+# computable in one expression on BOTH engines (Python chr / DuckDB chr),
+# unlike GPT-2's piecewise printable map, which encodes the same
+# information with a lookup nobody else needs to share. The char-grain
+# trainer/apply kernels (train_merges / apply_merges) work UNCHANGED on
+# byte-char strings, so the distinct-word-grain economics and the q164
+# sentinel-replace oracle equivalence carry over verbatim.
+
+BYTE_CHAR_OFFSET = 256
+
+
+def byte_encode(word: str) -> str:
+    """UTF-8 bytes of ``word`` as a byte-char string (one char per byte)."""
+    return "".join(chr(BYTE_CHAR_OFFSET + b) for b in word.encode("utf-8"))
+
+
+def byte_decode(sym: str) -> bytes:
+    """Inverse bijection: a byte-char token back to its raw bytes (which
+    may be a partial UTF-8 sequence — byte tokens need not align to
+    codepoints; that is the point of byte-level BPE)."""
+    return bytes(ord(c) - BYTE_CHAR_OFFSET for c in sym)
+
+
+def byte_bpe_train(word_freqs: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Fit byte-level merges: byte-encode the (word, f) head, then the
+    char-grain trainer runs unchanged over byte-char symbols. Merges may
+    span codepoint boundaries (e.g. fuse the two bytes of 'é' and then
+    fuse that with a neighboring ASCII byte)."""
+    return train_merges([(byte_encode(w), f) for w, f in word_freqs], n_merges)
+
+
+def byte_bpe_tokens_udf(merges: list[tuple[str, str]]) -> Column:
+    """Arrow-batched byte-level apply kernel: word column -> array of
+    byte-char tokens under ``merges``. Same distinct-word-grain contract
+    as bpe_tokens_udf; byte-encoding happens inside the kernel so the
+    JVM side never materializes the byte-char intermediate."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def _encode(words: pd.Series) -> pd.Series:
+        return words.map(lambda w: apply_merges(byte_encode(w), ranks))
+
+    return _encode

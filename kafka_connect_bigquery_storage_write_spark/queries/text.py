@@ -2674,3 +2674,151 @@ def q204_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("word", "f", "n_chars", F.col("_seg.best_micro"), F.col("_seg.n_best"))
         .orderBy("word")
     )
+
+
+# ---- byte-level BPE (round 9, VERDICT r8 #5) -------------------------------
+# Merges live in byte-char space (byte b -> chr(256+b), operators/bpe.py).
+# The planted table exercises the byte-level specifics: merge 0 fuses the
+# TWO UTF-8 BYTES of 'é' (0xC3,0xA9 — planted into the corpus by
+# replace(text,'e','é') on both engines), merges 2/4 then fuse ACROSS the
+# codepoint boundary (é+r, th+é); ASCII merges ride along unchanged.
+def _bb(c: str) -> str:
+    return chr(256 + ord(c))
+
+
+_BB_E1, _BB_E2 = chr(256 + 0xC3), chr(256 + 0xA9)  # the bytes of 'é'
+_BBPE_MERGES = [
+    (_BB_E1, _BB_E2),                      # é          sentinel '0'
+    (_bb("t"), _bb("h")),                  # th         sentinel '1'
+    (_BB_E1 + _BB_E2, _bb("r")),           # ér         sentinel '2'
+    (_bb("a"), _bb("n")),                  # an         sentinel '3'
+    (_bb("t") + _bb("h"), _BB_E1 + _BB_E2),  # thé      sentinel '4'
+    (_bb("i"), _bb("n")),                  # in         sentinel '5'
+    (_bb("a") + _bb("n"), _bb("d")),       # and        sentinel '6'
+]
+_BB_SENT = ["0", "1", "2", "3", "4", "5", "6"]
+
+
+def _bsql(c: str) -> str:
+    return f"chr({256 + ord(c)})"
+
+
+# replay pair strings at each rank (merged parts appear as their sentinel)
+_BB_PAIR_SQL = [
+    f"{_bsql(chr(0xC3))} || {_bsql(chr(0xA9))}",
+    f"{_bsql('t')} || {_bsql('h')}",
+    f"'0' || {_bsql('r')}",
+    f"{_bsql('a')} || {_bsql('n')}",
+    "'1' || '0'",
+    f"{_bsql('i')} || {_bsql('n')}",
+    f"'3' || {_bsql('d')}",
+]
+# sentinel -> final byte-char token string, as SQL expressions
+_BB_TOKEN_SQL = [
+    f"{_bsql(chr(0xC3))} || {_bsql(chr(0xA9))}",
+    f"{_bsql('t')} || {_bsql('h')}",
+    f"{_bsql(chr(0xC3))} || {_bsql(chr(0xA9))} || {_bsql('r')}",
+    f"{_bsql('a')} || {_bsql('n')}",
+    f"{_bsql('t')} || {_bsql('h')} || {_bsql(chr(0xC3))} || {_bsql(chr(0xA9))}",
+    f"{_bsql('i')} || {_bsql('n')}",
+    f"{_bsql('a')} || {_bsql('n')} || {_bsql('d')}",
+]
+# codepoint -> UTF-8 byte-char string (total: 1..4-byte sequences)
+_BB_ENC_LAMBDA = (
+    "CASE WHEN unicode(x) < 128 THEN chr(256 + unicode(x)) "
+    "WHEN unicode(x) < 2048 THEN chr(448 + unicode(x) // 64) || chr(384 + unicode(x) % 64) "
+    "WHEN unicode(x) < 65536 THEN chr(480 + unicode(x) // 4096) || "
+    "chr(384 + (unicode(x) // 64) % 64) || chr(384 + unicode(x) % 64) "
+    "ELSE chr(496 + unicode(x) // 262144) || chr(384 + (unicode(x) // 4096) % 64) || "
+    "chr(384 + (unicode(x) // 64) % 64) || chr(384 + unicode(x) % 64) END"
+)
+
+
+@query(
+    "q206_byte_bpe_encode",
+    oracle=f"""
+    WITH repl AS (SELECT replace(text, 'e', 'é') AS text FROM documents),
+    toks AS (SELECT unnest({_TOKS}) AS word FROM repl),
+    words AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+    benc AS (
+      SELECT array_to_string(list_transform(string_split(word, ''), x -> {_BB_ENC_LAMBDA}), '') AS b, f
+      FROM words
+    ),
+    enc AS (
+      SELECT {"".join("replace(" for _ in _BBPE_MERGES)}b
+             {"".join(f", {p}, '{s}')" for p, s in zip(_BB_PAIR_SQL, _BB_SENT))} AS s,
+             f
+      FROM benc
+    ),
+    syms AS (SELECT unnest(string_split(s, '')) AS sym, f FROM enc),
+    tok AS (
+      SELECT CASE sym {" ".join(f"WHEN '{s}' THEN {t}" for s, t in zip(_BB_SENT, _BB_TOKEN_SQL))}
+             ELSE sym END AS token, f
+      FROM syms
+    ),
+    chars AS (SELECT DISTINCT unnest(string_split(b, '')) AS c FROM benc),
+    alpha AS (SELECT c, CAST(row_number() OVER (ORDER BY c) AS INT) AS cid FROM chars),
+    mtab AS (SELECT * FROM (VALUES {", ".join(f"({t}, {i + 1})" for i, t in enumerate(_BB_TOKEN_SQL))}) m(token, r)),
+    vocab AS (
+      SELECT c AS token, cid AS token_id FROM alpha
+      UNION ALL
+      SELECT m.token, CAST((SELECT count(*) FROM alpha) + m.r AS INT) FROM mtab m
+    )
+    SELECT t.token, v.token_id, CAST(sum(t.f) AS BIGINT) AS n_occurrences
+    FROM tok t JOIN vocab v ON v.token = t.token
+    GROUP BY t.token, v.token_id
+    ORDER BY t.token
+    """,
+)
+def q206_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level BPE tokenization (round 9, VERDICT r8 #5; q164's
+    char-grain pipeline upgraded to what production GPT-2-family
+    tokenizers actually do): text gains real multi-byte codepoints
+    (e -> é on both engines), words byte-encode through the uniform
+    byte<->char bijection chr(256+b), and a planted merge table whose
+    entries fuse the two UTF-8 bytes of 'é' AND cross the codepoint
+    boundary (é+r, th+é) is applied at distinct-word grain. The oracle
+    re-derives the byte encoding in pure SQL (codepoint arithmetic per
+    char, total through 4-byte sequences) and replays the merges with
+    q164's sentinel-replace chain — exact, not approximate. Byte-level
+    is what makes the tokenizer TOTAL on arbitrary unicode: every
+    codepoint decomposes into alphabet bytes, nothing is OOV.
+
+    Scale shape: identical to q164 — the Python kernel touches only the
+    DISTINCT-WORD relation (byte-encoding happens inside the kernel, the
+    JVM never materializes the intermediate), corpus weight returns via
+    explode + sum(f), the vocab id table is a bounded driver literal
+    joined by broadcast.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import byte_bpe_tokens_udf, vocab_ids
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    repl = docs.select(F.regexp_replace("text", "e", "é").alias("text"))
+    words = (
+        repl.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    enc = byte_bpe_tokens_udf(_BBPE_MERGES)
+    # consumed twice (alphabet + counts): eager checkpoint so the Python
+    # kernel runs once (the multi-consumer rule)
+    tokens = words.select(F.explode(enc(F.col("word"))).alias("token"), "f").localCheckpoint(eager=True)
+    # corpus byte alphabet: tokens are concatenations of base byte-chars,
+    # so their distinct chars ARE the alphabet — a <=256-row distributed
+    # aggregate, no word-relation collect
+    chars = [
+        r["c"]
+        for r in tokens.select(F.explode(F.split("token", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    ]
+    ids = vocab_ids(chars, _BBPE_MERGES)
+    vocab = spark.createDataFrame(sorted(ids.items()), "token string, token_id int")
+    return (
+        tokens.groupBy("token")
+        .agg(F.sum("f").alias("n_occurrences"))
+        .join(F.broadcast(vocab), "token")
+        .select("token", "token_id", "n_occurrences")
+        .orderBy("token")
+    )

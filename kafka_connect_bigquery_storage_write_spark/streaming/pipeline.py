@@ -215,6 +215,13 @@ class IngestPipeline:
             result = self._sink.write_batch(rows, batch_id)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "seed": True}))
             return result
+        # change-data-feed: log this batch's (deduped) change set before
+        # merging — the merge materializes the whole table, so without the
+        # log a downstream consumer could never read per-batch upserts
+        # (sink.changes()). CAS'd and replay-idempotent in every crash
+        # window: log-then-crash replays into a no-op re-log; merge-then-
+        # crash replays the idempotent merge.
+        self._sink.log_changes(rows, batch_id, change_type="upsert")
         # merge_rows returns None when the snapshot CAS is lost to a
         # concurrent rewriter (compact/vacuum-era maintenance racing this
         # merge). The table is non-empty here (the seed branch above

@@ -206,3 +206,42 @@ def test_viterbi_segment_pieces_longer_than_eight_chars():
     # explicit window narrower than the vocab still honors the contract via
     # the caller passing the true max; the default derives it
     assert viterbi_segment(word, scores, max_piece=len(word)) == (-5, 1)
+
+
+def test_byte_encode_bijection_and_totality():
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import byte_decode, byte_encode
+
+    for s in ["hello", "thé", "日本語", "a\x00b", "🙂ok", ""]:
+        enc = byte_encode(s)
+        assert len(enc) == len(s.encode("utf-8"))
+        assert all(0x100 <= ord(c) <= 0x1FF for c in enc)
+        assert byte_decode(enc).decode("utf-8") == s
+
+
+def test_byte_bpe_merges_span_codepoint_boundaries():
+    """Train on words containing 'é' (2 UTF-8 bytes): the trainer must
+    fuse the C3+A9 pair and then fuse ACROSS the codepoint boundary —
+    and apply must reproduce the training segmentation."""
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import (
+        apply_merges,
+        byte_bpe_train,
+        byte_encode,
+    )
+
+    freqs = [("thé", 50), ("théâtre", 20), ("the", 5)]
+    merges = byte_bpe_train(freqs, 4)
+    bc = lambda ch: chr(256 + ch)
+    # most frequent pair is t+h (55) then th+C3 (70 occurrences? no: thé
+    # words 70) — the exact ranking is deterministic; just pin the
+    # spanning property and round-trip:
+    assert (bc(0xC3), bc(0xA9)) in merges or any(
+        (0xC3 in [ord(x) - 256 for x in a + b]) and (0xA9 in [ord(x) - 256 for x in a + b])
+        for a, b in merges
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = apply_merges(byte_encode("thé"), ranks)
+    # 'thé' (4 bytes) compresses under 4 merges trained on it
+    assert 1 <= len(toks) <= 2
+    # totality: a word with bytes never seen in training still tokenizes
+    toks2 = apply_merges(byte_encode("日本"), ranks)
+    assert b"".join(__import__("kafka_connect_bigquery_storage_write_spark.operators.bpe", fromlist=["byte_decode"]).byte_decode(t) for t in toks2).decode("utf-8") == "日本"

@@ -1118,3 +1118,109 @@ def test_dv_barrier_snapshot_protocol(spark, tmp_path):
     assert latest.get("barrier") is None
     assert set(latest["absorbed_dv_ids"]) == {0, 1}
     assert sink.read(spark).count() == 398
+
+
+def test_stats_agg_sum_and_nonnull_from_manifest_only(spark, tmp_path):
+    """Round 9 (VERDICT r8 #6): SUM (stamped at write) and COUNT(col)
+    (footer null counts) answer from the manifest alone — pinned by
+    deleting every data file and asking again — and survive compaction
+    and file-level COW delete like min/max do."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed", sum_columns=("cents", "k"))
+    df = spark.range(0, 1000).selectExpr(
+        "id AS k",
+        "id * 3 AS cents",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE id END AS maybe",
+    )
+    sink.write_batch(df.filter("k < 500").coalesce(2), 0)
+    sink.write_batch(df.filter("k >= 500").coalesce(2), 1)
+
+    real = sink.read(spark).agg(
+        F.sum("cents"), F.sum("k"), F.count("maybe"), F.count("k")
+    ).first()
+    s = sink.stats_agg(["k"], sum_cols=["cents", "k"], count_cols=["maybe", "k"])
+    assert s["rows"] == 1000
+    assert s["sum"]["cents"] == real[0] and s["sum"]["k"] == real[1]
+    assert s["nonnull"]["maybe"] == real[2] == 800 and s["nonnull"]["k"] == real[3]
+
+    # survives compaction (rewritten files re-stamped from content)
+    assert sink.compact(spark, target_files=2) is not None
+    assert sink.stats_agg(["k"], sum_cols=["cents"], count_cols=["maybe"])["sum"]["cents"] == real[0]
+
+    # survives file-level COW delete: kept files carry sums, rewritten
+    # files re-stamp, and the aggregate reflects the deletion exactly
+    sink.write_batch(df.filter("k < 10").selectExpr("k + 1000 AS k", "cents", "maybe").coalesce(1), 7)
+    assert sink.delete_where_pruned(spark, [("k", ">=", 1000)]) is not None
+    s2 = sink.stats_agg(["k"], sum_cols=["cents", "k"], count_cols=["maybe"])
+    assert s2["rows"] == 1000 and s2["sum"]["k"] == real[1] and s2["nonnull"]["maybe"] == 800
+
+    # the point: no data pages needed — manifest alone answers
+    removed = 0
+    for p in glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True):
+        os.remove(p)
+        removed += 1
+    assert removed > 0
+    s3 = sink.stats_agg(["k"], sum_cols=["cents"], count_cols=["maybe"])
+    assert s3["sum"]["cents"] == real[0] and s3["nonnull"]["maybe"] == 800
+
+    # un-stamped column raises, never guesses
+    with pytest.raises(ValueError, match="no stamped sum"):
+        sink.stats_agg(["k"], sum_cols=["maybe"])
+
+
+def test_stats_agg_sum_all_null_file_and_unconfigured(spark, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed", sum_columns=("v",))
+    sink.write_batch(spark.createDataFrame([(1, None), (2, None)], "k long, v double").coalesce(1), 0)
+    sink.write_batch(spark.createDataFrame([(3, 1.5), (4, 2.5)], "k long, v double").coalesce(1), 1)
+    s = sink.stats_agg([], sum_cols=["v"], count_cols=["v"])
+    assert s["sum"]["v"] == 4.0 and s["nonnull"]["v"] == 2  # all-null file skipped, not 0-poisoned
+
+
+def test_change_feed_inserts_upserts_and_replay(spark, tmp_path):
+    """Round 9 (VERDICT r8 #7): changes(after_batch_id) exposes per-batch
+    change rows — appends straight off their batch dirs, MERGE batches
+    off CAS'd change logs — and replaying the feed in batch order onto a
+    stale copy reconverges it with the source table."""
+    from pyspark.sql import functions as F
+
+    sink = ManifestSinkTable(str(tmp_path / "a"), write_mode="committed")
+    sink.write_batch(spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1), 0)
+    sink.write_batch(spark.createDataFrame([(3, 30)], "k long, v long").coalesce(1), 1)
+    upd = spark.createDataFrame([(2, 99), (4, 40)], "k long, v long").coalesce(1)
+    assert sink.log_changes(upd, 2)
+    assert sink.merge_rows(spark, upd, keys=["k"]) is not None
+    assert not sink.log_changes(upd, 2)  # replay: no duplicate log
+
+    feed = sink.changes(spark).orderBy("_change_batch_id", "k").collect()
+    assert [(r["k"], r["v"], r["_change_batch_id"], r["_change_type"]) for r in feed] == [
+        (1, 10, 0, "insert"), (2, 20, 0, "insert"),
+        (3, 30, 1, "insert"),
+        (2, 99, 2, "upsert"), (4, 40, 2, "upsert"),
+    ]
+    # incremental consumption: only batches AFTER the cursor
+    tail = sink.changes(spark, after_batch_id=1)
+    assert {r["_change_batch_id"] for r in tail.collect()} == {2}
+
+    # replay contract: stale copy (through batch 0) + feed(after 0) == source
+    copy = ManifestSinkTable(str(tmp_path / "b"), write_mode="committed")
+    copy.write_batch(sink.changes(spark, -1).filter("_change_batch_id = 0").select("k", "v"), 0)
+    for b in [1, 2]:
+        rows = sink.changes(spark, after_batch_id=b - 1).filter(F.col("_change_batch_id") == b).select("k", "v")
+        if copy.schema() is None or not copy.committed_ids() and not copy._latest_snapshot():
+            copy.write_batch(rows, b)
+        else:
+            copy.merge_rows(spark, rows, keys=["k"])
+    a = sorted(tuple(r) for r in sink.read(spark).collect())
+    bb = sorted(tuple(r) for r in copy.read(spark).collect())
+    assert a == bb == [(1, 10), (2, 99), (3, 30), (4, 40)]
+
+    # the feed survives compaction (batch dirs remain) but not vacuum
+    sink.write_batch(spark.createDataFrame([(5, 50)], "k long, v long").coalesce(1), 3)
+    assert sink.compact(spark, target_files=1) is not None
+    assert sink.changes(spark).count() == 6
+    sink.vacuum(retention_s=0.0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        sink.changes(spark).count()
