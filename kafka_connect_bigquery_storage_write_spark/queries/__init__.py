@@ -55,79 +55,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-8 rotation (VERDICT r7 next-round #1 + ADVICE r7): lead with the
-# NINE queries added late in round 7 that have ZERO official rows
-# (q155-q163 — they landed after the r7 window was fixed, so they jump
-# the rotation per the zero-row rule), then the queries NEW this round,
-# then the r4-latest stragglers (q49/q98/q97), then the r5-latest cohort
-# in registration order until the window holds exactly 50. The r5
-# remainder + r6-latest cohort lead round 9.
-#
-# Mid-round update: q179-q191 (thirteen queries added in the round-8
-# continuation session) also have zero official rows, so they join the
-# zero-row block ahead of q49/q98/q97; the r5 cohort tail shrinks to
-# keep the window at exactly 50. Displaced r5 names stay next in the
-# round-9 rotation order.
-#
-# Second continuation update: q192-q204 (thirteen more new-this-round
-# queries, zero official rows) extend the same block; the remaining r5
-# fills (q45/q46/q43/q57/q66/q42/q44/q40/q41/q105) and r4 stragglers
-# q49/q98/q97 roll to the round-9 rotation head — the window is now
-# EXACTLY the 50 queries with zero official rows (q155-q204).
+# Round-9 rotation (VERDICT r8 next-round #1: burn down staleness —
+# rotate, don't grow): lead with the FIVE queries new this round
+# (q205-q209, zero official rows), then the r4-latest stragglers
+# q49/q98/q97 (the stalest official rows in the registry), then the
+# r5-latest cohort in registration order until the window holds exactly
+# 50. Registry growth this round is 5 (<= the prescribed 15), so the
+# window refreshes 45 stale rows. The r5 remainder
+# (q68/q83/q54/q55/q77/q60/q61/q62) plus the r6-latest cohort lead the
+# round-10 rotation.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- never officially windowed (added late in r7; sim-green) ---
-    "q155_bigram_surprisal",
-    "q156_source_js_divergence",
-    "q157_boilerplate_salvage",
-    "q158_lateral_topk",
-    "q159_hourly_autocorrelation",
-    "q160_rare_phrase_postings",
-    "q161_image_ahash_dups",
-    "q162_map_in_arrow_charge",
-    "q163_full_outer_attribution",
-    # --- new this round (r8) --- (inserted here as they land)
-    "q164_bpe_encode",
-    "q165_jpeg_block_checksum",
-    "q166_audio_fingerprint_dups",
-    "q167_xml_source",
-    "q168_triangle_count",
-    "q169_sink_pruned_read",
-    "q170_sink_time_travel",
-    "q171_schema_evolution_read",
-    "q172_reachability_bfs",
-    "q173_bpe_token_shards",
-    "q174_ivfpq_exact_topk",
-    "q175_ivfpq_topk",
-    "q176_sink_merge_upsert",
-    "q177_cdc_upsert_pipeline",
-    "q178_pmi_collocations",
-    # --- new in the round-8 continuation (zero official rows) ---
-    "q179_protobuf_wire_roundtrip",
-    "q180_sink_bloom_pruned_read",
-    "q181_sink_zorder_read",
-    "q182_jl_projection",
-    "q183_group_disjoint_split",
-    "q184_ppjoin_jaccard_pairs",
-    "q185_trigram_backoff_lm",
-    "q186_video_scene_cuts",
-    "q187_winsorized_stats",
-    "q188_equidepth_binning",
-    "q189_cohort_retention",
-    "q190_entity_resolution",
-    "q191_asof_directions",
-    "q192_image_resize_checksum",
-    "q193_hard_negative_mining",
-    "q194_sparse_cosine_topk",
-    "q195_ewma_user_scores",
-    "q196_bitext_margin_mining",
-    "q197_sink_stats_only_agg",
-    "q198_phrase_blocklist",
-    "q199_k_anonymity_audit",
-    "q200_audio_decimate_checksum",
-    "q201_kcore_peel_trace",
-    "q202_image_equalize_checksum",
-    "q203_mmr_diversified_topk",
-    "q204_unigram_viterbi",
+    # --- new this round (r9; zero official rows) ---
+    "q205_sink_delete_vectors",
+    "q206_byte_bpe_encode",
+    "q207_sink_stats_sum_pushdown",
+    "q208_cdc_change_feed_replay",
+    "q209_temperature_mixture",
+    # --- r4-latest (stalest official rows) ---
+    "q49_salted_join",
+    "q98_incremental_topk_rollup",
+    "q97_gap_filled_hourly",
+    # --- r5-latest cohort, registration order ---
+    "q105_contamination_scores",
+    "q40_text_stats",
+    "q41_language_histogram",
+    "q42_top_tokens",
+    "q44_train_test_split",
+    "q45_token_budget",
+    "q46_winnow_fingerprints",
+    "q43_quality_filter",
+    "q57_repetition_signals",
+    "q66_mixture_sampling",
+    "q74_tfidf_top_terms",
+    "q75_pii_scrub",
+    "q79_sequence_packing",
+    "q80_document_chunking",
+    "q82_stratified_sample",
+    "q96_vocab_encode",
+    "q72_avro_ingest_roundtrip",
+    "q01_pricing_summary",
+    "q02_filtered_scan",
+    "q03_shipping_priority",
+    "q04_order_priority_check",
+    "q05_supplier_region_volume",
+    "q06_forecast_revenue",
+    "q07_customer_order_counts",
+    "q08_customers_without_orders",
+    "q84_disjunctive_predicates",
+    "q85_global_threshold",
+    "q102_returned_items",
+    "q103_promo_revenue",
+    "q104_top_revenue_supplier",
+    "q100_ivf_exact_topk",
+    "q101_blocked_near_dups_exact",
+    "q76_embedding_quantize",
+    "q93_label_centroids",
+    "q107_embedding_gram_matrix",
+    "q81_heavy_hitters",
+    "q50_tumbling_window",
+    "q51_sliding_window",
+    "q52_session_window",
+    "q53_stream_dedup",
+    "q56_incremental_rollup",
+    "q67_event_funnel",
 )
 
 

@@ -2822,3 +2822,104 @@ def q206_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "token_id", "n_occurrences")
         .orderBy("token")
     )
+
+
+@query(
+    "q209_temperature_mixture",
+    oracle="""
+    WITH counted AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM counted GROUP BY source
+    ),
+    w AS (SELECT source, src_tokens,
+                 CAST(floor(sqrt(CAST(src_tokens AS DOUBLE)) * 100) AS BIGINT) AS w_centi
+          FROM per_src),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS all_tokens,
+                   CAST(sum(w_centi) AS BIGINT) AS all_w FROM w),
+    keep AS (
+      SELECT w.source,
+             least(1000000, ((tot.all_tokens // 2) * w.w_centi * 1000000)
+                            // (tot.all_w * w.src_tokens)) AS keep_micro
+      FROM w, tot
+    ),
+    sampled AS (
+      SELECT c.source, c.doc_id, c.n_tokens, k.keep_micro
+      FROM counted c JOIN keep k ON k.source = c.source
+      WHERE CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+            < k.keep_micro
+    )
+    SELECT source,
+           CAST(any_value(keep_micro) AS BIGINT) AS keep_micro,
+           CAST(count(*) AS BIGINT)      AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM sampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q209_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain resampling (round 9; the XLM-R/LLaMA
+    data-recipe move q66's fixed-percentage gate cannot express): each
+    source's sampling weight is its token mass raised to alpha = 0.5
+    (sqrt flattens the domain distribution — big crawls shrink, small
+    curated sources survive), normalized and converted to a per-source
+    keep probability that spends a global budget of HALF the corpus
+    tokens. Every arithmetic step after the IEEE-exact sqrt is BIGINT
+    (floor to centi-units first, so the cross-source normalization sum
+    is integer — float Σ would be association-ordered — and the
+    budget*weight*1e6 numerator stays inside int64, where DuckDB raises
+    on overflow but Spark silently wraps: probed), and document
+    selection is the md5-threshold trick (q44/q66): content-keyed,
+    reproducible across runs, partitionings and engines. Oracle replays
+    the identical integer pipeline.
+
+    Scale shape: one token-count aggregate at source grain (~tens of
+    rows), a broadcast join of keep thresholds back onto documents, and
+    a hash-filter — no shuffle beyond the two aggregates; the mixture
+    table a 100-TB run ships to its sampler is exactly per_src.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    counted = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("n_tokens"),
+    )
+    per_src = counted.groupBy("source").agg(F.sum("n_tokens").cast("long").alias("src_tokens"))
+    w = per_src.select(
+        "source",
+        "src_tokens",
+        # centi-units, not micro: the budget*weight*1e6 numerator must fit
+        # int64 on BOTH engines (DuckDB RAISES on overflow where Spark
+        # silently wraps — probed at sf0.1 with micro weights). Centi
+        # holds to ~1e10 corpus tokens per the product bound; beyond
+        # that, promote the arithmetic to DECIMAL(38,0) on both sides.
+        F.floor(F.sqrt(F.col("src_tokens").cast("double")) * 100).cast("long").alias("w_centi"),
+    )
+    tot = w.agg(
+        F.sum("src_tokens").cast("long").alias("all_tokens"), F.sum("w_centi").cast("long").alias("all_w")
+    )
+    keep = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("((all_tokens div 2) * w_centi * 1000000) div (all_w * src_tokens)"),
+        ).alias("keep_micro"),
+    )
+    sampled = counted.join(F.broadcast(keep), "source").filter(
+        F.expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000")
+        < F.col("keep_micro")
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.first("keep_micro").alias("keep_micro"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source")
+    )
