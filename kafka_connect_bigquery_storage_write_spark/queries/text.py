@@ -2800,9 +2800,10 @@ def q206_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("f"))
     )
     enc = byte_bpe_tokens_udf(_BBPE_MERGES)
-    # consumed twice (alphabet + counts): eager checkpoint so the Python
-    # kernel runs once (the multi-consumer rule)
-    tokens = words.select(F.explode(enc(F.col("word"))).alias("token"), "f").localCheckpoint(eager=True)
+    # consumed twice (alphabet + counts): persist so the Python kernel
+    # runs once (the multi-consumer rule; persist, not localCheckpoint,
+    # keeps the kernel visible in the physical plan for the q206 plan pin)
+    tokens = words.select(F.explode(enc(F.col("word"))).alias("token"), "f").persist()
     # corpus byte alphabet: tokens are concatenations of base byte-chars,
     # so their distinct chars ARE the alphabet — a <=256-row distributed
     # aggregate, no word-relation collect

@@ -533,3 +533,49 @@ def test_q203_argmax_stages_stay_hash_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q203_mmr_diversified_topk")
     assert "SortAggregate" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q209_mixture_broadcast_and_single_doc_pass(spark, sf_dir):
+    """Temperature mixture: the keep-threshold table (source grain, ~tens
+    of rows) must broadcast back onto documents — no SortMergeJoin, no
+    shuffle of the document relation for the join — and the md5 gate is
+    plain column arithmetic (no Python eval anywhere)."""
+    plan = _plan(spark, sf_dir, "q209_temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q206_byte_bpe_word_grain_kernel(spark, sf_dir):
+    """Byte-level BPE keeps q164's economics: exactly the distinct-word
+    aggregate feeds the ONE Arrow kernel (HashAggregate below
+    ArrowEvalPython in the tree), never a per-document column."""
+    plan = _plan(spark, sf_dir, "q206_byte_bpe_encode")
+    assert plan.count("ArrowEvalPython") >= 1, plan
+    header = plan.split("\n\n")[0]
+    agg_lines = [i for i, l in enumerate(header.splitlines()) if "HashAggregate" in l]
+    py_lines = [i for i, l in enumerate(header.splitlines()) if "ArrowEvalPython" in l]
+    assert py_lines and agg_lines and any(a > min(py_lines) for a in agg_lines), plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dv_read_merge_is_broadcast_anti_join(spark, tmp_path):
+    """The merge-on-read path must anti-join against the (small) DV
+    relation via broadcast — a shuffled SortMergeJoin here would tax
+    every read of a 100-TB table for a kilobyte of tombstones."""
+    import contextlib
+    import io
+
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(4):
+        sink.write_batch(spark.range(b * 1000, (b + 1) * 1000).selectExpr("id AS k").coalesce(1), b)
+    assert sink.delete_where_dv(spark, [("k", "==", 7)]) is not None
+    df = sink.read(spark)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

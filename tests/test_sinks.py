@@ -1224,3 +1224,42 @@ def test_change_feed_inserts_upserts_and_replay(spark, tmp_path):
     sink.vacuum(retention_s=0.0)
     with pytest.raises(ValueError, match="vacuumed"):
         sink.changes(spark).count()
+
+
+def test_dv_loses_race_to_concurrent_rewrite_and_recomputes(spark, tmp_path, monkeypatch):
+    """THE lost-update interleaving the barrier protocol exists for: a
+    compactor that LISTED before the DV was committed wins the next
+    snapshot index (its rewrite neither applied nor absorbed the DV,
+    and the rewritten files carry fresh basenames, voiding it). The
+    deleter's barrier CAS must lose, detect the unabsorbed DV, and
+    recompute against the fresh layout — no acknowledged delete may
+    ever resurrect."""
+    sink = _dv_table(spark, tmp_path)
+    cls = type(sink)
+    real_visible = cls.visible_dvs
+    real_barrier = cls._create_barrier_snapshot
+    state = {"raced": False}
+
+    def racing_barrier(self, prior):
+        if not state["raced"]:
+            state["raced"] = True
+            # simulate a compactor whose DV listing predates our commit
+            monkeypatch.setattr(cls, "visible_dvs", lambda s: [])
+            assert real_compact(self, spark, target_files=1) is not None
+            monkeypatch.setattr(cls, "visible_dvs", real_visible)
+        return real_barrier(self, prior)
+
+    real_compact = cls.compact
+    monkeypatch.setattr(cls, "_create_barrier_snapshot", racing_barrier)
+    res = sink.delete_where_dv(spark, [("k", "<", 10)])
+    assert res is not None and res[1] == 10  # full recompute on the new layout
+    assert state["raced"]
+    assert sink.read(spark).filter("k < 10").count() == 0
+    assert sink.read(spark).count() == 390
+    # the voided first DV commit remains, harmless (dead basenames); the
+    # NEXT real rewrite absorbs every outstanding id
+    assert len(sink.visible_dvs()) >= 1
+    monkeypatch.setattr(cls, "_create_barrier_snapshot", real_barrier)
+    assert sink.compact(spark, target_files=2) is not None
+    assert sink.visible_dvs() == []
+    assert sink.read(spark).count() == 390
