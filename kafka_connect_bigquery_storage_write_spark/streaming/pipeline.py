@@ -215,6 +215,11 @@ class IngestPipeline:
             result = self._sink.write_batch(rows, batch_id)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "seed": True}))
             return result
+        # the deduped change set feeds TWO jobs below (changelog write +
+        # merge); checkpoint so the parse/validate/window pipeline runs
+        # once, not per consumer (the multi-consumer rule — without this
+        # the CDF log doubled q177's wall clock)
+        rows = rows.localCheckpoint(eager=True)
         # change-data-feed: log this batch's (deduped) change set before
         # merging — the merge materializes the whole table, so without the
         # log a downstream consumer could never read per-batch upserts
