@@ -1100,8 +1100,12 @@ class ManifestSinkTable:
     # merge time: ``log_changes`` writes the (deduped) update rows to
     # ``_changes/`` under a CAS'd ``change-<id>.json`` commit — one
     # batch-sized write per batch, never table-sized, idempotent under
-    # replay. DV deletes are not yet surfaced as change rows (documented
-    # gap: emit 'delete' rows from the DV positions).
+    # replay. DV deletes surface as 'delete' change rows on request
+    # (include_deletes): the deleted VALUES are reconstructed by joining
+    # the DV's (file, pos) tombstones back onto the referenced files —
+    # which survive until vacuum, the same retention the rest of the
+    # feed already has. A DV orders into the feed at its as_of stamp
+    # (it logically follows that batch's changes).
 
     def log_changes(self, df: DataFrame, batch_id: int, change_type: str = "upsert") -> bool:
         """Record ``df`` as batch ``batch_id``'s change set. Returns False
@@ -1131,12 +1135,19 @@ class ManifestSinkTable:
                 out[int(d["batch_id"])] = d
         return out
 
-    def changes(self, spark: SparkSession, after_batch_id: int = -1) -> DataFrame:
+    def changes(
+        self, spark: SparkSession, after_batch_id: int = -1, include_deletes: bool = False
+    ) -> DataFrame:
         """Change rows for every committed batch with id > ``after_batch_id``,
         oldest first: the table schema plus ``_change_batch_id`` /
         ``_change_type`` ('insert' for plain appends, 'upsert' for logged
-        MERGE batches). Applying the feed in batch-id order onto any copy
-        of the pre-feed state reconverges it with the source table (the
+        MERGE batches, and — with ``include_deletes`` — 'delete' rows
+        carrying the full deleted values, reconstructed by joining each
+        delete vector's (file, pos) tombstones onto its referenced
+        files; a DV enters the feed at its as-of batch, which it
+        logically follows). Applying the feed in batch-id order onto any
+        copy of the pre-feed state — upserting inserts/upserts, anti-
+        joining deletes — reconverges it with the source table (the
         replay contract q208 pins). Batch dirs double as insert change
         sets, so the feed stays valid until ``vacuum`` reclaims absorbed
         dirs — the same retention rule as time travel."""
@@ -1173,12 +1184,63 @@ class ManifestSinkTable:
                 .withColumn("_change_type", F.lit(ctype))
             )
             out = part if out is None else out.unionByName(part)
+        if include_deletes:
+            dv_rows = self._dv_change_rows(spark, after_batch_id)
+            if dv_rows is not None:
+                out = dv_rows if out is None else out.unionByName(dv_rows)
         if out is None:
             empty = T.StructType(
                 list(schema.fields)
                 + [T.StructField("_change_batch_id", T.LongType()), T.StructField("_change_type", T.StringType())]
             )
             return spark.createDataFrame([], empty)
+        return out
+
+    def _dv_change_rows(self, spark: SparkSession, after_batch_id: int) -> DataFrame | None:
+        """'delete' change rows: each qualifying DV's tombstones joined
+        back onto its referenced files to recover the deleted values."""
+        from pyspark.sql import functions as F
+
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        # basenames are uuid-unique across the table: one walk of data/
+        # maps each referenced file to its directory
+        path_of: dict[str, str] = {}
+        data_root = os.path.join(self.root, "data")
+        for root_dir, _dirs, files in os.walk(data_root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    path_of[fn] = os.path.join(root_dir, fn)
+        out: DataFrame | None = None
+        for i, d in sorted(self._dv_commits().items()):
+            asof = int(d.get("as_of_batch", -1))
+            if asof <= after_batch_id:
+                continue
+            dv_dir = os.path.join(self.root, d["dir"])
+            missing = [f for f in d.get("files", []) if f not in path_of]
+            if missing or not os.path.exists(dv_dir):
+                raise ValueError(
+                    f"delete vector {i}'s change source was vacuumed or rewritten: "
+                    f"{(missing or [d['dir']])[:3]}"
+                )
+            scan = (
+                spark.read.schema(schema).parquet(*[path_of[f] for f in d["files"]])
+                .withColumn("_dv_file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+                .withColumn("_dv_pos", F.col("_metadata.row_index"))
+            )
+            dvrel = (
+                spark.read.schema("file string, pos long").parquet(dv_dir)
+                .withColumnRenamed("file", "_dv_file")
+                .withColumnRenamed("pos", "_dv_pos")
+                .distinct()
+            )
+            part = (
+                scan.join(dvrel, ["_dv_file", "_dv_pos"])
+                .select(*cols)
+                .withColumn("_change_batch_id", F.lit(asof).cast("long"))
+                .withColumn("_change_type", F.lit("delete"))
+            )
+            out = part if out is None else out.unionByName(part)
         return out
 
     def merge_rows(

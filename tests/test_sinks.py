@@ -1263,3 +1263,43 @@ def test_dv_loses_race_to_concurrent_rewrite_and_recomputes(spark, tmp_path, mon
     assert sink.compact(spark, target_files=2) is not None
     assert sink.visible_dvs() == []
     assert sink.read(spark).count() == 390
+
+
+def test_change_feed_include_deletes_reconstructs_values(spark, tmp_path):
+    """CDF completeness: DV deletes surface as 'delete' rows carrying the
+    FULL deleted values (tombstones joined back onto their files), placed
+    at the DV's as-of batch; replaying inserts+deletes reconverges a
+    copy. A vacuumed source raises instead of silently dropping rows."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long").coalesce(1), 0)
+    sink.write_batch(spark.createDataFrame([(4, 40)], "k long, v long").coalesce(1), 1)
+    sink.delete_where_dv(spark, [("k", "==", 2)])   # as_of_batch = 1
+
+    feed = sink.changes(spark, include_deletes=True).orderBy("_change_batch_id", "_change_type", "k")
+    rows = [(r["k"], r["v"], r["_change_batch_id"], r["_change_type"]) for r in feed.collect()]
+    assert rows == [
+        (1, 10, 0, "insert"), (2, 20, 0, "insert"), (3, 30, 0, "insert"),
+        (2, 20, 1, "delete"),  # full values recovered, placed at as-of batch
+        (4, 40, 1, "insert"),
+    ]
+    # without the flag: insert-only view (backward compatible)
+    assert {r["_change_type"] for r in sink.changes(spark).collect()} == {"insert"}
+
+    # replay: inserts then deletes (per batch) onto an empty copy == table
+    from pyspark.sql import functions as F
+
+    ins = feed.filter("_change_type = 'insert'").select("k", "v")
+    dels = feed.filter("_change_type = 'delete'").select("k", "v")
+    replayed = ins.join(dels, ["k", "v"], "left_anti")
+    assert sorted(tuple(r) for r in replayed.collect()) == sorted(
+        tuple(r) for r in sink.read(spark).collect()
+    ) == [(1, 10), (3, 30), (4, 40)]
+
+    # cursor semantics: after batch 1 nothing remains (the DV is at 1)
+    assert sink.changes(spark, after_batch_id=1, include_deletes=True).count() == 0
+
+    # vacuum-broken sources must raise (compact absorbs, vacuum reclaims)
+    sink.compact(spark, target_files=1)
+    sink.vacuum(retention_s=0.0)
+    with pytest.raises(ValueError, match="vacuumed|rewritten"):
+        sink.changes(spark, include_deletes=True).count()
