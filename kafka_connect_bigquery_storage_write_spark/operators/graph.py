@@ -339,3 +339,45 @@ def _kcore_peel_local(e2: DataFrame, alive: DataFrame, k: int, first_round: int)
                     candidates.add(t)
         rnd += 1
     return rows
+
+
+def bounded_sssp(
+    edges: DataFrame,
+    source_df: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths over INTEGER edge weights, bounded at
+    ``rounds`` relaxation rounds (Bellman-Ford; hop-bounded, so the
+    result is exact for all paths of <= rounds edges and engine-exact —
+    integer additions only, no float accumulation). ``source_df`` is a
+    one-column relation ``v`` of source vertices (distance 0). Returns
+    (v, dist) for every vertex reachable within the bound.
+
+    Scale shape per round: one join of the frontier-bearing distance
+    relation (8-byte id + 8-byte dist) against the edge relation, one
+    min-aggregate on dst, one min-merge with the previous generation —
+    the canonical iterate-join-aggregate loop, eager-checkpointed each
+    generation (the round-4 rule). Unlike BFS (q172) the relaxation
+    must revisit vertices (a longer-hop path may be shorter by weight),
+    so the loop carries the FULL distance relation, not a frontier;
+    the round bound is the termination contract, matching the oracle's
+    recursion depth exactly.
+    """
+    dist = source_df.select(F.col("v"), F.lit(0).cast("long").alias("dist")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            edges.join(dist, edges[src] == dist.v)
+            .select(F.col(dst).alias("v"), (F.col("dist") + F.col(weight)).cast("long").alias("dist"))
+        )
+        stepped = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        dist.unpersist()
+        dist = stepped
+    return dist

@@ -260,3 +260,88 @@ def q201_kcore_peel_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = coactivity_edges(hu, max_bucket_members=2000).localCheckpoint(eager=True)
     trace, _k, _rounds = kcore_peel(edges)
     return trace.orderBy("round")
+
+
+@query(
+    "q210_weighted_sssp",
+    oracle="""
+    WITH RECURSIVE verts AS (SELECT DISTINCT user_id AS v FROM events),
+    fwd AS (
+      SELECT a.v AS src, b.v AS dst FROM verts a JOIN verts b ON b.v = a.v + 1
+      UNION ALL
+      SELECT a.v AS src, b.v AS dst FROM verts a JOIN verts b ON b.v = a.v + 7
+    ),
+    edges AS (
+      SELECT src, dst, 1 + (src + dst) % 5 AS w FROM fwd
+      UNION ALL
+      SELECT dst AS src, src AS dst, 1 + (src + dst) % 5 AS w FROM fwd
+    ),
+    seeds AS (SELECT v FROM verts WHERE v % 100 = 0),
+    walk(v, d, hops) AS (
+      SELECT v, CAST(0 AS BIGINT), 0 FROM seeds
+      UNION ALL
+      SELECT e.dst, walk.d + e.w, walk.hops + 1
+      FROM walk JOIN edges e ON e.src = walk.v
+      WHERE walk.hops < 4
+    ),
+    best AS (SELECT v, min(d) AS dist FROM walk GROUP BY v)
+    SELECT CAST(dist AS BIGINT)        AS dist,
+           CAST(count(*) AS BIGINT)    AS n_vertices,
+           CAST(sum(v) AS BIGINT)      AS sum_ids,
+           CAST(min(v) AS BIGINT)      AS min_id,
+           CAST(max(v) AS BIGINT)      AS max_id
+    FROM best
+    GROUP BY dist
+    ORDER BY dist
+    """,
+)
+def q210_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED single-source shortest paths, hop-bounded (round 9; the
+    missing algorithm class between q172's unweighted BFS and q122's
+    fixpoint PageRank): a sparse deterministic lattice over the user-id
+    space (u -> u+1 and u -> u+7 where both users exist, symmetric,
+    integer weight 1 + (src+dst) % 5) is relaxed 4 Bellman-Ford rounds
+    from the seed set (user_id % 100 == 0) — exact for every path of
+    <= 4 edges, and engine-exact because distances are pure integer
+    sums. Unlike BFS the loop must REVISIT vertices (a longer-hop path
+    can be weight-shorter: the u+7 shortcut of weight w can lose to
+    seven u+1 steps), so each round carries the full distance relation
+    through a join + min-aggregate + min-merge; the oracle walks the
+    same graph by bounded recursive CTE and takes min(d) per vertex.
+    Per-distance wave aggregates pin exact membership.
+
+    Scale shape (operators/graph.bounded_sssp): per round one
+    frontier-relation join against edges + two hash aggregates over
+    8-byte pairs, eager-checkpointed per generation; degree <= 4 by
+    construction bounds the oracle's path enumeration, and on the
+    engine side the relation never exceeds |V| rows.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import bounded_sssp
+
+    ev = load_table(spark, sf_dir, "events")
+    verts = ev.select(F.col("user_id").alias("v")).distinct().localCheckpoint(eager=True)
+    fwd = None
+    for step in (1, 7):
+        part = (
+            verts.select((F.col("v") + step).alias("dst"), F.col("v").alias("src"))
+            .join(verts.select(F.col("v").alias("dst")), "dst")
+        )
+        fwd = part if fwd is None else fwd.unionByName(part)
+    edges = (
+        fwd.select("src", "dst")
+        .unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .withColumn("w", (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = verts.filter(F.col("v") % 100 == 0)
+    dist = bounded_sssp(edges, seeds, rounds=4)
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_vertices"),
+            F.sum("v").alias("sum_ids"),
+            F.min("v").alias("min_id"),
+            F.max("v").alias("max_id"),
+        )
+        .orderBy("dist")
+    )

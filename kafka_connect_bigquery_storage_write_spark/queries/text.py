@@ -2924,3 +2924,86 @@ def q209_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q211_tokenizer_compression_eval",
+    oracle=f"""
+    WITH repl AS (SELECT source, replace(text, 'e', 'é') AS text FROM documents),
+    toks AS (SELECT source, unnest({_TOKS}) AS word FROM repl),
+    words AS (SELECT source, word, count(*) AS f FROM toks GROUP BY source, word),
+    dw AS (SELECT DISTINCT word FROM words),
+    benc AS (
+      SELECT word,
+             array_to_string(list_transform(string_split(word, ''), x -> {_BB_ENC_LAMBDA}), '') AS b
+      FROM dw
+    ),
+    enc AS (
+      SELECT word, length(b) AS n_bytes,
+             length({"".join("replace(" for _ in _BBPE_MERGES)}b
+             {"".join(f", {p}, '{s}')" for p, s in zip(_BB_PAIR_SQL, _BB_SENT))}) AS n_tok
+      FROM benc
+    )
+    SELECT w.source,
+           CAST(sum(w.f * e.n_bytes) AS BIGINT) AS n_bytes,
+           CAST(sum(w.f * e.n_tok) AS BIGINT)   AS n_tokens,
+           CAST((sum(w.f * e.n_bytes) * 1000) // sum(w.f * e.n_tok) AS BIGINT) AS milli_bytes_per_token
+    FROM words w JOIN enc e ON e.word = w.word
+    GROUP BY w.source
+    ORDER BY w.source
+    """,
+)
+def q211_tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression-rate evaluation (round 9; the standard
+    bytes-per-token metric every tokenizer change is judged by,
+    composing q206's byte-level BPE with q173's distinct-word costing):
+    per SOURCE, total UTF-8 bytes vs total byte-BPE tokens under the
+    planted merge table, on the é-planted corpus — the ratio that tells
+    a data-mixing pipeline which domains a tokenizer serves poorly
+    (worse compression = more FLOPs per byte of that domain at train
+    time). Byte counts come straight from octet_length on the JVM
+    (no kernel); token counts run once per DISTINCT word (each final
+    token is one sentinel char, so length(sentinel string) == token
+    count — the q173 length trick at byte grain); corpus weight returns
+    by f-weighted sums, and the milli-ratio is integer floor division —
+    exact end to end.
+
+    Scale shape: one (source, word) count, one distinct-word kernel
+    pass, one broadcast-joinable distinct-word relation joined back,
+    one source-grain aggregate. Python cost O(|vocab|), never
+    O(corpus).
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.bpe import byte_bpe_tokens_udf
+
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    repl = docs.select("source", F.regexp_replace("text", "e", "é").alias("text"))
+    words = (
+        repl.select("source", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    enc = byte_bpe_tokens_udf(_BBPE_MERGES)
+    dw = (
+        words.select("word").distinct()
+        .select(
+            "word",
+            F.octet_length("word").alias("n_bytes"),
+            F.size(enc(F.col("word"))).alias("n_tok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return (
+        words.join(dw, "word")
+        .groupBy("source")
+        .agg(
+            F.sum(F.col("f") * F.col("n_bytes")).cast("long").alias("n_bytes"),
+            F.sum(F.col("f") * F.col("n_tok")).cast("long").alias("n_tokens"),
+        )
+        .select(
+            "source",
+            "n_bytes",
+            "n_tokens",
+            F.expr("(n_bytes * 1000) div n_tokens").alias("milli_bytes_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -219,3 +219,21 @@ def test_kcore_local_finish_waves_equal_distributed(spark):
     assert [tuple(r) for r in dist.orderBy("round").collect()] == [
         tuple(r) for r in loc.orderBy("round").collect()
     ]
+
+
+def test_bounded_sssp_revisits_vertices_for_weight_shorter_paths(spark):
+    """The property that separates weighted SSSP from BFS: a 2-hop path
+    of weight 2 must beat the 1-hop edge of weight 10 — which requires
+    round 2 to RE-RELAX a vertex already reached in round 1."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import bounded_sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 1), (2, 1, 1), (1, 3, 1)], "src long, dst long, w long"
+    )
+    seeds = spark.createDataFrame([(0,)], "v long")
+    d1 = {r["v"]: r["dist"] for r in bounded_sssp(edges, seeds, rounds=1).collect()}
+    assert d1 == {0: 0, 1: 10, 2: 1}  # hop-1 truth: direct edges only
+    d2 = {r["v"]: r["dist"] for r in bounded_sssp(edges, seeds, rounds=2).collect()}
+    assert d2 == {0: 0, 1: 2, 2: 1, 3: 11}  # vertex 1 re-relaxed via 2
+    d3 = {r["v"]: r["dist"] for r in bounded_sssp(edges, seeds, rounds=3).collect()}
+    assert d3 == {0: 0, 1: 2, 2: 1, 3: 3}
