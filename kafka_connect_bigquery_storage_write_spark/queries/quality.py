@@ -169,3 +169,117 @@ def q199_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_k")
     )
+
+
+# Cumulative Poisson(1) CDF scaled to the 24-bit hash space (16^6), floored:
+# P(X<=k) * 16777216 for k = 0..5; a hash below threshold[k] draws weight <= k.
+# Weights cap at 6 (P(X>=7) ~ 8.3e-5) so the CASE ladder is finite and both
+# engines evaluate the identical integer comparisons.
+_POISSON_THRESHOLDS = (6171992, 12343985, 15429982, 16458647, 16715813, 16767247)
+_BOOT_R = 200  # replicates; CI picks order statistics 6 and 195 (~2.5% / 97.5%)
+
+
+def _poisson_case_sql(hash_expr: str) -> str:
+    arms = " ".join(
+        f"WHEN {hash_expr} < {t} THEN {k}" for k, t in enumerate(_POISSON_THRESHOLDS)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@query(
+    "q213_bootstrap_ci",
+    oracle=f"""
+    WITH rep AS (
+      SELECT d.lang, d.n_chars,
+             {_poisson_case_sql("CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.r AS VARCHAR)), 1, 6) AS INT)")} AS w,
+             t.r
+      FROM documents d, range({_BOOT_R}) t(r)
+    ),
+    means AS (
+      SELECT lang, r,
+             sum(w * n_chars) * 1.0 / sum(w) AS mean_r
+      FROM rep GROUP BY lang, r
+      HAVING sum(w) > 0
+    ),
+    ranked AS (
+      SELECT lang, mean_r,
+             row_number() OVER (PARTITION BY lang ORDER BY mean_r, r) AS rn
+      FROM means
+    ),
+    ci AS (
+      SELECT lang,
+             round(min(CASE WHEN rn = 6   THEN mean_r END), 4) AS ci_lo,
+             round(min(CASE WHEN rn = 195 THEN mean_r END), 4) AS ci_hi
+      FROM ranked GROUP BY lang
+    ),
+    point AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             round(sum(n_chars) * 1.0 / count(*), 4) AS mean_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT p.lang, p.n_docs, p.mean_chars, c.ci_lo, c.ci_hi
+    FROM point p JOIN ci c ON p.lang = c.lang
+    ORDER BY p.lang
+    """,
+)
+def q213_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for mean document length
+    per language — the eval-pipeline primitive behind "is this quality
+    delta real or noise". The classical multinomial bootstrap needs a
+    global resample per replicate (a shuffle per replicate, unusable at
+    scale); the Poisson(1) approximation gives every (row, replicate)
+    an i.i.d. integer weight from pure hash arithmetic, so ALL 200
+    replicates ride one map-side explode + one hash aggregate.
+
+    Engine-exactness: the replicate weight is a CASE ladder of integer
+    comparisons against floor(CDF * 16^6) thresholds on a 24-bit md5
+    slice (identical literals both engines); each replicate mean is ONE
+    double division of two exact BIGINT sums; the interval is order
+    statistics 6/195 of the 200 replicate means (row_number with the
+    replicate id as tiebreak), not an interpolated percentile — engines
+    cannot disagree on either. Scale: the fan-out is generated column
+    arithmetic in codegen (no data-size shuffle beyond the (lang, r)
+    aggregate, which map-side combines to |langs| * 200 rows), and the
+    ranking window runs over 200 rows per language.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    rep = docs.withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("r").cast("string"))), 1, 6
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.lit(6)
+    for k, t in reversed(list(enumerate(_POISSON_THRESHOLDS))):
+        w = F.when(h < t, F.lit(k)).otherwise(w)
+    # sum(w) > 0 guard (both engines, identically): a zero-weight replicate
+    # would yield a NULL mean whose sort position differs across engines.
+    # Unreachable at any fixture scale (P = e^-n_docs, n_docs >= 71) but it
+    # keeps the query total for arbitrarily small groups.
+    means = (
+        rep.withColumn("w", w)
+        .groupBy("lang", "r")
+        .agg(F.sum(F.col("w") * F.col("n_chars")).alias("swn"), F.sum("w").alias("sw"))
+        .filter(F.col("sw") > 0)
+        .select("lang", "r", (F.col("swn") / F.col("sw")).alias("mean_r"))
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(W.partitionBy("lang").orderBy("mean_r", "r"))
+    ci = (
+        means.withColumn("rn", rn)
+        .groupBy("lang")
+        .agg(
+            F.round(F.min(F.when(F.col("rn") == 6, F.col("mean_r"))), 4).alias("ci_lo"),
+            F.round(F.min(F.when(F.col("rn") == 195, F.col("mean_r"))), 4).alias("ci_hi"),
+        )
+    )
+    point = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 4).alias("mean_chars"),
+    )
+    return point.join(F.broadcast(ci), "lang").select(
+        "lang", "n_docs", "mean_chars", "ci_lo", "ci_hi"
+    ).orderBy("lang")

@@ -854,3 +854,50 @@ def q195_ewma_user_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q212_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           round(n_trans * 1.0 / sum(n_trans) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    ORDER BY from_type, to_type
+    """,
+)
+def q212_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event journeys:
+    P(next event type | current event type), the model behind next-action
+    prediction, funnel-leakage attribution, and journey anomaly scoring.
+
+    Scale shape: ONE shuffle on user_id serves the lead() sequencing
+    (ties broken by event_id so the successor is engine-deterministic);
+    the transition aggregate then lives at |types|^2 grain — 25 rows here,
+    a few thousand for any real taxonomy — so the normalizing row-sum
+    window runs over a relation that fits in one task regardless of event
+    volume. Probabilities are a single double division of two exact
+    BIGINTs (IEEE-deterministic), never a float aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select("user_id", "ts", "event_id", F.col("event_type").alias("from_type"))
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    cnt = trans.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n_trans"))
+    row_total = Window.partitionBy("from_type")
+    return (
+        cnt.withColumn("p", F.round(F.col("n_trans") / F.sum("n_trans").over(row_total), 6))
+        .orderBy("from_type", "to_type")
+    )

@@ -579,3 +579,32 @@ def test_dv_read_merge_is_broadcast_anti_join(spark, tmp_path):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q212_two_windows_no_join_no_python(spark, sf_dir):
+    """Transition matrix: the lead() sequencing window (user grain) plus
+    the row-normalizing sum window (which runs over the |types|^2
+    aggregate, not the events) — and nothing else: no join, no Python
+    eval, the probability is pure column arithmetic."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q212_event_transition_matrix")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q213_generated_fanout_broadcast_ci_join(spark, sf_dir):
+    """Poisson bootstrap: the 200x replicate fan-out must be a Generate
+    (explode of a literal range — map-side, no shuffle to create it),
+    the weight ladder stays in codegen (no Python eval), the CI relation
+    (|langs| rows) broadcasts back onto the point estimates, and the only
+    ranking window partitions by lang over 200-row groups."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q213_bootstrap_ci")
+    assert re.search(r"\(\d+\) Generate\b", plan) and "explode(" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
