@@ -3007,3 +3007,130 @@ def q211_tokenizer_compression_eval(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q214_hashed_ngram_importance",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents),
+    bg0 AS (SELECT doc_id, lang, source, unnest(list_zip(t, t[2:])) AS p FROM d),
+    bg AS (
+      SELECT doc_id, lang, source,
+             CAST('0x' || substr(md5(p[1] || ' ' || p[2]), 1, 4) AS INT) % 4096 AS b
+      FROM bg0 WHERE p[2] IS NOT NULL
+    ),
+    tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_t FROM bg WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, CAST(count(*) AS BIGINT) AS n_s FROM bg WHERE lang <> 'en' GROUP BY b),
+    tot AS (
+      SELECT CAST((SELECT count(*) FROM bg WHERE lang = 'en') AS BIGINT)  AS nt_total,
+             CAST((SELECT count(*) FROM bg WHERE lang <> 'en') AS BIGINT) AS ns_total
+    ),
+    lam AS (
+      SELECT r.b,
+             CAST(floor(ln(CAST((coalesce(t.n_t, 0) + 1) * (tot.ns_total + 4096) AS DOUBLE)
+                           / CAST((r.n_s + 1) * (tot.nt_total + 4096) AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lam
+      FROM raw r LEFT JOIN tgt t USING (b), tot
+    ),
+    scored AS (
+      SELECT g.doc_id, min(g.lang) AS lang, min(g.source) AS source,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(l.lam) AS BIGINT) AS score_micro
+      FROM bg g JOIN lam l USING (b)
+      WHERE g.lang <> 'en'
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, lang, source, n_bigrams, score_micro,
+           floor(score_micro * 1.0 / n_bigrams + 0.5) / 1000000.0 AS mean_lambda
+    FROM scored
+    ORDER BY score_micro DESC, doc_id
+    LIMIT 50
+    """,
+)
+def q214_hashed_ngram_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram importance ranking (the DSIR recipe, Xie et al. 2023,
+    arXiv:2302.03169): rank a raw pool (non-English docs) by resemblance
+    to a target domain (English docs) under two add-one-smoothed bag-of-
+    hashed-bigram models — importance weight = sum over the doc's bigram
+    buckets of ln(p_target(b)/p_raw(b)). The standard cheap pre-filter
+    for "select pretraining data that looks like my target domain".
+
+    The hashing trick IS the scale argument: both models live at FIXED
+    bucket grain (md5 16-bit slice % 4096 — exact division, no modulo
+    bias, identical literals both engines), so the model table is 4096
+    rows regardless of corpus size, broadcasts everywhere, and unseen
+    n-grams are impossible by construction (every bucket smoothed).
+    Exactness (q155 recipe): one ln per BUCKET of a ratio of exact
+    BIGINT products (exact in double well below 2^53 here; the int64
+    audit point is ~3e9 bigrams per side, beyond which pre-divide by
+    bucket count), fixed to integer micro-units; per-doc sums are exact
+    int64; the only float steps are the shared ln and the final
+    normalized mean (floor-half-up, both engines). Plan: bigram
+    extraction is a zip_with projection (no window), the persisted
+    bigram relation feeds the two bucket aggregates and the scoring
+    join once, scoring is a broadcast equi-join on the bucket id, and
+    the top-50 is a TakeOrdered, never a global sort.
+    """
+    docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    d = docs.select("doc_id", "lang", "source", toks.alias("t"))
+    pairs = F.zip_with(
+        F.col("t"),
+        F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(1))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))), 1, 4), 16, 10)
+        .cast("int") % 4096
+    )
+    bg = (
+        d.select("doc_id", "lang", "source", F.explode(pairs).alias("p"))
+        .where(F.col("p.w2").isNotNull())
+        .select("doc_id", "lang", "source", bucket.alias("b"))
+        .persist()
+    )
+    bg.count()  # eager barrier: shingle/hash once for all three consumers
+    tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
+    raw = bg.where(F.col("lang") != "en").groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = bg.agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt_total"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("ns_total"),
+    )
+    lam = (
+        raw.join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("n_t"), F.lit(0)) + 1) * (F.col("ns_total") + 4096)).cast("double")
+                    / ((F.col("n_s") + 1) * (F.col("nt_total") + 4096)).cast("double")
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lam"),
+        )
+    )
+    scored = (
+        bg.where(F.col("lang") != "en")
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("source").alias("source"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lam").alias("score_micro"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "lang", "source", "n_bigrams", "score_micro",
+            (F.floor(F.col("score_micro") * F.lit(1.0) / F.col("n_bigrams") + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "mean_lambda"
+            ),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(50)
+    )

@@ -608,3 +608,17 @@ def test_q213_generated_fanout_broadcast_ci_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_q214_bucket_model_broadcasts_topk_no_global_sort(spark, sf_dir):
+    """DSIR importance ranking: the 4096-bucket lambda model must
+    broadcast onto the bigram relation (no SortMergeJoin anywhere), the
+    bigram extraction is a zip_with projection (no Window), and the
+    top-50 is a TakeOrderedAndProject, never a full sort of the scored
+    pool."""
+    plan = _plan(spark, sf_dir, "q214_hashed_ngram_importance")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "InMemoryTableScan" in plan, plan  # persisted bigrams reused
