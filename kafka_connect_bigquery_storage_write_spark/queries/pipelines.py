@@ -1215,3 +1215,83 @@ def q208_cdc_change_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("last_type")
     )
+
+
+@query(
+    "q215_sink_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders
+    ),
+    hi AS (SELECT max(k) + 1 AS hi FROM base),
+    diffrows AS (
+      SELECT 'insert' AS change_type, hi.hi + r.r AS k,
+             CAST((hi.hi + r.r) * 10 AS BIGINT) AS cents
+      FROM hi, range(100) r(r)
+      UNION ALL
+      SELECT 'delete', k, cents FROM base WHERE k >= 100 AND k < 300
+      UNION ALL
+      SELECT 'update_pre', k, cents
+      FROM base WHERE k % 50 = 0 AND NOT (k >= 100 AND k < 300)
+      UNION ALL
+      SELECT 'update_post', k, cents + 111
+      FROM base WHERE k % 50 = 0 AND NOT (k >= 100 AND k < 300)
+    )
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS sum_key,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM diffrows GROUP BY change_type ORDER BY change_type
+    """,
+)
+def q215_sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff made driver-visible (the read face of
+    sinks/sink_table.diff): orders land as three key-range batches
+    (state A = as-of batch 2); batch 3 then appends 100 fresh keys, a
+    keyed MERGE updates every key % 50 == 0 (+111 cents), and a DV
+    point-delete tombstones keys [100, 300) — including four keys the
+    merge had just updated. diff(from_batch_id=2, key_cols=[key]) must
+    classify, from CONTENT comparison alone (no changelog): the 100
+    batch-3 rows as inserts, the [100,300) rows as deletes carrying
+    their PRE values (update-then-delete collapses to delete — the
+    CDF-equivalence property), and update_pre/update_post pairs for the
+    surviving updated keys. The oracle reconstructs the same
+    classification from plain SQL over the source. One full-outer key
+    join, no window, no changelog read; layout changes (the MERGE's COW
+    snapshot, the DV) are invisible to it by construction. The DV's
+    as-of stamp (batch 3) correctly keeps it OUT of the anchor state —
+    batch-grain history puts post-anchor maintenance after the anchor.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    hi = src.agg(F.max("k")).first()[0] + 1
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q215_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed")
+    step = (hi + 2) // 3
+    for b in range(3):
+        sink.write_batch(
+            src.filter((F.col("k") >= b * step) & (F.col("k") < (b + 1) * step)).coalesce(2), b
+        )
+    inserts = spark.range(hi, hi + 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("cents")
+    )
+    sink.write_batch(inserts.coalesce(1), 3)  # arrives AFTER the travel anchor
+    updates = src.filter(F.col("k") % 50 == 0).withColumn("cents", F.col("cents") + 111)
+    assert sink.merge_rows(spark, updates, keys=["k"]) is not None
+    assert sink.delete_where_dv(spark, [("k", ">=", 100), ("k", "<", 300)]) is not None
+    d = sink.diff(spark, from_batch_id=2, key_cols=["k"])
+    return (
+        d.groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .orderBy("change_type")
+    )

@@ -1059,7 +1059,17 @@ class ManifestSinkTable:
                             "files": files_ref,
                             "where": [[c, op, _stat_norm(v)] for c, op, v in where],
                             "read_snapshot": prior["index"] if prior else -1,
-                            "as_of_batch": max(self.committed_ids(), default=-1),
+                            # ALL batch markers ever committed (absorbed
+                            # included): after a rewrite absorbs every
+                            # marker, committed_ids() is empty and the old
+                            # max(committed_ids) stamp was -1 — ordering
+                            # this DV BEFORE every historical point, so
+                            # read_as_of(batch_id=N) for any pre-rewrite N
+                            # wrongly applied it and then raised
+                            # "references a compacted layout". A DV taken
+                            # when batch N was the latest write orders
+                            # after N regardless of later absorption.
+                            "as_of_batch": max(self._marker_ids(), default=-1),
                             "as_of_epoch": len(
                                 [f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")]
                             ) - 1,
@@ -1548,6 +1558,75 @@ class ManifestSinkTable:
                     )
             df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
         return df
+
+    def diff(
+        self,
+        spark: SparkSession,
+        *,
+        from_epoch: int | None = None,
+        from_batch_id: int | None = None,
+        key_cols: list[str] | None = None,
+    ) -> DataFrame:
+        """Snapshot diff: change rows between a historical state
+        (``read_as_of`` semantics — pass exactly one of ``from_epoch`` /
+        ``from_batch_id``) and the CURRENT visible state, derived by
+        content comparison alone. The complement to ``changes()``: it
+        needs no changelog (works for tables whose writers never logged
+        change sets) and is layout-independent (COW rewrites, compaction
+        and DV absorption are invisible to it because it compares
+        logical rows, not files). The Delta `table_changes`-without-CDF /
+        Iceberg snapshot-compare shape.
+
+        Without ``key_cols``: bag-semantics diff — ``insert`` rows are
+        ``current EXCEPT ALL old``, ``delete`` rows the reverse. With
+        ``key_cols`` (unique per state, enforced like merge_rows): a key
+        present in both states with different non-key values emits an
+        ``update_pre``/``update_post`` row pair (the CDF vocabulary);
+        key-only presence classifies ``insert``/``delete``.
+
+        Scale shape: the keyed diff is ONE full-outer shuffle join on the
+        key columns (both sides arrive key-partitioned from their scans'
+        aggregates-free read) plus a struct null-safe comparison — no
+        window, no per-row Python; the bag diff is Spark's hash-based
+        ExceptAll. Both inherit time travel's vacuum constraint: the
+        historical batch dirs must still exist."""
+        from pyspark.sql import functions as F
+
+        old = self.read_as_of(spark, epoch=from_epoch, batch_id=from_batch_id)
+        new = self.read(spark)
+        cols = [f.name for f in self.schema().fields]
+        if key_cols is None:
+            ins = new.exceptAll(old).select(F.lit("insert").alias("change_type"), *cols)
+            dels = old.exceptAll(new).select(F.lit("delete").alias("change_type"), *cols)
+            return ins.unionByName(dels)
+        val_cols = [c for c in cols if c not in key_cols]
+        for side, df in (("historical", old), ("current", new)):
+            dup = df.groupBy(*key_cols).count().filter(F.col("count") > 1)
+            if not dup.isEmpty():
+                raise ValueError(f"diff: {side} state has duplicate keys (key_cols not unique)")
+        o2 = old.select(*key_cols, F.struct(*val_cols).alias("_pre"))
+        n2 = new.select(*key_cols, F.struct(*val_cols).alias("_post"))
+        j = o2.join(n2, key_cols, "full_outer")
+
+        def _emit(rows: DataFrame, struct_col: str, change_type: str) -> DataFrame:
+            return rows.select(
+                F.lit(change_type).alias("change_type"),
+                *[F.col(c) for c in key_cols],
+                *[F.col(f"{struct_col}.{c}").alias(c) for c in val_cols],
+            ).select("change_type", *cols)
+
+        ins = _emit(j.filter(F.col("_pre").isNull()), "_post", "insert")
+        dels = _emit(j.filter(F.col("_post").isNull()), "_pre", "delete")
+        upd = j.filter(
+            F.col("_pre").isNotNull()
+            & F.col("_post").isNotNull()
+            & ~F.col("_pre").eqNullSafe(F.col("_post"))
+        )
+        return (
+            ins.unionByName(dels)
+            .unionByName(_emit(upd, "_pre", "update_pre"))
+            .unionByName(_emit(upd, "_post", "update_post"))
+        )
 
     # -- read path ------------------------------------------------------------
     def _visible_manifests(self) -> list[dict]:

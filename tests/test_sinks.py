@@ -1303,3 +1303,83 @@ def test_change_feed_include_deletes_reconstructs_values(spark, tmp_path):
     sink.vacuum(retention_s=0.0)
     with pytest.raises(ValueError, match="vacuumed|rewritten"):
         sink.changes(spark, include_deletes=True).count()
+
+
+# -- snapshot diff ------------------------------------------------------------
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_diff_keyed_classifies_insert_delete_update(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(1, "a"), (2, "b"), (3, "c")]).coalesce(1), 0)
+    # anchor = batch 0; then: insert 4, delete 3 (DV), update 2
+    sink.write_batch(_kv(spark, [(4, "d")]).coalesce(1), 1)
+    assert sink.merge_rows(spark, _kv(spark, [(2, "B")]), keys=["k"]) is not None
+    assert sink.delete_where_dv(spark, [("k", "==", 3)]) is not None
+    d = sink.diff(spark, from_batch_id=0, key_cols=["k"])
+    got = {(r["change_type"], r["k"], r["v"]) for r in d.collect()}
+    assert got == {
+        ("insert", 4, "d"),
+        ("delete", 3, "c"),
+        ("update_pre", 2, "b"),
+        ("update_post", 2, "B"),
+    }, got
+    assert d.columns == ["change_type", "k", "v"]
+    # unchanged rows never appear
+    assert not [r for r in d.collect() if r["k"] == 1]
+
+
+def test_diff_bag_semantics_without_keys(spark, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    # duplicate rows are legal without keys: bag semantics must count them
+    sink.write_batch(_kv(spark, [(1, "a"), (1, "a"), (2, "b")]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(1, "a")]).coalesce(1), 1)  # third copy of (1,a)
+    d = sink.diff(spark, from_batch_id=0)
+    got = sorted((r["change_type"], r["k"], r["v"]) for r in d.collect())
+    assert got == [("insert", 1, "a")], got
+
+
+def test_diff_keyed_rejects_duplicate_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(1, "a"), (1, "b")]).coalesce(1), 0)
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        sink.diff(spark, from_batch_id=0, key_cols=["k"]).collect()
+
+
+def test_diff_is_layout_independent_across_compaction(spark, tmp_path):
+    """compact() changes files, not content: the diff must be empty."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(3):
+        sink.write_batch(_kv(spark, [(b * 2, "x"), (b * 2 + 1, "y")]).coalesce(1), b)
+    assert sink.compact(spark, target_files=1) is not None
+    assert sink.diff(spark, from_batch_id=2, key_cols=["k"]).count() == 0
+    assert sink.diff(spark, from_batch_id=2).count() == 0
+
+
+def test_dv_after_full_rewrite_orders_after_absorbed_batches(spark, tmp_path):
+    """Regression (round 9): a DV taken after a rewrite absorbed every
+    batch marker used to stamp as_of_batch = -1 (max of the now-empty
+    committed_ids), ordering it BEFORE every historical point — so
+    read_as_of to any pre-rewrite batch applied it and raised
+    'references a compacted layout'. The stamp must be the max over ALL
+    markers ever committed, keeping pre-rewrite history clean."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    for b in range(2):
+        sink.write_batch(_kv(spark, [(b * 10, "a"), (b * 10 + 1, "b")]).coalesce(1), b)
+    assert sink.merge_rows(spark, _kv(spark, [(0, "A")]), keys=["k"]) is not None
+    assert sink.delete_where_dv(spark, [("k", "==", 11)]) is not None
+    dv = list(sink._dv_commits().values())[0]
+    assert dv["as_of_batch"] == 1, dv
+    # pre-rewrite history excludes both the merge and the DV
+    as_of = {(r["k"], r["v"]) for r in sink.read_as_of(spark, batch_id=0).collect()}
+    assert as_of == {(0, "a"), (1, "b")}, as_of
+    # current state has both applied
+    cur = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert cur == {(0, "A"), (1, "b"), (10, "a")}, cur
