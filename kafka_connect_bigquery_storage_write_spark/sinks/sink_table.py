@@ -1604,6 +1604,15 @@ class ManifestSinkTable:
             dup = df.groupBy(*key_cols).count().filter(F.col("count") > 1)
             if not dup.isEmpty():
                 raise ValueError(f"diff: {side} state has duplicate keys (key_cols not unique)")
+        if not val_cols:
+            # keys ARE the row: updates are impossible, only presence changes
+            ins = new.join(old, key_cols, "left_anti").select(
+                F.lit("insert").alias("change_type"), *cols
+            )
+            dels = old.join(new, key_cols, "left_anti").select(
+                F.lit("delete").alias("change_type"), *cols
+            )
+            return ins.unionByName(dels)
         o2 = old.select(*key_cols, F.struct(*val_cols).alias("_pre"))
         n2 = new.select(*key_cols, F.struct(*val_cols).alias("_post"))
         j = o2.join(n2, key_cols, "full_outer")

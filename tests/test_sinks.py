@@ -1383,3 +1383,15 @@ def test_dv_after_full_rewrite_orders_after_absorbed_batches(spark, tmp_path):
     # current state has both applied
     cur = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
     assert cur == {(0, "A"), (1, "b"), (10, "a")}, cur
+
+
+def test_diff_keyed_all_columns_are_keys(spark, tmp_path):
+    """key_cols covering every column degrades to a presence diff —
+    insert/delete only (a zero-field struct compare would be malformed)."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(3, "c")]).coalesce(1), 1)
+    assert sink.delete_where_dv(spark, [("k", "==", 2)]) is not None
+    d = sink.diff(spark, from_batch_id=0, key_cols=["k", "v"])
+    got = sorted((r["change_type"], r["k"], r["v"]) for r in d.collect())
+    assert got == [("delete", 2, "b"), ("insert", 3, "c")], got
