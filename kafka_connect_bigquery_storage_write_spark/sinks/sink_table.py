@@ -1512,17 +1512,36 @@ class ManifestSinkTable:
         entries.sort(key=lambda x: (x["committed_at"], x["kind"], x["id"]))
         return entries
 
-    def read_as_of(self, spark: SparkSession, *, epoch: int | None = None, batch_id: int | None = None) -> DataFrame:
+    def read_as_of(
+        self,
+        spark: SparkSession,
+        *,
+        epoch: int | None = None,
+        batch_id: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """Time-travel read: the table as it was visible after a given
         commit — pending mode: epochs 0..``epoch``; committed mode:
         batch markers with id <= ``batch_id``. Valid until ``vacuum``
         physically removes absorbed directories (the Iceberg
         expire-snapshots trade: compaction alone does NOT break time
-        travel because the original batch dirs survive until vacuum)."""
+        travel because the original batch dirs survive until vacuum).
+
+        ``where`` gives historical reads the same pruned-read contract
+        as ``read``: committed-mode batch manifests carry per-file
+        stats, so zone maps drop non-matching files before any scan and
+        the predicate re-applies as a residual filter —
+        ``read_as_of(..., where=p) == read_as_of(...).filter(p)``.
+        Epoch manifests and legacy markers have no stats; their files
+        are always kept (residual-only)."""
         if (epoch is None) == (batch_id is None):
             raise ValueError("pass exactly one of epoch= (pending) or batch_id= (committed)")
+        if where is not None:
+            for _, op, _v in where:
+                if op not in _PRUNE_OPS:
+                    raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
         commits = os.path.join(self.root, "_commits")
-        entries: dict[int, str] = {}
+        manifests: dict[int, dict] = {}
         if epoch is not None:
             for f in os.listdir(commits):
                 if f.startswith("epoch-") and f.endswith(".json") and int(f[len("epoch-") : -len(".json")]) <= epoch:
@@ -1530,20 +1549,31 @@ class ManifestSinkTable:
                         e = json.load(fh)
                     dirs = e.get("dirs") or {str(b): self._legacy_dir(int(b)) for b in e["batch_ids"]}
                     for bid, d in dirs.items():
-                        entries[int(bid)] = d
+                        manifests[int(bid)] = {"dir": d, "files": None}
         else:
-            for b, d in self._committed_entries().items():
+            for b, m in self._committed_manifests().items():
                 if b <= batch_id and os.path.exists(self._commit_marker(b)):
-                    entries[b] = d
+                    manifests[b] = m
         schema = self.schema()
-        paths = [os.path.join(self.root, "data", d) for _, d in sorted(entries.items())]
-        missing = [p for p in paths if not os.path.exists(p)]
+        dir_paths = [os.path.join(self.root, "data", m["dir"]) for _, m in sorted(manifests.items())]
+        missing = [p for p in dir_paths if not os.path.exists(p)]
         if missing:
             raise ValueError(f"time travel target was vacuumed: {sorted(missing)[:3]}")
-        if not paths:
+        paths: list[str] = []
+        for _, m in sorted(manifests.items()):
+            base = os.path.join(self.root, "data", m["dir"])
+            files = m["files"]
+            if files is None:  # no stats recorded: keep everything
+                files = [{"name": f, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
+            for e in files:
+                if _entry_may_match(e, where):
+                    paths.append(os.path.join(base, e["name"]))
+        if not dir_paths:
             if schema is None:
                 raise ValueError(f"sink table at {self.root} has never been written")
             return spark.createDataFrame([], schema)
+        if not paths:  # pruning dropped every file of an existing state
+            return _apply_where(spark.createDataFrame([], schema), where)
         df = spark.read.schema(schema).parquet(*paths)
         # delete-vector interplay: a DV is part of history at the point it
         # was taken — apply exactly those whose as-of stamp precedes the
@@ -1555,7 +1585,10 @@ class ManifestSinkTable:
             if (d.get("as_of_epoch", -1) <= epoch if epoch is not None else d.get("as_of_batch", -1) <= batch_id)
         ]
         if dvs:
-            traveled = {f for p in paths for f in os.listdir(p) if f.endswith(".parquet")}
+            # layout-reconstructibility check against ALL traveled files,
+            # not the pruned subset — DV validity is a property of the
+            # historical layout, independent of what this read opens
+            traveled = {f for p in dir_paths for f in os.listdir(p) if f.endswith(".parquet")}
             for d in dvs:
                 missing_dv = not os.path.exists(os.path.join(self.root, d["dir"]))
                 if missing_dv:
@@ -1570,7 +1603,7 @@ class ManifestSinkTable:
                         "travel across a delete)"
                     )
             df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
-        return df
+        return _apply_where(df, where)
 
     def diff(
         self,
@@ -1606,8 +1639,9 @@ class ManifestSinkTable:
         historical batch dirs must still exist.
 
         ``where`` restricts the comparison (a 100-TB diff of one key
-        range / partition): the current side gets the zone-map-pruned
-        read, the historical side the residual filter. Use predicates
+        range / partition): BOTH sides get the zone-map-pruned read
+        (committed-mode batch manifests carry per-file stats; epoch /
+        legacy manifests fall back to residual-only). Use predicates
         over columns STABLE across the two states (keys, partition
         columns) — a predicate on a mutable value column classifies a
         row whose update moved it across the predicate boundary as an
@@ -1615,7 +1649,7 @@ class ManifestSinkTable:
         views but probably not to the question being asked."""
         from pyspark.sql import functions as F
 
-        old = _apply_where(self.read_as_of(spark, epoch=from_epoch, batch_id=from_batch_id), where)
+        old = self.read_as_of(spark, epoch=from_epoch, batch_id=from_batch_id, where=where)
         new = self.read(spark, where=where)
         cols = [f.name for f in self.schema().fields]
         if key_cols is None:
