@@ -56,14 +56,14 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # unwindowed majority.
 #
 # Round-9 rotation (VERDICT r8 next-round #1: burn down staleness —
-# rotate, don't grow): lead with the ELEVEN queries new this round
-# (q205-q215, zero official rows), then the r4-latest stragglers
+# rotate, don't grow): lead with the TWELVE queries new this round
+# (q205-q216, zero official rows), then the r4-latest stragglers
 # q49/q98/q97 (the stalest official rows in the registry), then the
 # r5-latest cohort in registration order until the window holds exactly
-# 50. Registry growth this round is 11 (<= the prescribed 15), so the
-# window refreshes 39 stale rows. The r5 remainder (q50/q51/q52/q53/
-# q56/q67/q68/q83/q54/q55/q77/q60/q61/q62) plus the r6-latest cohort
-# lead the round-10 rotation.
+# 50. Registry growth this round is 12 (<= the prescribed 15), so the
+# window refreshes 38 stale rows. The r5 remainder (q81/q50/q51/q52/
+# q53/q56/q67/q68/q83/q54/q55/q77/q60/q61/q62) plus the r6-latest
+# cohort lead the round-10 rotation.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round (r9; zero official rows) ---
     "q205_sink_delete_vectors",
@@ -77,6 +77,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q213_bootstrap_ci",
     "q214_hashed_ngram_importance",
     "q215_sink_snapshot_diff",
+    "q216_bucketed_colocated_join",
     # --- r4-latest (stalest official rows) ---
     "q49_salted_join",
     "q98_incremental_topk_rollup",
@@ -117,7 +118,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q76_embedding_quantize",
     "q93_label_centroids",
     "q107_embedding_gram_matrix",
-    "q81_heavy_hitters",
 )
 
 

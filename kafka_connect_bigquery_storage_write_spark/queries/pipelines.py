@@ -1295,3 +1295,60 @@ def q215_sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+@query(
+    "q216_bucketed_colocated_join",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT r.l_orderkey, o_orderstatus, revenue
+    FROM r JOIN orders ON o_orderkey = r.l_orderkey
+    ORDER BY revenue DESC, r.l_orderkey
+    LIMIT 5
+    """,
+)
+def q216_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join made driver-visible (the read face of
+    sinks/bucketed.write_bucketed): lineitem and orders are written ONCE
+    as bucketed tables on the join key (8 buckets, sorted), then the
+    whole pipeline — per-order revenue aggregate, merge-hinted equi-join,
+    top-5 — runs with ZERO key exchanges: the aggregate inherits the
+    bucket partitioning, the SortMergeJoin reads co-located buckets, and
+    the top-5 is a TakeOrdered. The one write-side shuffle is amortized
+    over every downstream query on that key — the standard fact-table
+    layout at 100 TB, where the fact shuffle IS the join cost. The
+    no-Exchange property is pinned in tests/test_plans.py (with an
+    unbucketed control in tests/test_bucketed.py); revenue is
+    exact-decimal so the top-5 cut is engine-deterministic.
+    """
+    import uuid
+
+    from kafka_connect_bigquery_storage_write_spark.queries.parity import revenue_decimal_col
+    from kafka_connect_bigquery_storage_write_spark.sinks.bucketed import bucketed_table, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    tag = uuid.uuid4().hex[:8]
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q216_")
+    li_name, ord_name = f"q216_li_{tag}", f"q216_ord_{tag}"
+    write_bucketed(li, li_name, f"{root}/li", "l_orderkey", buckets=8)
+    write_bucketed(orders, ord_name, f"{root}/ord", "l_orderkey", buckets=8)
+    rev = (
+        bucketed_table(spark, li_name)
+        .groupBy("l_orderkey")
+        .agg(revenue_decimal_col().alias("revenue"))
+    )
+    return (
+        rev.hint("merge")
+        .join(bucketed_table(spark, ord_name), "l_orderkey")
+        .select("l_orderkey", "o_orderstatus", "revenue")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(5)
+    )

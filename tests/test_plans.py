@@ -622,3 +622,14 @@ def test_q214_bucket_model_broadcasts_topk_no_global_sort(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
     assert "InMemoryTableScan" in plan, plan  # persisted bigrams reused
+
+
+def test_q216_colocated_pipeline_has_no_key_exchange(spark, sf_dir):
+    """Bucketed layout: per-order aggregate + merge-hinted join must run
+    with ZERO hash-partitioning exchanges (the bucket layout supplies
+    the key distribution) and finish in a TakeOrdered — the write-once,
+    shuffle-never fact-table contract."""
+    plan = _plan(spark, sf_dir, "q216_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
