@@ -3083,13 +3083,17 @@ def q214_hashed_ngram_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.concat_ws(" ", F.col("p.w1"), F.col("p.w2"))), 1, 4), 16, 10)
         .cast("int") % 4096
     )
+    # eager barrier: shingle/hash once for all three consumers.
+    # localCheckpoint, NOT persist(): the ContextCleaner releases the
+    # blocks when the result DataFrame is unreferenced, whereas a plain
+    # persist() here leaked a CacheManager entry per invocation (the
+    # relational.py:1324 defect, re-introduced here in round 9 — ADVICE r9)
     bg = (
         d.select("doc_id", "lang", "source", F.explode(pairs).alias("p"))
         .where(F.col("p.w2").isNotNull())
         .select("doc_id", "lang", "source", bucket.alias("b"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    bg.count()  # eager barrier: shingle/hash once for all three consumers
     tgt = bg.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("n_t"))
     raw = bg.where(F.col("lang") != "en").groupBy("b").agg(F.count(F.lit(1)).alias("n_s"))
     tot = bg.agg(

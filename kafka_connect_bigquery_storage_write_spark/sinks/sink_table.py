@@ -1572,9 +1572,6 @@ class ManifestSinkTable:
             if schema is None:
                 raise ValueError(f"sink table at {self.root} has never been written")
             return spark.createDataFrame([], schema)
-        if not paths:  # pruning dropped every file of an existing state
-            return _apply_where(spark.createDataFrame([], schema), where)
-        df = spark.read.schema(schema).parquet(*paths)
         # delete-vector interplay: a DV is part of history at the point it
         # was taken — apply exactly those whose as-of stamp precedes the
         # travel target, regardless of later compaction-absorption (travel
@@ -1587,7 +1584,12 @@ class ManifestSinkTable:
         if dvs:
             # layout-reconstructibility check against ALL traveled files,
             # not the pruned subset — DV validity is a property of the
-            # historical layout, independent of what this read opens
+            # historical layout, independent of what this read opens, so
+            # it runs BEFORE the pruned-empty early return below: an
+            # invalid travel target must raise even when zone maps drop
+            # every file, keeping read_as_of(where=p) and
+            # read_as_of().filter(p) divergence-free in errors too
+            # (ADVICE r9)
             traveled = {f for p in dir_paths for f in os.listdir(p) if f.endswith(".parquet")}
             for d in dvs:
                 missing_dv = not os.path.exists(os.path.join(self.root, d["dir"]))
@@ -1602,6 +1604,10 @@ class ManifestSinkTable:
                         "this historical point is not reconstructible (compact-then-"
                         "travel across a delete)"
                     )
+        if not paths:  # pruning dropped every file of an existing state
+            return _apply_where(spark.createDataFrame([], schema), where)
+        df = spark.read.schema(schema).parquet(*paths)
+        if dvs:
             df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
         return _apply_where(df, where)
 
@@ -1631,12 +1637,18 @@ class ManifestSinkTable:
         ``update_pre``/``update_post`` row pair (the CDF vocabulary);
         key-only presence classifies ``insert``/``delete``.
 
-        Scale shape: the keyed diff is ONE full-outer shuffle join on the
-        key columns (both sides arrive key-partitioned from their scans'
-        aggregates-free read) plus a struct null-safe comparison — no
+        Scale shape: the keyed diff is ONE key-partitioned pass per side
+        (an aggregate whose distribution the full-outer join then reuses
+        — no second exchange) plus a struct null-safe comparison — no
         window, no per-row Python; the bag diff is Spark's hash-based
-        ExceptAll. Both inherit time travel's vacuum constraint: the
-        historical batch dirs must still exist.
+        ExceptAll. Key-uniqueness validation is FOLDED into that same
+        aggregate via a ``raise_error`` guard that fires at action time
+        (ADVICE r9 — the former eager per-side ``isEmpty`` probes cost
+        two extra full scans and made ``diff`` non-lazy), so duplicate
+        keys surface as a SparkRuntimeException carrying
+        'duplicate keys (key_cols not unique)' when the diff is
+        consumed. Both paths inherit time travel's vacuum constraint:
+        the historical batch dirs must still exist.
 
         ``where`` restricts the comparison (a 100-TB diff of one key
         range / partition): BOTH sides get the zone-map-pruned read
@@ -1657,21 +1669,40 @@ class ManifestSinkTable:
             dels = old.exceptAll(new).select(F.lit("delete").alias("change_type"), *cols)
             return ins.unionByName(dels)
         val_cols = [c for c in cols if c not in key_cols]
-        for side, df in (("historical", old), ("current", new)):
-            dup = df.groupBy(*key_cols).count().filter(F.col("count") > 1)
-            if not dup.isEmpty():
-                raise ValueError(f"diff: {side} state has duplicate keys (key_cols not unique)")
+
+        def _grouped(df: DataFrame, payload, side: str, out: str) -> DataFrame:
+            # one key-partitioned aggregate per side: the payload struct
+            # rides on F.first (deterministic — the guard below raises
+            # before any >1-row group can be observed) and duplicate-key
+            # validation folds into the SAME pass via raise_error
+            g = df.groupBy(*key_cols).agg(
+                F.count(F.lit(1)).alias("_n"), F.first(payload).alias("_s")
+            )
+            return g.select(
+                *key_cols,
+                F.when(
+                    F.col("_n") > 1,
+                    F.raise_error(
+                        f"diff: {side} state has duplicate keys (key_cols not unique)"
+                    ),
+                )
+                .otherwise(F.col("_s"))
+                .alias(out),
+            )
+
         if not val_cols:
             # keys ARE the row: updates are impossible, only presence changes
-            ins = new.join(old, key_cols, "left_anti").select(
+            o1 = _grouped(old, F.lit(True), "historical", "_pre")
+            n1 = _grouped(new, F.lit(True), "current", "_post")
+            ins = n1.join(o1, key_cols, "left_anti").select(
                 F.lit("insert").alias("change_type"), *cols
             )
-            dels = old.join(new, key_cols, "left_anti").select(
+            dels = o1.join(n1, key_cols, "left_anti").select(
                 F.lit("delete").alias("change_type"), *cols
             )
             return ins.unionByName(dels)
-        o2 = old.select(*key_cols, F.struct(*val_cols).alias("_pre"))
-        n2 = new.select(*key_cols, F.struct(*val_cols).alias("_post"))
+        o2 = _grouped(old, F.struct(*val_cols), "historical", "_pre")
+        n2 = _grouped(new, F.struct(*val_cols), "current", "_post")
         j = o2.join(n2, key_cols, "full_outer")
 
         def _emit(rows: DataFrame, struct_col: str, change_type: str) -> DataFrame:

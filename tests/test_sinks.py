@@ -1098,6 +1098,12 @@ def test_dv_time_travel_interplay(spark, tmp_path):
     sink.delete_where_dv(spark, [("k", "==", 150)])
     with pytest.raises(ValueError, match="not reconstructible"):
         sink.read_as_of(spark, batch_id=2)
+    # the same invalid target must raise even when zone-map pruning drops
+    # EVERY file (ADVICE r9: the empty early-return used to skip the DV
+    # reconstructibility check, silently diverging from
+    # read_as_of().filter(p) in error behavior)
+    with pytest.raises(ValueError, match="not reconstructible"):
+        sink.read_as_of(spark, batch_id=2, where=[("k", ">=", 10_000)])
 
 
 def test_dv_barrier_snapshot_protocol(spark, tmp_path):
@@ -1345,12 +1351,16 @@ def test_diff_bag_semantics_without_keys(spark, tmp_path):
 
 
 def test_diff_keyed_rejects_duplicate_keys(spark, tmp_path):
+    """Validation is folded into the diff's own key aggregate (ADVICE r9:
+    no eager per-side isEmpty scans), so it fires lazily — at action
+    time, as a Spark-side raise_error — not at diff() call time."""
     import pytest as _pytest
 
     sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
     sink.write_batch(_kv(spark, [(1, "a"), (1, "b")]).coalesce(1), 0)
-    with _pytest.raises(ValueError, match="duplicate keys"):
-        sink.diff(spark, from_batch_id=0, key_cols=["k"]).collect()
+    d = sink.diff(spark, from_batch_id=0, key_cols=["k"])  # lazy: must not raise yet
+    with _pytest.raises(Exception, match="duplicate keys"):
+        d.collect()
 
 
 def test_diff_is_layout_independent_across_compaction(spark, tmp_path):
@@ -1412,14 +1422,17 @@ def test_diff_where_restricts_both_sides(spark, tmp_path):
         (r["change_type"], r["k"], r["v"]) for r in full.collect() if r["k"] < 25
     )
     got = sorted((r["change_type"], r["k"], r["v"]) for r in restricted.collect())
-    assert got == want == [
+    assert got == want, (got, want)
+    # pin the expected rows explicitly too (separately — an `or` fallback
+    # here made the literal dead code, ADVICE r9); tuples in sorted order
+    assert want == [
         ("delete", 5, "a"),
         ("insert", 20, "n"),
-        ("update_pre", 3, "a"),
         ("update_post", 3, "U"),
-        ("update_pre", 7, "a"),
         ("update_post", 7, "U"),
-    ] or got == want, (got, want)
+        ("update_pre", 3, "a"),
+        ("update_pre", 7, "a"),
+    ], want
 
 
 def test_read_as_of_where_prunes_and_filters(spark, tmp_path):
