@@ -1302,6 +1302,226 @@ class ManifestSinkTable:
 
         return self.rewrite(spark, _merge, target_files=target_files, order_by=order_by)
 
+    def merge_rows_pruned(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        target_files: int = 4,
+        max_distinct_keys: int = 100_000,
+        op_id: str | None = None,
+        delete: bool = False,
+    ) -> tuple[int, int, int] | None:
+        """FILE-LEVEL copy-on-write MERGE (VERDICT r9 #1): same semantics
+        as ``merge_rows`` — update rows REPLACE current rows sharing
+        their key, unmatched keys insert (or, with ``delete=True``,
+        matched keys are REMOVED and unmatched keys ignored: the keyed
+        DELETE a CDC consumer needs) — but only the files whose
+        zone-maps/blooms admit at least one update key are read and
+        rewritten; every other visible file is carried into the new
+        snapshot by pointer copy with its stats, exactly the
+        ``delete_where_pruned`` mechanic. At 100 TB a CDC micro-batch
+        touching one key range rewrites the straddling files, not the
+        table — write amplification is O(touched files), where
+        ``merge_rows`` is O(table) per batch.
+
+        Why pruning is sound: a row with key k can live in file f only
+        if EVERY key column of k lies inside f's min/max bounds and
+        passes f's bloom (when stamped). A file classified untouched
+        therefore provably contains no row matching any update key, so
+        pointer-copying it preserves MERGE semantics; matched rows all
+        live in touched files, and insert keys land in the rewritten
+        output. Files without stats (legacy markers) and files
+        referenced by visible delete vectors are always rewritten
+        (pointer copies rename, which would orphan a DV's basenames).
+
+        The update keys are collected to the driver for the per-file
+        test — the planning metadata pass every MERGE engine does
+        (Delta's touched-file job). Above ``max_distinct_keys`` the
+        test degrades to per-column [min,max] RANGE overlap — still
+        sound, just coarser. ``updates`` must be deterministic (or
+        pre-checkpointed, as the ingest pipeline does): its keys are
+        collected once and its rows re-read for the rewrite.
+
+        Concurrency/replay: one manifest listing drives data, absorbed
+        batches and absorbed DVs; the snapshot CAS races compactions
+        and barrier snapshots exactly like ``rewrite`` (on a loss the
+        output dir is removed and None returned — retry on the fresh
+        state). ``op_id`` gives replay idempotence via a CAS'd
+        ``mrgop-<op_id>.marker``. Returns
+        ``(snapshot_index, n_rewritten_files, n_pointer_copied_files)``
+        or None (empty table, no-op delete, replayed op_id, lost CAS).
+        """
+        import shutil
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        marker = os.path.join(self.root, "_commits", f"mrgop-{op_id}.marker") if op_id else None
+        if marker and os.path.exists(marker):
+            return None
+        if not delete:
+            dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+            if not dup.isEmpty():
+                raise ValueError("merge_rows_pruned: updates contain duplicate keys (ambiguous merge source)")
+        schema = self.schema()
+        if schema is None:
+            return None
+        cols = [f.name for f in schema.fields]
+
+        # --- driver-side key stats (the touched-file planning pass) ------
+        key_rows = updates.select(*keys).distinct().limit(max_distinct_keys + 1).collect()
+        if not key_rows:
+            if marker:
+                self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+            return None
+        if len(key_rows) > max_distinct_keys:
+            key_tuples = None  # range-overlap fallback
+            agg = updates.agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(keys)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(keys)],
+            ).first()
+            key_ranges = {c: (agg[f"mn_{i}"], agg[f"mx_{i}"]) for i, c in enumerate(keys)}
+        else:
+            key_tuples = [tuple(r) for r in key_rows]
+            key_ranges = {
+                c: (min(t[i] for t in key_tuples), max(t[i] for t in key_tuples))
+                for i, c in enumerate(keys)
+            }
+        # sorted per-column values for the single-key bisect fast path
+        sorted_vals = sorted(_stat_norm(t[0]) for t in key_tuples) if key_tuples and len(keys) == 1 else None
+
+        def _touched(entry: dict) -> bool:
+            stats = entry.get("stats") or {}
+            if not stats:
+                return True  # no stats recorded: must rewrite, never wrong
+            # cheap range gate first (covers the fallback path completely)
+            for c in keys:
+                if not (
+                    _file_may_match(stats, c, ">=", key_ranges[c][0])
+                    and _file_may_match(stats, c, "<=", key_ranges[c][1])
+                ):
+                    return False
+            if key_tuples is None:
+                return True  # range fallback: overlap on every column => touched
+            blooms = entry.get("bloom") or {}
+            if sorted_vals is not None:
+                import bisect
+
+                s = stats.get(keys[0])
+                if s is None:
+                    in_range = sorted_vals
+                else:
+                    try:
+                        lo = bisect.bisect_left(sorted_vals, s[0])
+                        hi = bisect.bisect_right(sorted_vals, s[1])
+                    except TypeError:
+                        return True  # cross-type bounds: keep
+                    in_range = sorted_vals[lo:hi]
+                    if not in_range:
+                        return False
+                b = blooms.get(keys[0])
+                if b is None:
+                    return True
+                return any(_bloom_test(b, v) for v in in_range)
+            for t in key_tuples:  # composite key: first tuple that may match wins
+                ok = True
+                for c, v in zip(keys, t):
+                    if not _file_may_match(stats, c, "==", v):
+                        ok = False
+                        break
+                    bl = blooms.get(c)
+                    if bl is not None and not _bloom_test(bl, v):
+                        ok = False
+                        break
+                if ok:
+                    return True
+            return False
+
+        # --- one listing drives everything (the delete_where_pruned rule) -
+        manifests = self._visible_manifests()
+        if not manifests:
+            return None
+        batch_ids = self.committed_ids()
+        _prior, absorbed = self._snapshot_state()
+        snap = self._latest_snapshot()
+        n_snap = (snap["index"] + 1) if snap else 0
+        dvs = self.visible_dvs()
+        dv_files = {f for d in dvs for f in d.get("files", [])}
+        new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.root, "data", new_dir)
+        os.makedirs(out_dir, exist_ok=True)
+        kept_entries: list[dict] = []
+        cand_paths: list[str] = []
+        k = 0
+        for m in manifests:
+            base = os.path.join(self.root, "data", m["dir"])
+            entries = m["files"]
+            if entries is None:
+                entries = [{"name": f, "rows": None, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
+            for e in entries:
+                if _touched(e) or e["name"] in dv_files:
+                    cand_paths.append(os.path.join(base, e["name"]))
+                else:
+                    name = f"keep-{k:05d}.parquet"
+                    k += 1
+                    os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
+                    kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
+                    for carry in ("bloom", "nulls", "sums"):
+                        if e.get(carry):
+                            kept[carry] = e[carry]
+                    kept_entries.append(kept)
+        if delete and not cand_paths:
+            # no visible file can hold any delete key: whole op is a no-op
+            shutil.rmtree(out_dir, ignore_errors=True)
+            if marker:
+                self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+            return None
+        if cand_paths:
+            touched = spark.read.schema(schema).parquet(*cand_paths)
+            if dvs:  # tombstoned rows must not survive into the rewrite
+                touched = self._apply_dv(touched, self._dv_relation(spark, dvs)).select(*cols)
+        else:
+            touched = spark.createDataFrame([], schema)
+        if delete:
+            rewritten_df = touched.join(updates.select(*keys).distinct(), keys, "left_anti").select(*cols)
+        else:
+            tagged = touched.select(*cols).withColumn("_prec", F.lit(0)).unionByName(
+                updates.select(*cols).withColumn("_prec", F.lit(1))
+            )
+            w = Window.partitionBy(*keys).orderBy(F.col("_prec").desc())
+            rewritten_df = (
+                tagged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_prec", "_rn")
+            )
+        tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
+        rewritten_df.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
+        for f in sorted(os.listdir(tmp_out)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        rewritten = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet") and not f.startswith("keep-"))
+        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
+        created = self._atomic_create(
+            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
+            json.dumps(
+                {
+                    "index": n_snap,
+                    "compacted_dirs": [new_dir],
+                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
+                    "files": {new_dir: file_entries},
+                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
+                }
+            ),
+        )
+        if not created:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        if marker:
+            self._atomic_create(marker, json.dumps({"op_id": op_id, "snapshot": n_snap}))
+        return n_snap, len(rewritten), len(kept_entries)
+
     def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple, zorder_by=None):
         if order_by and zorder_by:
             raise ValueError("pass order_by or zorder_by, not both")

@@ -82,7 +82,7 @@ def test_upsert_config_validation(tmp_path):
 
 
 def test_upsert_lost_snapshot_cas_does_not_mark_batch(spark, tmp_path, monkeypatch):
-    """ADVICE r8: merge_rows returns None when a concurrent rewriter wins
+    """ADVICE r8: the keyed merge (merge_rows_pruned since round 10) returns None when a concurrent rewriter wins
     the snapshot CAS. The pipeline must NOT create the merge marker then —
     a marked-but-unapplied batch would short-circuit replay and silently
     drop its changes. A transient loss retries to success; a persistent
@@ -94,7 +94,7 @@ def test_upsert_lost_snapshot_cas_does_not_mark_batch(spark, tmp_path, monkeypat
     pipe = IngestPipeline(config=cfg, value_schema=VALUE_SCHEMA, sink_schema=VALUE_SCHEMA)
     pipe.run_batch(_env(spark, [(1, 10, 1)]), batch_id=0)  # seed
 
-    real = type(pipe._sink).merge_rows
+    real = type(pipe._sink).merge_rows_pruned
     calls = {"n": 0}
 
     def flaky(self, *a, **kw):
@@ -103,18 +103,18 @@ def test_upsert_lost_snapshot_cas_does_not_mark_batch(spark, tmp_path, monkeypat
             return None  # lost CAS once
         return real(self, *a, **kw)
 
-    monkeypatch.setattr(type(pipe._sink), "merge_rows", flaky)
+    monkeypatch.setattr(type(pipe._sink), "merge_rows_pruned", flaky)
     pipe.run_batch(_env(spark, [(1, 99, 2)]), batch_id=1)
     assert calls["n"] == 2  # retried against fresh state
     assert {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()} == {1: 99}
     marker = tmp_path / "sink" / "_commits" / "merge-1.marker"
     assert marker.exists()
 
-    monkeypatch.setattr(type(pipe._sink), "merge_rows", lambda self, *a, **kw: None)
+    monkeypatch.setattr(type(pipe._sink), "merge_rows_pruned", lambda self, *a, **kw: None)
     with pytest.raises(RuntimeError, match="CAS lost"):
         pipe.run_batch(_env(spark, [(1, 7, 3)]), batch_id=2)
     assert not (tmp_path / "sink" / "_commits" / "merge-2.marker").exists()
     # replay after the failure applies the batch (no marker short-circuit)
-    monkeypatch.setattr(type(pipe._sink), "merge_rows", real)
+    monkeypatch.setattr(type(pipe._sink), "merge_rows_pruned", real)
     pipe.run_batch(_env(spark, [(1, 7, 3)]), batch_id=2)
     assert {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()} == {1: 7}
