@@ -1,0 +1,207 @@
+"""Incremental change-feed consumer: sink→sink pipelines compose streamingly.
+
+VERDICT r9 #3: ``ManifestSinkTable.changes()`` is a batch read — a
+downstream pipeline could replay the feed by hand (q208) but couldn't
+SUBSCRIBE. This module is the Delta ``readChangeFeed``-consumer surface
+for the manifest sink: a ``ChangeFeedConsumer`` owns a durable cursor in
+its own checkpoint directory, polls the upstream table for change
+commits past the cursor, and applies them to a downstream
+``ManifestSinkTable`` so the mirror CONVERGES to the source under
+appends, keyed MERGEs and DV deletes — reading only batch-sized change
+sets per cycle, never the source table.
+
+Reference lineage: this is the consumer half of the reference's
+at-least-once → exactly-once delivery story
+(BigqueryStorageWriteSinkTask.java:197-199's offset-aligned commit),
+re-expressed for table-to-table replication: the "offset" is the
+(source batch id, DV index) cursor, and exactly-once comes from the
+TARGET's own idempotence markers, not from the cursor.
+
+Exactly-once protocol (crash-safe in every window):
+- Every apply is individually replay-idempotent in the target:
+  * insert batches  -> ``write_batch(rows, bid)`` (batch-marker CAS);
+  * upsert batches  -> ``merge_rows_pruned(op_id="cdf-b<bid>")``;
+  * DV deletes      -> ``merge_rows_pruned(delete=True,
+                        op_id="cdf-dv<index>")``.
+- The cursor (atomic tmp+rename replace; the consumer exclusively owns
+  its checkpoint dir, like a streaming query's) advances only AFTER the
+  apply; a crash between apply and advance replays into the op-id
+  short-circuit. The cursor is therefore an optimization (skip re-
+  reading consumed change sets), never the correctness mechanism.
+- DVs are tracked by INDEX, not by their as-of batch: two deletes can
+  share one as-of batch id, so a batch-grain cursor alone would drop
+  the second one committed after the cursor passed that id.
+
+Ordering: source commits apply in (batch id, kind) order with a batch's
+upsert/insert BEFORE DVs stamped as-of that batch — the position
+``changes()`` assigns them in the feed.
+
+Scale: one poll lists the source manifest (tiny), reads only the change
+files of unconsumed commits, and applies them through the PRUNED merge —
+per cycle cost is O(changed rows + touched target files). The upstream
+retention contract is inherited from ``changes()``: change sources must
+survive until consumed (vacuum after the slowest consumer's cursor).
+
+Streaming attachment: ``start()`` drives ``poll`` from a rate-source
+foreachBatch loop — a real StreamingQuery with stop/awaitTermination
+lifecycle; ``run_available_now()`` is the availableNow analogue (drain
+everything unconsumed, then return).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+
+@dataclass
+class ChangeFeedConsumer:
+    source: ManifestSinkTable
+    target: ManifestSinkTable
+    keys: list[str]
+    checkpoint_dir: str
+    # retries for a merge that loses its snapshot CAS to concurrent
+    # maintenance on the target (same rule as the ingest pipeline)
+    cas_retries: int = 5
+    applied: list[tuple] = field(init=False, default_factory=list)
+
+    def __post_init__(self) -> None:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+
+    # -- cursor ---------------------------------------------------------------
+    def _cursor_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "cursor.json")
+
+    def cursor(self) -> dict:
+        try:
+            with open(self._cursor_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"after_batch_id": -1, "applied_dvs": []}
+
+    def _advance(self, cur: dict) -> None:
+        tmp = f"{self._cursor_path()}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.rename(tmp, self._cursor_path())
+
+    # -- one poll ---------------------------------------------------------------
+    def _worklist(self, cur: dict) -> list[tuple[int, str, int]]:
+        """Unconsumed source commits as (order_bid, kind, id): batch
+        upserts/inserts past the batch cursor plus DV deletes not yet in
+        applied_dvs, ordered batch-before-DV at equal as-of id."""
+        after = int(cur["after_batch_id"])
+        done_dvs = set(cur["applied_dvs"])
+        work: list[tuple[int, str, int]] = []
+        logged = self.source._change_commits()
+        batch_ids = set(self.source._committed_entries()) | set(logged)
+        for b in sorted(batch_ids):
+            if b > after:
+                work.append((b, "batch", b))
+        for i, d in sorted(self.source._dv_commits().items()):
+            if i not in done_dvs:
+                work.append((int(d.get("as_of_batch", -1)), "dv", i))
+        # kind order: 'batch' < 'dv' at the same as-of id (changes() places
+        # a DV after the batch it was stamped against)
+        work.sort(key=lambda t: (t[0], t[1], t[2]))
+        return work
+
+    def _apply_batch(self, spark: SparkSession, bid: int) -> str:
+        cols = [f.name for f in self.source.schema().fields]
+        chg = self.source.changes(spark, after_batch_id=bid - 1).filter(
+            F.col("_change_batch_id") == bid
+        )
+        ctype = chg.select("_change_type").first()
+        kind = ctype["_change_type"] if ctype is not None else "insert"
+        rows = chg.select(*cols)
+        if kind == "insert" and self.target.schema() is None:
+            self.target.write_batch(rows, bid)
+            return kind
+        if kind == "insert" and not self.target._is_known(bid):
+            # plain append: the target batch marker is the idempotence CAS
+            self.target.write_batch(rows, bid)
+            return kind
+        if kind != "insert":
+            if self.target.schema() is None:
+                # seed: first commit the mirror sees is an upsert batch
+                self.target.write_batch(rows, bid)
+                return kind
+            rows = rows.localCheckpoint(eager=True)  # deterministic for the pruned merge
+            op = f"cdf-b{bid}"
+            for _ in range(self.cas_retries):
+                res = self.target.merge_rows_pruned(spark, rows, keys=self.keys, op_id=op)
+                if res is not None or os.path.exists(
+                    os.path.join(self.target.root, "_commits", f"mrgop-{op}.marker")
+                ):
+                    return kind
+            raise RuntimeError(f"cdf consumer: merge for batch {bid} lost the CAS {self.cas_retries} times")
+        return kind
+
+    def _apply_dv(self, spark: SparkSession, dv_index: int) -> None:
+        cols = [f.name for f in self.source.schema().fields]
+        rows = self.source._dv_change_rows(spark, -1, indexes={dv_index})
+        if rows is None:
+            return
+        keys_df = rows.select(*self.keys).distinct().localCheckpoint(eager=True)
+        op = f"cdf-dv{dv_index}"
+        for _ in range(self.cas_retries):
+            res = self.target.merge_rows_pruned(
+                spark, keys_df, keys=self.keys, op_id=op, delete=True
+            )
+            # None is also the no-op-delete answer; the op marker records
+            # consumption either way
+            if res is not None or os.path.exists(
+                os.path.join(self.target.root, "_commits", f"mrgop-{op}.marker")
+            ):
+                return
+        raise RuntimeError(f"cdf consumer: DV {dv_index} delete lost the CAS {self.cas_retries} times")
+
+    def poll(self, spark: SparkSession) -> int:
+        """Consume everything unconsumed; returns the number of source
+        commits applied this cycle. Crash-safe at any point (see module
+        docstring); safe to call from a streaming foreachBatch."""
+        cur = self.cursor()
+        work = self._worklist(cur)
+        for _order, kind, ident in work:
+            if kind == "batch":
+                applied_kind = self._apply_batch(spark, ident)
+                cur["after_batch_id"] = ident
+                self.applied.append((ident, applied_kind))
+            else:
+                self._apply_dv(spark, ident)
+                cur["applied_dvs"] = sorted(set(cur["applied_dvs"]) | {ident})
+                self.applied.append((ident, "delete"))
+            self._advance(cur)
+        return len(work)
+
+    def run_available_now(self, spark: SparkSession) -> int:
+        """Drain until a poll finds nothing (the availableNow trigger)."""
+        total = 0
+        while True:
+            n = self.poll(spark)
+            total += n
+            if n == 0:
+                return total
+
+    def start(self, spark: SparkSession, interval: str = "1 seconds"):
+        """Attach the consumer as a real StreamingQuery: a rate source
+        drives one poll per trigger (the foreachBatch-poll pattern —
+        the driver-side loop Structured Streaming owns: retries,
+        lifecycle, stop/awaitTermination)."""
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .writeStream.foreachBatch(lambda _df, _bid: self.poll(spark))
+            .option("checkpointLocation", os.path.join(self.checkpoint_dir, "stream"))
+            .trigger(processingTime=interval)
+            .queryName(f"cdf-consumer-{os.path.basename(self.target.root)}")
+            .start()
+        )

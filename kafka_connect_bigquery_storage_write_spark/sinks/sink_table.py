@@ -1082,7 +1082,18 @@ class ManifestSinkTable:
                             # "references a compacted layout". A DV taken
                             # when batch N was the latest write orders
                             # after N regardless of later absorption.
-                            "as_of_batch": max(self._marker_ids(), default=-1),
+                            # CHANGE commits count too (round 10): a MERGE
+                            # batch in an upsert pipeline has no batch
+                            # marker — only a change-<id> commit — so a DV
+                            # taken after merges 1..N used to stamp as-of
+                            # the seed batch, mis-ordering it BEFORE those
+                            # merges in the change feed (a feed consumer
+                            # would delete, then the replayed merges
+                            # resurrect) and wrongly applying it to
+                            # pre-merge time travel.
+                            "as_of_batch": max(
+                                [*self._marker_ids(), *self._change_commits()], default=-1
+                            ),
                             "as_of_epoch": len(
                                 [f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")]
                             ) - 1,
@@ -1219,9 +1230,15 @@ class ManifestSinkTable:
             return spark.createDataFrame([], empty)
         return out
 
-    def _dv_change_rows(self, spark: SparkSession, after_batch_id: int) -> DataFrame | None:
+    def _dv_change_rows(
+        self, spark: SparkSession, after_batch_id: int, indexes: set[int] | None = None
+    ) -> DataFrame | None:
         """'delete' change rows: each qualifying DV's tombstones joined
-        back onto its referenced files to recover the deleted values."""
+        back onto its referenced files to recover the deleted values.
+        ``indexes`` narrows to specific DV commits (a change-feed
+        consumer tracking applied DVs individually — two DVs can share
+        one as-of batch, so batch-grain cursors alone can't address
+        them); None keeps the as-of-batch filter only."""
         from pyspark.sql import functions as F
 
         schema = self.schema()
@@ -1237,7 +1254,9 @@ class ManifestSinkTable:
         out: DataFrame | None = None
         for i, d in sorted(self._dv_commits().items()):
             asof = int(d.get("as_of_batch", -1))
-            if asof <= after_batch_id:
+            if indexes is not None and i not in indexes:
+                continue
+            if indexes is None and asof <= after_batch_id:
                 continue
             dv_dir = os.path.join(self.root, d["dir"])
             missing = [f for f in d.get("files", []) if f not in path_of]
