@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.queries import query
+from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
 from kafka_connect_bigquery_storage_write_spark.queries.parity import exact_avg4_duckdb, exact_avg4_spark
 from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
 
@@ -174,8 +175,9 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
 
     ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q56_")
     roll = IncrementalRollup(
-        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q56_") + "/rollup",
+        sink_path=root + "/rollup",
         ts_col="ts",
         window="1 hour",
         key_cols=["event_type"],
@@ -183,7 +185,7 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(3):
         roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
-    return (
+    out = (
         roll.read(spark)
         .select(
             "window_start",
@@ -199,6 +201,7 @@ def q56_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+    return _finalize(out, root)
 
 
 @query(
@@ -368,8 +371,9 @@ def q83_incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 400)
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q83_")
     roll = IncrementalRollup(
-        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q83_") + "/rollup",
+        sink_path=root + "/rollup",
         ts_col="ts",
         window="1 day",
         key_cols=["event_type"],
@@ -377,11 +381,12 @@ def q83_incremental_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFra
     )
     for i in range(3):
         roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
-    return (
+    out = (
         roll.read(spark)
         .select("window_start", "event_type", "approx_distinct_user_id", "count_user_id")
         .orderBy("window_start", "event_type")
     )
+    return _finalize(out, root)
 
 
 @query(
@@ -417,8 +422,9 @@ def q98_incremental_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalTopK
 
     ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q98_")
     roll = IncrementalTopK(
-        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q98_") + "/topk",
+        sink_path=root + "/topk",
         ts_col="ts",
         window="1 day",
         key_cols=["event_type"],
@@ -427,11 +433,12 @@ def q98_incremental_topk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in range(3):
         roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
-    return (
+    out = (
         roll.read(spark, k=5)
         .select("window_start", "event_type", "item", "n", "rank")
         .orderBy("window_start", "event_type", "rank")
     )
+    return _finalize(out, root)
 
 
 @query(
@@ -470,8 +477,9 @@ def q117_incremental_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     from kafka_connect_bigquery_storage_write_spark.streaming.rollup import IncrementalRollup
 
     ev = load_table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q117_")
     roll = IncrementalRollup(
-        sink_path=tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q117_") + "/rollup",
+        sink_path=root + "/rollup",
         ts_col="ts",
         window="1 day",
         key_cols=["event_type"],
@@ -480,11 +488,12 @@ def q117_incremental_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFr
     )
     for i in range(3):
         roll.process_batch(ev.filter(F.pmod("event_id", F.lit(3)) == i), batch_id=i)
-    return (
+    out = (
         roll.read(spark)
         .select("window_start", "event_type", "count_value", "p50_value", "p90_value", "p99_value")
         .orderBy("window_start", "event_type")
     )
+    return _finalize(out, root)
 
 
 @query(

@@ -153,6 +153,15 @@ class AppendResult:
 _PRUNE_OPS = ("==", "<", "<=", ">", ">=")
 
 
+def _bucket_of(name: str) -> int | None:
+    """Bucket id from Spark's bucketed-file naming (``…_NNNNN.c000…``);
+    None for non-bucket-named files."""
+    import re
+
+    m = re.search(r"_(\d{5})\.", name)
+    return int(m.group(1)) if m else None
+
+
 def _stat_norm(v):
     """Normalize a stats/predicate value for JSON storage + comparison:
     date/datetime -> UTC epoch micros (naive treated as UTC), numeric/
@@ -238,6 +247,9 @@ def _collect_file_stats(
                 else:
                     bounds[col] = [mn, mx]
         entry = {"name": name, "rows": md.num_rows, "stats": bounds}
+        b = _bucket_of(name)
+        if b is not None:  # bucket-named file (bucketed table layout)
+            entry["bucket"] = b
         if nulls:
             entry["nulls"] = nulls
         want = sorted(
@@ -443,6 +455,14 @@ class ManifestSinkTable:
     # columns that get a per-file SUM in the manifest at write time so
     # SUM/AVG answer from the manifest alone (stats_agg); int/float only
     sum_columns: tuple[str, ...] = ()
+    # (n_buckets, key columns): every data file is written hash-bucketed
+    # on the keys with the bucket id in its NAME (Spark's `_NNNNN` file
+    # convention), so read_bucketed() can re-expose the table to the
+    # catalog as a bucketed scan and keyed joins/aggs on a GOVERNED
+    # table skip the shuffle (VERDICT r9 #4 — q216's layout, now with
+    # the manifest's ACID/time-travel/skipping). Persisted to
+    # _bucket.json at first write; later openers inherit it.
+    bucket_spec: tuple | None = None
     retry: RetryPolicy = field(default_factory=RetryPolicy)
 
     def __post_init__(self) -> None:
@@ -452,6 +472,26 @@ class ManifestSinkTable:
             raise ValueError(f"schema_evolution must be frozen|additive, got {self.schema_evolution!r}")
         for d in ("data", "_staged", "_commits", "_deletes"):
             os.makedirs(os.path.join(self.root, d), exist_ok=True)
+        if self.bucket_spec is not None:
+            n, cols = self.bucket_spec
+            self.bucket_spec = (int(n), (cols,) if isinstance(cols, str) else tuple(cols))
+            if self.bucket_spec[0] <= 0 or not self.bucket_spec[1]:
+                raise ValueError("bucket_spec must be (n_buckets > 0, key columns)")
+        stored = self._stored_bucket_spec()
+        if stored is not None:
+            if self.bucket_spec is not None and self.bucket_spec != stored:
+                raise ValueError(
+                    f"bucket_spec {self.bucket_spec} does not match the table's persisted spec {stored}"
+                )
+            self.bucket_spec = stored
+
+    def _stored_bucket_spec(self) -> tuple | None:
+        try:
+            with open(os.path.join(self.root, "_bucket.json")) as f:
+                d = json.load(f)
+            return int(d["n"]), tuple(d["cols"])
+        except FileNotFoundError:
+            return None
 
     # -- paths ------------------------------------------------------------
     def _batch_root(self, batch_id: int) -> str:
@@ -640,11 +680,68 @@ class ManifestSinkTable:
         with open(self._schema_path()) as f:
             return T.StructType.fromJson(json.load(f))
 
+    # -- bucketed data files --------------------------------------------------
+    def _write_bucketed_files(self, df: DataFrame, out_dir: str) -> None:
+        """Write ``df``'s rows as parquet files whose NAMES carry their
+        bucket id (Spark's ``part-…_NNNNN.c000…`` convention), hash-
+        bucketed and sorted on the spec's key columns. The only public
+        API that produces bucket-named files is a catalog write, so the
+        rows go through a throwaway EXTERNAL ``bucketBy`` table whose
+        files are then moved into ``out_dir`` (the catalog entry is
+        dropped; bucket identity lives in the file names, which is
+        exactly what a bucketed scan reads back). The repartition onto
+        the bucket keys uses the same hash as the bucket layout, so
+        each bucket is written by one task → one file per non-empty
+        bucket per write."""
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        n, cols = self.bucket_spec
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bucketed write: key columns {missing} absent from batch")
+        spark = df.sparkSession
+        tmp_name = f"kafka_connect_bigquery_storage_write_spark_bwrite_{uuid.uuid4().hex[:12]}"
+        tmp_dir = f"{out_dir.rstrip('/')}.bkt-{uuid.uuid4().hex[:8]}"
+        (
+            df.repartition(n, *[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .option("path", tmp_dir)
+            .bucketBy(n, *cols)
+            .sortBy(*cols)
+            .format("parquet")
+            .saveAsTable(tmp_name)
+        )
+        spark.sql(f"DROP TABLE `{tmp_name}`")
+        os.makedirs(out_dir, exist_ok=True)
+        for f in sorted(os.listdir(tmp_dir)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp_dir, f), os.path.join(out_dir, f))
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+
+    def _write_datafiles(self, df: DataFrame, out_dir: str, target_files: int | None = None) -> None:
+        """One write seam for every path that materializes data files
+        (appends, compactions, COW/merge rewrites): bucketed tables keep
+        their bucket layout through ALL of them, everything else is a
+        plain (optionally coalesced) parquet write."""
+        if self.bucket_spec is not None:
+            self._write_bucketed_files(df, out_dir)
+        else:
+            if target_files is not None:
+                df = df.coalesce(target_files)
+            df.write.mode("overwrite").parquet(out_dir)
+
     # -- write path ---------------------------------------------------------
     def write_batch(self, df: DataFrame, batch_id: int) -> AppendResult:
         """Append one micro-batch; idempotent per batch_id (R14)."""
         if self._is_known(batch_id):
             return AppendResult(batch_id=batch_id, rows=0, already_exists=True)
+        if self.bucket_spec is not None:
+            n, cols = self.bucket_spec
+            self._atomic_create(
+                os.path.join(self.root, "_bucket.json"), json.dumps({"n": n, "cols": list(cols)})
+            )
         if self.schema_evolution == "additive":
             self._evolve_schema(df)
         else:
@@ -658,7 +755,7 @@ class ManifestSinkTable:
         def _append() -> None:
             # overwrite handles a half-written dir from a failed retry of
             # THIS attempt; other attempts have their own directories
-            df.write.mode("overwrite").parquet(data_dir)
+            self._write_datafiles(df, data_dir)
 
         self.retry.run(_append)
         rows = -1  # row count not recomputed here; callers count upstream if needed
@@ -863,15 +960,19 @@ class ManifestSinkTable:
                 if _entry_may_match(e, where) or e["name"] in dv_files:
                     cand_paths.append(os.path.join(base, e["name"]))
                 else:
-                    # untouched: pointer-copy (hardlink) + stats/bloom carryover
-                    name = f"keep-{k:05d}.parquet"
+                    # untouched: pointer-copy (hardlink) + stats/bloom
+                    # carryover. Bucketed tables keep the ORIGINAL name —
+                    # the bucket id lives in it (uuid part names cannot
+                    # collide); everything else gets a keep- name.
+                    name = e["name"] if self.bucket_spec is not None else f"keep-{k:05d}.parquet"
                     k += 1
                     os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
                     kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
-                    for carry in ("bloom", "nulls", "sums"):  # pointer copy keeps ALL stats
+                    for carry in ("bloom", "nulls", "sums", "bucket"):  # pointer copy keeps ALL stats
                         if e.get(carry):
                             kept[carry] = e[carry]
                     kept_entries.append(kept)
+        kept_names = {e["name"] for e in kept_entries}
         if cand_paths:
             cond = None
             for c, op, v in where:
@@ -885,12 +986,14 @@ class ManifestSinkTable:
                 )
             survivors = survivors.filter(~cond)
             tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
-            survivors.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
+            self._write_datafiles(survivors, tmp_out, target_files=target_files)
             for f in sorted(os.listdir(tmp_out)):
                 if f.endswith(".parquet"):
                     os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
             shutil.rmtree(tmp_out, ignore_errors=True)
-        rewritten = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet") and not f.startswith("keep-"))
+        rewritten = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
+        )
         file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
         created = self._atomic_create(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
@@ -1482,14 +1585,17 @@ class ManifestSinkTable:
                 if _touched(e) or e["name"] in dv_files:
                     cand_paths.append(os.path.join(base, e["name"]))
                 else:
-                    name = f"keep-{k:05d}.parquet"
+                    # bucketed tables keep the ORIGINAL (bucket-id-bearing)
+                    # name; uuid part names cannot collide
+                    name = e["name"] if self.bucket_spec is not None else f"keep-{k:05d}.parquet"
                     k += 1
                     os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
                     kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
-                    for carry in ("bloom", "nulls", "sums"):
+                    for carry in ("bloom", "nulls", "sums", "bucket"):
                         if e.get(carry):
                             kept[carry] = e[carry]
                     kept_entries.append(kept)
+        kept_names = {e["name"] for e in kept_entries}
         if delete and not cand_paths:
             # no visible file can hold any delete key: whole op is a no-op
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -1515,12 +1621,14 @@ class ManifestSinkTable:
                 .drop("_prec", "_rn")
             )
         tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
-        rewritten_df.coalesce(target_files).write.mode("overwrite").parquet(tmp_out)
+        self._write_datafiles(rewritten_df, tmp_out, target_files=target_files)
         for f in sorted(os.listdir(tmp_out)):
             if f.endswith(".parquet"):
                 os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
         shutil.rmtree(tmp_out, ignore_errors=True)
-        rewritten = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet") and not f.startswith("keep-"))
+        rewritten = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
+        )
         file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
         created = self._atomic_create(
             os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
@@ -1544,6 +1652,10 @@ class ManifestSinkTable:
     def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple, zorder_by=None):
         if order_by and zorder_by:
             raise ValueError("pass order_by or zorder_by, not both")
+        if self.bucket_spec is not None and (order_by or zorder_by):
+            # bucketed tables cluster by their bucket spec — a competing
+            # order would silently destroy the co-located-join layout
+            raise ValueError("bucketed tables cluster by bucket_spec; order_by/zorder_by unsupported")
         batch_ids = self.committed_ids()
         prior_dirs, absorbed = self._snapshot_state()
         pending_dvs = self.visible_dvs()
@@ -1583,7 +1695,13 @@ class ManifestSinkTable:
             merged = fn(merged)
             if [f.name for f in merged.schema.fields] != [f.name for f in self.schema().fields]:
                 raise ValueError("rewrite transform must preserve the table schema")
-        if zorder_by:
+        out_dir = os.path.join(self.root, "data", new_dir)
+        if self.bucket_spec is not None:
+            # compaction merges each bucket's files back into one per
+            # bucket; the sortBy keeps in-file key order (order guard at
+            # the top of this method)
+            self._write_datafiles(merged, out_dir)
+        elif zorder_by:
             from pyspark.sql import functions as F
 
             row = merged.agg(
@@ -1597,12 +1715,12 @@ class ManifestSinkTable:
                 .sortWithinPartitions("__z")
                 .drop("__z")
             )
+            merged.write.mode("overwrite").parquet(out_dir)
         elif order_by:
             merged = merged.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
+            merged.write.mode("overwrite").parquet(out_dir)
         else:
-            merged = merged.coalesce(target_files)
-        out_dir = os.path.join(self.root, "data", new_dir)
-        merged.write.mode("overwrite").parquet(out_dir)
+            merged.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
         # stats survive compaction: the snapshot carries the merged files'
         # own footer bounds (recomputed — merged files have new extents)
         out_files = sorted(f for f in os.listdir(out_dir) if f.endswith(".parquet"))
@@ -1715,6 +1833,17 @@ class ManifestSinkTable:
                 continue
             shutil.rmtree(full)
             removed.append(rel)
+        # bucketed-read snapshot dirs are hardlink views for in-flight
+        # catalog scans: reclaim past the retention window (same rule as
+        # unreferenced attempt dirs — a reader older than retention is out
+        # of contract)
+        br_root = os.path.join(self.root, "_bucketed_reads")
+        if os.path.isdir(br_root):
+            for d in os.listdir(br_root):
+                full = os.path.join(br_root, d)
+                if os.path.isdir(full) and _old_enough(full):
+                    shutil.rmtree(full)
+                    removed.append(os.path.join("_bucketed_reads", d))
         return sorted(removed)
 
     # -- time travel ---------------------------------------------------------
@@ -2020,6 +2149,58 @@ class ManifestSinkTable:
                 # against the DV relation (small; absorbed by compaction)
                 df = self._apply_dv(df, self._dv_relation(spark, dvs)).select(*[f.name for f in schema.fields])
         return _apply_where(df, where)
+
+    def read_bucketed(self, spark: SparkSession, name: str | None = None) -> DataFrame:
+        """Visible rows exposed as a CATALOG bucketed scan, so keyed
+        equi-joins and aggregations on the bucket columns between tables
+        sharing the spec run with ZERO exchanges — q216's co-located-join
+        layout, now on a GOVERNED table (manifest ACID + time travel +
+        skipping + this). Returns ``spark.table(name)``; the caller owns
+        the session-scoped catalog entry (``DROP TABLE`` when done).
+
+        Mechanics: every data file was written bucket-named (the
+        ``_write_datafiles`` seam keeps the layout through appends,
+        compactions and pruned merges; pointer copies preserve names), a
+        visible-files SNAPSHOT is hardlinked into ``_bucketed_reads/``
+        (so the catalog table keeps reading a consistent state while
+        later commits land), and an EXTERNAL ``CLUSTERED BY`` table over
+        that directory lets Spark's scan group files by the bucket id in
+        their names. Snapshot dirs are reclaimed by ``vacuum`` after the
+        retention window.
+
+        Pending delete vectors refuse loudly (run ``compact()`` first):
+        the merge-on-read anti-join would re-shuffle the scan, silently
+        voiding the zero-exchange property this read exists for — the
+        ``stats_agg`` rule, raise rather than quietly degrade."""
+        if self.bucket_spec is None:
+            raise ValueError("read_bucketed requires a table built with bucket_spec=")
+        if self.visible_dvs():
+            raise ValueError(
+                "bucketed read unavailable while delete vectors are pending; run compact() first"
+            )
+        schema = self.schema()
+        if schema is None:
+            raise ValueError(f"sink table at {self.root} has never been written")
+        n, cols = self.bucket_spec
+        snap_dir = os.path.join(self.root, "_bucketed_reads", f"snap-{uuid.uuid4().hex[:12]}")
+        os.makedirs(snap_dir)
+        for p in self.visible_files():
+            base = os.path.basename(p)
+            if _bucket_of(base) is None:
+                raise ValueError(
+                    f"file {base} carries no bucket id (written before bucket_spec was set); "
+                    "compact() to re-bucket the table"
+                )
+            os.link(p, os.path.join(snap_dir, base))
+        name = name or f"kafka_connect_bigquery_storage_write_spark_bread_{uuid.uuid4().hex[:10]}"
+        ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        keys = ", ".join(f"`{c}`" for c in cols)
+        spark.sql(
+            f"CREATE TABLE `{name}` ({ddl}) USING parquet "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {n} BUCKETS "
+            f"LOCATION '{snap_dir}'"
+        )
+        return spark.table(name)
 
     def stats_agg(
         self,

@@ -16,6 +16,12 @@ load_all()
 
 def _plan(spark, sf_dir, name: str) -> str:
     df = QUERIES[name](spark, sf_dir)
+    # sink-pipeline queries finalize through an eager localCheckpoint
+    # (temp-dir hygiene) and stash the REAL executed plan on the result —
+    # explaining the checkpointed frame would only show a block scan
+    stashed = getattr(df, "_kafka_connect_bigquery_storage_write_spark_plan", None)
+    if stashed is not None:
+        return stashed
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -630,6 +636,18 @@ def test_q216_colocated_pipeline_has_no_key_exchange(spark, sf_dir):
     the key distribution) and finish in a TakeOrdered — the write-once,
     shuffle-never fact-table contract."""
     plan = _plan(spark, sf_dir, "q216_bucketed_colocated_join")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q219_governed_bucketed_pipeline_has_no_key_exchange(spark, sf_dir):
+    """The manifest sink's bucketed layout (VERDICT r9 #4): two appends +
+    a compaction on one side and a pruned MERGE on the other, read back
+    through read_bucketed — and the aggregate + merge-hinted join still
+    run with ZERO hash-partitioning exchanges. Governance (ACID,
+    time travel, skipping) must not cost the co-located layout."""
+    plan = _plan(spark, sf_dir, "q219_bucketed_sink_colocated")
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
