@@ -55,69 +55,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-9 rotation (VERDICT r8 next-round #1: burn down staleness —
-# rotate, don't grow): lead with the TWELVE queries new this round
-# (q205-q216, zero official rows), then the r4-latest stragglers
-# q49/q98/q97 (the stalest official rows in the registry), then the
-# r5-latest cohort in registration order until the window holds exactly
-# 50. Registry growth this round is 12 (<= the prescribed 15), so the
-# window refreshes 38 stale rows. The r5 remainder (q81/q50/q51/q52/
-# q53/q56/q67/q68/q83/q54/q55/q77/q60/q61/q62) plus the r6-latest
-# cohort lead the round-10 rotation.
+# Round-10 rotation (VERDICT r9 #2: keep burning staleness — the window
+# composition it prescribed): lead with the THREE queries new this round
+# (q217 pruned MERGE, q218 CDF streaming sync, q219 bucketed governed
+# join — zero official rows; growth 3 <= the prescribed 12, so the
+# window refreshes 47 stale rows), then the full r5-latest remainder
+# (15 queries — the stalest official rows in the registry), then the
+# r6-latest cohort in registration order until the window holds exactly
+# 50. After this round no oracled query's newest official row is older
+# than r6, and 11 r6 stragglers remain for the round-11 lead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new this round (r9; zero official rows) ---
-    "q205_sink_delete_vectors",
-    "q206_byte_bpe_encode",
-    "q207_sink_stats_sum_pushdown",
-    "q208_cdc_change_feed_replay",
-    "q209_temperature_mixture",
-    "q210_weighted_sssp",
-    "q211_tokenizer_compression_eval",
-    "q212_event_transition_matrix",
-    "q213_bootstrap_ci",
-    "q214_hashed_ngram_importance",
-    "q215_sink_snapshot_diff",
-    "q216_bucketed_colocated_join",
-    # --- r4-latest (stalest official rows) ---
-    "q49_salted_join",
-    "q98_incremental_topk_rollup",
-    "q97_gap_filled_hourly",
-    # --- r5-latest cohort, registration order ---
-    "q105_contamination_scores",
-    "q40_text_stats",
-    "q41_language_histogram",
-    "q42_top_tokens",
-    "q44_train_test_split",
-    "q45_token_budget",
-    "q46_winnow_fingerprints",
-    "q43_quality_filter",
-    "q57_repetition_signals",
-    "q66_mixture_sampling",
-    "q74_tfidf_top_terms",
-    "q75_pii_scrub",
-    "q79_sequence_packing",
-    "q80_document_chunking",
-    "q82_stratified_sample",
-    "q96_vocab_encode",
-    "q72_avro_ingest_roundtrip",
-    "q01_pricing_summary",
-    "q02_filtered_scan",
-    "q03_shipping_priority",
-    "q04_order_priority_check",
-    "q05_supplier_region_volume",
-    "q06_forecast_revenue",
-    "q07_customer_order_counts",
-    "q08_customers_without_orders",
-    "q84_disjunctive_predicates",
-    "q85_global_threshold",
-    "q102_returned_items",
-    "q103_promo_revenue",
-    "q104_top_revenue_supplier",
-    "q100_ivf_exact_topk",
-    "q101_blocked_near_dups_exact",
-    "q76_embedding_quantize",
-    "q93_label_centroids",
-    "q107_embedding_gram_matrix",
+    # --- new this round (r10; zero official rows) ---
+    "q217_sink_merge_pruned",
+    "q218_cdf_streaming_sync",
+    "q219_bucketed_sink_colocated",
+    # --- r5-latest remainder (stalest official rows; complete) ---
+    "q81_heavy_hitters",
+    "q50_tumbling_window",
+    "q51_sliding_window",
+    "q52_session_window",
+    "q53_stream_dedup",
+    "q56_incremental_rollup",
+    "q67_event_funnel",
+    "q68_cohort_retention",
+    "q83_incremental_distinct_rollup",
+    "q54_asof_join",
+    "q55_range_join_bands",
+    "q77_sessionize_events",
+    "q60_pandas_udf_charge",
+    "q61_apply_in_pandas_user_stats",
+    "q62_python_udf_priority",
+    # --- r6-latest cohort, registration order ---
+    "q30_dedup_exact",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_near_dups",
+    "q65_incremental_dedup",
+    "q73_dedup_clusters",
+    "q87_dedup_clusters_star",
+    "q78_decontamination",
+    "q94_containment_pairs",
+    "q109_bloom_prefilter_dedup",
+    "q113_incremental_near_dup",
+    "q99_weighted_quota_sample",
+    "q106_token_freq_of_freq",
+    "q108_quality_decile_bins",
+    "q112_vocab_coverage",
+    "q110_unigram_surprisal",
+    "q128_weighted_reservoir_sample",
+    "q131_quality_survivorship",
+    "q122_pagerank_coactivity",
+    "q47_multimodal_binary_metadata",
+    "q70_conversion_roundtrip",
+    "q71_ingest_pipeline_committed",
+    "q86_dlq_replay_convergence",
+    "q124_jsonl_source",
+    "q125_csv_source",
+    "q09_status_distinct_customers",
+    "q10_rollup_quantities",
+    "q11_cube_volumes",
+    "q12_top_orders",
+    "q13_top_customers_per_nation",
+    "q115_window_rank_family",
+    "q116_token_typo_pairs",
+    "q118_chisquare_independence",
 )
 
 

@@ -2582,10 +2582,11 @@ def q198_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT unnest({_TOKS}) AS word FROM documents),
     words AS (SELECT word, count(*) AS f FROM toks GROUP BY word),
+    wcap AS (SELECT word, f FROM words ORDER BY f DESC, word LIMIT 20000),
     wchars AS (SELECT unnest(string_split(word, '')) AS p, f FROM words),
     pieces AS (
       SELECT p AS piece, sum(cnt) AS cnt FROM (
-        SELECT word AS p, f AS cnt FROM words
+        SELECT word AS p, f AS cnt FROM wcap
         UNION ALL
         SELECT p, f FROM wchars
       ) GROUP BY p
@@ -2648,25 +2649,35 @@ def q204_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("word"))
-    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f")).persist()
-    words.count()  # barrier: vocab counts and the segmentation both consume it
+    # barrier: vocab counts and the segmentation both consume this —
+    # localCheckpoint, not persist (the relational.py:1324 leak rule)
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f")).localCheckpoint(eager=True)
+    # BOUNDED vocabulary (VERDICT r9 #5 / what's-wrong #2): the word
+    # pieces are capped to the top-N by frequency (deterministic
+    # tiebreak on the word itself; TakeOrdered, never a full sort),
+    # single characters ALWAYS retained with full-corpus counts so the
+    # segmentation stays total — the SentencePiece capped-vocab shape
+    # and the bpe_train max_words rule. The driver artifact is now
+    # O(cap + alphabet) regardless of corpus vocabulary; the oracle
+    # applies the identical cap.
+    wcap = words.orderBy(F.col("f").desc(), "word").limit(20_000)
     wchars = words.select(
         F.explode(F.filter(F.split("word", ""), lambda c: c != "")).alias("piece"),
         F.col("f").alias("cnt"),
     )
     pieces = (
-        words.select(F.col("word").alias("piece"), F.col("f").alias("cnt"))
+        wcap.select(F.col("word").alias("piece"), F.col("f").alias("cnt"))
         .unionAll(wchars)
         .groupBy("piece")
         .agg(F.sum("cnt").alias("cnt"))
-        .persist()
+        .localCheckpoint(eager=True)  # consumed by total AND the score collect
     )
     total = pieces.agg(F.sum("cnt")).first()[0]
     scored = pieces.select(
         "piece",
         F.round(F.log(F.col("cnt") * 1.0 / F.lit(float(total))) * 1000000).cast("long").alias("s"),
     )
-    # vocabulary-sized relation -> kernel closure (broadcast at scale)
+    # cap+alphabet-sized relation -> kernel closure (broadcast at scale)
     scores = {r["piece"]: int(r["s"]) for r in scored.collect()}
     seg = viterbi_udf(scores)(F.col("word")).alias("_seg")
     return (
