@@ -627,7 +627,10 @@ def test_q214_bucket_model_broadcasts_topk_no_global_sort(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "Window" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
-    assert "InMemoryTableScan" in plan, plan  # persisted bigrams reused
+    # the bigram relation is materialized ONCE and reused by all three
+    # consumers — since the ADVICE-r9 leak fix it's an eager
+    # localCheckpoint (an RDD scan in the plan), not a persist
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan, plan
 
 
 def test_q216_colocated_pipeline_has_no_key_exchange(spark, sf_dir):
