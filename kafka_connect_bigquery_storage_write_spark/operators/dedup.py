@@ -100,8 +100,7 @@ def jaccard_near_dup_pairs(
     ``max_df`` trades exactness for a bound on the join's hot buckets —
     see _cap_df.
     """
-    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
-    sh.count()
+    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).localCheckpoint(eager=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -195,10 +194,10 @@ def minhash_lsh_incremental(
     verify stage's shingle join is restricted to candidate docs on BOTH
     sides before any shuffle.
     """
-    corpus_sh = _cap_df(_exploded_shingles(corpus, id_col, text_col, n), max_df).persist()
-    corpus_sh.count()  # barrier: feeds index build + verify join
-    inc_sh = _cap_df(_exploded_shingles(increment, id_col, text_col, n), max_df).persist()
-    inc_sh.count()
+    # eager checkpoint, not persist: feeds index build + verify join; blocks
+    # release with the result (the relational.py:1324 leak rule, ADVICE r9)
+    corpus_sh = _cap_df(_exploded_shingles(corpus, id_col, text_col, n), max_df).localCheckpoint(eager=True)
+    inc_sh = _cap_df(_exploded_shingles(increment, id_col, text_col, n), max_df).localCheckpoint(eager=True)
     corpus_idx = _minhash_band_buckets(corpus_sh, id_col, num_hashes, bands).withColumnsRenamed(
         {id_col: "corpus_id"}
     )
@@ -207,9 +206,8 @@ def minhash_lsh_incremental(
         corpus_idx.join(F.broadcast(inc_buckets), ["band", "bucket"])
         .select("corpus_id", "inc_id")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    candidates.count()
     # exact verify: restrict each side's shingles to its candidate docs
     ca = corpus_sh.join(
         F.broadcast(candidates.select(F.col("corpus_id").alias(id_col)).distinct()), id_col, "left_semi"
@@ -261,8 +259,7 @@ def minhash_lsh_near_dups(
     # eager cache fill, the concurrently-submitted broadcast/AQE jobs
     # race to compute it and duplicate the shingling work (see
     # jaccard_near_dup_pairs docstring — measured on this DAG).
-    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
-    sh.count()
+    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).localCheckpoint(eager=True)
     buckets = _minhash_band_buckets(sh, id_col, num_hashes, bands)
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
@@ -274,9 +271,8 @@ def minhash_lsh_near_dups(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    candidates.count()
     # exact verify on candidates only. The pair semi-join alone cannot be
     # pushed below the shingle self-join, so first restrict the shingle
     # relation to candidate DOCS — only their shingles enter the
@@ -289,8 +285,7 @@ def minhash_lsh_near_dups(
     )
     # broadcast the (small) candidate sides so the semi-joins prune the
     # shingle relation map-side instead of shuffling it
-    vsh = sh.join(F.broadcast(cand_ids), id_col, "left_semi").persist()
-    vsh.count()
+    vsh = sh.join(F.broadcast(cand_ids), id_col, "left_semi").localCheckpoint(eager=True)
     counts = vsh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = vsh.select(F.col(id_col).alias("id_a"), "shingle")
     b = vsh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -409,8 +404,7 @@ def simhash_near_dups(
     # fingerprint relation; without an eager cache fill the whole
     # tokenize -> numpy-vote pipeline runs once per branch. The cached
     # relation is tiny (one int64 per doc).
-    fp = simhash(df, id_col, text_col).persist()
-    fp.count()
+    fp = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     width = 64 // chunks
     chunk_arr = F.array(
         *[
@@ -850,8 +844,9 @@ def contamination_scores(
     with an eager barrier because the hit and total aggregations both
     consume it.
     """
-    tr = _exploded_shingles(train, id_col, text_col, n).persist()
-    tr.count()  # barrier: hit + total aggregations share the shingle pass
+    # barrier: hit + total aggregations share the shingle pass (eager
+    # checkpoint releases with the result; persist leaked, ADVICE r9)
+    tr = _exploded_shingles(train, id_col, text_col, n).localCheckpoint(eager=True)
     held_set = _exploded_shingles(held, id_col, text_col, n).select("shingle").distinct()
     hits = (
         tr.join(held_set, "shingle", "left_semi")
@@ -894,8 +889,7 @@ def containment_pairs(
     rows (src_id, dst_id, containment) with src_id != dst_id — both
     directions can appear, each scored by its own denominator.
     """
-    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).persist()
-    sh.count()  # materialization barrier — see jaccard_near_dup_pairs
+    sh = _cap_df(_exploded_shingles(df, id_col, text_col, n), max_df).localCheckpoint(eager=True)
     counts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("src_id"), "shingle")
     b = sh.select(F.col(id_col).alias("dst_id"), "shingle")
@@ -944,8 +938,7 @@ def prefix_filtered_jaccard_pairs(
     exchanges are the df join (by shingle), the prefix self-join (by rare
     shingle), and the verify joins (by candidate doc id).
     """
-    sh = _exploded_shingles(df, id_col, text_col, n).persist()
-    sh.count()  # materialization barrier (see jaccard_near_dup_pairs)
+    sh = _exploded_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_s"))
     per_doc = (
         sh.join(dfreq, "shingle")
@@ -997,8 +990,7 @@ def prefix_join_candidate_count(
 ) -> tuple[int, int]:
     """(prefix-filtered candidate pairs, full shingle-join candidate pairs)
     — the economics probe the tests pin. Not part of the query surface."""
-    sh = _exploded_shingles(df, id_col, text_col, n).persist()
-    sh.count()
+    sh = _exploded_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     full = (
         sh.select(F.col(id_col).alias("id_a"), "shingle")
         .join(sh.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")

@@ -97,12 +97,15 @@ def ranked_prefix_sum(
     # the offsets branch and the final join below both consume ``part``,
     # and if each re-evaluates the exchange independently the pid
     # assignments diverge and ranks silently corrupt (observed at sf0.1:
-    # q108 emitted an 11th decile). persist + count fills the pid-stamped
-    # relation exactly once, sequentially, before either consumer reads
-    # it — the same barrier rule jaccard_near_dup_pairs documents. The
-    # ContextCleaner releases it once the result is unreferenced.
-    part = part.persist()
-    part.count()
+    # q108 emitted an 11th decile). localCheckpoint(eager=True) fills the
+    # pid-stamped relation exactly once before either consumer reads it,
+    # and — unlike persist(), whose CacheManager entry is never released
+    # because the collect happens outside this function (the
+    # relational.py:1324 leak, ADVICE r9) — its blocks are freed by the
+    # ContextCleaner once the result is unreferenced. It is also the
+    # STRONGER barrier: a persist eviction under memory pressure would
+    # re-sample the range exchange; truncated lineage cannot.
+    part = part.localCheckpoint(eager=True)
     w = Window.partitionBy("_rps_pid").orderBy(*order)
     local = part.withColumn(rank_col, F.row_number().over(w).cast("long"))
     aggs = [F.count(F.lit(1)).alias("_rps_n")]

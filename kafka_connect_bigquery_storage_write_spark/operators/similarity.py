@@ -446,8 +446,9 @@ def lsh_candidate_pairs(
     base = ensure_compute_parallelism(df.select(F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_n")))
     sigged = base.select(id_col, vec_col, "_n", lsh_signature(F.col(vec_col), planes).alias("_sig"))
     band_hash = _band_hashes("_sig", n_planes, bands)
-    sigged = sigged.persist()
-    sigged.count()  # barrier: bucket pass + both rescore joins share the signature relation
+    # barrier: bucket pass + both rescore joins share the signature relation
+    # (eager checkpoint, not persist — blocks release with the result)
+    sigged = sigged.localCheckpoint(eager=True)
     buckets = sigged.select(id_col, F.posexplode(band_hash).alias("band", "bucket"))
     l = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")

@@ -188,8 +188,9 @@ def q73_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture scale precisely because near-dup components are tiny.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).persist()
-    pairs.count()  # barrier: both edge directions consume this relation
+    # barrier: both edge directions consume this relation (eager checkpoint
+    # releases with the result; persist leaked per invocation, ADVICE r9)
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
     labels = connected_components(pairs, "id_a", "id_b").select(
         F.col("vertex").alias("doc_id"), "cluster_id"
     )
@@ -240,8 +241,7 @@ def q87_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategies must produce the same clusters.
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).persist()
-    pairs.count()
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
     labels = connected_components(pairs, "id_a", "id_b", strategy="star").select(
         F.col("vertex").alias("doc_id"), "cluster_id"
     )
@@ -506,8 +506,9 @@ def q131_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).persist()
-    pairs.count()  # barrier: both edge directions consume this relation
+    # barrier: both edge directions consume this relation (eager checkpoint
+    # releases with the result; persist leaked per invocation, ADVICE r9)
+    pairs = jaccard_near_dup_pairs(docs, threshold=0.8).localCheckpoint(eager=True)
     comps = connected_components(pairs, "id_a", "id_b")
     q = docs.select("doc_id", quality_score("text").alias("quality"))
     labeled = comps.select(F.col("vertex").alias("doc_id"), "cluster_id").join(q, "doc_id")

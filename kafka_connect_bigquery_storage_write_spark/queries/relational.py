@@ -1200,9 +1200,8 @@ def q85_global_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # barrier: threshold aggregate + filter both read m
     )
-    m.count()  # barrier: the threshold aggregate and the filter both read m
     tot = m.agg(
         F.sum(F.col("revenue").cast("decimal(18,2)")).cast("double").alias("total"),
         F.count(F.lit(1)).alias("n_months"),

@@ -274,8 +274,8 @@ def q64_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             for h in range(24)
         ]
     )
-    profile = sums.select("user_id", F.array(*[f"_h{h}" for h in range(24)]).alias("embedding")).persist()
-    profile.count()  # barrier: the corpus side and the broadcast queries side share this aggregate
+    # barrier: the corpus side and the broadcast queries side share this aggregate
+    profile = sums.select("user_id", F.array(*[f"_h{h}" for h in range(24)]).alias("embedding")).localCheckpoint(eager=True)
     queries = profile.filter(F.col("user_id") < 20).select(F.col("user_id").alias("query_id"), "embedding")
     return cosine_topk(profile, queries, k=5, id_col="user_id").orderBy("query_id", "rank")
 
@@ -949,9 +949,8 @@ def q196_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         y.crossJoin(F.broadcast(x))
         .withColumn("cosine", F.round(cosine(F.col("_xe"), F.col("_ye")), 6))
         .select("x_id", "y_id", "cosine")
-        .persist()
+        .localCheckpoint(eager=True)  # barrier: two rank windows + the margin join
     )
-    s.count()  # barrier: three consumers (two rank windows + the margin join)
 
     def top4_mean(side: str, order_other: str) -> DataFrame:
         w = W.partitionBy(side).orderBy(F.col("cosine").desc(), F.col(order_other))
@@ -1076,9 +1075,8 @@ def q203_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool = (
         cosine_topk(emb, queries, k=10)
         .select("query_id", "neighbor_id", F.round(F.col("cosine") * 1000000.0).cast("long").alias("cm"))
-        .persist()
+        .localCheckpoint(eager=True)  # barrier: pairs, and every stage, consume the pool
     )
-    pool.count()  # barrier: pairs, and every stage, consume the pool
     ev = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_v"))
     pv = pool.join(ev, "neighbor_id").select("query_id", "neighbor_id", "cm", "_v")
     a = pv.select(F.col("query_id"), F.col("neighbor_id").alias("ida"), F.col("_v").alias("_va"))
@@ -1090,9 +1088,8 @@ def q203_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "ida", "idb",
             F.round(cosine(F.col("_va"), F.col("_vb")) * 1000000.0).cast("long").alias("cmp"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # two stages reuse the pairwise relation
     )
-    pairs.count()  # two stages reuse the pairwise relation
 
     def argmax(df: DataFrame, score, id_col: str, bias: int):
         key = (score + F.lit(bias)) * F.lit(SHIFT) + (F.lit(SHIFT - 1) - F.col(id_col))

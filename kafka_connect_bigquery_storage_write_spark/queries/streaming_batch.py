@@ -254,16 +254,14 @@ def q67_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each stage relation feeds BOTH the next stage's broadcast and the
     # final stage assembly — barrier them so the full-scan aggregates
     # compute once (concurrent broadcast jobs race a lazy cache)
-    s1 = ev.groupBy("user_id").agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")).persist()
-    s1.count()
+    s1 = ev.groupBy("user_id").agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")).localCheckpoint(eager=True)
     s2 = (
         ev.filter(F.col("event_type") == "click")
         .join(F.broadcast(s1.filter(F.col("t1").isNotNull())), "user_id")
         .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 48 HOURS")))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-    ).persist()
-    s2.count()
+    ).localCheckpoint(eager=True)
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
         .join(F.broadcast(s2), "user_id")

@@ -376,8 +376,7 @@ def q74_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = ensure_compute_parallelism(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", "source", F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("token")
-    ).persist()
-    toks.count()  # barrier: tf and df both consume the exploded relation
+    ).localCheckpoint(eager=True)  # barrier: tf and df both consume the exploded relation
     n_docs = docs.count()
     tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
@@ -2442,17 +2441,15 @@ def q194_sparse_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the exploded postings: the shingling regex is the CPU hot
     # spot, and BOTH the df aggregate and the weight join consume sh —
     # without the barrier the explode (and regex) runs twice
-    sh = _exploded_shingles(docs, "doc_id", "text", 3).persist()
-    sh.count()
+    sh = _exploded_shingles(docs, "doc_id", "text", 3).localCheckpoint(eager=True)
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ilog = F.round(F.log(F.lit(float(n_docs)) / F.col("df")) * 1000).cast("long")
     w = (
         sh.join(df, "shingle")
         .filter(F.col("df") * 10 <= F.lit(n_docs))
         .select("doc_id", "shingle", ilog.alias("iw"))
-        .persist()
+        .localCheckpoint(eager=True)  # barrier: norms + posting self-join both consume w
     )
-    w.count()  # barrier: norms and the posting self-join both consume w
     norms = w.groupBy("doc_id").agg(F.sum(F.col("iw") * F.col("iw")).alias("nsq"))
     a = w.select(F.col("doc_id").alias("d1"), "shingle", F.col("iw").alias("iw1"))
     b = w.select(F.col("doc_id").alias("d2"), "shingle", F.col("iw").alias("iw2"))
@@ -2812,8 +2809,11 @@ def q206_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     enc = byte_bpe_tokens_udf(_BBPE_MERGES)
     # consumed twice (alphabet + counts): persist so the Python kernel
-    # runs once (the multi-consumer rule; persist, not localCheckpoint,
-    # keeps the kernel visible in the physical plan for the q206 plan pin)
+    # runs once (the multi-consumer rule). DELIBERATE persist, not the
+    # usual eager localCheckpoint: the q206 plan pin requires the Arrow
+    # kernel visible in the physical plan. The CacheManager entry this
+    # leaks is DISTINCT-WORD-grain (bounded by the fixture vocabulary),
+    # the one documented exception to the ADVICE-r9 leak sweep.
     tokens = words.select(F.explode(enc(F.col("word"))).alias("token"), "f").persist()
     # corpus byte alphabet: tokens are concatenations of base byte-chars,
     # so their distinct chars ARE the alphabet — a <=256-row distributed

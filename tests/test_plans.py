@@ -324,8 +324,13 @@ def test_q108_decile_has_no_global_ntile(spark, sf_dir):
 
 def test_q111_key_rank_is_distributed(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q111_key_skew_profile")
+    # ranks ride the pid-stamped relation (phase-2 of ranked_prefix_sum);
+    # since the ADVICE-r9 leak sweep the range-exchange barrier executes
+    # inside an eager localCheckpoint, so the final plan reads it as an
+    # RDD scan — the exchange itself is pinned functionally by
+    # tests/test_prefix_sum.py's cross-partition monotonicity checks
     assert "_rps_pid" in plan, plan
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_q134_single_key_shuffle(spark, sf_dir):
@@ -506,7 +511,12 @@ def test_q194_posting_join_on_hash_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q194_sparse_cosine_topk")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "xxhash64" in plan, plan  # shingles travel as 64-bit hashes
+    # the weighted posting relation (8-byte xxhash64 shingle keys) is
+    # materialized ONCE in an eager localCheckpoint (leak sweep, ADVICE
+    # r9) — the final plan joins its RDD scan on the shingle hash column;
+    # the hashing itself is pinned by the oracle (identical xxhash64
+    # literals both engines)
+    assert "shingle" in plan and "Scan ExistingRDD" in plan, plan
 
 
 def test_q195_single_aggregate_no_join(spark, sf_dir):
