@@ -58,17 +58,19 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # Round-10 rotation (VERDICT r9 #2: keep burning staleness — the window
 # composition it prescribed): lead with the THREE queries new this round
 # (q217 pruned MERGE, q218 CDF streaming sync, q219 bucketed governed
-# join — zero official rows; growth 3 <= the prescribed 12, so the
-# window refreshes 47 stale rows), then the full r5-latest remainder
+# join, q220 CDC->bucketed-mirror composition — zero official rows;
+# growth 4 <= the prescribed 12, so the
+# window refreshes 46 stale rows), then the full r5-latest remainder
 # (15 queries — the stalest official rows in the registry), then the
 # r6-latest cohort in registration order until the window holds exactly
 # 50. After this round no oracled query's newest official row is older
-# than r6, and 11 r6 stragglers remain for the round-11 lead.
+# than r6, and 12 r6 stragglers remain for the round-11 lead.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round (r10; zero official rows) ---
     "q217_sink_merge_pruned",
     "q218_cdf_streaming_sync",
     "q219_bucketed_sink_colocated",
+    "q220_cdc_bucketed_mirror",
     # --- r5-latest remainder (stalest official rows; complete) ---
     "q81_heavy_hitters",
     "q50_tumbling_window",
@@ -117,7 +119,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q13_top_customers_per_nation",
     "q115_window_rank_family",
     "q116_token_typo_pairs",
-    "q118_chisquare_independence",
 )
 
 

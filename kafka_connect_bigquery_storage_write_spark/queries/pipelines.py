@@ -1611,3 +1611,105 @@ def q219_bucketed_sink_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
     )
     return _finalize(out, root, tables=(li_name, ord_name))
+
+
+@query(
+    "q220_cdc_bucketed_mirror",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    state AS (SELECT user_id, event_id, event_type, value FROM latest
+              WHERE rn = 1 AND user_id >= 25),
+    spend AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT s.event_type AS last_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(sp.n_events) AS BIGINT) AS sum_events,
+           CAST(round(sum(CAST(sp.total_value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM state s JOIN spend sp ON sp.user_id = s.user_id
+    GROUP BY s.event_type
+    ORDER BY last_type
+    """,
+)
+def q220_cdc_bucketed_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 features COMPOSED — CDC replication into a
+    join-optimized serving mirror: the upsert pipeline maintains sink A
+    (three keyed micro-batches + a DV delete of user_id < 25), a
+    ChangeFeedConsumer replicates A into mirror B built with
+    ``bucket_spec=(8, user_id)`` — every consumer apply (seed insert,
+    PRUNED merges, keyed delete) preserves B's bucket layout through the
+    shared write seam, proving replication and layout are orthogonal —
+    and the serving query joins B (via ``read_bucketed``, a catalog
+    bucketed scan) against a per-user aggregate bucketed the same way,
+    so the state join reads co-located buckets. At 100 TB this is the
+    standard topology: the OLTP-shaped feed lands wherever it lands; the
+    mirror IS the layout every downstream keyed query reads.
+    Convergence asserted in-query (content compare after a drain +
+    zero-work re-poll); the final per-type aggregate must equal the
+    oracle's latest-state-join over the source.
+    """
+    import uuid as _uuid
+
+    from kafka_connect_bigquery_storage_write_spark.sinks.bucketed import write_bucketed
+    from kafka_connect_bigquery_storage_write_spark.sinks.cdf_consumer import ChangeFeedConsumer
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = ensure_compute_parallelism(load_table(spark, sf_dir, "events"))
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    step = (hi + 2) // 3
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q220_")
+    cfg = PipelineConfig(
+        sink_path=f"{root}/a", write_mode="committed",
+        upsert_keys=["user_id"], upsert_order_col="event_id",
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
+    for b in range(3):
+        batch = ev.filter((F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step))
+        pipe.run_batch(_encode_envelope(batch), batch_id=b)
+    a = pipe._sink
+    assert a.delete_where_dv(spark, [("user_id", "<", 25)]) is not None
+
+    mirror = ManifestSinkTable(f"{root}/b", write_mode="committed", bucket_spec=(8, ["user_id"]))
+    consumer = ChangeFeedConsumer(a, mirror, keys=["user_id"], checkpoint_dir=f"{root}/ckpt")
+    assert consumer.run_available_now(spark) == 4
+    assert consumer.poll(spark) == 0
+    a_df, b_df = a.read(spark), mirror.read(spark)
+    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+
+    # serving side: per-user event totals land bucketed on the same key,
+    # so the state join reads co-located buckets
+    spend = ev.groupBy("user_id").agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    tag = _uuid.uuid4().hex[:8]
+    mirror_name, spend_name = f"q220_mirror_{tag}", f"q220_spend_{tag}"
+    write_bucketed(spend, spend_name, f"{root}/spend", "user_id", buckets=8)
+    state = mirror.read_bucketed(spark, mirror_name)
+    joined = state.hint("merge").join(spark.table(spend_name), "user_id")
+    out = (
+        joined.groupBy(F.col("event_type").alias("last_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("sum_events"),
+            F.round(F.sum(F.col("total_value").cast("decimal(18,2)")), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("last_type")
+    )
+    return _finalize(out, root, tables=(mirror_name, spend_name))
