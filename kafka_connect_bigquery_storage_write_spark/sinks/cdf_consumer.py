@@ -114,13 +114,18 @@ class ChangeFeedConsumer:
         return work
 
     def _apply_batch(self, spark: SparkSession, bid: int) -> str:
-        cols = [f.name for f in self.source.schema().fields]
-        chg = self.source.changes(spark, after_batch_id=bid - 1).filter(
-            F.col("_change_batch_id") == bid
-        )
-        ctype = chg.select("_change_type").first()
-        kind = ctype["_change_type"] if ctype is not None else "insert"
-        rows = chg.select(*cols)
+        schema = self.source.schema()
+        cols = [f.name for f in schema.fields]
+        # read exactly THIS batch's change source (one parquet dir), not a
+        # filtered union of every later source — O(batch) per apply
+        src = [s for s in self.source._change_sources(bid - 1) if s[0] == bid]
+        if not src:
+            return "insert"  # batch vanished between listing and apply
+        _b, rel, kind = src[0]
+        path = os.path.join(self.source.root, rel)
+        if not os.path.exists(path):
+            raise ValueError(f"change source for batch {bid} was vacuumed: {rel}")
+        rows = spark.read.schema(schema).parquet(path).select(*cols)
         if kind == "insert" and self.target.schema() is None:
             self.target.write_batch(rows, bid)
             return kind

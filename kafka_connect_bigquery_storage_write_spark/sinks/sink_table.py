@@ -1272,6 +1272,28 @@ class ManifestSinkTable:
                 out[int(d["batch_id"])] = d
         return out
 
+    def _change_sources(self, after_batch_id: int) -> list[tuple[int, str, str]]:
+        """(batch id, relative dir, change type) for every committed batch
+        past ``after_batch_id``, oldest first — the feed's source list
+        (``changes()`` unions them; an incremental consumer reads them
+        one at a time)."""
+        logged = self._change_commits()
+        sources: list[tuple[int, str, str]] = []
+        for b, d in sorted(self._committed_entries().items()):
+            if b <= after_batch_id:
+                continue
+            if b in logged:
+                sources.append((b, logged[b]["dir"], logged[b].get("type", "upsert")))
+            else:
+                sources.append((b, os.path.join("data", d), "insert"))
+        # merge batches absorbed into snapshots keep their change commit
+        # even though the batch id never got a data dir of its own
+        for b, d in sorted(logged.items()):
+            if b > after_batch_id and all(b != sb for sb, _dir, _t in sources):
+                sources.append((b, d["dir"], d.get("type", "upsert")))
+        sources.sort()
+        return sources
+
     def changes(
         self, spark: SparkSession, after_batch_id: int = -1, include_deletes: bool = False
     ) -> DataFrame:
@@ -1291,20 +1313,7 @@ class ManifestSinkTable:
         schema = self.schema()
         if schema is None:
             raise ValueError(f"sink table at {self.root} has never been written")
-        logged = self._change_commits()
-        sources: list[tuple[int, str, str]] = []
-        for b, d in sorted(self._committed_entries().items()):
-            if b <= after_batch_id:
-                continue
-            if b in logged:
-                sources.append((b, logged[b]["dir"], logged[b].get("type", "upsert")))
-            else:
-                sources.append((b, os.path.join("data", d), "insert"))
-        # merge batches absorbed into snapshots keep their change commit
-        # even though the batch id never got a data dir of its own
-        for b, d in sorted(logged.items()):
-            if b > after_batch_id and all(b != sb for sb, _dir, _t in sources):
-                sources.append((b, d["dir"], d.get("type", "upsert")))
+        sources = self._change_sources(after_batch_id)
         sources.sort()
         from pyspark.sql import functions as F
 
