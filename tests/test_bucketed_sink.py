@@ -135,6 +135,26 @@ def test_bucketed_read_refuses_pending_dvs_then_recovers(spark, tmp_path):
         _drop(spark, "tb_dv")
 
 
+def test_vacuum_reclaims_old_bucketed_read_snapshots(spark, tmp_path):
+    """read_bucketed hardlink snapshots are reader-lifetime views: vacuum
+    reclaims them past the retention window, never before."""
+    import os
+
+    sink = _mk(spark, tmp_path)
+    sink.write_batch(_kv(spark, 0, 50), 0)
+    try:
+        assert sink.read_bucketed(spark, "tb_vac").count() == 50
+    finally:
+        _drop(spark, "tb_vac")
+    br = tmp_path / "t" / "_bucketed_reads"
+    assert len(os.listdir(br)) == 1
+    assert sink.vacuum(retention_s=24 * 3600) == []  # too young: kept
+    removed = sink.vacuum(retention_s=0.0)
+    assert any(r.startswith("_bucketed_reads/") for r in removed), removed
+    assert os.listdir(br) == []
+    assert sink.read(spark).count() == 50  # data untouched
+
+
 def test_bucket_spec_persists_and_validates(spark, tmp_path):
     sink = _mk(spark, tmp_path, buckets=4)
     sink.write_batch(_kv(spark, 0, 10), 0)

@@ -654,6 +654,17 @@ def test_q216_colocated_pipeline_has_no_key_exchange(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q220_mirror_join_key_never_reshuffles(spark, sf_dir):
+    """CDC->bucketed-mirror composition: the serving join between the
+    replicated mirror and the same-bucketed aggregate must read
+    co-located buckets — user_id never appears in a hash exchange (the
+    tiny final per-type aggregate may shuffle on event_type; the fact
+    key may not)."""
+    plan = _plan(spark, sf_dir, "q220_cdc_bucketed_mirror")
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(user_id" not in plan, plan
+
+
 def test_q219_governed_bucketed_pipeline_has_no_key_exchange(spark, sf_dir):
     """The manifest sink's bucketed layout (VERDICT r9 #4): two appends +
     a compaction on one side and a pruned MERGE on the other, read back
