@@ -120,7 +120,15 @@ class ChangeFeedConsumer:
         # filtered union of every later source — O(batch) per apply
         src = [s for s in self.source._change_sources(bid - 1) if s[0] == bid]
         if not src:
-            return "insert"  # batch vanished between listing and apply
+            # the batch was listed by _worklist but has no change source
+            # now: concurrent maintenance raced the poll. Returning success
+            # here would advance the cursor past the batch and silently
+            # drop its rows from the mirror (ADVICE r10) — fail loudly like
+            # the vacuumed-path below; the caller retries on fresh state.
+            raise ValueError(
+                f"change source for batch {bid} vanished between listing and "
+                "apply (concurrent maintenance?); re-poll against fresh state"
+            )
         _b, rel, kind = src[0]
         path = os.path.join(self.source.root, rel)
         if not os.path.exists(path):

@@ -1508,24 +1508,70 @@ class ManifestSinkTable:
             return None
         if len(key_rows) > max_distinct_keys:
             key_tuples = None  # range-overlap fallback
+            null_tuples: list[tuple] | None = None
             agg = updates.agg(
                 *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(keys)],
                 *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(keys)],
+                *[F.max(F.col(c).isNull().cast("int")).alias(f"nl_{i}") for i, c in enumerate(keys)],
             ).first()
             key_ranges = {c: (agg[f"mn_{i}"], agg[f"mx_{i}"]) for i, c in enumerate(keys)}
+            null_cols = {c for i, c in enumerate(keys) if agg[f"nl_{i}"]}
         else:
-            key_tuples = [tuple(r) for r in key_rows]
-            key_ranges = {
-                c: (min(t[i] for t in key_tuples), max(t[i] for t in key_tuples))
-                for i, c in enumerate(keys)
-            }
+            # NULL components never match a zone map, and min()/max()/
+            # sorted() choke comparing None against values (ADVICE r10) —
+            # keep the range/bisect structures null-free and plan
+            # null-keyed tuples through the per-file NULL counts instead
+            # (window-merge semantics treat NULL keys as equal, so a file
+            # holding a null-keyed row MUST be rewritten when an update
+            # key carries a NULL in that column)
+            all_tuples = [tuple(r) for r in key_rows]
+            null_tuples = [t for t in all_tuples if any(v is None for v in t)]
+            key_tuples = [t for t in all_tuples if all(v is not None for v in t)]
+            null_cols = {c for t in null_tuples for c, v in zip(keys, t) if v is None}
+            key_ranges = (
+                {
+                    c: (min(t[i] for t in key_tuples), max(t[i] for t in key_tuples))
+                    for i, c in enumerate(keys)
+                }
+                if key_tuples
+                else None
+            )
         # sorted per-column values for the single-key bisect fast path
         sorted_vals = sorted(_stat_norm(t[0]) for t in key_tuples) if key_tuples and len(keys) == 1 else None
+
+        def _null_may_match(entry: dict, stats: dict, t: tuple) -> bool:
+            # a row matches a null-keyed tuple iff every None component sits
+            # in a file that may hold NULLs in that column (footer count
+            # unknown or > 0) and every non-None component passes the usual
+            # zone-map/bloom test
+            nulls = entry.get("nulls") or {}
+            blooms = entry.get("bloom") or {}
+            for c, v in zip(keys, t):
+                if v is None:
+                    if nulls.get(c) == 0:
+                        return False
+                    continue
+                if not _file_may_match(stats, c, "==", v):
+                    return False
+                bl = blooms.get(c)
+                if bl is not None and not _bloom_test(bl, v):
+                    return False
+            return True
 
         def _touched(entry: dict) -> bool:
             stats = entry.get("stats") or {}
             if not stats:
                 return True  # no stats recorded: must rewrite, never wrong
+            if key_tuples is None and null_cols:
+                # range fallback carrying null keys: coarse per-column test
+                # (file may hold NULLs in a null-bearing key column => keep)
+                nulls = entry.get("nulls") or {}
+                if any(nulls.get(c) != 0 for c in null_cols):
+                    return True
+            if null_tuples and any(_null_may_match(entry, stats, t) for t in null_tuples):
+                return True
+            if key_ranges is None:
+                return False  # every update key carries a NULL; decided above
             # cheap range gate first (covers the fallback path completely)
             for c in keys:
                 if not (
@@ -2068,13 +2114,19 @@ class ManifestSinkTable:
             )
 
         if not val_cols:
-            # keys ARE the row: updates are impossible, only presence changes
+            # keys ARE the row: updates are impossible, only presence
+            # changes. A full-outer join whose filters CONSUME the guarded
+            # payload columns, not left_anti joins on the bare keys —
+            # left_anti would let column pruning eliminate the _n/
+            # raise_error projection and silently dedupe duplicate keys
+            # instead of raising (ADVICE r10)
             o1 = _grouped(old, F.lit(True), "historical", "_pre")
             n1 = _grouped(new, F.lit(True), "current", "_post")
-            ins = n1.join(o1, key_cols, "left_anti").select(
+            j = o1.join(n1, key_cols, "full_outer")
+            ins = j.filter(F.col("_pre").isNull() & F.col("_post").isNotNull()).select(
                 F.lit("insert").alias("change_type"), *cols
             )
-            dels = o1.join(n1, key_cols, "left_anti").select(
+            dels = j.filter(F.col("_post").isNull() & F.col("_pre").isNotNull()).select(
                 F.lit("delete").alias("change_type"), *cols
             )
             return ins.unionByName(dels)

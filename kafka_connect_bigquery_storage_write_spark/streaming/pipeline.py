@@ -220,6 +220,15 @@ class IngestPipeline:
         # once, not per consumer (the multi-consumer rule — without this
         # the CDF log doubled q177's wall clock)
         rows = rows.localCheckpoint(eager=True)
+        if rows.isEmpty():
+            # an all-DLQ'd (or empty-trigger) micro-batch has no change
+            # set; merge_rows_pruned reports empty updates as None, which
+            # the CAS retry loop below would misread as a lost snapshot
+            # CAS and wedge on replay (ADVICE r10) — mark the batch
+            # applied as a no-op instead (no changelog entry either: CDF
+            # consumers skip unknown batch ids by construction)
+            self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "rows": 0}))
+            return AppendResult(batch_id=batch_id, rows=0)
         # change-data-feed: log this batch's (deduped) change set before
         # merging — the merge materializes the whole table, so without the
         # log a downstream consumer could never read per-batch upserts

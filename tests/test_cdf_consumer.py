@@ -148,3 +148,24 @@ def test_poll_cost_reads_changes_not_table(spark, tmp_path):
     assert c.poll(spark) == 1
     assert dict(_content(tgt, spark))[900] == "z"
     assert len(_content(tgt, spark)) == 31
+
+
+def test_vanished_batch_raises_instead_of_silent_skip(spark, tmp_path, monkeypatch):
+    """ADVICE r10: a batch listed by the worklist whose change source has
+    vanished by apply time (concurrent maintenance racing the poll) must
+    FAIL the poll, not advance the cursor past the batch — returning
+    success would silently drop its rows from the mirror."""
+    import pytest as _pytest
+
+    src = _mk(spark, tmp_path, "src")
+    src.write_batch(_kv(spark, [(1, "a")]).coalesce(1), 0)
+    tgt = _mk(spark, tmp_path, "tgt")
+    c = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    monkeypatch.setattr(src, "_change_sources", lambda after: [])
+    with _pytest.raises(ValueError, match="vanished between listing and apply"):
+        c.poll(spark)
+    # cursor did NOT advance: a later poll against healed state applies the batch
+    assert c.cursor()["after_batch_id"] == -1
+    monkeypatch.undo()
+    assert c.poll(spark) == 1
+    assert _content(tgt, spark) == [(1, "a")]

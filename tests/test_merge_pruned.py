@@ -188,3 +188,68 @@ def test_pruned_merge_then_second_merge_composes(spark, tmp_path):
     assert res is not None and res[2] == 3, res
     rows = dict(_content(sink, spark))
     assert rows[10] == "U1" and rows[210] == "U2" and len(rows) == 400
+
+
+# -- null update keys (ADVICE r10) --------------------------------------------
+
+
+def _content_nullsafe(sink, spark):
+    rows = [(r["k"], r["v"]) for r in sink.read(spark).collect()]
+    return sorted(rows, key=lambda t: (t[0] is None, t[0] if t[0] is not None else 0, t[1]))
+
+
+def test_pruned_merge_null_keys_match_merge_rows(spark, tmp_path):
+    """Null-keyed updates must not crash the driver planning pass and
+    must keep merge_rows' window semantics (NULL key matches NULL key);
+    a null-free, out-of-range file is still pointer-copied."""
+    layouts = []
+    for name in ("a", "b"):
+        s = ManifestSinkTable(str(tmp_path / name), write_mode="committed")
+        s.write_batch(_kv(spark, [(i, "a") for i in range(100)]).coalesce(1), 0)
+        s.write_batch(_kv(spark, [(i, "b") for i in range(100, 200)]).coalesce(1), 1)
+        s.write_batch(
+            _kv(spark, [(None, "n")] + [(i, "c") for i in range(200, 300)]).coalesce(1), 2
+        )
+        layouts.append(s)
+    pruned, twin = layouts
+    updates = _kv(spark, [(None, "U"), (5, "U")])
+    res = pruned.merge_rows_pruned(spark, updates, keys=["k"], target_files=1)
+    assert res is not None
+    # batch 1 (keys 100-199, no nulls, out of update range) stays a pointer copy
+    assert res[2] == 1, res
+    assert twin.merge_rows(spark, updates, keys=["k"]) is not None
+    got = _content_nullsafe(pruned, spark)
+    assert got == _content_nullsafe(twin, spark)
+    assert (None, "U") in got and (5, "U") in got and len(got) == 301
+
+
+def test_pruned_merge_all_null_update_keys_on_null_free_table(spark, tmp_path):
+    """Every update key NULL, table provably null-free: zero files read
+    (footer null counts prove absence), the null row inserts."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=3)
+    res = sink.merge_rows_pruned(spark, _kv(spark, [(None, "U")]), keys=["k"], target_files=1)
+    assert res is not None and res[1] == 1 and res[2] == 3, res
+    got = _content_nullsafe(sink, spark)
+    assert (None, "U") in got and len(got) == 301
+
+
+def test_pruned_merge_null_keys_range_fallback(spark, tmp_path):
+    """Above max_distinct_keys the planner degrades to ranges; a null in
+    the update keys must still reach the file holding the null row."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(i, "a") for i in range(100)]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(None, "n")] + [(i, "c") for i in range(200, 300)]).coalesce(1), 1)
+    res = sink.merge_rows_pruned(
+        spark, _kv(spark, [(None, "U"), (5, "U"), (50, "U")]), keys=["k"],
+        max_distinct_keys=2, target_files=1,
+    )
+    assert res is not None
+    got = dict((k, v) for k, v in _content_nullsafe(sink, spark) if k is not None)
+    nulls = [v for k, v in _content_nullsafe(sink, spark) if k is None]
+    assert nulls == ["U"] and got[5] == "U" and got[50] == "U" and len(got) == 200
+
+
+def test_pruned_merge_duplicate_null_keys_rejected(spark, tmp_path):
+    sink = _ranged_sink(spark, tmp_path, n_batches=1)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sink.merge_rows_pruned(spark, _kv(spark, [(None, "a"), (None, "b")]), keys=["k"])

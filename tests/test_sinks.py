@@ -1463,3 +1463,17 @@ def test_read_as_of_where_prunes_and_filters(spark, tmp_path):
             _os.remove(f)
     again = {r["k"] for r in sink.read_as_of(spark, batch_id=3, where=pred).collect()}
     assert again == pruned
+
+
+def test_diff_keys_only_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r10: in the keys-only branch the duplicate-key guard must
+    survive column pruning — duplicate keys raise at action time instead
+    of being silently deduplicated."""
+    import pytest as _pytest
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(1, "a"), (1, "a")]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(2, "b")]).coalesce(1), 1)
+    d = sink.diff(spark, from_batch_id=0, key_cols=["k", "v"])  # lazy
+    with _pytest.raises(Exception, match="duplicate keys"):
+        d.collect()

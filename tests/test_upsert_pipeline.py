@@ -167,3 +167,28 @@ def test_two_concurrent_upsert_pipelines_disjoint_keys(spark, tmp_path):
     stats = pipe_b.run_batch(_env(spark, [(100, 777777, 9)]), batch_id=201)
     assert stats.already_exists
     assert {r["k"]: r["v"] for r in pipe_a.read_sink(spark).collect()} == want
+
+
+def test_upsert_empty_batch_is_noop_not_cas_wedge(spark, tmp_path):
+    """ADVICE r10 (medium): a micro-batch whose rows are ALL dead-lettered
+    reaches the merge path empty; merge_rows_pruned reports empty updates
+    as None, which the CAS retry loop used to misread as a lost snapshot
+    CAS — wedging the pipeline on replay. It must no-op, mark the batch
+    applied, and short-circuit replays."""
+    cfg = PipelineConfig(
+        sink_path=str(tmp_path / "sink"), write_mode="committed",
+        upsert_keys=["k"], upsert_order_col="seq", dlq_path=str(tmp_path / "dlq"),
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=VALUE_SCHEMA, sink_schema=VALUE_SCHEMA)
+    pipe.run_batch(_env(spark, [(1, 10, 1), (2, 20, 2)]), batch_id=0)  # seed
+    bad = spark.createDataFrame(
+        [("t", 0, 10, "x", "{not json")],
+        "topic string, partition int, offset long, key string, value string",
+    )
+    stats = pipe.run_batch(bad, batch_id=1)
+    assert stats.dlq_rows == 1 and stats.written_rows == 0 and not stats.already_exists
+    # replay short-circuits on the merge marker (exactly-once bookkeeping)
+    stats2 = pipe.run_batch(bad, batch_id=1)
+    assert stats2.already_exists
+    got = {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()}
+    assert got == {1: 10, 2: 20}
