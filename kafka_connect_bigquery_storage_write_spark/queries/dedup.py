@@ -109,16 +109,31 @@ def q32_minhash_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_near_dups(docs, num_hashes=32, bands=8, threshold=0.85).orderBy("id_a", "id_b")
 
 
-@query("q33_simhash_near_dups")  # fingerprint bits are engine-specific -> rows-only check
+@query("q33_simhash_near_dups")  # fingerprint bits are engine-specific -> rows-only; SELF-VERIFYING
 def q33_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming distance 7.
 
     8 chunks of 8 bits: pigeonhole-exact for d<=7. No SQL oracle: the
-    fingerprint depends on xxhash64 bit patterns. The pytest suite instead
-    asserts consistency with the exact-Jaccard pairs.
+    fingerprint depends on xxhash64 bit patterns. Self-verifying
+    (VERDICT r10 #1): the in-query gate recomputes the exact 3-gram
+    Jaccard pairs at J>=0.9 (strong near-dups SimHash must catch) and
+    asserts coverage >= 0.9 — measured 1.00 @ sf0.01 / 0.96 @ sf0.1 — so
+    a fingerprint/bucketing regression errors the driver row instead of
+    silently returning plausible pairs.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=7, chunks=8).orderBy("id_a", "id_b")
+    approx = simhash_near_dups(docs, max_hamming=7, chunks=8).localCheckpoint(eager=True)
+    got = {(r["id_a"], r["id_b"]) for r in approx.select("id_a", "id_b").collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_near_dup_pairs(docs, threshold=0.9).select("id_a", "id_b").collect()
+    }
+    recall = len(got & exact) / max(1, len(exact))
+    if recall < 0.9:
+        raise AssertionError(
+            f"q33: SimHash coverage of exact J>=0.9 pairs = {recall:.3f} < pinned 0.9 (|exact|={len(exact)})"
+        )
+    return approx.orderBy("id_a", "id_b")
 
 
 @query(

@@ -24,6 +24,74 @@ _NORM = """sqrt(list_aggregate(list_transform({a},
             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"""
 
 
+def _gate_topk_recall(
+    approx: DataFrame, emb: DataFrame, queries: DataFrame, k: int, threshold: float, name: str
+) -> DataFrame:
+    """In-query recall gate for the approximate top-k queries (VERDICT
+    r10 #1): exact cosine top-k is recomputed for the SAME deterministic
+    query set and compared driver-side (both sides are <= |queries|*k
+    rows); recall below the pinned threshold raises, so a quality
+    regression in the approximate path turns the official driver row
+    into an ERROR instead of a silent rows-only pass. The approx result
+    is checkpointed first so the gate's action doesn't re-run the
+    sampling-bearing pipeline and the returned rows are exactly the
+    gated ones. Scale note: the gate costs ONE brute-force pass for the
+    same 10 queries the query already serves — at production scale the
+    gate runs on a fixed query subsample, which this already is."""
+    approx = approx.localCheckpoint(eager=True)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=k).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in approx.select("query_id", "neighbor_id").collect()
+    }
+    recall = len(exact & got) / max(1, len(exact))
+    if recall < threshold:
+        raise AssertionError(
+            f"{name}: recall@{k} = {recall:.3f} < pinned {threshold} (|exact|={len(exact)})"
+        )
+    return approx
+
+
+def _gate_pair_recall(
+    approx: DataFrame,
+    emb_slice: DataFrame,
+    threshold: float,
+    min_recall: float,
+    name: str,
+    require_subset: bool = True,
+) -> DataFrame:
+    """In-query gate for approximate near-dup PAIR queries: the exact
+    pair set is recomputed on the deterministic label<=2 slice (the q37
+    oracle slice — quadratic only over the slice) and the approximate
+    pairs restricted to that slice must (a) be a SUBSET of it when the
+    path exactly rescores survivors (precision == 1 by construction) and
+    (b) cover >= ``min_recall`` of it. Raises on violation; returns the
+    checkpointed approx rows."""
+    approx = approx.localCheckpoint(eager=True)
+    ids = {r["vec_id"] for r in emb_slice.select("vec_id").collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_near_dup_pairs(emb_slice, threshold=threshold)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in approx.select("id_a", "id_b").collect()
+        if r["id_a"] in ids and r["id_b"] in ids
+    }
+    if require_subset and not got <= exact:
+        raise AssertionError(f"{name}: {len(got - exact)} slice pairs below threshold (precision regression)")
+    recall = len(got & exact) / max(1, len(exact))
+    if recall < min_recall:
+        raise AssertionError(
+            f"{name}: slice pair recall = {recall:.3f} < pinned {min_recall} (|exact|={len(exact)})"
+        )
+    return approx
+
+
 @query(
     "q35_cosine_topk",
     oracle=f"""
@@ -57,28 +125,37 @@ def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
-@query("q39_ivf_ann_topk")  # approximate by design -> rows-only; recall vs brute force in pytest
+@query("q39_ivf_ann_topk")  # approximate by design -> rows-only; SELF-VERIFYING (in-query recall gate)
 def q39_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-5: coarse k-means lists (trained on a bounded
     driver sample), n_probe-list probing, exact rescoring on candidates —
-    the inverted-file scale path alongside LSH (q36)."""
+    the inverted-file scale path alongside LSH (q36). Self-verifying
+    (VERDICT r10 #1): recall@5 vs in-query brute force must hold or the
+    driver row errors; the pytest pin (>=0.6) is the same bar."""
     from kafka_connect_bigquery_storage_write_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6).orderBy("query_id", "rank")
+    approx = ivf_topk(emb, queries, k=5, n_lists=16, n_probe=6)
+    return _gate_topk_recall(approx, emb, queries, 5, 0.6, "q39").orderBy("query_id", "rank")
 
 
-@query("q36_lsh_ann_topk")  # approximate by design -> rows-only; recall vs brute force in pytest
+@query("q36_lsh_ann_topk")  # approximate by design -> rows-only; SELF-VERIFYING (in-query recall gate)
 def q36_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-5 (16 planes, 4 bands).
 
     The scale path: signatures computed in one narrow pass, candidates
     only from shared buckets, exact rescoring on candidates.
+    Self-verifying (VERDICT r10 #1): recall@5 vs in-query brute force
+    must hold or the driver row errors. The bar (0.3) is the cross-SF
+    floor with margin: measured 0.36 @ sf0.01 / 0.44 @ sf0.1 (pytest pins
+    0.5 on the sf0.001 fixture — LSH recall on near-random vectors is
+    corpus-size dependent).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_topk(emb, queries, k=5).orderBy("query_id", "rank")
+    approx = lsh_topk(emb, queries, k=5)
+    return _gate_topk_recall(approx, emb, queries, 5, 0.3, "q36").orderBy("query_id", "rank")
 
 
 @query(
@@ -126,7 +203,28 @@ def q38_embedding_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFra
     serial sum in the last ulp.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs_blocked(emb, threshold=0.35).orderBy("id_a", "id_b")
+    approx = cosine_near_dup_pairs_blocked(emb, threshold=0.35).localCheckpoint(eager=True)
+    # self-verifying (VERDICT r10 #1): on the label<=2 slice the blocked
+    # kernel must EQUAL the exact serial fold — same pair set, cosines
+    # within 1e-6 (the kernel is exact; only last-ulp reduction order
+    # kept it rows-only). A kernel regression now errors the driver row.
+    sl = emb.filter(F.col("label") <= 2)
+    ids = {r["vec_id"] for r in sl.select("vec_id").collect()}
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_near_dup_pairs(sl, threshold=0.35).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in approx.collect()
+        if r["id_a"] in ids and r["id_b"] in ids
+    }
+    if set(got) != set(exact) or any(abs(got[p] - exact[p]) > 1e-6 for p in got):
+        raise AssertionError(
+            f"q38: blocked kernel diverged from exact fold on the gate slice "
+            f"(+{len(set(got) - set(exact))}/-{len(set(exact) - set(got))} pairs)"
+        )
+    return approx.orderBy("id_a", "id_b")
 
 
 @query(
@@ -213,19 +311,24 @@ def q101_blocked_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs_blocked(emb, threshold=0.35, micro_units=True).orderBy("id_a", "id_b")
 
 
-@query("q63_embedding_near_dups_lsh")  # approximate by design (recall < 1) -> rows-only
+@query("q63_embedding_near_dups_lsh")  # approximate by design (recall < 1) -> rows-only; SELF-VERIFYING
 def q63_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH candidates + exact
     rescore — the SUBQUADRATIC member of the near-dup family and the only
     one that survives a billion-vector corpus (q37 is the O(n^2) oracle
     baseline, q38 the exact block-pair form that still touches every
-    pair). Precision is exactly 1 (survivors are exactly rescored); recall
-    is tuned by n_planes/bands and pinned against the exact pair set in
-    tests/test_dedup_similarity.py."""
+    pair). Precision is exactly 1 (survivors are exactly rescored);
+    self-verifying (VERDICT r10 #1): the in-query gate recomputes the
+    exact pair set on the label<=2 slice and asserts subset (precision)
+    + recall, so a bucketing/rescoring regression errors the driver row
+    (pytest pins the same bars on the full fixture)."""
     from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs_lsh(emb, threshold=0.35).orderBy("id_a", "id_b")
+    approx = cosine_near_dup_pairs_lsh(emb, threshold=0.35)
+    sl = emb.filter(F.col("label") <= 2)
+    # measured slice recall 0.88 @ sf0.01 / 0.90 @ sf0.1; bar 0.7 with margin
+    return _gate_pair_recall(approx, sl, 0.35, 0.7, "q63").orderBy("id_a", "id_b")
 
 
 _HOUR_SUMS_SQL = ", ".join(
@@ -352,7 +455,11 @@ def q88_ivf_int8_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk_int8(emb, queries, k=5, n_lists=16, n_probe=6, rescore_factor=4).orderBy("query_id", "rank")
+    approx = ivf_topk_int8(emb, queries, k=5, n_lists=16, n_probe=6, rescore_factor=4)
+    # self-verifying (VERDICT r10 #1): recall@5 vs in-query brute force —
+    # compounds the IVF probe miss (q39's >=0.6 bar) with int8 code loss
+    # (>=0.95 vs float pinned in pytest), so the gate bar is their floor
+    return _gate_topk_recall(approx, emb, queries, 5, 0.55, "q88").orderBy("query_id", "rank")
 
 
 @query(
@@ -442,7 +549,46 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exercises the same machinery at the selectivity the corpus provides
     # (0.4 keeps the pair graph near-dup-shaped; 0.35 chains half the
     # corpus into one giant component — the regime the tests cover)
-    return semantic_dedup(emb, threshold=0.4, n_clusters=16).orderBy("vec_id")
+    out = semantic_dedup(emb, threshold=0.4, n_clusters=16).localCheckpoint(eager=True)
+    # self-verifying gate (VERDICT r10 #1), two parts:
+    # (a) structural invariants — every corpus row annotated exactly once;
+    #     dup rows point at a DIFFERENT keeper that is itself a non-dup;
+    #     non-dup rows keep themselves. Catches component/keeper wiring
+    #     regressions outright.
+    # (b) PRECISION — a doc flagged is_dup was flagged because a
+    #     within-cluster neighbor scored >= threshold, so its GLOBAL
+    #     exact max cosine must also be >= threshold: check the 20
+    #     lowest flagged ids against in-query brute force. A kernel or
+    #     assignment regression that starts flagging non-duplicates
+    #     errors the driver row. (Recall-side coverage stays in pytest:
+    #     flagged sets are pinned subset-of-exact / single-cluster-exact.)
+    chk = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("is_dup") & (F.col("keeper_id") != F.col("vec_id")), 1).otherwise(0)).alias("bad_self"),
+        F.sum(F.when(F.col("is_dup") & (F.col("keeper_id") == F.col("vec_id")), 1).otherwise(0)).alias("bad_dup"),
+    ).first()
+    if chk["n"] != emb.count() or chk["bad_self"] or chk["bad_dup"]:
+        raise AssertionError(f"q92: keeper/is_dup invariants violated: {chk}")
+    bad_keeper = (
+        out.filter("is_dup")
+        .join(out.filter("is_dup").select(F.col("vec_id").alias("keeper_id")), "keeper_id", "left_semi")
+    )
+    if not bad_keeper.isEmpty():
+        raise AssertionError("q92: a dup row's keeper is itself flagged dup")
+    flagged = (
+        out.filter("is_dup")
+        .orderBy("vec_id")
+        .limit(20)
+        .join(emb, "vec_id")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    if not flagged.isEmpty():
+        worst = cosine_topk(emb, flagged, k=1).agg(F.min("cosine").alias("m")).first()
+        if worst["m"] is None or worst["m"] < 0.4 - 1e-6:
+            raise AssertionError(
+                f"q92: a flagged doc's exact max cosine {worst['m']} < threshold 0.4 (precision regression)"
+            )
+    return out.orderBy("vec_id")
 
 
 @query(
@@ -643,7 +789,11 @@ def q145_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=8).orderBy("query_id", "rank")
+    approx = pq_topk(emb, queries, k=5, n_subspaces=8, n_codes=64, rescore_factor=8)
+    # self-verifying (VERDICT r10 #1): bar is the cross-SF floor with
+    # margin (measured 0.86 @ sf0.01, 0.62 @ sf0.1; pytest pins 0.85 on
+    # the sf0.001 fixture)
+    return _gate_topk_recall(approx, emb, queries, 5, 0.55, "q145").orderBy("query_id", "rank")
 
 
 @query(
@@ -750,9 +900,13 @@ def q175_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return ivfpq_topk(
+    approx = ivfpq_topk(
         emb, queries, k=5, n_lists=16, n_probe=4, n_subspaces=8, n_codes=16, rescore_factor=8
-    ).orderBy("query_id", "rank")
+    )
+    # self-verifying (VERDICT r10 #1): bar is the cross-SF floor with
+    # margin (measured 0.50 @ sf0.01, 0.46 @ sf0.1; pytest pins 0.6 on
+    # the sf0.001 fixture)
+    return _gate_topk_recall(approx, emb, queries, 5, 0.4, "q175").orderBy("query_id", "rank")
 
 
 @query(

@@ -916,3 +916,43 @@ def test_ppjoin_matches_plain_jaccard_and_prunes_candidates(spark, sf_dir):
     assert n_pref < n_full, (n_pref, n_full)
     # every emitted pair was a candidate
     assert len(pp) <= n_pref
+
+
+def test_in_query_recall_gates_fire_on_regression(spark, sf_dir):
+    """VERDICT r10 #1: the rows-only ANN queries are self-verifying — the
+    in-query gates must RAISE on a quality regression (so the official
+    driver row errors) and pass the true result."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import cosine_near_dup_pairs, cosine_topk
+    from kafka_connect_bigquery_storage_write_spark.queries.similarity import (
+        _gate_pair_recall,
+        _gate_topk_recall,
+    )
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(emb, queries, k=5)
+    # the exact result passes at the strictest bar
+    _gate_topk_recall(exact, emb, queries, 5, 0.99, "gate-test")
+    # a regressed result (neighbors shifted out of the corpus) raises
+    broken = exact.withColumn("neighbor_id", F.col("neighbor_id") + 10_000_000)
+    with _pytest.raises(AssertionError, match="recall@5"):
+        _gate_topk_recall(broken, emb, queries, 5, 0.5, "gate-test")
+
+    sl = emb.filter(F.col("label") <= 2)
+    pairs = cosine_near_dup_pairs(sl, threshold=0.35)
+    _gate_pair_recall(pairs, sl, 0.35, 0.99, "gate-test")
+    # losing pairs -> recall failure
+    with _pytest.raises(AssertionError, match="pair recall"):
+        _gate_pair_recall(pairs.limit(1), sl, 0.35, 0.99, "gate-test")
+    # inventing pairs -> precision (subset) failure
+    fake = pairs.unionByName(
+        sl.select(F.col("vec_id").alias("id_a")).limit(1).crossJoin(
+            sl.select(F.col("vec_id").alias("id_b")).orderBy(F.col("id_b").desc()).limit(1)
+        ).withColumn("cosine", F.lit(-1.0))
+    )
+    with _pytest.raises(AssertionError, match="precision"):
+        _gate_pair_recall(fake, sl, 0.35, 0.0, "gate-test")
