@@ -74,6 +74,7 @@ class ChangeFeedConsumer:
 
     def __post_init__(self) -> None:
         os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self._register()
 
     # -- cursor ---------------------------------------------------------------
     def _cursor_path(self) -> str:
@@ -86,11 +87,57 @@ class ChangeFeedConsumer:
         except FileNotFoundError:
             return {"after_batch_id": -1, "applied_dvs": []}
 
+    # -- consumer registry (consumer-aware vacuum, VERDICT r10 #3) ----------
+    #
+    # The retention contract — "change sources must survive until the
+    # slowest consumer's cursor" — used to be enforced only REACTIVELY
+    # (_apply_batch fails loudly on a vacuumed source). Registration makes
+    # vacuum PROACTIVE: every consumer mirrors its cursor into
+    # <source root>/_consumers/<id>.json (atomic replace, one writer per
+    # id), and ``ManifestSinkTable.vacuum`` retains any directory a
+    # registered cursor still needs. The id is content-derived from the
+    # checkpoint dir + target root, so a restarted consumer reclaims its
+    # own registration instead of leaking a new one. ``deregister()``
+    # releases the hold (a decommissioned consumer must not pin retention
+    # forever); unregistered consumers keep the loud-failure behavior.
+
+    @property
+    def consumer_id(self) -> str:
+        import hashlib
+
+        key = f"{os.path.abspath(self.checkpoint_dir)}|{os.path.abspath(self.target.root)}"
+        return hashlib.blake2b(key.encode(), digest_size=8).hexdigest()
+
+    def _registry_path(self) -> str:
+        return os.path.join(self.source.root, "_consumers", f"{self.consumer_id}.json")
+
+    def _register(self, cur: dict | None = None) -> None:
+        os.makedirs(os.path.join(self.source.root, "_consumers"), exist_ok=True)
+        payload = dict(cur if cur is not None else self.cursor())
+        payload["consumer_id"] = self.consumer_id
+        payload["target_root"] = os.path.abspath(self.target.root)
+        tmp = f"{self._registry_path()}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        os.rename(tmp, self._registry_path())
+
+    def deregister(self) -> None:
+        """Release this consumer's vacuum hold on the source's change
+        sources (call when the mirror is decommissioned)."""
+        try:
+            os.remove(self._registry_path())
+        except FileNotFoundError:
+            pass
+
     def _advance(self, cur: dict) -> None:
         tmp = f"{self._cursor_path()}.tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(cur, f)
         os.rename(tmp, self._cursor_path())
+        # registry mirror AFTER the cursor: a crash between the two leaves
+        # the registry one step behind — vacuum then retains one extra
+        # change source, never one too few
+        self._register(cur)
 
     # -- one poll ---------------------------------------------------------------
     def _worklist(self, cur: dict) -> list[tuple[int, str, int]]:
@@ -106,6 +153,9 @@ class ChangeFeedConsumer:
             if b > after:
                 work.append((b, "batch", b))
         for i, d in sorted(self.source._dv_commits().items()):
+            if d.get("mor"):
+                continue  # mechanism DV of a MOR upsert — the batch itself
+                # is the change set (applied above as an 'upsert')
             if i not in done_dvs:
                 work.append((int(d.get("as_of_batch", -1)), "dv", i))
         # kind order: 'batch' < 'dv' at the same as-of id (changes() places

@@ -593,7 +593,24 @@ class ManifestSinkTable:
                 else:  # legacy epoch: {"batch_ids": [...]} only
                     for bid in e["batch_ids"]:
                         entries[int(bid)] = {"dir": self._legacy_dir(int(bid)), "files": None}
+        # merge-on-read upserts publish their insert rows THROUGH the DV
+        # commit (one CAS makes tombstones and inserts visible together);
+        # a marker/epoch entry for the same id wins, and between two MOR
+        # publishes of one batch id (racing zombie replays) the LOWEST dv
+        # index wins deterministically (_mor_insert_manifests is sorted)
+        for bid, m in self._mor_insert_manifests().items():
+            entries.setdefault(bid, m)
         return entries
+
+    def _mor_insert_manifests(self) -> dict[int, dict]:
+        """batch id -> insert manifest for every MOR upsert published via a
+        DV commit (``upsert_mor``), lowest dv index winning per batch id."""
+        out: dict[int, dict] = {}
+        for _i, d in sorted(self._dv_commits().items()):
+            ins = d.get("insert")
+            if ins and int(ins["batch_id"]) not in out:
+                out[int(ins["batch_id"])] = {"dir": ins["dir"], "files": ins.get("files")}
+        return out
 
     def _committed_entries(self) -> dict[int, str]:
         return {b: m["dir"] for b, m in self._committed_manifests().items()}
@@ -1278,6 +1295,7 @@ class ManifestSinkTable:
         (``changes()`` unions them; an incremental consumer reads them
         one at a time)."""
         logged = self._change_commits()
+        mor_bids = set(self._mor_insert_manifests())
         sources: list[tuple[int, str, str]] = []
         for b, d in sorted(self._committed_entries().items()):
             if b <= after_batch_id:
@@ -1285,7 +1303,9 @@ class ManifestSinkTable:
             if b in logged:
                 sources.append((b, logged[b]["dir"], logged[b].get("type", "upsert")))
             else:
-                sources.append((b, os.path.join("data", d), "insert"))
+                # a MOR batch's dir IS its change set, and its rows REPLACE
+                # matched keys downstream — type 'upsert', not 'insert'
+                sources.append((b, os.path.join("data", d), "upsert" if b in mor_bids else "insert"))
         # merge batches absorbed into snapshots keep their change commit
         # even though the batch id never got a data dir of its own
         for b, d in sorted(logged.items()):
@@ -1365,6 +1385,12 @@ class ManifestSinkTable:
                     path_of[fn] = os.path.join(root_dir, fn)
         out: DataFrame | None = None
         for i, d in sorted(self._dv_commits().items()):
+            if d.get("mor"):
+                # a MOR upsert's DV tombstones SUPERSEDED row versions, not
+                # logical rows — the upsert batch itself is the change set;
+                # surfacing these as 'delete' rows would make a feed
+                # consumer delete keys it just upserted
+                continue
             asof = int(d.get("as_of_batch", -1))
             if indexes is not None and i not in indexes:
                 continue
@@ -1433,78 +1459,21 @@ class ManifestSinkTable:
 
         return self.rewrite(spark, _merge, target_files=target_files, order_by=order_by)
 
-    def merge_rows_pruned(
-        self,
-        spark: SparkSession,
-        updates: DataFrame,
-        keys: list[str],
-        target_files: int = 4,
-        max_distinct_keys: int = 100_000,
-        op_id: str | None = None,
-        delete: bool = False,
-    ) -> tuple[int, int, int] | None:
-        """FILE-LEVEL copy-on-write MERGE (VERDICT r9 #1): same semantics
-        as ``merge_rows`` — update rows REPLACE current rows sharing
-        their key, unmatched keys insert (or, with ``delete=True``,
-        matched keys are REMOVED and unmatched keys ignored: the keyed
-        DELETE a CDC consumer needs) — but only the files whose
-        zone-maps/blooms admit at least one update key are read and
-        rewritten; every other visible file is carried into the new
-        snapshot by pointer copy with its stats, exactly the
-        ``delete_where_pruned`` mechanic. At 100 TB a CDC micro-batch
-        touching one key range rewrites the straddling files, not the
-        table — write amplification is O(touched files), where
-        ``merge_rows`` is O(table) per batch.
-
-        Why pruning is sound: a row with key k can live in file f only
-        if EVERY key column of k lies inside f's min/max bounds and
-        passes f's bloom (when stamped). A file classified untouched
-        therefore provably contains no row matching any update key, so
-        pointer-copying it preserves MERGE semantics; matched rows all
-        live in touched files, and insert keys land in the rewritten
-        output. Files without stats (legacy markers) and files
-        referenced by visible delete vectors are always rewritten
-        (pointer copies rename, which would orphan a DV's basenames).
-
-        The update keys are collected to the driver for the per-file
-        test — the planning metadata pass every MERGE engine does
-        (Delta's touched-file job). Above ``max_distinct_keys`` the
-        test degrades to per-column [min,max] RANGE overlap — still
-        sound, just coarser. ``updates`` must be deterministic (or
-        pre-checkpointed, as the ingest pipeline does): its keys are
-        collected once and its rows re-read for the rewrite.
-
-        Concurrency/replay: one manifest listing drives data, absorbed
-        batches and absorbed DVs; the snapshot CAS races compactions
-        and barrier snapshots exactly like ``rewrite`` (on a loss the
-        output dir is removed and None returned — retry on the fresh
-        state). ``op_id`` gives replay idempotence via a CAS'd
-        ``mrgop-<op_id>.marker``. Returns
-        ``(snapshot_index, n_rewritten_files, n_pointer_copied_files)``
-        or None (empty table, no-op delete, replayed op_id, lost CAS).
-        """
-        import shutil
-
-        from pyspark.sql import Window
+    def _plan_key_touched(self, updates: DataFrame, keys: list[str], max_distinct_keys: int):
+        """Driver-side touched-file planning shared by ``merge_rows_pruned``
+        and ``upsert_mor`` (the Delta touched-file job): collect the update
+        keys (distinct, capped) and return a predicate
+        ``touched(manifest_entry) -> bool`` that is True unless the entry's
+        zone maps / blooms / null counts PROVE no row can match any update
+        key. Returns None when ``updates`` has no rows (caller no-ops).
+        Above ``max_distinct_keys`` the test degrades to per-column
+        [min,max] range overlap — still sound, just coarser. NULL key
+        components plan through per-file footer null counts (window-merge
+        semantics: NULL matches NULL)."""
         from pyspark.sql import functions as F
 
-        marker = os.path.join(self.root, "_commits", f"mrgop-{op_id}.marker") if op_id else None
-        if marker and os.path.exists(marker):
-            return None
-        if not delete:
-            dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
-            if not dup.isEmpty():
-                raise ValueError("merge_rows_pruned: updates contain duplicate keys (ambiguous merge source)")
-        schema = self.schema()
-        if schema is None:
-            return None
-        cols = [f.name for f in schema.fields]
-
-        # --- driver-side key stats (the touched-file planning pass) ------
         key_rows = updates.select(*keys).distinct().limit(max_distinct_keys + 1).collect()
         if not key_rows:
-            if marker:
-                self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
             return None
         if len(key_rows) > max_distinct_keys:
             key_tuples = None  # range-overlap fallback
@@ -1615,6 +1584,81 @@ class ManifestSinkTable:
                     return True
             return False
 
+        return _touched
+
+    def merge_rows_pruned(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        target_files: int = 4,
+        max_distinct_keys: int = 100_000,
+        op_id: str | None = None,
+        delete: bool = False,
+    ) -> tuple[int, int, int] | None:
+        """FILE-LEVEL copy-on-write MERGE (VERDICT r9 #1): same semantics
+        as ``merge_rows`` — update rows REPLACE current rows sharing
+        their key, unmatched keys insert (or, with ``delete=True``,
+        matched keys are REMOVED and unmatched keys ignored: the keyed
+        DELETE a CDC consumer needs) — but only the files whose
+        zone-maps/blooms admit at least one update key are read and
+        rewritten; every other visible file is carried into the new
+        snapshot by pointer copy with its stats, exactly the
+        ``delete_where_pruned`` mechanic. At 100 TB a CDC micro-batch
+        touching one key range rewrites the straddling files, not the
+        table — write amplification is O(touched files), where
+        ``merge_rows`` is O(table) per batch.
+
+        Why pruning is sound: a row with key k can live in file f only
+        if EVERY key column of k lies inside f's min/max bounds and
+        passes f's bloom (when stamped). A file classified untouched
+        therefore provably contains no row matching any update key, so
+        pointer-copying it preserves MERGE semantics; matched rows all
+        live in touched files, and insert keys land in the rewritten
+        output. Files without stats (legacy markers) and files
+        referenced by visible delete vectors are always rewritten
+        (pointer copies rename, which would orphan a DV's basenames).
+
+        The update keys are collected to the driver for the per-file
+        test — the planning metadata pass every MERGE engine does
+        (Delta's touched-file job). Above ``max_distinct_keys`` the
+        test degrades to per-column [min,max] RANGE overlap — still
+        sound, just coarser. ``updates`` must be deterministic (or
+        pre-checkpointed, as the ingest pipeline does): its keys are
+        collected once and its rows re-read for the rewrite.
+
+        Concurrency/replay: one manifest listing drives data, absorbed
+        batches and absorbed DVs; the snapshot CAS races compactions
+        and barrier snapshots exactly like ``rewrite`` (on a loss the
+        output dir is removed and None returned — retry on the fresh
+        state). ``op_id`` gives replay idempotence via a CAS'd
+        ``mrgop-<op_id>.marker``. Returns
+        ``(snapshot_index, n_rewritten_files, n_pointer_copied_files)``
+        or None (empty table, no-op delete, replayed op_id, lost CAS).
+        """
+        import shutil
+
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        marker = os.path.join(self.root, "_commits", f"mrgop-{op_id}.marker") if op_id else None
+        if marker and os.path.exists(marker):
+            return None
+        if not delete:
+            dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+            if not dup.isEmpty():
+                raise ValueError("merge_rows_pruned: updates contain duplicate keys (ambiguous merge source)")
+        schema = self.schema()
+        if schema is None:
+            return None
+        cols = [f.name for f in schema.fields]
+
+        _touched = self._plan_key_touched(updates, keys, max_distinct_keys)
+        if _touched is None:  # no update keys
+            if marker:
+                self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+            return None
+
         # --- one listing drives everything (the delete_where_pruned rule) -
         manifests = self._visible_manifests()
         if not manifests:
@@ -1703,6 +1747,231 @@ class ManifestSinkTable:
         if marker:
             self._atomic_create(marker, json.dumps({"op_id": op_id, "snapshot": n_snap}))
         return n_snap, len(rewritten), len(kept_entries)
+
+    def upsert_mor(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        keys: list[str],
+        batch_id: int,
+        target_files: int | None = 1,
+        max_distinct_keys: int = 100_000,
+        op_id: str | None = None,
+    ) -> tuple[int | None, int] | None:
+        """MERGE-ON-READ keyed upsert (VERDICT r10 #2, the Hudi MOR /
+        Iceberg-v2 equality-delete shape on this manifest): update rows
+        land as an ordinary APPEND, and the superseded row versions are
+        tombstoned by a delete vector instead of rewriting their files —
+        write amplification per micro-batch is O(batch rows) + one pruned
+        position scan, never O(touched files). The complement to
+        ``merge_rows_pruned`` (COW): under continuous small CDC batches
+        whose keys straddle many files, COW rewrites the same files every
+        batch; MOR defers ALL rewriting to ``compact()``, which absorbs
+        the accumulated tombstones in one pass. Reads pay one anti-join
+        against the (small) DV relation until then — the standard MOR
+        trade.
+
+        Atomicity: the tombstones and the insert rows publish through ONE
+        ``dv-<i>.json`` CAS — the commit carries both the (file, pos)
+        tombstone relation and the insert manifest (``"mor": true,
+        "insert": {batch_id, dir, files}``), so readers see the upsert
+        entire or not at all; there is no torn delete-without-insert or
+        duplicate-key window. A batch that matches NO existing key (pure
+        insert) publishes through the plain batch-marker CAS instead —
+        no DV, so stats-only aggregates and bucketed reads stay
+        available.
+
+        Concurrency/replay: the position scan runs against a listed
+        snapshot and guards itself with the ``delete_where_dv``
+        barrier-snapshot protocol — if a real snapshot rewrote the
+        referenced files first, the tombstones are void (dead basenames;
+        old rows would RESURRECT next to the new ones) and the scan
+        recomputes against the fresh layout, committing a follow-up
+        tombstone-only DV (the insert, already published, is never
+        re-appended; its own files are excluded from every scan). A
+        replayed ``batch_id`` short-circuits via ``_is_known``; ``op_id``
+        adds a CAS'd ``morop-`` marker for crash windows between publish
+        and the caller's own cursor. Zombie twins racing one batch id
+        resolve deterministically: the LOWEST dv index's insert dir wins,
+        the loser's dir is unreferenced garbage for vacuum, and both
+        tombstone sets (identical content by the replay contract) apply
+        harmlessly.
+
+        Feed semantics: the batch enters ``changes()`` as type 'upsert'
+        (its dir IS the change set); the mechanism DV is *excluded* from
+        delete change rows — it tombstones superseded versions, not
+        logical rows — so a ChangeFeedConsumer applies the batch as one
+        keyed merge, same as a COW upsert. Time travel applies the DV
+        exactly from its own batch id onward.
+
+        Returns ``(dv_index | None, n_tombstoned)`` — dv_index None for
+        the pure-insert path — or None for a replayed/empty batch.
+        """
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        if self.write_mode != "committed":
+            raise ValueError("upsert_mor requires a committed-mode table")
+        marker = os.path.join(self.root, "_commits", f"morop-{op_id}.marker") if op_id else None
+        if marker and os.path.exists(marker):
+            return None
+        if self._is_known(batch_id):
+            return None
+        dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise ValueError("upsert_mor: updates contain duplicate keys (ambiguous merge source)")
+        if self.schema() is None:
+            # seed write: nothing to tombstone — a plain append IS the merge
+            res = self.write_batch(updates, batch_id)
+            if marker:
+                self._atomic_create(marker, json.dumps({"op_id": op_id, "seed": True}))
+            return None if res.already_exists else (None, 0)
+        if self.schema_evolution == "additive":
+            self._evolve_schema(updates)
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        touched = self._plan_key_touched(updates, keys, max_distinct_keys)
+        if touched is None:  # no update rows
+            if marker:
+                self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+            return None
+        # omitted NULLABLE columns null-fill (the additive-evolution read
+        # contract); a missing required column still fails loudly below
+        missing = [c for c in cols if c not in updates.columns and schema[c].nullable]
+        if missing:
+            updates = updates.select(
+                *updates.columns, *[F.lit(None).cast(schema[c].dataType).alias(c) for c in missing]
+            )
+        # the insert files are written ONCE, up front; they become visible
+        # only at the publish CAS below (batch marker or dv commit)
+        rel_dir = os.path.join(f"batch={batch_id}", f"attempt={uuid.uuid4().hex[:12]}")
+        data_dir = os.path.join(self.root, "data", rel_dir)
+        self.retry.run(
+            lambda: self._write_datafiles(updates.select(*cols), data_dir, target_files=target_files)
+        )
+        files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+        insert_manifest = {
+            "batch_id": batch_id,
+            "dir": rel_dir,
+            "files": _collect_file_stats(data_dir, files, self.bloom_columns, self.sum_columns),
+        }
+        own_files = {e["name"] for e in insert_manifest["files"]}
+        own_batch_dir = f"batch={batch_id}"
+        published = False  # insert manifest rides only the FIRST dv commit
+        for _attempt in range(5):
+            prior = self._latest_snapshot()
+            cand: list[str] = []
+            for m in self._visible_manifests():
+                # never tombstone THIS batch's own rows: on a void-retry
+                # (or a zombie twin's publish) the batch is already
+                # visible and its files contain every update key
+                if m["dir"] == own_batch_dir or m["dir"].startswith(own_batch_dir + os.sep):
+                    continue
+                base = os.path.join(self.root, "data", m["dir"])
+                entries = m["files"]
+                if entries is None:
+                    entries = [
+                        {"name": f, "rows": None, "stats": {}}
+                        for f in sorted(os.listdir(base))
+                        if f.endswith(".parquet")
+                    ]
+                for e in entries:
+                    if e["name"] not in own_files and touched(e):
+                        cand.append(os.path.join(base, e["name"]))
+            n = 0
+            rel_dv = None
+            if cand:
+                scan = (
+                    spark.read.schema(schema).parquet(*cand)
+                    .withColumn("file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+                    .withColumn("pos", F.col("_metadata.row_index"))
+                )
+                upd_keys = updates.select(
+                    *[F.col(c).alias(f"_u_{c}") for c in keys]
+                ).distinct()
+                match = None
+                for c in keys:  # eqNullSafe: NULL keys match NULL (merge semantics)
+                    this = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+                    match = this if match is None else (match & this)
+                hits = scan.join(upd_keys, match, "left_semi").select("file", "pos")
+                dvs = self.visible_dvs()
+                if dvs:  # already-tombstoned positions don't re-tombstone
+                    hits = hits.join(self._dv_relation(spark, dvs), ["file", "pos"], "left_anti")
+                rel_dv = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
+                dv_dir = os.path.join(self.root, rel_dv)
+                hits.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+                back = spark.read.schema("file string, pos long").parquet(dv_dir)
+                n = back.count()
+                if n == 0:
+                    shutil.rmtree(dv_dir, ignore_errors=True)
+                    rel_dv = None
+            if n == 0 and not published:
+                # pure insert: publish via the ordinary batch-marker CAS
+                if not self._atomic_create(self._commit_marker(batch_id), json.dumps(insert_manifest)):
+                    shutil.rmtree(data_dir, ignore_errors=True)  # replay raced us
+                    if marker:
+                        self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+                    return None
+                if marker:
+                    self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+                return (None, 0)
+            if n == 0 and published:
+                # void-retry found nothing left to tombstone (the racing
+                # rewrite read a state already carrying our first DV's
+                # effect, or the matched rows were concurrently deleted)
+                if marker:
+                    self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
+                return (None, 0)
+            files_ref = sorted(r["file"] for r in back.select("file").distinct().collect())
+            while True:  # dv-index CAS (concurrent committers bump past each other)
+                idx = max(self._dv_commits(), default=-1) + 1
+                created = self._atomic_create(
+                    os.path.join(self.root, "_commits", f"dv-{idx}.json"),
+                    json.dumps(
+                        {
+                            "index": idx,
+                            "dir": rel_dv,
+                            "rows": n,
+                            "files": files_ref,
+                            "mor": True,
+                            "insert": None if published else insert_manifest,
+                            "read_snapshot": prior["index"] if prior else -1,
+                            # the DV applies exactly from this batch onward:
+                            # travel to batch_id sees inserts + tombstones,
+                            # travel before it sees neither
+                            "as_of_batch": batch_id,
+                            "as_of_epoch": len(
+                                [f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")]
+                            )
+                            - 1,
+                            "op_id": op_id,
+                        }
+                    ),
+                )
+                if created:
+                    break
+            published = True
+            # guard loop: occupy (or inspect) the next snapshot index
+            guard = prior
+            while True:
+                if self._create_barrier_snapshot(guard):
+                    if marker:
+                        self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
+                    return idx, n
+                latest = self._latest_snapshot()
+                if idx in set(latest.get("absorbed_dv_ids", [])):
+                    # a real snapshot raced us AND applied this DV (its
+                    # listing saw our commit, so it absorbed the insert
+                    # batch too)
+                    if marker:
+                        self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
+                    return idx, n
+                if latest.get("barrier"):
+                    guard = latest  # another committer's barrier: files unchanged
+                    continue
+                break  # real snapshot rewrote our referenced files: recompute
+        raise RuntimeError("upsert_mor: lost the snapshot race 5 times to concurrent rewrites")
 
     def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple, zorder_by=None):
         if order_by and zorder_by:
@@ -1801,6 +2070,19 @@ class ManifestSinkTable:
             return None
         return n_snap
 
+    def _registered_consumers(self) -> list[dict]:
+        """Change-feed consumer registrations under <root>/_consumers/
+        (written by ``ChangeFeedConsumer``): each carries the consumer's
+        cursor — ``after_batch_id`` and ``applied_dvs``."""
+        reg_root = os.path.join(self.root, "_consumers")
+        out: list[dict] = []
+        if os.path.isdir(reg_root):
+            for f in sorted(os.listdir(reg_root)):
+                if f.endswith(".json"):
+                    with open(os.path.join(reg_root, f)) as fh:
+                        out.append(json.load(fh))
+        return out
+
     def vacuum(self, retention_s: float = 24 * 3600.0) -> list[str]:
         """Delete data directories no longer referenced by the manifest:
         batch dirs absorbed by a compaction snapshot and compacted dirs
@@ -1820,6 +2102,19 @@ class ManifestSinkTable:
         published and carry no writer race, so they are reclaimed
         regardless of age — the only precondition there is the in-flight
         reader one documented above.
+
+        CONSUMER-AWARE (VERDICT r10 #2/#3): registered change-feed
+        consumers (``_consumers/<id>.json``, mirrored by
+        ``ChangeFeedConsumer`` on every cursor advance) pin their
+        unconsumed change sources: batch dirs with id past the slowest
+        registered ``after_batch_id``, delete-vector dirs some consumer
+        has not applied, and any directory holding a file such a DV's
+        change rows must be reconstructed from. Vacuum retains those
+        regardless of absorption; everything a registered cursor has
+        passed reclaims normally, and with no registrations the behavior
+        is unchanged (an unregistered lagging consumer still fails
+        LOUDLY on a vacuumed source — retention by registration, error
+        by default).
         """
         import shutil
 
@@ -1837,11 +2132,39 @@ class ManifestSinkTable:
         live_batches = (set(committed) - absorbed) | set(staged)
         live_dirs = {committed[b] for b in committed if b in live_batches} | set(staged.values())
         live_compacted, _ = self._snapshot_state()
+        # consumer pins: unconsumed change sources survive this vacuum
+        consumers = self._registered_consumers()
+        pinned_bids: set[int] = set()
+        pinned_dvs: set[int] = set()
+        pinned_files: set[str] = set()
+        if consumers:
+            min_after = min(int(c.get("after_batch_id", -1)) for c in consumers)
+            pinned_bids = {b for b in committed if b > min_after}
+            for i, d in self._dv_commits().items():
+                if d.get("mor"):
+                    # a MOR upsert's change source is its batch dir (pinned
+                    # via the id above); the mechanism DV itself is not
+                    # consumed by feed consumers
+                    continue
+                if any(i not in set(c.get("applied_dvs", [])) for c in consumers):
+                    pinned_dvs.add(i)
+                    pinned_files.update(d.get("files", []))
+
+        def _holds_pinned_file(path: str) -> bool:
+            if not pinned_files:
+                return False
+            for r, _dirs, files in os.walk(path):
+                if any(f in pinned_files for f in files):
+                    return True
+            return False
+
         removed = []
         data_root = os.path.join(self.root, "data")
         for d in os.listdir(data_root):
             if d.startswith("batch="):
                 bid = int(d.split("=", 1)[1])
+                if bid in pinned_bids:
+                    continue  # unconsumed change source of a lagging consumer
                 if bid in live_batches:
                     # the batch is live: drop loser/orphan attempt dirs the
                     # manifest doesn't reference — but only past retention,
@@ -1870,13 +2193,20 @@ class ManifestSinkTable:
                     continue
             else:
                 continue
+            if _holds_pinned_file(os.path.join(data_root, d)):
+                continue  # an unconsumed DV reconstructs change rows from here
             shutil.rmtree(os.path.join(data_root, d))
             removed.append(d)
         # delete-vector dirs: absorbed DVs were applied by a rewrite and
         # are only needed for time travel (same rule as absorbed batch
-        # dirs — reclaim regardless of age); committed-but-live DVs stay;
-        # dirs with no dv-commit at all are crashed attempts (retention)
-        dv_dirs_live = {c["dir"] for c in self._dv_commits().values() if c["index"] not in self._absorbed_dv_ids()}
+        # dirs — reclaim regardless of age); committed-but-live DVs stay,
+        # as do DVs a registered consumer has not applied yet; dirs with
+        # no dv-commit at all are crashed attempts (retention)
+        dv_dirs_live = {
+            c["dir"]
+            for c in self._dv_commits().values()
+            if c["index"] not in self._absorbed_dv_ids() or c["index"] in pinned_dvs
+        }
         dv_dirs_committed = {c["dir"] for c in self._dv_commits().values()}
         del_root = os.path.join(self.root, "_deletes")
         for d in os.listdir(del_root):
@@ -1921,8 +2251,10 @@ class ManifestSinkTable:
             elif f.startswith("dv-") and f.endswith(".json"):
                 with open(path) as fh:
                     d = json.load(fh)
+                ins = d.get("insert")
                 entries.append(
-                    {"kind": "dv", "id": int(d["index"]), "batch_ids": [],
+                    {"kind": "mor_upsert" if d.get("mor") else "dv", "id": int(d["index"]),
+                     "batch_ids": [int(ins["batch_id"])] if ins else [],
                      "rows_deleted": int(d.get("rows", 0)), "committed_at": os.path.getmtime(path)}
                 )
             elif f.startswith("epoch-") and f.endswith(".json"):
@@ -1974,8 +2306,10 @@ class ManifestSinkTable:
                     for bid, d in dirs.items():
                         manifests[int(bid)] = {"dir": d, "files": None}
         else:
+            mor_bids = set(self._mor_insert_manifests())
             for b, m in self._committed_manifests().items():
-                if b <= batch_id and os.path.exists(self._commit_marker(b)):
+                # MOR batches publish through a dv commit, not a marker file
+                if b <= batch_id and (os.path.exists(self._commit_marker(b)) or b in mor_bids):
                     manifests[b] = m
         schema = self.schema()
         dir_paths = [os.path.join(self.root, "data", m["dir"]) for _, m in sorted(manifests.items())]

@@ -1,0 +1,128 @@
+"""Consumer-aware vacuum (VERDICT r10 #3).
+
+The CDF retention contract — change sources survive until the slowest
+consumer's cursor — becomes PROACTIVE for registered consumers: vacuum
+retains unconsumed batch dirs, unapplied delete-vector dirs and the
+files a pending DV's change rows reconstruct from. Unregistered
+consumers keep the loud-failure behavior.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+from kafka_connect_bigquery_storage_write_spark.sinks.cdf_consumer import ChangeFeedConsumer
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _sink(spark, path, n_batches=3, rows_per=20):
+    sink = ManifestSinkTable(str(path), write_mode="committed")
+    for b in range(n_batches):
+        sink.write_batch(
+            _kv(spark, [(b * rows_per + i, "x") for i in range(rows_per)]).coalesce(1), b
+        )
+    return sink
+
+
+def _content(sink, spark):
+    return sorted((r["k"], r["v"]) for r in sink.read(spark).collect())
+
+
+def test_vacuum_retains_unconsumed_batch_dirs(spark, tmp_path):
+    """A lagging registered consumer pins absorbed batch dirs; after it
+    drains, the same vacuum reclaims them."""
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert src.compact(spark) is not None  # absorbs all three batch dirs
+    removed = src.vacuum(retention_s=0.0)
+    assert not any(r.startswith("batch=") for r in removed), (
+        "vacuum must retain change sources a registered consumer has not drained"
+    )
+    # the feed is still fully servable
+    assert consumer.run_available_now(spark) == 3
+    assert _content(src, spark) == _content(tgt, spark)
+    removed = src.vacuum(retention_s=0.0)
+    assert {r for r in removed if r.startswith("batch=")} == {"batch=0", "batch=1", "batch=2"}
+
+
+def test_vacuum_retains_unapplied_dv_and_referenced_files(spark, tmp_path):
+    """An unapplied DV delete pins its tombstone dir AND the data dirs its
+    change rows are reconstructed from, across a compaction."""
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert consumer.run_available_now(spark) == 3  # consume the three inserts
+    assert src.delete_where_dv(spark, [("k", "<", 10)]) is not None
+    assert src.compact(spark) is not None  # absorbs the DV + batch dirs
+    src.vacuum(retention_s=0.0)
+    # the unapplied delete must still be reconstructable and applicable
+    assert consumer.run_available_now(spark) == 1
+    assert _content(src, spark) == _content(tgt, spark)
+    removed = src.vacuum(retention_s=0.0)
+    assert any(r.startswith("batch=") for r in removed)
+    assert any(r.startswith("_deletes/") for r in removed)
+
+
+def test_deregister_releases_the_pin(spark, tmp_path):
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert src.compact(spark) is not None
+    assert not any(r.startswith("batch=") for r in src.vacuum(retention_s=0.0))
+    consumer.deregister()
+    removed = src.vacuum(retention_s=0.0)
+    assert {r for r in removed if r.startswith("batch=")} == {"batch=0", "batch=1", "batch=2"}
+
+
+def test_slowest_registered_cursor_wins(spark, tmp_path):
+    """Two consumers: one drained, one lagging — the lagging one's cursor
+    decides retention."""
+    src = _sink(spark, tmp_path / "src")
+    fast_t = ManifestSinkTable(str(tmp_path / "fast"), write_mode="committed")
+    slow_t = ManifestSinkTable(str(tmp_path / "slow"), write_mode="committed")
+    fast = ChangeFeedConsumer(src, fast_t, keys=["k"], checkpoint_dir=str(tmp_path / "cf"))
+    slow = ChangeFeedConsumer(src, slow_t, keys=["k"], checkpoint_dir=str(tmp_path / "cs"))
+    assert fast.run_available_now(spark) == 3
+    assert src.compact(spark) is not None
+    assert not any(r.startswith("batch=") for r in src.vacuum(retention_s=0.0))
+    assert slow.run_available_now(spark) == 3
+    removed = src.vacuum(retention_s=0.0)
+    assert {r for r in removed if r.startswith("batch=")} == {"batch=0", "batch=1", "batch=2"}
+
+
+def test_unregistered_consumer_still_fails_loudly(spark, tmp_path):
+    """Without a registration the old contract holds: vacuum reclaims, the
+    lagging consumer raises on the vanished change source."""
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    consumer.deregister()  # simulate a pre-registry consumer
+    assert src.compact(spark) is not None
+    removed = src.vacuum(retention_s=0.0)
+    assert any(r.startswith("batch=") for r in removed)
+    with pytest.raises(ValueError, match="vacuumed"):
+        consumer.run_available_now(spark)
+
+
+def test_registry_survives_consumer_restart(spark, tmp_path):
+    """A re-created consumer over the same checkpoint reclaims its own
+    registration (stable id) instead of leaking a second one."""
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    c1 = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert c1.run_available_now(spark) == 3
+    c2 = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert c1.consumer_id == c2.consumer_id
+    reg_root = os.path.join(src.root, "_consumers")
+    assert len([f for f in os.listdir(reg_root) if f.endswith(".json")]) == 1
+    # the restart must NOT regress the registered cursor below the real one
+    assert src.compact(spark) is not None
+    removed = src.vacuum(retention_s=0.0)
+    assert {r for r in removed if r.startswith("batch=")} == {"batch=0", "batch=1", "batch=2"}

@@ -1,0 +1,194 @@
+"""Merge-on-read keyed upserts (VERDICT r10 #2).
+
+``upsert_mor`` must (a) keep exactly merge_rows' semantics, (b) be
+APPEND-ONLY per micro-batch — no visible data file is rewritten or
+renamed; superseded row versions die by tombstone — and (c) compose with
+compaction, time travel, the change feed, delete vectors and replay
+idempotence like every other sink write path.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _ranged_sink(spark, tmp_path, n_batches=4, rows_per=100, **kw):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed", **kw)
+    for b in range(n_batches):
+        sink.write_batch(
+            _kv(spark, [(b * rows_per + i, "x") for i in range(rows_per)]).coalesce(1), b
+        )
+    return sink
+
+
+def _content(sink, spark):
+    return sorted((r["k"], r["v"]) for r in sink.read(spark).collect())
+
+
+def test_mor_matches_merge_rows_semantics(spark, tmp_path):
+    """Same inputs through merge_rows (whole-table COW) and upsert_mor ->
+    identical visible content."""
+    a = _ranged_sink(spark, tmp_path / "a")
+    b = _ranged_sink(spark, tmp_path / "b")
+    updates = _kv(spark, [(5, "U"), (150, "U"), (399, "U"), (1000, "NEW"), (2000, "NEW")])
+    assert a.merge_rows(spark, updates, keys=["k"]) is not None
+    res = b.upsert_mor(spark, updates, keys=["k"], batch_id=10)
+    assert res is not None and res[1] == 3  # three matched keys tombstoned
+    assert _content(a, spark) == _content(b, spark)
+
+
+def test_mor_is_append_only(spark, tmp_path):
+    """The write-amplification pin: every pre-existing visible file
+    survives BY NAME (no rewrite, no pointer-copy rename), the only new
+    files are the batch's own."""
+    sink = _ranged_sink(spark, tmp_path, bloom_columns=("k",))
+    pre = {os.path.basename(p) for p in sink.visible_files()}
+    res = sink.upsert_mor(spark, _kv(spark, [(0, "U"), (399, "U"), (999, "N")]), keys=["k"], batch_id=9)
+    assert res is not None and res[1] == 2
+    post = {os.path.basename(p) for p in sink.visible_files()}
+    assert pre <= post, "a MOR upsert must not rewrite or rename any visible file"
+    assert len(post - pre) == 1  # target_files=1 -> one appended file
+
+
+def test_mor_replay_and_op_id(spark, tmp_path):
+    sink = _ranged_sink(spark, tmp_path)
+    upd = _kv(spark, [(1, "U")])
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=7, op_id="b7") is not None
+    # batch-id short-circuit (the streaming replay path)
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=7) is None
+    # op-id short-circuit (crash between publish and the caller's cursor)
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=7, op_id="b7") is None
+    assert _content(sink, spark).count((1, "U")) == 1
+
+
+def test_mor_pure_insert_publishes_without_dv(spark, tmp_path):
+    """A batch matching no existing key goes through the plain marker CAS:
+    no DV, so stats-only aggregates stay available."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    res = sink.upsert_mor(spark, _kv(spark, [(500, "P"), (501, "P")]), keys=["k"], batch_id=5)
+    assert res == (None, 0)
+    assert not sink.visible_dvs()
+    assert sink.stats_agg(["k"])["rows"] == 202
+
+
+def test_mor_duplicate_update_keys_rejected(spark, tmp_path):
+    sink = _ranged_sink(spark, tmp_path, n_batches=1)
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sink.upsert_mor(spark, _kv(spark, [(1, "a"), (1, "b")]), keys=["k"], batch_id=5)
+
+
+def test_mor_seed_write(spark, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    assert sink.upsert_mor(spark, _kv(spark, [(1, "a")]), keys=["k"], batch_id=0) == (None, 0)
+    assert _content(sink, spark) == [(1, "a")]
+
+
+def test_mor_time_travel(spark, tmp_path):
+    """The MOR DV applies exactly from its own batch id onward."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    assert sink.upsert_mor(spark, _kv(spark, [(5, "U"), (900, "N")]), keys=["k"], batch_id=8) is not None
+    old = dict(_content := {r["k"]: r["v"] for r in sink.read_as_of(spark, batch_id=1).collect()})
+    assert old[5] == "x" and 900 not in old and len(old) == 200
+    now = {r["k"]: r["v"] for r in sink.read_as_of(spark, batch_id=8).collect()}
+    assert now[5] == "U" and now[900] == "N" and len(now) == 201
+
+
+def test_mor_compaction_absorbs_tombstones(spark, tmp_path):
+    sink = _ranged_sink(spark, tmp_path)
+    assert sink.upsert_mor(spark, _kv(spark, [(5, "U"), (205, "U")]), keys=["k"], batch_id=9) is not None
+    before = _content(sink, spark)
+    assert sink.visible_dvs()
+    assert sink.compact(spark) is not None
+    assert not sink.visible_dvs()
+    assert _content(sink, spark) == before
+    # post-compaction reads are tombstone-free single scans again
+    assert sink.stats_agg(["k"])["rows"] == 400
+
+
+def test_mor_change_feed_typing(spark, tmp_path):
+    """The batch enters the feed as 'upsert'; the mechanism DV emits NO
+    delete change rows (it tombstones superseded versions, not rows)."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    assert sink.upsert_mor(spark, _kv(spark, [(5, "U"), (900, "N")]), keys=["k"], batch_id=6) is not None
+    ch = sink.changes(spark, after_batch_id=1, include_deletes=True)
+    rows = sorted(
+        (r["_change_batch_id"], r["_change_type"], r["k"], r["v"]) for r in ch.collect()
+    )
+    assert rows == [(6, "upsert", 5, "U"), (6, "upsert", 900, "N")]
+
+
+def test_mor_feed_consumer_converges(spark, tmp_path):
+    """A ChangeFeedConsumer drains a MOR-upserted source into a mirror:
+    content converges, the mechanism DV is never applied as a delete."""
+    from kafka_connect_bigquery_storage_write_spark.sinks.cdf_consumer import ChangeFeedConsumer
+
+    src = _ranged_sink(spark, tmp_path, n_batches=2)
+    assert src.upsert_mor(spark, _kv(spark, [(5, "U"), (900, "N")]), keys=["k"], batch_id=6) is not None
+    assert src.delete_where_dv(spark, [("k", ">=", 190)]) is not None  # a REAL delete too
+    tgt = ManifestSinkTable(str(tmp_path / "mirror"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert consumer.run_available_now(spark) == 4  # 2 inserts + 1 upsert + 1 dv
+    assert consumer.poll(spark) == 0
+    assert _content(src, spark) == _content(tgt, spark)
+
+
+def test_mor_null_keys_match_null(spark, tmp_path):
+    """Window-merge semantics: a NULL update key replaces the NULL-keyed
+    row (eqNullSafe matching + null-count planning)."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(1, "a"), (None, "old")]).coalesce(1), 0)
+    res = sink.upsert_mor(spark, _kv(spark, [(None, "new")]), keys=["k"], batch_id=1)
+    assert res is not None and res[1] == 1
+    got = {(r["k"], r["v"]) for r in sink.read(spark).collect()}
+    assert got == {(1, "a"), (None, "new")}
+
+
+def test_mor_respects_prior_tombstones(spark, tmp_path):
+    """Positions already tombstoned by an earlier DV are not re-counted."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=1)
+    assert sink.delete_where_dv(spark, [("k", "==", 5)]) is not None
+    res = sink.upsert_mor(spark, _kv(spark, [(5, "U"), (6, "U")]), keys=["k"], batch_id=4)
+    # key 5's old position is already dead; only key 6's is tombstoned
+    assert res is not None and res[1] == 1
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "U" and got[6] == "U" and len(got) == 100
+
+
+def test_mor_additive_schema_evolution(spark, tmp_path):
+    """An update batch carrying a new nullable column grows the schema;
+    pre-evolution rows read the column as null."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed", schema_evolution="additive")
+    sink.write_batch(_kv(spark, [(1, "a"), (2, "b")]).coalesce(1), 0)
+    upd = spark.createDataFrame([(2, "B", 9)], "k long, v string, extra long")
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=1) is not None
+    got = sorted((r["k"], r["v"], r["extra"]) for r in sink.read(spark).collect())
+    assert got == [(1, "a", None), (2, "B", 9)]
+
+
+def test_mor_pending_mode_rejected(spark, tmp_path):
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    with pytest.raises(ValueError, match="committed"):
+        sink.upsert_mor(spark, _kv(spark, [(1, "a")]), keys=["k"], batch_id=0)
+
+
+def test_mor_bucketed_layout_preserved(spark, tmp_path):
+    """On a bucketed table the MOR append keeps bucket-named files, and
+    after compact() (absorbing the tombstones) read_bucketed works."""
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed", bucket_spec=(4, ["k"]))
+    sink.write_batch(_kv(spark, [(i, "x") for i in range(50)]), 0)
+    assert sink.upsert_mor(spark, _kv(spark, [(3, "U"), (100, "N")]), keys=["k"], batch_id=1) is not None
+    assert sink.compact(spark) is not None
+    import uuid
+
+    name = f"mor_bkt_{uuid.uuid4().hex[:8]}"
+    got = {r["k"]: r["v"] for r in sink.read_bucketed(spark, name).collect()}
+    spark.sql(f"DROP TABLE `{name}`")
+    assert got[3] == "U" and got[100] == "N" and len(got) == 51
