@@ -1025,3 +1025,94 @@ def prefix_join_candidate_count(
         .count()
     )
     return pref, full
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Paragraph-grain repeated-substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" surface,
+    at aligned-window grain): tile every document into aligned
+    ``window``-token chunks, find chunks whose text recurs ANYWHERE in
+    the corpus, and keep only the globally FIRST occurrence of each
+    (order = (doc id, position)); every later occurrence is cut from its
+    document. The ragged tail (< window tokens) is always kept. Returns
+    one row per input document:
+
+        id_col, n_chunks, n_removed, n_tokens_kept, clean_text
+
+    where ``clean_text`` is the document with its removed spans cut out
+    (kept chunks + tail rejoined with single spaces).
+
+    Exact at chunk-text grain — no sketching — so the whole operator
+    carries a DuckDB oracle. Chunking is a projection pipeline (sequence
+    + explode, no join); global first-occurrence election is ONE window
+    (row_number over the chunk's xxhash64, ordered by (doc, pos)) — a
+    hash-partitioned exchange whose key space is the distinct-chunk set,
+    the same key the q137 detection aggregate shuffles on; reassembly is
+    a per-doc sort_array over kept (pos, chunk) structs. Hash-collision
+    odds at corpus scale ~n^2/2^65, the accepted shingle-join bound.
+
+    Scale note (suffix-array parity): Lee et al.'s ExactSubstr finds
+    UNALIGNED repeats >= 50 tokens with a corpus suffix array; the
+    aligned-window form trades recall at window boundaries for a
+    shuffle-only plan with no global index — the standard map-reduce
+    restatement (CCNet/RefinedWeb dedup these grains the same way).
+    """
+    from pyspark.sql import Window
+
+    d = ensure_compute_parallelism(
+        df.select(
+            id_col,
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
+        )
+    ).withColumn("_n", F.size("_t"))
+    starts = F.when(
+        F.col("_n") >= window, F.sequence(F.lit(0), F.col("_n") - window, F.lit(window))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    chunks = d.select(id_col, "_t", "_n", F.explode(starts).alias("s")).select(
+        id_col,
+        "_n",
+        "s",
+        F.array_join(F.slice("_t", F.col("s") + 1, window), " ").alias("chunk"),
+    )
+    w = Window.partitionBy(F.xxhash64("chunk")).orderBy(id_col, "s")
+    ranked = chunks.withColumn("_rn", F.row_number().over(w))
+    per_doc = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum((F.col("_rn") > 1).cast("long")).alias("n_removed"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("_rn") == 1, F.struct("s", "chunk")))
+        ).alias("_kept"),
+    )
+    tail = F.array_join(
+        F.slice("_t", F.col("_n") - F.pmod("_n", F.lit(window)) + 1, F.pmod("_n", F.lit(window))),
+        " ",
+    )
+    base = d.select(
+        id_col,
+        "_n",
+        F.when(F.pmod("_n", F.lit(window)) > 0, tail).otherwise(F.lit("")).alias("_tail"),
+    )
+    out = base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        (
+            F.coalesce(F.size(F.filter("_kept", lambda x: x.isNotNull())), F.lit(0)) * window
+            + F.pmod("_n", F.lit(window))
+        ).alias("n_tokens_kept"),
+        F.concat_ws(
+            " ",
+            F.array_join(
+                F.transform(F.coalesce("_kept", F.expr("array()")), lambda x: x["chunk"]), " "
+            ),
+            F.col("_tail"),
+        ).alias("clean_text"),
+    )
+    # concat_ws skips NULLs but not empty strings: trim the seam when one
+    # side is empty so the join below is byte-stable
+    return out.withColumn("clean_text", F.trim("clean_text"))

@@ -55,70 +55,74 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-10 rotation (VERDICT r9 #2: keep burning staleness — the window
-# composition it prescribed): lead with the THREE queries new this round
-# (q217 pruned MERGE, q218 CDF streaming sync, q219 bucketed governed
-# join, q220 CDC->bucketed-mirror composition — zero official rows;
-# growth 4 <= the prescribed 12, so the
-# window refreshes 46 stale rows), then the full r5-latest remainder
-# (15 queries — the stalest official rows in the registry), then the
-# r6-latest cohort in registration order until the window holds exactly
-# 50. After this round no oracled query's newest official row is older
-# than r6, and 12 r6 stragglers remain for the round-11 lead.
+# Round-11 rotation (VERDICT r10 #5: burn the last r6 staleness): lead
+# with the THREE queries new this round (q221 merge-on-read upserts,
+# q222 CDC across schema evolution, q223 repeated-span removal — zero
+# official rows), then the COMPLETE r6-latest cohort: its 12 oracled
+# stragglers plus its 7 rows-only ANN queries — joined by the other two
+# rows-only ANN queries (q145 r7-latest, q175) — because all nine now
+# carry IN-QUERY recall/precision gates (VERDICT r10 #1): their official
+# rows-only record is no longer a silent pass but a live assert, and
+# refreshing them demonstrates the gates in the official window. The
+# remaining 26 slots refresh the r7-latest cohort in registration
+# order. After this round no query's newest official row is older than
+# r7, and ~23 r7 oracled stragglers remain for the round-12 lead.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new this round (r10; zero official rows) ---
-    "q217_sink_merge_pruned",
-    "q218_cdf_streaming_sync",
-    "q219_bucketed_sink_colocated",
-    "q220_cdc_bucketed_mirror",
-    # --- r5-latest remainder (stalest official rows; complete) ---
-    "q81_heavy_hitters",
-    "q50_tumbling_window",
-    "q51_sliding_window",
-    "q52_session_window",
-    "q53_stream_dedup",
-    "q56_incremental_rollup",
-    "q67_event_funnel",
-    "q68_cohort_retention",
-    "q83_incremental_distinct_rollup",
-    "q54_asof_join",
-    "q55_range_join_bands",
-    "q77_sessionize_events",
-    "q60_pandas_udf_charge",
-    "q61_apply_in_pandas_user_stats",
-    "q62_python_udf_priority",
-    # --- r6-latest cohort, registration order ---
-    "q30_dedup_exact",
-    "q31_ngram_jaccard_pairs",
-    "q32_minhash_lsh_near_dups",
-    "q65_incremental_dedup",
-    "q73_dedup_clusters",
-    "q87_dedup_clusters_star",
-    "q78_decontamination",
-    "q94_containment_pairs",
-    "q109_bloom_prefilter_dedup",
-    "q113_incremental_near_dup",
-    "q99_weighted_quota_sample",
-    "q106_token_freq_of_freq",
-    "q108_quality_decile_bins",
-    "q112_vocab_coverage",
-    "q110_unigram_surprisal",
-    "q128_weighted_reservoir_sample",
-    "q131_quality_survivorship",
-    "q122_pagerank_coactivity",
-    "q47_multimodal_binary_metadata",
-    "q70_conversion_roundtrip",
-    "q71_ingest_pipeline_committed",
-    "q86_dlq_replay_convergence",
-    "q124_jsonl_source",
-    "q125_csv_source",
-    "q09_status_distinct_customers",
-    "q10_rollup_quantities",
-    "q11_cube_volumes",
-    "q12_top_orders",
-    "q13_top_customers_per_nation",
-    "q115_window_rank_family",
-    "q116_token_typo_pairs",
+    # --- new this round (r11; zero official rows) ---
+    "q221_sink_upsert_mor",
+    "q222_cdc_schema_evolution_sync",
+    "q223_repeated_span_removal",
+    # --- r6-latest oracled stragglers (complete) ---
+    "q111_key_skew_profile",
+    "q114_series_outliers",
+    "q117_incremental_quantile_rollup",
+    "q118_chisquare_independence",
+    "q119_numeric_correlations",
+    "q120_theta_returning_users",
+    "q121_column_profile",
+    "q123_interval_join_attribution",
+    "q126_filtered_cosine_topk",
+    "q127_unpivot_metrics",
+    "q129_null_safe_join",
+    "q130_cdc_latest_state",
+    # --- the nine self-verifying rows-only ANN queries (in-query
+    # recall/precision gates, r10 commit c6951a1; 7 are r6-latest) ---
+    "q33_simhash_near_dups",
+    "q36_lsh_ann_topk",
+    "q38_embedding_near_dups_blocked",
+    "q39_ivf_ann_topk",
+    "q63_embedding_near_dups_lsh",
+    "q88_ivf_int8_serving",
+    "q92_semantic_dedup",
+    "q145_pq_ann_topk",
+    "q175_ivfpq_topk",
+    # --- r7-latest cohort, registration order (first 26) ---
+    "q136_bm25_ranking",
+    "q137_repeated_passages",
+    "q140_token_balanced_shards",
+    "q144_bpe_pair_stats",
+    "q148_html_strip_roundtrip",
+    "q149_url_canonicalize",
+    "q150_chat_flatten",
+    "q153_length_bucketed_batches",
+    "q154_preference_pairs",
+    "q132_image_pixel_checksum",
+    "q142_audio_sample_checksum",
+    "q143_audio_activity_frames",
+    "q147_video_frame_checksum",
+    "q138_orc_source",
+    "q146_avro_file_source",
+    "q135_expectation_checks",
+    "q14_running_customer_spend",
+    "q15_union_all_counts",
+    "q16_intersect_except",
+    "q17_string_functions",
+    "q18_date_functions",
+    "q19_ship_delay",
+    "q20_math_functions",
+    "q21_array_functions",
+    "q22_json_functions",
+    "q23_approx_distinct",
 )
 
 

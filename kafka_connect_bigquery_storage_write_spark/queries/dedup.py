@@ -632,3 +632,100 @@ def q184_ppjoin_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filtered_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+_Q223_BANNER = (
+    "this document is provided under the standard license agreement all "
+    "rights reserved see terms of use for more information below"
+)  # exactly 20 whitespace tokens: one full aligned chunk
+
+
+@query(
+    "q223_repeated_span_removal",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_Q223_BANNER}' || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM corpus),
+    meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    chunks AS (
+      SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 20), ' ') AS chunk
+      FROM meta, LATERAL (SELECT unnest(generate_series(0, n - 20, 20)) AS s) st
+      WHERE n >= 20
+    ),
+    ranked AS (
+      SELECT doc_id, s, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, s) AS rn
+      FROM chunks
+    ),
+    pieces AS (
+      SELECT doc_id, s, chunk FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, 2000000000 + n, array_to_string(list_slice(t, n - (n % 20) + 1, n), ' ')
+      FROM meta WHERE n % 20 > 0
+    ),
+    stats AS (
+      SELECT doc_id, count(*) AS n_chunks, count(*) FILTER (WHERE rn > 1) AS n_removed
+      FROM ranked GROUP BY doc_id
+    ),
+    clean AS (
+      SELECT doc_id, md5(string_agg(chunk, ' ' ORDER BY s)) AS clean_md5
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(coalesce(st.n_chunks, 0) AS BIGINT)  AS n_chunks,
+           CAST(coalesce(st.n_removed, 0) AS BIGINT) AS n_removed,
+           CAST((coalesce(st.n_chunks, 0) - coalesce(st.n_removed, 0)) * 20 + (m.n % 20) AS BIGINT)
+             AS n_tokens_kept,
+           coalesce(c.clean_md5, md5('')) AS clean_md5
+    FROM meta m
+    LEFT JOIN stats st USING (doc_id)
+    LEFT JOIN clean c USING (doc_id)
+    ORDER BY n_removed DESC, m.doc_id
+    LIMIT 20
+    """,
+)
+def q223_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain repeated-substring REMOVAL (VERDICT r10 #7 — the
+    Lee et al. 2022 dedup family, completing q137's detection half): the
+    corpus — documents plus a planted 20-token boilerplate banner on
+    every doc_id % 5 == 0 (the license-block/template shape this
+    operator exists for) — is tiled into aligned 20-token chunks; every
+    chunk whose text recurs anywhere keeps only its globally FIRST
+    occurrence (order = (doc_id, position)) and later occurrences are
+    cut from their documents. Exact at chunk grain, so the rewritten
+    documents carry a full value oracle: the top-20 most-deduplicated
+    docs with chunk counts, kept-token counts and the md5 of the CLEANED
+    text — a single resurrected or mis-cut span flips the hash.
+
+    Scale shape: chunking is a projection pipeline; first-occurrence
+    election is one row_number window keyed on xxhash64(chunk) — the
+    exchange carries 8-byte hashes, and the key space is the distinct-
+    chunk set (the q137 aggregate's key); reassembly is a per-doc
+    sort_array. Nothing pairs docs against docs.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.lit(_Q223_BANNER), F.lit(" "), F.col("text"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = remove_repeated_spans(docs, id_col="doc_id", text_col="text", window=20)
+    return (
+        cleaned.select(
+            "doc_id",
+            "n_chunks",
+            "n_removed",
+            "n_tokens_kept",
+            F.md5("clean_text").alias("clean_md5"),
+        )
+        .orderBy(F.col("n_removed").desc(), "doc_id")
+        .limit(20)
+    )

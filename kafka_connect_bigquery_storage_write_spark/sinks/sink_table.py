@@ -1651,6 +1651,14 @@ class ManifestSinkTable:
         schema = self.schema()
         if schema is None:
             return None
+        if not delete and self.schema_evolution == "additive":
+            # an update batch may ADD nullable columns (same contract as
+            # write_batch) — without this, a CDC mirror replicating across
+            # a source evolution would silently DROP the new column from
+            # merged batches (the select(*cols) below projects to the
+            # table schema)
+            self._evolve_schema(updates)
+            schema = self.schema()
         cols = [f.name for f in schema.fields]
 
         _touched = self._plan_key_touched(updates, keys, max_distinct_keys)

@@ -956,3 +956,36 @@ def test_in_query_recall_gates_fire_on_regression(spark, sf_dir):
     )
     with _pytest.raises(AssertionError, match="precision"):
         _gate_pair_recall(fake, sl, 0.35, 0.0, "gate-test")
+
+
+def test_remove_repeated_spans_cuts_later_occurrences_only(spark):
+    """Planted duplicates: the globally FIRST occurrence of a repeated
+    aligned chunk survives, every later one is cut; tails always stay."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import remove_repeated_spans
+
+    w = 4  # small window so the fixture stays readable
+    banner = "aa bb cc dd"  # one full chunk
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner} u0 u1 u2 u3 tail0"),        # first occurrence: kept
+            (1, f"{banner} v0 v1 v2 v3"),              # banner cut (2nd occurrence)
+            (2, f"w0 w1 w2 w3 {banner} t2"),           # banner aligned at s=4: cut
+            (3, "short tail only"),                    # < window: tail only
+            (4, f"{banner} {banner}"),                 # both are later occurrences of doc 0's
+            (5, "zz yy xx ww zz yy xx ww"),            # self-repeat: second cut
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_repeated_spans(docs, window=w).collect()}
+    assert out[0]["clean_text"] == f"{banner} u0 u1 u2 u3 tail0"
+    assert (out[0]["n_chunks"], out[0]["n_removed"], out[0]["n_tokens_kept"]) == (2, 0, 9)
+    assert out[1]["clean_text"] == "v0 v1 v2 v3"
+    assert (out[1]["n_chunks"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["clean_text"] == "w0 w1 w2 w3 t2"
+    assert (out[2]["n_chunks"], out[2]["n_removed"], out[2]["n_tokens_kept"]) == (2, 1, 5)
+    assert out[3]["clean_text"] == "short tail only"
+    assert (out[3]["n_chunks"], out[3]["n_removed"], out[3]["n_tokens_kept"]) == (0, 0, 3)
+    assert out[4]["clean_text"] == ""  # every chunk is a later occurrence of doc 0's
+    assert (out[4]["n_chunks"], out[4]["n_removed"], out[4]["n_tokens_kept"]) == (2, 2, 0)
+    assert out[5]["clean_text"] == "zz yy xx ww"  # within-doc repeat: first kept
+    assert (out[5]["n_chunks"], out[5]["n_removed"], out[5]["n_tokens_kept"]) == (2, 1, 4)

@@ -53,7 +53,12 @@ def test_driver_window_names_are_registered_and_sized():
     assert len(set(DRIVER_WINDOW)) == 50
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
     assert not missing, missing
-    # the window must carry only hash-verifiable rows: rows-only queries
-    # never occupy one of the 50 official slots
+    # Amended round 11: a rows-only query may occupy an official slot
+    # ONLY if it is on the frozen allowlist — since round 10 every
+    # allowlisted query carries an IN-QUERY recall/precision gate, so
+    # its official row is a live assert (a quality regression ERRORs the
+    # driver row), not a silent rows-only pass. Unlisted rows-only
+    # queries still never enter the window.
     unoracled = [n for n in DRIVER_WINDOW if n not in ORACLE]
-    assert not unoracled, unoracled
+    stray = [n for n in unoracled if n not in ROWS_ONLY_ALLOWLIST]
+    assert not stray, stray
