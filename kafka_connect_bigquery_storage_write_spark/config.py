@@ -49,6 +49,13 @@ class PipelineConfig:
     # (a staged-then-epoch merge has no defined point-in-time base).
     upsert_keys: list[str] | None = None
     upsert_order_col: str | None = None
+    # how keyed merges materialize (round 11): "cow" routes each batch
+    # through the pruned copy-on-write MERGE (rewrite the straddled
+    # files — right for clustered / low-frequency change streams);
+    # "mor" routes through merge-on-read (append the batch, tombstone
+    # superseded versions, defer all rewriting to compact() — right for
+    # scattered / high-frequency change streams, see SCALING.md r11)
+    upsert_mode: str = "cow"
 
     def __post_init__(self) -> None:
         if self.write_mode not in WRITE_MODES:
@@ -71,3 +78,7 @@ class PipelineConfig:
             raise ValueError("upsert_order_col requires upsert_keys")
         if self.upsert_keys is not None and self.write_mode != "committed":
             raise ValueError("upsert_keys requires write_mode='committed' (merge has no pending-epoch semantics)")
+        if self.upsert_mode not in ("cow", "mor"):
+            raise ValueError(f"upsert_mode must be cow|mor, got {self.upsert_mode!r}")
+        if self.upsert_mode == "mor" and self.upsert_keys is None:
+            raise ValueError("upsert_mode='mor' requires upsert_keys")

@@ -229,6 +229,16 @@ class IngestPipeline:
             # consumers skip unknown batch ids by construction)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "rows": 0}))
             return AppendResult(batch_id=batch_id, rows=0)
+        if self.config.upsert_mode == "mor":
+            # merge-on-read (round 11): the batch APPENDS and supersedes by
+            # tombstone — no changelog write either, because the appended
+            # batch dir IS the change set (changes() types it 'upsert').
+            # upsert_mor owns replay (batch-id short-circuit), CAS-loss
+            # retries and the barrier protocol internally; None here can
+            # only mean a replayed/raced publish of this batch id.
+            res = self._sink.upsert_mor(rows.sparkSession, rows, keys=keys, batch_id=batch_id)
+            self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id}))
+            return AppendResult(batch_id=batch_id, rows=-1, already_exists=res is None)
         # change-data-feed: log this batch's (deduped) change set before
         # merging — the merge materializes the whole table, so without the
         # log a downstream consumer could never read per-batch upserts

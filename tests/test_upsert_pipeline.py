@@ -192,3 +192,46 @@ def test_upsert_empty_batch_is_noop_not_cas_wedge(spark, tmp_path):
     assert stats2.already_exists
     got = {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()}
     assert got == {1: 10, 2: 20}
+
+
+def test_upsert_mode_mor_merges_batches(spark, tmp_path):
+    """upsert_mode='mor': same convergence as COW, but every micro-batch
+    is APPEND-ONLY (no pre-existing data file rewritten or renamed) and
+    the feed still serves per-batch upserts without a changelog."""
+    import os
+
+    cfg = PipelineConfig(
+        sink_path=str(tmp_path / "sink"), write_mode="committed",
+        upsert_keys=["k"], upsert_order_col="seq", upsert_mode="mor",
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=VALUE_SCHEMA, sink_schema=VALUE_SCHEMA)
+    pipe.run_batch(_env(spark, [(1, 10, 1), (1, 11, 2), (2, 20, 3)]), batch_id=0)
+    assert {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()} == {1: 11, 2: 20}
+    pre = {os.path.basename(p) for p in pipe._sink.visible_files()}
+    pipe.run_batch(_env(spark, [(2, 99, 4), (3, 30, 5)]), batch_id=1)
+    post = {os.path.basename(p) for p in pipe._sink.visible_files()}
+    assert pre <= post, "MOR micro-batch must not rewrite any visible file"
+    assert {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()} == {1: 11, 2: 99, 3: 30}
+    stats = pipe.run_batch(_env(spark, [(2, 12345, 4), (3, 30, 5)]), batch_id=1)
+    assert stats.already_exists
+    assert {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()} == {1: 11, 2: 99, 3: 30}
+    # the feed types the MOR batch 'upsert' with no changelog write
+    ch = pipe._sink.changes(spark, after_batch_id=0)
+    assert {(r["_change_batch_id"], r["_change_type"]) for r in ch.collect()} == {(1, "upsert")}
+    # and a consumer drains it into a converged mirror
+    from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+    from kafka_connect_bigquery_storage_write_spark.sinks.cdf_consumer import ChangeFeedConsumer
+
+    tgt = ManifestSinkTable(str(tmp_path / "mirror"), write_mode="committed")
+    consumer = ChangeFeedConsumer(pipe._sink, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ck2"))
+    assert consumer.run_available_now(spark) == 2
+    a = {tuple(r) for r in pipe.read_sink(spark).collect()}
+    b = {tuple(r) for r in tgt.read(spark).collect()}
+    assert a == b
+
+
+def test_upsert_mode_validation(tmp_path):
+    with pytest.raises(ValueError, match="cow|mor"):
+        PipelineConfig(sink_path=str(tmp_path), upsert_keys=["k"], upsert_mode="bogus")
+    with pytest.raises(ValueError, match="requires upsert_keys"):
+        PipelineConfig(sink_path=str(tmp_path), upsert_mode="mor")
