@@ -1933,3 +1933,90 @@ def q222_cdc_schema_evolution_sync(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy("o_orderstatus")
     )
     return _finalize(out, root)
+
+
+@query(
+    "q224_consumer_aware_vacuum",
+    oracle="""
+    WITH cut AS (SELECT CAST(floor(max(o_orderkey) / 10.0) AS BIGINT) AS c FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key
+    FROM orders, cut
+    WHERE o_orderkey >= cut.c
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q224_consumer_aware_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-aware vacuum made driver-visible (VERDICT r10 #3; the
+    retention contract as a live pipeline): orders land in source A as
+    three key-range batches; a ChangeFeedConsumer REGISTERS before
+    consuming anything; A compacts (absorbing all three batch dirs) and
+    runs ``vacuum(retention_s=0)`` — which must RETAIN every unconsumed
+    change source for the lagging registered cursor (asserted in-query:
+    zero batch dirs reclaimed, and the subsequent drain succeeds where
+    an unregistered consumer would fail loudly). After the drain, a DV
+    delete of the bottom tenth of the keyspace + compaction + another
+    vacuum exercises the unapplied-DV pin the same way (the DV's change
+    rows must stay reconstructable). Once the mirror has applied
+    everything, the SAME vacuum call reclaims all of it — asserted
+    in-query — and the mirror's per-status aggregate must equal SQL
+    over the undeleted key range. Convergence is content-compared; the
+    consumer deregisters at the end (a decommissioned mirror must not
+    pin retention forever).
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.cdf_consumer import ChangeFeedConsumer
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    hi = src.agg(F.max("o_orderkey")).first()[0]
+    cut = hi // 10
+    step = (hi + 3) // 3
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q224_")
+    a = ManifestSinkTable(f"{root}/a", write_mode="committed")
+    for b in range(3):
+        a.write_batch(
+            src.filter((F.col("o_orderkey") >= b * step) & (F.col("o_orderkey") < (b + 1) * step)).coalesce(1),
+            b,
+        )
+    mirror = ManifestSinkTable(f"{root}/b", write_mode="committed")
+    consumer = ChangeFeedConsumer(a, mirror, keys=["o_orderkey"], checkpoint_dir=f"{root}/ckpt")
+    assert a.compact(spark) is not None
+    removed = a.vacuum(retention_s=0.0)
+    assert not any(r.startswith("batch=") for r in removed), (
+        "vacuum must retain change sources behind the registered cursor"
+    )
+    assert consumer.run_available_now(spark) == 3  # retention made this servable
+    # DV delete of the bottom tenth, then compact + vacuum: the consumed
+    # batch dirs reclaim NOW (cursor passed them), while the unapplied DV
+    # and the files its change rows are reconstructed from must survive
+    assert a.delete_where_dv(spark, [("o_orderkey", "<", cut)]) is not None
+    assert a.compact(spark) is not None
+    removed = a.vacuum(retention_s=0.0)
+    assert {r for r in removed if r.startswith("batch=")} == {"batch=0", "batch=1", "batch=2"}, (
+        "consumed change sources must reclaim once the cursor passes them"
+    )
+    assert not any(r.startswith("_deletes/") for r in removed), (
+        "an unapplied delete vector must survive vacuum"
+    )
+    assert consumer.run_available_now(spark) == 1  # the delete, reconstructed
+    assert consumer.poll(spark) == 0
+    a_df, b_df = a.read(spark), mirror.read(spark)
+    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    removed = a.vacuum(retention_s=0.0)
+    assert any(r.startswith("_deletes/") for r in removed), (
+        "a drained feed must reclaim its delete-vector change source"
+    )
+    consumer.deregister()
+    out = (
+        b_df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return _finalize(out, root)

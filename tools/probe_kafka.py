@@ -36,6 +36,8 @@ import uuid
 
 from pyspark.sql import SparkSession
 
+sys.path.insert(0, "/root/repo")  # runnable as `python tools/probe_kafka.py`
+
 
 def main() -> None:
     bootstrap = sys.argv[1] if len(sys.argv) > 1 else "localhost:9092"
