@@ -612,6 +612,48 @@ class ManifestSinkTable:
                 out[int(ins["batch_id"])] = {"dir": ins["dir"], "files": ins.get("files")}
         return out
 
+    def _mor_void_dvs(self, batch_id: int) -> list[int]:
+        """MOR DV indexes for ``batch_id`` that are VOID: neither absorbed
+        by a snapshot, nor fully visible by basename, nor already covered
+        by a completed repair (``morfix-`` marker) — the signature of the
+        publish-then-crash-into-a-racing-rewrite window, where superseded
+        versions have resurrected. Every rewrite path either absorbs the
+        DVs it saw or leaves their files untouched, so an intact DV always
+        satisfies one of the first two conditions; the check is manifest
+        metadata only (no data files opened)."""
+        mor = {
+            i: d
+            for i, d in self._dv_commits().items()
+            if d.get("mor") and int(d.get("as_of_batch", -1)) == batch_id
+        }
+        if not mor:
+            return []
+        absorbed = self._absorbed_dv_ids()
+        visible = {os.path.basename(p) for p in self.visible_files()}
+        return [
+            i
+            for i, d in sorted(mor.items())
+            if i not in absorbed
+            and not set(d.get("files", [])) <= visible
+            and not os.path.exists(
+                os.path.join(self.root, "_commits", f"morfix-{batch_id}-{i}.marker")
+            )
+        ]
+
+    def _mor_needs_repair(self, batch_id: int) -> bool:
+        return bool(self._mor_void_dvs(batch_id))
+
+    def _mor_mark_repaired(self, batch_id: int, void_ids: list[int]) -> None:
+        """Record that a repair pass verified/fixed these void DVs — the
+        marker is written only AFTER the follow-up tombstones are fully
+        published (or the pass proved nothing resurrected), so a crash
+        mid-repair just repairs again."""
+        for i in void_ids:
+            self._atomic_create(
+                os.path.join(self.root, "_commits", f"morfix-{batch_id}-{i}.marker"),
+                json.dumps({"batch_id": batch_id, "void_dv": i}),
+            )
+
     def _committed_entries(self) -> dict[int, str]:
         return {b: m["dir"] for b, m in self._committed_manifests().items()}
 
@@ -1824,18 +1866,40 @@ class ManifestSinkTable:
         marker = os.path.join(self.root, "_commits", f"morop-{op_id}.marker") if op_id else None
         if marker and os.path.exists(marker):
             return None
+        repair = False
         if self._is_known(batch_id):
-            return None
-        dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
-        if not dup.isEmpty():
-            raise ValueError("upsert_mor: updates contain duplicate keys (ambiguous merge source)")
+            # Replay short-circuit — EXCEPT the one crash window the CAS
+            # protocol can't close alone: publish landed, the process died
+            # before the barrier guard, and a concurrent real snapshot had
+            # already rewritten the referenced files — the tombstones are
+            # void (dead basenames) and the superseded versions RESURRECT
+            # next to the new rows. Detectable from manifest metadata
+            # alone: a mor DV for this batch that is neither absorbed nor
+            # fully visible-by-basename. The repair re-runs the tombstone
+            # pass with the batch's own persisted rows as the updates (its
+            # keys ARE the update keys) and publishes a follow-up
+            # tombstone-only DV through the same guard loop.
+            void_ids = self._mor_void_dvs(batch_id)
+            if not void_ids:
+                return None
+            ins = self._mor_insert_manifests().get(batch_id)
+            if ins is None or not os.path.exists(os.path.join(self.root, "data", ins["dir"])):
+                return None  # absorbed+vacuumed: a later rewrite applied everything
+            updates = spark.read.schema(self.schema()).parquet(
+                os.path.join(self.root, "data", ins["dir"])
+            )
+            repair = True
+        if not repair:
+            dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+            if not dup.isEmpty():
+                raise ValueError("upsert_mor: updates contain duplicate keys (ambiguous merge source)")
         if self.schema() is None:
             # seed write: nothing to tombstone — a plain append IS the merge
             res = self.write_batch(updates, batch_id)
             if marker:
                 self._atomic_create(marker, json.dumps({"op_id": op_id, "seed": True}))
             return None if res.already_exists else (None, 0)
-        if self.schema_evolution == "additive":
+        if not repair and self.schema_evolution == "additive":
             self._evolve_schema(updates)
         schema = self.schema()
         cols = [f.name for f in schema.fields]
@@ -1851,22 +1915,28 @@ class ManifestSinkTable:
             updates = updates.select(
                 *updates.columns, *[F.lit(None).cast(schema[c].dataType).alias(c) for c in missing]
             )
-        # the insert files are written ONCE, up front; they become visible
-        # only at the publish CAS below (batch marker or dv commit)
-        rel_dir = os.path.join(f"batch={batch_id}", f"attempt={uuid.uuid4().hex[:12]}")
-        data_dir = os.path.join(self.root, "data", rel_dir)
-        self.retry.run(
-            lambda: self._write_datafiles(updates.select(*cols), data_dir, target_files=target_files)
-        )
-        files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
-        insert_manifest = {
-            "batch_id": batch_id,
-            "dir": rel_dir,
-            "files": _collect_file_stats(data_dir, files, self.bloom_columns, self.sum_columns),
-        }
+        if repair:
+            # the batch's files already exist and are already published
+            ins = self._mor_insert_manifests()[batch_id]
+            rel_dir, data_dir = ins["dir"], os.path.join(self.root, "data", ins["dir"])
+            insert_manifest = {"batch_id": batch_id, "dir": rel_dir, "files": ins.get("files") or []}
+        else:
+            # the insert files are written ONCE, up front; they become
+            # visible only at the publish CAS below (marker or dv commit)
+            rel_dir = os.path.join(f"batch={batch_id}", f"attempt={uuid.uuid4().hex[:12]}")
+            data_dir = os.path.join(self.root, "data", rel_dir)
+            self.retry.run(
+                lambda: self._write_datafiles(updates.select(*cols), data_dir, target_files=target_files)
+            )
+            files = sorted(f for f in os.listdir(data_dir) if f.endswith(".parquet"))
+            insert_manifest = {
+                "batch_id": batch_id,
+                "dir": rel_dir,
+                "files": _collect_file_stats(data_dir, files, self.bloom_columns, self.sum_columns),
+            }
         own_files = {e["name"] for e in insert_manifest["files"]}
         own_batch_dir = f"batch={batch_id}"
-        published = False  # insert manifest rides only the FIRST dv commit
+        published = repair  # insert manifest rides only the FIRST dv commit
         for _attempt in range(5):
             prior = self._latest_snapshot()
             cand: list[str] = []
@@ -1928,6 +1998,8 @@ class ManifestSinkTable:
                 # void-retry found nothing left to tombstone (the racing
                 # rewrite read a state already carrying our first DV's
                 # effect, or the matched rows were concurrently deleted)
+                if repair:
+                    self._mor_mark_repaired(batch_id, void_ids)
                 if marker:
                     self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return (None, 0)
@@ -1964,6 +2036,8 @@ class ManifestSinkTable:
             guard = prior
             while True:
                 if self._create_barrier_snapshot(guard):
+                    if repair:
+                        self._mor_mark_repaired(batch_id, void_ids)
                     if marker:
                         self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
                     return idx, n
@@ -1972,6 +2046,8 @@ class ManifestSinkTable:
                     # a real snapshot raced us AND applied this DV (its
                     # listing saw our commit, so it absorbed the insert
                     # batch too)
+                    if repair:
+                        self._mor_mark_repaired(batch_id, void_ids)
                     if marker:
                         self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
                     return idx, n

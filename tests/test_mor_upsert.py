@@ -192,3 +192,61 @@ def test_mor_bucketed_layout_preserved(spark, tmp_path):
     got = {r["k"]: r["v"] for r in sink.read_bucketed(spark, name).collect()}
     spark.sql(f"DROP TABLE `{name}`")
     assert got[3] == "U" and got[100] == "N" and len(got) == 51
+
+
+def test_mor_crash_race_replay_self_heals(spark, tmp_path, monkeypatch):
+    """The one crash window the CAS protocol can't close alone: the MOR
+    publish lands, the process dies BEFORE the barrier guard, and a
+    compactor that listed BEFORE the publish wins the next snapshot —
+    the tombstones go void (dead basenames) and the superseded versions
+    resurrect. A replay of the same batch id must detect the void DV
+    from manifest metadata and re-tombstone the resurrected copies."""
+    import json
+    import os
+    import uuid
+
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    upd = _kv(spark, [(5, "U"), (150, "U"), (900, "N")])
+
+    # the racing compactor's listing happens FIRST (pre-publish state)
+    pre_manifests = sink._visible_manifests()
+    pre_batch_ids = sink.committed_ids()
+
+    # MOR publish that "crashes" between the dv CAS and the barrier CAS
+    def crash(_prior):
+        raise RuntimeError("simulated crash before barrier")
+
+    monkeypatch.setattr(sink, "_create_barrier_snapshot", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink.upsert_mor(spark, upd, keys=["k"], batch_id=9)
+    monkeypatch.undo()
+
+    # the racing compactor now materializes its PRE-PUBLISH listing and
+    # wins snapshot-0 (it saw neither the dv nor the insert batch)
+    new_dir = f"compacted-0-{uuid.uuid4().hex[:12]}"
+    out_dir = os.path.join(sink.root, "data", new_dir)
+    paths = [os.path.join(sink.root, "data", m["dir"]) for m in pre_manifests]
+    spark.read.schema(sink.schema()).parquet(*paths).coalesce(1).write.parquet(out_dir)
+    assert sink._atomic_create(
+        os.path.join(sink.root, "_commits", "snapshot-0.json"),
+        json.dumps(
+            {"index": 0, "compacted_dirs": [new_dir], "absorbed_batch_ids": pre_batch_ids,
+             "absorbed_dv_ids": []}  # no per-file stats: readers list the dir
+        ),
+    )
+
+    # resurrection: matched keys now appear TWICE (compacted old + MOR new)
+    dup = (
+        sink.read(spark).groupBy("k").count().filter("count > 1").count()
+    )
+    assert dup == 2, "the void-DV window must resurrect the superseded versions"
+    assert sink._mor_needs_repair(9)
+
+    # replaying the batch self-heals: resurrected copies re-tombstoned
+    res = sink.upsert_mor(spark, upd, keys=["k"], batch_id=9)
+    assert res is not None and res[1] == 2
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "U" and got[150] == "U" and got[900] == "N" and len(got) == 201
+    assert not sink._mor_needs_repair(9)
+    # and a further replay is the normal cheap short-circuit
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=9) is None
