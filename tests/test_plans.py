@@ -675,3 +675,18 @@ def test_q219_governed_bucketed_pipeline_has_no_key_exchange(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q223_span_removal_hashes_exchange_no_pairs(spark, sf_dir):
+    """q223's first-occurrence election must exchange on xxhash64(chunk)
+    (8-byte keys, distinct-chunk key space), never pair docs against
+    docs: no cartesian/NestedLoop, exactly one row_number window, and a
+    projection-pipeline chunker (Generate, no join before the window)."""
+    plan = _plan(spark, sf_dir, "q223_repeated_span_removal")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("RunningWindowFunction") <= 1  # format guard: may not appear
+    assert "xxhash64" in plan
+    assert "row_number" in plan
+    # one Generate per explode stage (chunk tiling), join only for the
+    # per-doc reassembly (base LEFT JOIN per_doc on doc_id)
+    assert plan.count("Generate") <= 2
