@@ -1767,7 +1767,14 @@ def q221_sink_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
 
-    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    # one parquet read: src feeds 4 batch filters, 2 update builds, 2
+    # matched-key counts and the MOR planning passes — the multi-consumer
+    # barrier rule (eager localCheckpoint, the q218 pipeline precedent)
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint(eager=True)
+    )
     hi = src.agg(F.max("o_orderkey")).first()[0]
     step = (hi + 4) // 4
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q221_")
