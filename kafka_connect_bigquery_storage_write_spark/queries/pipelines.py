@@ -2027,3 +2027,99 @@ def q224_consumer_aware_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return _finalize(out, root)
+
+
+@query(
+    "q225_sink_binpack_optimize",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderkey) AS mk,
+                       CAST(floor((max(o_orderkey) + 4) / 4.0) AS BIGINT) AS step
+                FROM orders),
+    cur AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CASE WHEN o.o_orderkey < h.step AND o.o_orderkey % 19 = 0
+                  THEN CAST(o.o_orderkey AS DOUBLE) * 2.0
+                  ELSE o.o_totalprice END AS p
+      FROM orders o, hi h
+      UNION ALL
+      SELECT h.mk + g.i, 'Z', CAST(g.i AS DOUBLE) * 0.5
+      FROM hi h, generate_series(1, 40) g(i)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM cur
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q225_sink_binpack_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL small-file compaction made driver-visible (the Delta
+    OPTIMIZE binpack shape — the maintenance pass the MOR write path
+    leans on): orders land as ONE well-sized batch plus EIGHT tiny
+    appends (streaming litter), then a MOR upsert (keys % 19 doubled,
+    40 fresh keys) adds a ninth small file and a tombstone set.
+    ``compact_small_files`` must merge exactly the litter and the
+    tombstoned big file — asserted in-query from its
+    (snapshot, merged, kept) result — absorb the DV, and leave the
+    well-sized files' CONTENT reachable with zone-map stats intact
+    (a point-read file-count pin). ``compact()`` would have rewritten
+    the whole table; at 100 TB this pass is what runs hourly. The
+    read-back aggregate must equal the SQL CASE+UNION emulation.
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .localCheckpoint(eager=True)
+    )
+    hi = src.agg(F.max("o_orderkey")).first()[0]
+    step = (hi + 4) // 4
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q225_")
+    sink = ManifestSinkTable(f"{root}/orders", write_mode="committed")
+    for b in range(4):  # four well-sized disjoint key-range base files
+        sink.write_batch(
+            src.filter((F.col("o_orderkey") >= b * step) & (F.col("o_orderkey") < (b + 1) * step)).coalesce(1),
+            b,
+        )
+    for b in range(4, 12):  # eight tiny appends (streaming litter)
+        sink.write_batch(
+            spark.range(1, 6).select(
+                (F.col("id") + hi + (b - 4) * 5).alias("o_orderkey"),
+                F.lit("Z").alias("o_orderstatus"),
+                ((F.col("id") + (b - 4) * 5).cast("double") * 0.5).alias("o_totalprice"),
+            ).coalesce(1),
+            b,
+        )
+    # MOR upsert CONFINED to base range 1: exactly one base file gains
+    # tombstones (zone maps prove ranges 2-4 untouched)
+    upd = src.filter((F.col("o_orderkey") < step) & (F.col("o_orderkey") % 19 == 0)).withColumn(
+        "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
+    )
+    assert sink.upsert_mor(spark, upd, keys=["o_orderkey"], batch_id=12) is not None
+    # threshold scales with the data: half a base file's rows, so the four
+    # range files read as well-sized at every sf while the litter is small
+    small = max(20, src.count() // 8)
+    res = sink.compact_small_files(spark, small_rows=small, target_files=1)
+    assert res is not None, "binpack lost the snapshot CAS unexpectedly"
+    _snap, n_merged, n_kept = res
+    # merged: 8 tiny + the MOR batch file + the ONE tombstoned base file
+    # -> 1 output file; kept: the three untouched well-sized base files
+    assert (n_merged, n_kept) == (1, 3), res
+    assert not sink.visible_dvs(), "binpack must absorb the tombstones it rewrites"
+    assert sink.compact_small_files(spark, small_rows=small) is None, (
+        "steady state: a second pass must find nothing to merge"
+    )
+    out = (
+        sink.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").alias("total"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return _finalize(out, root)

@@ -1071,6 +1071,126 @@ class ManifestSinkTable:
             return None
         return n_snap
 
+    def compact_small_files(
+        self,
+        spark: SparkSession,
+        small_rows: int = 100_000,
+        target_files: int = 1,
+        order_by: list[str] | None = None,
+    ) -> tuple[int, int, int] | None:
+        """INCREMENTAL compaction (the Delta OPTIMIZE binpack shape):
+        merge only the files with fewer than ``small_rows`` rows —
+        the steady-state litter of streaming appends and MOR upserts —
+        and pointer-copy every already-well-sized file with its stats.
+        ``compact()`` is O(table) every run; under continuous ingest the
+        table re-pays a full rewrite per maintenance cycle even though
+        yesterday's compacted files never changed. This pass is
+        O(small files + tombstoned files), which is what a 100-TB table
+        runs hourly.
+
+        Delete-vector interplay: files referenced by visible DVs join
+        the rewrite set regardless of size (pointer copies rename,
+        which would orphan the DV's basenames), and the new snapshot
+        absorbs those DVs — so the pass doubles as cheap tombstone
+        absorption for MOR-heavy tables. File row counts come from the
+        manifest; legacy entries without counts are treated as small
+        (merged — never wrong, their stats are unknown anyway).
+        ``order_by`` clusters the MERGED OUTPUT only (range partition +
+        in-file sort); pointer-copied files keep their layout. Bucketed
+        tables binpack through the bucket-preserving write seam.
+        Returns ``(snapshot_index, n_merged, n_pointer_copied)`` or
+        None when there is nothing to do (≤1 small file and no pending
+        DVs) or the snapshot CAS was lost.
+        """
+        import shutil
+
+        if self.bucket_spec is not None and order_by:
+            raise ValueError("bucketed tables cluster by bucket_spec; order_by unsupported")
+        manifests = self._visible_manifests()
+        if not manifests:
+            return None
+        batch_ids = self.committed_ids()
+        _prior, absorbed = self._snapshot_state()
+        snap = self._latest_snapshot()
+        n_snap = (snap["index"] + 1) if snap else 0
+        dvs = self.visible_dvs()
+        dv_files = {f for d in dvs for f in d.get("files", [])}
+        new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.root, "data", new_dir)
+        kept_entries: list[dict] = []
+        cand_paths: list[str] = []
+        plan: list[tuple[dict, str]] = []  # (entry, base) -> decided below
+        for m in manifests:
+            base = os.path.join(self.root, "data", m["dir"])
+            entries = m["files"]
+            if entries is None:
+                entries = [
+                    {"name": f, "rows": None, "stats": {}}
+                    for f in sorted(os.listdir(base))
+                    if f.endswith(".parquet")
+                ]
+            for e in entries:
+                plan.append((e, base))
+        small = [
+            (e, base)
+            for e, base in plan
+            if e.get("rows") is None or e["rows"] < small_rows or e["name"] in dv_files
+        ]
+        if len(small) <= 1 and not dvs:
+            return None  # nothing worth merging, no tombstones to absorb
+        os.makedirs(out_dir, exist_ok=True)
+        k = 0
+        small_set = {id(e) for e, _ in small}
+        for e, base in plan:
+            if id(e) in small_set:
+                cand_paths.append(os.path.join(base, e["name"]))
+            else:
+                name = e["name"] if self.bucket_spec is not None else f"keep-{k:05d}.parquet"
+                k += 1
+                os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
+                kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
+                for carry in ("bloom", "nulls", "sums", "bucket"):
+                    if e.get(carry):
+                        kept[carry] = e[carry]
+                kept_entries.append(kept)
+        kept_names = {e["name"] for e in kept_entries}
+        if cand_paths:
+            merged = spark.read.schema(self.schema()).parquet(*cand_paths)
+            if dvs:
+                merged = self._apply_dv(merged, self._dv_relation(spark, dvs)).select(
+                    *[f.name for f in self.schema().fields]
+                )
+            tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
+            if order_by and self.bucket_spec is None:
+                merged = merged.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
+                merged.write.mode("overwrite").parquet(tmp_out)
+            else:
+                self._write_datafiles(merged, tmp_out, target_files=target_files)
+            for f in sorted(os.listdir(tmp_out)):
+                if f.endswith(".parquet"):
+                    os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
+            shutil.rmtree(tmp_out, ignore_errors=True)
+        rewritten = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
+        )
+        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
+        created = self._atomic_create(
+            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
+            json.dumps(
+                {
+                    "index": n_snap,
+                    "compacted_dirs": [new_dir],
+                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
+                    "files": {new_dir: file_entries},
+                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
+                }
+            ),
+        )
+        if not created:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        return n_snap, len(rewritten), len(kept_entries)
+
     # -- merge-on-read delete vectors (Iceberg v2 / Delta DV model) --------
     #
     # delete_where_pruned (file-level COW) still REWRITES every straddling

@@ -1477,3 +1477,51 @@ def test_diff_keys_only_rejects_duplicate_keys(spark, tmp_path):
     d = sink.diff(spark, from_batch_id=0, key_cols=["k", "v"])  # lazy
     with _pytest.raises(Exception, match="duplicate keys"):
         d.collect()
+
+
+def test_compact_small_files_binpacks_only_the_litter(spark, tmp_path):
+    """Incremental OPTIMIZE: small files merge, well-sized files pointer-
+    copy BY CONTENT STATS (no data movement), tombstones absorb."""
+    import os
+
+    from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    big = spark.createDataFrame([(i, "b") for i in range(500)], "k long, v string")
+    sink.write_batch(big.coalesce(1), 0)
+    for b in range(1, 6):  # five tiny appends (streaming litter)
+        sink.write_batch(
+            spark.createDataFrame([(1000 + b * 10 + i, "s") for i in range(3)], "k long, v string").coalesce(1),
+            b,
+        )
+    before = sorted((r["k"], r["v"]) for r in sink.read(spark).collect())
+    big_names = {
+        os.path.basename(p) for p in sink.visible_files([("k", "<", 500)])
+    }
+    res = sink.compact_small_files(spark, small_rows=100)
+    assert res is not None
+    _snap, n_merged, n_kept = res
+    assert (n_merged, n_kept) == (1, 1), res  # 5 tiny files -> 1; big file kept
+    assert sorted((r["k"], r["v"]) for r in sink.read(spark).collect()) == before
+    # stats survive the pointer copy: pruning still works
+    assert len(sink.visible_files([("k", "==", 1011)])) == 1
+    # idempotent steady state: nothing left to merge
+    assert sink.compact_small_files(spark, small_rows=100) is None
+
+
+def test_compact_small_files_absorbs_tombstones(spark, tmp_path):
+    """Files referenced by visible DVs join the rewrite set regardless of
+    size, and the pass absorbs the DVs — cheap MOR maintenance."""
+    from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    big = spark.createDataFrame([(i, "b") for i in range(500)], "k long, v string")
+    sink.write_batch(big.coalesce(1), 0)
+    assert sink.upsert_mor(
+        spark, spark.createDataFrame([(5, "U")], "k long, v string"), keys=["k"], batch_id=1
+    ) is not None
+    res = sink.compact_small_files(spark, small_rows=100)
+    assert res is not None and not sink.visible_dvs()
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "U" and len(got) == 500
+    assert sink.stats_agg(["k"])["rows"] == 500  # stats-only path restored
