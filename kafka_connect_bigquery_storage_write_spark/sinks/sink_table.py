@@ -2422,6 +2422,30 @@ class ManifestSinkTable:
                 continue
             shutil.rmtree(full)
             removed.append(rel)
+        # logged change sets (_changes/, written by log_changes for merge
+        # batches): no snapshot ever absorbs them, so the ONLY supersession
+        # signal is a registered consumer cursor — with registrations,
+        # reclaim the sets every cursor has passed; with none, keep them
+        # (the documented feed contract: a change source lives until the
+        # slowest consumer has it, and an unregistered lagging consumer
+        # still fails loudly rather than silently losing rows). A consumer
+        # registering AFTER reclaim bootstraps from the table state, the
+        # standard CDC snapshot-then-follow rule.
+        if consumers:
+            ch_root = os.path.join(self.root, "_changes")
+            if os.path.isdir(ch_root):
+                logged = self._change_commits()
+                keep_dirs = {d["dir"] for b, d in logged.items() if b > min_after}
+                committed_ch = {d["dir"] for d in logged.values()}
+                for d in os.listdir(ch_root):
+                    rel = os.path.join("_changes", d)
+                    full = os.path.join(ch_root, d)
+                    if rel in keep_dirs:
+                        continue
+                    if rel not in committed_ch and not _old_enough(full):
+                        continue  # crashed log attempt: retention decides
+                    shutil.rmtree(full)
+                    removed.append(rel)
         # bucketed-read snapshot dirs are hardlink views for in-flight
         # catalog scans: reclaim past the retention window (same rule as
         # unreferenced attempt dirs — a reader older than retention is out

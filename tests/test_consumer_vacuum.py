@@ -126,3 +126,28 @@ def test_registry_survives_consumer_restart(spark, tmp_path):
     assert src.compact(spark) is not None
     removed = src.vacuum(retention_s=0.0)
     assert {r for r in removed if r.startswith("batch=")} == {"batch=0", "batch=1", "batch=2"}
+
+
+def test_vacuum_reclaims_consumed_change_logs(spark, tmp_path):
+    """Logged merge change sets (_changes/) have no absorption signal;
+    registered cursors are their supersession — consumed sets reclaim,
+    unconsumed ones survive, and with no registrations nothing moves."""
+    src = _sink(spark, tmp_path / "src", n_batches=1)
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    upd = _kv(spark, [(3, "U")])
+    assert src.merge_rows_pruned(spark, upd, keys=["k"], op_id="b1") is not None
+    assert src.log_changes(upd, 1)
+    # registered but lagging: batch dirs AND the change log are pinned
+    removed = src.vacuum(retention_s=0.0)
+    assert not any(r.startswith(("_changes/", "batch=")) for r in removed)
+    assert consumer.run_available_now(spark) == 2
+    removed = src.vacuum(retention_s=0.0)
+    assert any(r.startswith("_changes/") for r in removed)
+    assert _content(src, spark) == _content(tgt, spark)
+    # no registrations: a fresh logged change set is untouchable again
+    consumer.deregister()
+    upd2 = _kv(spark, [(4, "V")])
+    assert src.merge_rows_pruned(spark, upd2, keys=["k"], op_id="b2") is not None
+    assert src.log_changes(upd2, 2)
+    assert not any(r.startswith("_changes/") for r in src.vacuum(retention_s=0.0))
