@@ -970,6 +970,114 @@ class ManifestSinkTable:
 
         return self.rewrite(spark, _drop, target_files=target_files, order_by=order_by)
 
+    # -- shared rewrite mechanics (one listing, pointer copies, the commit) --
+
+    def _visible_state(self) -> tuple[list[dict], list[int], set[int], dict | None]:
+        """ONE consistent listing for every rewrite path: (visible
+        manifests, visible batch ids, absorbed ids, latest snapshot).
+        The snapshot is read FIRST, then the commit log — a batch
+        committing between the two reads is then included in BOTH the
+        data and the absorbed set, and a snapshot landing between them
+        only makes this rewrite's own CAS lose (safe). The reverse
+        order could mark a freshly committed batch absorbed WITHOUT
+        merging its rows — silent data loss (round-11 review)."""
+        snap = self._latest_snapshot()
+        compacted = list((snap or {}).get("compacted_dirs", []))
+        absorbed = set((snap or {}).get("absorbed_batch_ids", []))
+        committed = self._committed_manifests()
+        batch_ids = sorted(set(committed) - absorbed)
+        manifests = [
+            {"dir": d, "files": ((snap or {}).get("files") or {}).get(d)} for d in compacted
+        ]
+        manifests += [committed[i] for i in batch_ids]
+        return manifests, batch_ids, absorbed, snap
+
+    @staticmethod
+    def _listed_entries(manifests: list[dict], root: str) -> list[tuple[dict, str]]:
+        """(file entry, base dir) for every file of a listing; legacy
+        manifests without per-file stats synthesize keep-everything
+        entries from a directory listing."""
+        plan: list[tuple[dict, str]] = []
+        for m in manifests:
+            base = os.path.join(root, "data", m["dir"])
+            entries = m["files"]
+            if entries is None:
+                entries = [
+                    {"name": f, "rows": None, "stats": {}}
+                    for f in sorted(os.listdir(base))
+                    if f.endswith(".parquet")
+                ]
+            for e in entries:
+                plan.append((e, base))
+        return plan
+
+    @staticmethod
+    def _pointer_copy(e: dict, base: str, out_dir: str) -> dict:
+        """Hardlink an untouched file into the new layout KEEPING its
+        basename, carrying every manifest stat. Basenames originate from
+        Spark part-file writes (job-uuid-unique table-wide), so a
+        pointer copy can never collide — and because both content and
+        name survive, any delete vector referencing the file stays VALID
+        across the copy (the former deterministic ``keep-NNNNN`` rename
+        could reuse a name across snapshots and silently mis-target a
+        stale DV's tombstones — round-11 review)."""
+        os.link(os.path.join(base, e["name"]), os.path.join(out_dir, e["name"]))
+        kept = {"name": e["name"], "rows": e.get("rows"), "stats": e.get("stats") or {}}
+        for carry in ("bloom", "nulls", "sums", "bucket"):
+            if e.get(carry):
+                kept[carry] = e[carry]
+        return kept
+
+    def _commit_rewrite_snapshot(
+        self,
+        n_snap: int,
+        new_dir: str,
+        file_entries: list[dict],
+        batch_ids: list[int],
+        absorbed: set[int],
+        dvs: list[dict],
+    ) -> bool:
+        """The snapshot CAS every rewrite path publishes through."""
+        return self._atomic_create(
+            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
+            json.dumps(
+                {
+                    "index": n_snap,
+                    "compacted_dirs": [new_dir],
+                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
+                    "files": {new_dir: file_entries},
+                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
+                }
+            ),
+        )
+
+    def _repair_void_mors(self, spark: SparkSession) -> None:
+        """Pre-rewrite self-heal (round-11 review): a VOID mor DV that a
+        rewrite lists and absorbs is applied as a NO-OP (dead basenames),
+        which would bake the resurrected superseded versions into the new
+        layout permanently and clear the void signal the replay repair
+        keys on. So every rewrite path first repairs any void MOR publish
+        it can see — the lost tombstones are re-derived from the batch's
+        own persisted rows via ``upsert_mor``'s repair branch (key columns
+        ride in the dv commit)."""
+        seen: set[int] = set()
+        for i, d in sorted(self._dv_commits().items()):
+            ins = d.get("insert")
+            if not d.get("mor") or not ins:
+                continue
+            b = int(ins["batch_id"])
+            if b in seen:
+                continue
+            seen.add(b)
+            if self._mor_needs_repair(b):
+                keys = d.get("keys")
+                if not keys:
+                    raise ValueError(
+                        f"void MOR delete vector {i} (batch {b}) predates key "
+                        "recording; replay the batch via upsert_mor before rewriting"
+                    )
+                self.upsert_mor(spark, None, keys=list(keys), batch_id=b)
+
     def delete_where_pruned(self, spark: SparkSession, where: list[tuple], target_files: int = 2) -> int | None:
         """FILE-LEVEL copy-on-write DELETE: zone maps pick the candidate
         files (exactly ``visible_files(where)``); only those are read,
@@ -991,17 +1099,15 @@ class ManifestSinkTable:
         for _c, op, _v in where:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
-        # one listing drives everything (the compact() rule)
-        manifests = self._visible_manifests()
+        self._repair_void_mors(spark)
+        # one consistent listing drives everything (the _visible_state rule)
+        manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
-        batch_ids = self.committed_ids()
-        _prior, absorbed = self._snapshot_state()
-        snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
         # visible delete vectors: files they reference must be REWRITTEN
-        # (pointer-copied files get new names, which would orphan the DV
-        # and resurrect its rows), and the new snapshot absorbs the DVs
+        # (their tombstones die with the rewrite), and the new snapshot
+        # absorbs the DVs
         dvs = self.visible_dvs()
         dv_files = {f for d in dvs for f in d.get("files", [])}
         new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
@@ -1009,28 +1115,11 @@ class ManifestSinkTable:
         os.makedirs(out_dir, exist_ok=True)
         kept_entries: list[dict] = []
         cand_paths: list[str] = []
-        k = 0
-        for m in manifests:
-            base = os.path.join(self.root, "data", m["dir"])
-            entries = m["files"]
-            if entries is None:
-                entries = [{"name": f, "rows": None, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
-            for e in entries:
-                if _entry_may_match(e, where) or e["name"] in dv_files:
-                    cand_paths.append(os.path.join(base, e["name"]))
-                else:
-                    # untouched: pointer-copy (hardlink) + stats/bloom
-                    # carryover. Bucketed tables keep the ORIGINAL name —
-                    # the bucket id lives in it (uuid part names cannot
-                    # collide); everything else gets a keep- name.
-                    name = e["name"] if self.bucket_spec is not None else f"keep-{k:05d}.parquet"
-                    k += 1
-                    os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
-                    kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
-                    for carry in ("bloom", "nulls", "sums", "bucket"):  # pointer copy keeps ALL stats
-                        if e.get(carry):
-                            kept[carry] = e[carry]
-                    kept_entries.append(kept)
+        for e, base in self._listed_entries(manifests, self.root):
+            if _entry_may_match(e, where) or e["name"] in dv_files:
+                cand_paths.append(os.path.join(base, e["name"]))
+            else:
+                kept_entries.append(self._pointer_copy(e, base, out_dir))
         kept_names = {e["name"] for e in kept_entries}
         if cand_paths:
             cond = None
@@ -1054,19 +1143,7 @@ class ManifestSinkTable:
             f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
         )
         file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
-        created = self._atomic_create(
-            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
-            json.dumps(
-                {
-                    "index": n_snap,
-                    "compacted_dirs": [new_dir],
-                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
-                    "files": {new_dir: file_entries},
-                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
-                }
-            ),
-        )
-        if not created:
+        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
             shutil.rmtree(out_dir, ignore_errors=True)
             return None
         return n_snap
@@ -1106,12 +1183,10 @@ class ManifestSinkTable:
 
         if self.bucket_spec is not None and order_by:
             raise ValueError("bucketed tables cluster by bucket_spec; order_by unsupported")
-        manifests = self._visible_manifests()
+        self._repair_void_mors(spark)
+        manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
-        batch_ids = self.committed_ids()
-        _prior, absorbed = self._snapshot_state()
-        snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
         dvs = self.visible_dvs()
         dv_files = {f for d in dvs for f in d.get("files", [])}
@@ -1119,40 +1194,20 @@ class ManifestSinkTable:
         out_dir = os.path.join(self.root, "data", new_dir)
         kept_entries: list[dict] = []
         cand_paths: list[str] = []
-        plan: list[tuple[dict, str]] = []  # (entry, base) -> decided below
-        for m in manifests:
-            base = os.path.join(self.root, "data", m["dir"])
-            entries = m["files"]
-            if entries is None:
-                entries = [
-                    {"name": f, "rows": None, "stats": {}}
-                    for f in sorted(os.listdir(base))
-                    if f.endswith(".parquet")
-                ]
-            for e in entries:
-                plan.append((e, base))
-        small = [
-            (e, base)
-            for e, base in plan
+        plan = self._listed_entries(manifests, self.root)
+        small_set = {
+            id(e)
+            for e, _base in plan
             if e.get("rows") is None or e["rows"] < small_rows or e["name"] in dv_files
-        ]
-        if len(small) <= 1 and not dvs:
+        }
+        if len(small_set) <= 1 and not dvs:
             return None  # nothing worth merging, no tombstones to absorb
         os.makedirs(out_dir, exist_ok=True)
-        k = 0
-        small_set = {id(e) for e, _ in small}
         for e, base in plan:
             if id(e) in small_set:
                 cand_paths.append(os.path.join(base, e["name"]))
             else:
-                name = e["name"] if self.bucket_spec is not None else f"keep-{k:05d}.parquet"
-                k += 1
-                os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
-                kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
-                for carry in ("bloom", "nulls", "sums", "bucket"):
-                    if e.get(carry):
-                        kept[carry] = e[carry]
-                kept_entries.append(kept)
+                kept_entries.append(self._pointer_copy(e, base, out_dir))
         kept_names = {e["name"] for e in kept_entries}
         if cand_paths:
             merged = spark.read.schema(self.schema()).parquet(*cand_paths)
@@ -1174,19 +1229,7 @@ class ManifestSinkTable:
             f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
         )
         file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
-        created = self._atomic_create(
-            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
-            json.dumps(
-                {
-                    "index": n_snap,
-                    "compacted_dirs": [new_dir],
-                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
-                    "files": {new_dir: file_entries},
-                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
-                }
-            ),
-        )
-        if not created:
+        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
             shutil.rmtree(out_dir, ignore_errors=True)
             return None
         return n_snap, len(rewritten), len(kept_entries)
@@ -1829,13 +1872,11 @@ class ManifestSinkTable:
                 self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
             return None
 
-        # --- one listing drives everything (the delete_where_pruned rule) -
-        manifests = self._visible_manifests()
+        self._repair_void_mors(spark)
+        # --- one consistent listing drives everything (_visible_state) ----
+        manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
-        batch_ids = self.committed_ids()
-        _prior, absorbed = self._snapshot_state()
-        snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
         dvs = self.visible_dvs()
         dv_files = {f for d in dvs for f in d.get("files", [])}
@@ -1844,26 +1885,11 @@ class ManifestSinkTable:
         os.makedirs(out_dir, exist_ok=True)
         kept_entries: list[dict] = []
         cand_paths: list[str] = []
-        k = 0
-        for m in manifests:
-            base = os.path.join(self.root, "data", m["dir"])
-            entries = m["files"]
-            if entries is None:
-                entries = [{"name": f, "rows": None, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
-            for e in entries:
-                if _touched(e) or e["name"] in dv_files:
-                    cand_paths.append(os.path.join(base, e["name"]))
-                else:
-                    # bucketed tables keep the ORIGINAL (bucket-id-bearing)
-                    # name; uuid part names cannot collide
-                    name = e["name"] if self.bucket_spec is not None else f"keep-{k:05d}.parquet"
-                    k += 1
-                    os.link(os.path.join(base, e["name"]), os.path.join(out_dir, name))
-                    kept = {"name": name, "rows": e.get("rows"), "stats": e.get("stats") or {}}
-                    for carry in ("bloom", "nulls", "sums", "bucket"):
-                        if e.get(carry):
-                            kept[carry] = e[carry]
-                    kept_entries.append(kept)
+        for e, base in self._listed_entries(manifests, self.root):
+            if _touched(e) or e["name"] in dv_files:
+                cand_paths.append(os.path.join(base, e["name"]))
+            else:
+                kept_entries.append(self._pointer_copy(e, base, out_dir))
         kept_names = {e["name"] for e in kept_entries}
         if delete and not cand_paths:
             # no visible file can hold any delete key: whole op is a no-op
@@ -1899,19 +1925,7 @@ class ManifestSinkTable:
             f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
         )
         file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
-        created = self._atomic_create(
-            os.path.join(self.root, "_commits", f"snapshot-{n_snap}.json"),
-            json.dumps(
-                {
-                    "index": n_snap,
-                    "compacted_dirs": [new_dir],
-                    "absorbed_batch_ids": sorted(absorbed | set(batch_ids)),
-                    "files": {new_dir: file_entries},
-                    "absorbed_dv_ids": sorted(self._absorbed_dv_ids() | {d["index"] for d in dvs}),
-                }
-            ),
-        )
-        if not created:
+        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
             shutil.rmtree(out_dir, ignore_errors=True)
             return None
         if marker:
@@ -2136,6 +2150,10 @@ class ManifestSinkTable:
                             "files": files_ref,
                             "mor": True,
                             "insert": None if published else insert_manifest,
+                            # key columns ride in the commit so a rewrite
+                            # can re-derive lost tombstones from the batch
+                            # dir alone (_repair_void_mors)
+                            "keys": list(keys),
                             "read_snapshot": prior["index"] if prior else -1,
                             # the DV applies exactly from this batch onward:
                             # travel to batch_id sees inserts + tombstones,
@@ -2184,8 +2202,9 @@ class ManifestSinkTable:
             # bucketed tables cluster by their bucket spec — a competing
             # order would silently destroy the co-located-join layout
             raise ValueError("bucketed tables cluster by bucket_spec; order_by/zorder_by unsupported")
-        batch_ids = self.committed_ids()
-        prior_dirs, absorbed = self._snapshot_state()
+        self._repair_void_mors(spark)
+        manifests, batch_ids, absorbed, snap = self._visible_state()
+        prior_dirs = list((snap or {}).get("compacted_dirs", []))
         pending_dvs = self.visible_dvs()
         # a single data dir normally needs no compaction — unless delete
         # vectors are pending, whose absorption is itself the point
@@ -2193,20 +2212,18 @@ class ManifestSinkTable:
             return None
         if len(batch_ids) + len(prior_dirs) == 0:
             return None
-        snap = self._latest_snapshot()
         n_snap = (snap["index"] + 1) if snap else 0
         # attempt-unique output dir (same rule as batch appends): two
         # compactors racing the same snapshot index write disjoint
         # directories, and only the snapshot-CAS winner's is referenced
         new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
-        # Merge exactly the single listing captured above — NOT self.read(),
+        # Merge exactly the ONE listing captured above — NOT self.read(),
         # which would re-list committed ids: a batch committed concurrently
-        # between the two listings would be merged into the compacted dir yet
-        # missing from absorbed_batch_ids, double-counting its rows after the
-        # snapshot. One listing drives both the data and the absorbed set.
-        entries = self._committed_entries()
-        paths = [os.path.join(self.root, "data", d) for d in prior_dirs]
-        paths += [os.path.join(self.root, "data", entries[i]) for i in batch_ids]
+        # between two listings would be merged into the compacted dir yet
+        # missing from absorbed_batch_ids, double-counting its rows after
+        # the snapshot (_visible_state makes the data and absorbed sets one
+        # read).
+        paths = [os.path.join(self.root, "data", m["dir"]) for m in manifests]
         merged = spark.read.schema(self.schema()).parquet(*paths)
         # apply-and-absorb visible delete vectors: without this, the
         # rewrite would resurrect tombstoned rows into the new snapshot.

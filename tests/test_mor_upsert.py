@@ -250,3 +250,47 @@ def test_mor_crash_race_replay_self_heals(spark, tmp_path, monkeypatch):
     assert not sink._mor_needs_repair(9)
     # and a further replay is the normal cheap short-circuit
     assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=9) is None
+
+
+def test_rewrite_repairs_void_mor_before_absorbing(spark, tmp_path, monkeypatch):
+    """Round-11 review: if a compaction runs BEFORE the crashed MOR batch
+    is replayed, it must not absorb the void DV as a no-op (which would
+    bake the resurrected duplicates in permanently) — every rewrite path
+    first self-heals the void publish from the keys recorded in the dv
+    commit."""
+    import json
+    import os
+    import uuid
+
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    upd = _kv(spark, [(5, "U"), (150, "U"), (900, "N")])
+    pre_manifests = sink._visible_manifests()
+    pre_batch_ids = sink.committed_ids()
+
+    def crash(_prior):
+        raise RuntimeError("simulated crash before barrier")
+
+    monkeypatch.setattr(sink, "_create_barrier_snapshot", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink.upsert_mor(spark, upd, keys=["k"], batch_id=9)
+    monkeypatch.undo()
+    new_dir = f"compacted-0-{uuid.uuid4().hex[:12]}"
+    paths = [os.path.join(sink.root, "data", m["dir"]) for m in pre_manifests]
+    spark.read.schema(sink.schema()).parquet(*paths).coalesce(1).write.parquet(
+        os.path.join(sink.root, "data", new_dir)
+    )
+    assert sink._atomic_create(
+        os.path.join(sink.root, "_commits", "snapshot-0.json"),
+        json.dumps(
+            {"index": 0, "compacted_dirs": [new_dir], "absorbed_batch_ids": pre_batch_ids,
+             "absorbed_dv_ids": []}
+        ),
+    )
+    assert sink._mor_needs_repair(9)
+    # a maintenance compaction arrives FIRST (no replay yet): it must
+    # repair, then absorb — never bake the duplicates in
+    assert sink.compact(spark) is not None
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "U" and got[150] == "U" and got[900] == "N" and len(got) == 201
+    assert not sink._mor_needs_repair(9)
+    assert not sink.visible_dvs()

@@ -709,13 +709,16 @@ def test_delete_where_pruned_rewrites_only_candidate_files(spark, tmp_path):
     snap = sink.delete_where_pruned(spark, [("k", ">=", 150), ("k", "<", 170)])
     assert snap is not None
     after = sink.visible_files()
-    kept = [p for p in after if os.path.basename(p).startswith("keep-")]
-    rewritten = [p for p in after if not os.path.basename(p).startswith("keep-")]
+    # pointer copies keep their ORIGINAL basenames (round 11: stale-DV
+    # safety needs table-wide basename uniqueness) — kept vs rewritten
+    # distinguishes by inode identity with the originals
+    orig_inodes = set(inode_before.values())
+    kept = [p for p in after if os.stat(p).st_ino in orig_inodes]
+    rewritten = [p for p in after if os.stat(p).st_ino not in orig_inodes]
     assert len(kept) == 16 - len(cand)
     assert len(rewritten) <= 2  # coalesce(target_files=2) of the survivors
-    # pointer copy, not data copy: kept files share inodes with originals
-    orig_inodes = set(inode_before.values())
-    assert all(os.stat(p).st_ino in orig_inodes for p in kept)
+    # pointer copy preserved names too (content identity by name survives)
+    assert {os.path.basename(p) for p in kept} <= set(inode_before)
 
     # answers correct and skipping still effective on the new layout
     assert sink.read(spark).count() == 800 - 20
