@@ -294,3 +294,31 @@ def test_rewrite_repairs_void_mor_before_absorbing(spark, tmp_path, monkeypatch)
     assert got[5] == "U" and got[150] == "U" and got[900] == "N" and len(got) == 201
     assert not sink._mor_needs_repair(9)
     assert not sink.visible_dvs()
+
+
+def test_rewrite_includes_batch_committed_mid_listing(spark, tmp_path, monkeypatch):
+    """Round-11 review: a batch whose marker CAS lands BETWEEN a rewrite's
+    snapshot read and its commit-log read must be merged AND absorbed —
+    the former listing order could mark it absorbed without merging its
+    rows (silent loss). The interleaving is forced by committing a batch
+    from inside the snapshot read."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    late = _kv(spark, [(999, "LATE")])
+    orig = sink._latest_snapshot
+    fired = {"done": False}
+
+    def sneaky():
+        snap = orig()
+        if not fired["done"]:
+            fired["done"] = True
+            sink.write_batch(late.coalesce(1), 7)
+        return snap
+
+    monkeypatch.setattr(sink, "_latest_snapshot", sneaky)
+    assert sink.compact_small_files(spark, small_rows=10**9) is not None
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got.get(999) == "LATE" and len(got) == 201, (
+        "the mid-listing batch must be merged, not absorbed-and-lost"
+    )
+    assert sink.committed_ids() == []  # and it IS absorbed by the snapshot
