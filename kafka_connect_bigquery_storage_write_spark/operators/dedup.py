@@ -1116,3 +1116,76 @@ def remove_repeated_spans(
     # concat_ws skips NULLs but not empty strings: trim the seam when one
     # side is empty so the join below is byte-stable
     return out.withColumn("clean_text", F.trim("clean_text"))
+
+
+def repeated_span_token_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """UNALIGNED repeated-span removal at token coverage grain — the
+    full-strength Lee et al. 2022 ExactSubstr semantic that
+    ``remove_repeated_spans``' aligned tiling approximates: windows of
+    ``window`` tokens slide at ``stride`` (1 = every offset), every
+    window whose text occurred EARLIER anywhere in the corpus (global
+    order = (doc id, start)) marks its token span as duplicate, and a
+    document keeps exactly the tokens covered by no such later
+    occurrence. A boilerplate block SHIFTED by one token — invisible to
+    aligned tiling — is caught at stride 1. Returns one row per input
+    document:
+
+        id_col, n_tokens, n_removed_tokens, clean_text
+
+    Exact at window-text grain (no sketching): carries a full DuckDB
+    oracle. Scale shape: window generation is a projection pipeline
+    (sequence + explode — ~n_tokens/stride windows of w tokens each,
+    the documented w/stride blow-up of unaligned matching); the
+    first-occurrence election is ONE row_number window keyed on
+    xxhash64(window text); coverage expansion emits (doc, pos) pairs
+    only for DUPLICATE windows (output-sensitive: cost follows how much
+    boilerplate exists, not corpus size); the kept-token reassembly is
+    a per-doc sort over surviving positions. Nothing pairs docs
+    against docs. A true suffix-array ExactSubstr finds arbitrary-
+    length repeats; fixed-window-at-stride-1 is its bounded map-reduce
+    restatement (windows >= w match exactly).
+    """
+    from pyspark.sql import Window
+
+    d = ensure_compute_parallelism(
+        df.select(
+            id_col,
+            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
+        )
+    ).withColumn("_n", F.size("_t"))
+    starts = F.when(
+        F.col("_n") >= window, F.sequence(F.lit(0), F.col("_n") - window, F.lit(stride))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = d.select(id_col, F.explode(starts).alias("s"), "_t").select(
+        id_col, "s", F.xxhash64(F.array_join(F.slice("_t", F.col("s") + 1, window), " ")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "s")
+    dup_wins = wins.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    covered = dup_wins.select(
+        id_col, F.explode(F.sequence(F.col("s"), F.col("s") + window - 1)).alias("p")
+    ).distinct()
+    toks = d.select(id_col, "_n", F.posexplode("_t").alias("p", "tok"))
+    kept = toks.join(covered, [id_col, "p"], "left_anti")
+    per_doc = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(F.struct("p", "tok"))), lambda x: x["tok"]),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        d.select(id_col, "_n")
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.col("_n").alias("n_tokens"),
+            (F.col("_n") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed_tokens"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -56,17 +56,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # unwindowed majority.
 #
 # Round-11 rotation (VERDICT r10 #5: burn the last r6 staleness): lead
-# with the FIVE queries new this round (q221 merge-on-read upserts,
+# with the SIX queries new this round (q221 merge-on-read upserts,
 # q222 CDC across schema evolution, q223 repeated-span removal, q224
-# consumer-aware vacuum, q225 binpack OPTIMIZE — zero official rows),
+# consumer-aware vacuum, q225 binpack OPTIMIZE, q226 unaligned span
+# removal — zero official rows),
 # then the COMPLETE r6-latest cohort: its 12 oracled stragglers plus
 # its 7 rows-only ANN queries — joined by the other two rows-only ANN
 # queries (q145 r7-latest, q175) — because all nine now carry IN-QUERY
 # recall/precision gates (VERDICT r10 #1): their official rows-only
 # record is no longer a silent pass but a live assert, and refreshing
-# them demonstrates the gates in the official window. The remaining 24
+# them demonstrates the gates in the official window. The remaining 23
 # slots refresh the r7-latest cohort in registration order. After this
-# round no query's newest official row is older than r7, and ~25 r7
+# round no query's newest official row is older than r7, and ~26 r7
 # oracled stragglers remain for the round-12 lead.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round (r11; zero official rows) ---
@@ -75,6 +76,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q223_repeated_span_removal",
     "q224_consumer_aware_vacuum",
     "q225_sink_binpack_optimize",
+    "q226_unaligned_span_removal",
     # --- r6-latest oracled stragglers (complete) ---
     "q111_key_skew_profile",
     "q114_series_outliers",
@@ -99,7 +101,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q92_semantic_dedup",
     "q145_pq_ann_topk",
     "q175_ivfpq_topk",
-    # --- r7-latest cohort, registration order (first 26) ---
+    # --- r7-latest cohort, registration order (first 23) ---
     "q136_bm25_ranking",
     "q137_repeated_passages",
     "q140_token_balanced_shards",
@@ -123,7 +125,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q18_date_functions",
     "q19_ship_delay",
     "q20_math_functions",
-    "q21_array_functions",
 )
 
 

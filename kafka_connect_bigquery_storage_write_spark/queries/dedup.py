@@ -729,3 +729,94 @@ def q223_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_removed").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q226_unaligned_span_removal",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_Q223_BANNER}' || ' ' || text
+                  WHEN doc_id % 7 = 0 THEN 'xx ' || '{_Q223_BANNER}' || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM corpus),
+    meta AS (SELECT doc_id, t, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 20), ' ') AS w
+      FROM meta, LATERAL (SELECT unnest(generate_series(0, n - 20, 1)) AS s) st
+      WHERE n >= 20
+    ),
+    dupw AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    covered AS (
+      SELECT DISTINCT doc_id, p
+      FROM dupw, LATERAL (SELECT unnest(generate_series(s, s + 19)) AS p) pp
+    ),
+    toklist AS (
+      SELECT m.doc_id, p.p - 1 AS p, t[p.p] AS tok
+      FROM meta m, LATERAL (SELECT unnest(generate_series(1, n)) AS p) p
+      WHERE n > 0
+    ),
+    kept AS (
+      SELECT tl.doc_id,
+             count(*) AS n_kept,
+             string_agg(tl.tok, ' ' ORDER BY tl.p) AS clean_text
+      FROM toklist tl
+      LEFT JOIN covered c ON c.doc_id = tl.doc_id AND c.p = tl.p
+      WHERE c.doc_id IS NULL
+      GROUP BY tl.doc_id
+    )
+    SELECT m.doc_id,
+           CAST(m.n AS BIGINT) AS n_tokens,
+           CAST(m.n - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed_tokens,
+           md5(coalesce(k.clean_text, '')) AS clean_md5
+    FROM meta m LEFT JOIN kept k USING (doc_id)
+    ORDER BY n_removed_tokens DESC, m.doc_id
+    LIMIT 20
+    """,
+)
+def q226_unaligned_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNALIGNED repeated-span removal (the full-strength Lee et al. 2022
+    surface; q223's aligned tiling is its cheap approximation): 20-token
+    windows slide at stride 1, every window whose text occurred EARLIER
+    anywhere in the corpus marks its span, and documents keep exactly
+    the uncovered tokens. The planted corpus proves the recall
+    difference: doc_id % 5 docs carry the boilerplate banner at offset
+    0 (aligned tiling catches it) while doc_id % 7 docs carry it
+    SHIFTED one token ('xx ' prefix) — invisible to aligned chunking,
+    removed here. Exact at window-text grain: top-20 most-deduplicated
+    docs with token counts and the md5 of each cleaned text, fully
+    value-oracled.
+
+    Scale shape: ~n/stride windows (the documented w/stride blow-up of
+    unaligned matching — run at stride 1 only where boilerplate yield
+    justifies it); first-occurrence election is one hash-keyed
+    row_number window; coverage expansion is OUTPUT-sensitive (rows
+    emitted only for duplicate windows); nothing pairs docs with docs.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import repeated_span_token_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(_Q223_BANNER), F.lit(" "), F.col("text")))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("xx "), F.lit(_Q223_BANNER), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cleaned = repeated_span_token_dedup(docs, id_col="doc_id", text_col="text", window=20, stride=1)
+    return (
+        cleaned.select(
+            "doc_id", "n_tokens", "n_removed_tokens", F.md5("clean_text").alias("clean_md5")
+        )
+        .orderBy(F.col("n_removed_tokens").desc(), "doc_id")
+        .limit(20)
+    )

@@ -989,3 +989,33 @@ def test_remove_repeated_spans_cuts_later_occurrences_only(spark):
     assert (out[4]["n_chunks"], out[4]["n_removed"], out[4]["n_tokens_kept"]) == (2, 2, 0)
     assert out[5]["clean_text"] == "zz yy xx ww"  # within-doc repeat: first kept
     assert (out[5]["n_chunks"], out[5]["n_removed"], out[5]["n_tokens_kept"]) == (2, 1, 4)
+
+
+def test_unaligned_span_dedup_catches_shifted_boilerplate(spark):
+    """The recall pin that separates stride-1 token coverage from aligned
+    tiling: a banner SHIFTED off the chunk boundary is invisible to
+    remove_repeated_spans but fully removed by repeated_span_token_dedup."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+        remove_repeated_spans,
+        repeated_span_token_dedup,
+    )
+
+    w = 4
+    banner = "aa bb cc dd"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner} u0 u1 u2 u3"),       # banner at offset 0 (first occurrence)
+            (1, f"xx {banner} v0 v1 v2"),       # banner SHIFTED one token
+        ],
+        "doc_id long, text string",
+    )
+    aligned = {r["doc_id"]: r for r in remove_repeated_spans(docs, window=w).collect()}
+    assert aligned[1]["n_removed"] == 0  # aligned tiling misses the shift
+    un = {r["doc_id"]: r for r in repeated_span_token_dedup(docs, window=w, stride=1).collect()}
+    assert un[0]["n_removed_tokens"] == 0
+    assert un[1]["n_removed_tokens"] == 4
+    assert un[1]["clean_text"] == "xx v0 v1 v2"
+    # short doc (< window): all tokens kept
+    short = spark.createDataFrame([(9, "just three tokens")], "doc_id long, text string")
+    s = repeated_span_token_dedup(short, window=w).collect()[0]
+    assert (s["n_tokens"], s["n_removed_tokens"], s["clean_text"]) == (3, 0, "just three tokens")
