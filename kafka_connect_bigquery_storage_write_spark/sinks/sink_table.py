@@ -1234,6 +1234,48 @@ class ManifestSinkTable:
             return None
         return n_snap, len(rewritten), len(kept_entries)
 
+    def maintenance_report(self, small_rows: int = 100_000) -> dict:
+        """Manifest-only maintenance advisor — the signal an operator (or
+        a cron) reads to decide WHICH maintenance pass a table needs,
+        without opening a single data file:
+
+            n_files            visible data files
+            n_small_files      files under ``small_rows`` (or unknown)
+            pending_dv_rows    tombstones every read currently anti-joins
+            n_visible_dvs      unabsorbed delete-vector commits
+            n_void_mor_batches crashed MOR publishes awaiting repair
+            binpack_due        >1 small file or any pending DV
+                               (``compact_small_files`` is the cheap fix)
+            compact_due        small files dominate (>50%) — a full
+                               ``compact()``/ordered rewrite pays off
+
+        At 100 TB this is the hourly cron's only read: one snapshot +
+        commit-log listing, O(files) dict arithmetic.
+        """
+        manifests = self._visible_manifests()
+        plan = self._listed_entries(manifests, self.root)
+        n_files = len(plan)
+        n_small = sum(
+            1 for e, _b in plan if e.get("rows") is None or e["rows"] < small_rows
+        )
+        dvs = self.visible_dvs()
+        dv_rows = sum(int(d.get("rows", 0)) for d in dvs)
+        void = {
+            int(d["insert"]["batch_id"])
+            for _i, d in self._dv_commits().items()
+            if d.get("mor") and d.get("insert")
+        }
+        n_void = sum(1 for b in void if self._mor_needs_repair(b))
+        return {
+            "n_files": n_files,
+            "n_small_files": n_small,
+            "pending_dv_rows": dv_rows,
+            "n_visible_dvs": len(dvs),
+            "n_void_mor_batches": n_void,
+            "binpack_due": n_small > 1 or bool(dvs),
+            "compact_due": n_files > 0 and n_small * 2 > n_files,
+        }
+
     # -- merge-on-read delete vectors (Iceberg v2 / Delta DV model) --------
     #
     # delete_where_pruned (file-level COW) still REWRITES every straddling

@@ -1528,3 +1528,31 @@ def test_compact_small_files_absorbs_tombstones(spark, tmp_path):
     got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
     assert got[5] == "U" and len(got) == 500
     assert sink.stats_agg(["k"])["rows"] == 500  # stats-only path restored
+
+
+def test_maintenance_report_reads_only_the_manifest(spark, tmp_path):
+    """The hourly-cron signal: small-file litter and pending tombstones
+    surface from the manifest alone, and acting on the advice clears it."""
+    from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(
+        spark.createDataFrame([(i, "b") for i in range(500)], "k long, v string").coalesce(1), 0
+    )
+    for b in range(1, 4):
+        sink.write_batch(
+            spark.createDataFrame([(1000 + b, "s")], "k long, v string").coalesce(1), b
+        )
+    assert sink.upsert_mor(
+        spark, spark.createDataFrame([(5, "U")], "k long, v string"), keys=["k"], batch_id=9
+    ) is not None
+    rep = sink.maintenance_report(small_rows=100)
+    assert rep["n_files"] == 5 and rep["n_small_files"] == 4
+    assert rep["pending_dv_rows"] == 1 and rep["n_visible_dvs"] == 1
+    assert rep["n_void_mor_batches"] == 0
+    assert rep["binpack_due"] and rep["compact_due"]  # 4 of 5 files small
+    # acting on the advice clears the signal
+    assert sink.compact_small_files(spark, small_rows=100) is not None
+    rep2 = sink.maintenance_report(small_rows=100)
+    assert not rep2["binpack_due"] and not rep2["compact_due"]
+    assert rep2["pending_dv_rows"] == 0 and rep2["n_visible_dvs"] == 0
