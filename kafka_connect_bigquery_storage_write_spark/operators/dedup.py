@@ -1153,12 +1153,20 @@ def repeated_span_token_dedup(
     """
     from pyspark.sql import Window
 
-    d = ensure_compute_parallelism(
-        df.select(
-            id_col,
-            F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
+    # the tokenized corpus feeds THREE subtrees (window generation, the
+    # posexplode token list, and the final per-doc join) — one eager
+    # barrier instead of three regex tokenizations of every document
+    # (the q221 multi-consumer rule)
+    d = (
+        ensure_compute_parallelism(
+            df.select(
+                id_col,
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
+            )
         )
-    ).withColumn("_n", F.size("_t"))
+        .withColumn("_n", F.size("_t"))
+        .localCheckpoint(eager=True)
+    )
     starts = F.when(
         F.col("_n") >= window, F.sequence(F.lit(0), F.col("_n") - window, F.lit(stride))
     ).otherwise(F.expr("array()").cast("array<int>"))

@@ -226,6 +226,46 @@ class ChangeFeedConsumer:
                 return
         raise RuntimeError(f"cdf consumer: DV {dv_index} delete lost the CAS {self.cas_retries} times")
 
+    def _source_position(self) -> tuple[int, frozenset[int]]:
+        """(max committed/change batch id, non-mor DV indexes) — the feed
+        position a freshly read table state corresponds to."""
+        ids = set(self.source._marker_ids()) | set(self.source._change_commits())
+        dvs = frozenset(
+            i for i, d in self.source._dv_commits().items() if not d.get("mor")
+        )
+        return max(ids, default=-1), dvs
+
+    def bootstrap(self, spark: SparkSession) -> int:
+        """Snapshot-then-follow attachment (the standard late-subscriber
+        CDC pattern, and the path ``vacuum``'s change-source reclaim
+        assumes): a consumer registered AFTER historical change sources
+        were reclaimed cannot replay the feed from -1 — instead, seed the
+        TARGET from the source's CURRENT table state as one batch and set
+        the cursor past every commit that state reflects, so the next
+        ``poll()`` consumes only future changes. The read and the cursor
+        are taken race-free by an optimistic loop (re-read while the
+        source position moves). Requires an empty target (an existing
+        mirror should just ``poll()``). Returns the rows seeded.
+        """
+        if self.target.schema() is not None:
+            raise ValueError("bootstrap requires an empty target; an existing mirror should poll()")
+        for _ in range(5):
+            before = self._source_position()
+            rows = self.source.read(spark).localCheckpoint(eager=True)
+            if self._source_position() == before:
+                break
+        else:
+            raise RuntimeError(
+                "bootstrap: the source kept committing during the snapshot read; retry"
+            )
+        after, dv_ids = before
+        n = rows.count()
+        if after >= 0 and n > 0:
+            self.target.write_batch(rows, after)
+        cur = {"after_batch_id": after, "applied_dvs": sorted(dv_ids)}
+        self._advance(cur)
+        return n
+
     def poll(self, spark: SparkSession) -> int:
         """Consume everything unconsumed; returns the number of source
         commits applied this cycle. Crash-safe at any point (see module

@@ -1051,6 +1051,59 @@ class ManifestSinkTable:
             ),
         )
 
+    def _materialize_rewrite(
+        self,
+        df: DataFrame,
+        new_dir: str,
+        out_dir: str,
+        target_files: int | None,
+        order_by: list[str] | None = None,
+    ) -> None:
+        """Write the rewritten rows via an attempt-unique tmp dir and move
+        the parquet files into the (possibly pointer-copy-populated)
+        output dir — the one write/rename/cleanup protocol every pruned
+        rewrite shares. ``order_by`` range-clusters the rewritten subset
+        (non-bucketed tables only; the bucketed seam owns its layout)."""
+        import shutil
+
+        tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
+        if order_by and self.bucket_spec is None:
+            df = df.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
+            df.write.mode("overwrite").parquet(tmp_out)
+        else:
+            self._write_datafiles(df, tmp_out, target_files=target_files)
+        for f in sorted(os.listdir(tmp_out)):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
+        shutil.rmtree(tmp_out, ignore_errors=True)
+
+    def _finish_rewrite(
+        self,
+        n_snap: int,
+        new_dir: str,
+        out_dir: str,
+        kept_entries: list[dict],
+        batch_ids: list[int],
+        absorbed: set[int],
+        dvs: list[dict],
+    ) -> tuple[int, int, int] | None:
+        """Stamp stats for the rewritten files and publish the snapshot;
+        None when the CAS lost (the output dir is removed). Returns
+        ``(snapshot_index, n_rewritten, n_pointer_copied)``."""
+        import shutil
+
+        kept_names = {e["name"] for e in kept_entries}
+        rewritten = sorted(
+            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
+        )
+        file_entries = kept_entries + _collect_file_stats(
+            out_dir, rewritten, self.bloom_columns, self.sum_columns
+        )
+        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            return None
+        return n_snap, len(rewritten), len(kept_entries)
+
     def _repair_void_mors(self, spark: SparkSession) -> None:
         """Pre-rewrite self-heal (round-11 review): a VOID mor DV that a
         rewrite lists and absorbs is applied as a NO-OP (dead basenames),
@@ -1100,16 +1153,21 @@ class ManifestSinkTable:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
         self._repair_void_mors(spark)
+        # DVs are listed BEFORE the data (round-11 review): a DV committed
+        # between a data listing and a later DV listing can reference a
+        # batch the data listing never saw — absorbing it without applying
+        # it would silently resurrect its rows. Listed-first, every live
+        # reference is inside the data listing (files only leave
+        # visibility via snapshots, which would make this CAS lose), and
+        # a DV committed after this point stays visible and guards itself
+        # via the barrier protocol.
+        dvs = self.visible_dvs()
+        dv_files = {f for d in dvs for f in d.get("files", [])}
         # one consistent listing drives everything (the _visible_state rule)
         manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
         n_snap = (snap["index"] + 1) if snap else 0
-        # visible delete vectors: files they reference must be REWRITTEN
-        # (their tombstones die with the rewrite), and the new snapshot
-        # absorbs the DVs
-        dvs = self.visible_dvs()
-        dv_files = {f for d in dvs for f in d.get("files", [])}
         new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, "data", new_dir)
         os.makedirs(out_dir, exist_ok=True)
@@ -1120,7 +1178,6 @@ class ManifestSinkTable:
                 cand_paths.append(os.path.join(base, e["name"]))
             else:
                 kept_entries.append(self._pointer_copy(e, base, out_dir))
-        kept_names = {e["name"] for e in kept_entries}
         if cand_paths:
             cond = None
             for c, op, v in where:
@@ -1133,20 +1190,9 @@ class ManifestSinkTable:
                     *[f.name for f in self.schema().fields]
                 )
             survivors = survivors.filter(~cond)
-            tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
-            self._write_datafiles(survivors, tmp_out, target_files=target_files)
-            for f in sorted(os.listdir(tmp_out)):
-                if f.endswith(".parquet"):
-                    os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
-            shutil.rmtree(tmp_out, ignore_errors=True)
-        rewritten = sorted(
-            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
-        )
-        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
-        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
-            shutil.rmtree(out_dir, ignore_errors=True)
-            return None
-        return n_snap
+            self._materialize_rewrite(survivors, new_dir, out_dir, target_files)
+        res = self._finish_rewrite(n_snap, new_dir, out_dir, kept_entries, batch_ids, absorbed, dvs)
+        return None if res is None else res[0]
 
     def compact_small_files(
         self,
@@ -1184,12 +1230,13 @@ class ManifestSinkTable:
         if self.bucket_spec is not None and order_by:
             raise ValueError("bucketed tables cluster by bucket_spec; order_by unsupported")
         self._repair_void_mors(spark)
+        # DVs listed BEFORE the data (see delete_where_pruned)
+        dvs = self.visible_dvs()
+        dv_files = {f for d in dvs for f in d.get("files", [])}
         manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
         n_snap = (snap["index"] + 1) if snap else 0
-        dvs = self.visible_dvs()
-        dv_files = {f for d in dvs for f in d.get("files", [])}
         new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, "data", new_dir)
         kept_entries: list[dict] = []
@@ -1208,31 +1255,14 @@ class ManifestSinkTable:
                 cand_paths.append(os.path.join(base, e["name"]))
             else:
                 kept_entries.append(self._pointer_copy(e, base, out_dir))
-        kept_names = {e["name"] for e in kept_entries}
         if cand_paths:
             merged = spark.read.schema(self.schema()).parquet(*cand_paths)
             if dvs:
                 merged = self._apply_dv(merged, self._dv_relation(spark, dvs)).select(
                     *[f.name for f in self.schema().fields]
                 )
-            tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
-            if order_by and self.bucket_spec is None:
-                merged = merged.repartitionByRange(target_files, *order_by).sortWithinPartitions(*order_by)
-                merged.write.mode("overwrite").parquet(tmp_out)
-            else:
-                self._write_datafiles(merged, tmp_out, target_files=target_files)
-            for f in sorted(os.listdir(tmp_out)):
-                if f.endswith(".parquet"):
-                    os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
-            shutil.rmtree(tmp_out, ignore_errors=True)
-        rewritten = sorted(
-            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
-        )
-        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
-        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
-            shutil.rmtree(out_dir, ignore_errors=True)
-            return None
-        return n_snap, len(rewritten), len(kept_entries)
+            self._materialize_rewrite(merged, new_dir, out_dir, target_files, order_by=order_by)
+        return self._finish_rewrite(n_snap, new_dir, out_dir, kept_entries, batch_ids, absorbed, dvs)
 
     def maintenance_report(self, small_rows: int = 100_000) -> dict:
         """Manifest-only maintenance advisor — the signal an operator (or
@@ -1258,22 +1288,38 @@ class ManifestSinkTable:
         n_small = sum(
             1 for e, _b in plan if e.get("rows") is None or e["rows"] < small_rows
         )
-        dvs = self.visible_dvs()
+        dv_commits = self._dv_commits()
+        absorbed_dv = self._absorbed_dv_ids()
+        dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
         dv_rows = sum(int(d.get("rows", 0)) for d in dvs)
-        void = {
-            int(d["insert"]["batch_id"])
-            for _i, d in self._dv_commits().items()
-            if d.get("mor") and d.get("insert")
-        }
-        n_void = sum(1 for b in void if self._mor_needs_repair(b))
+        # void-MOR detection against the ONE listing above (the report
+        # stays a single snapshot + commit-log pass at any batch count)
+        visible_names = {e["name"] for e, _b in plan}
+        n_void = sum(
+            1
+            for i, d in sorted(dv_commits.items())
+            if d.get("mor")
+            and i not in absorbed_dv
+            and not set(d.get("files", [])) <= visible_names
+            and not os.path.exists(
+                os.path.join(
+                    self.root,
+                    "_commits",
+                    f"morfix-{int(d.get('as_of_batch', -1))}-{i}.marker",
+                )
+            )
+        )
         return {
             "n_files": n_files,
             "n_small_files": n_small,
             "pending_dv_rows": dv_rows,
             "n_visible_dvs": len(dvs),
             "n_void_mor_batches": n_void,
+            # thresholds mirror the actions' own no-op conditions so the
+            # advice always clears once acted on: compact_small_files
+            # no-ops at <=1 small file with no DVs, compact() at <=1 dir
             "binpack_due": n_small > 1 or bool(dvs),
-            "compact_due": n_files > 0 and n_small * 2 > n_files,
+            "compact_due": n_files > 1 and n_small * 2 > n_files,
         }
 
     # -- merge-on-read delete vectors (Iceberg v2 / Delta DV model) --------
@@ -1915,13 +1961,14 @@ class ManifestSinkTable:
             return None
 
         self._repair_void_mors(spark)
-        # --- one consistent listing drives everything (_visible_state) ----
+        # DVs listed BEFORE the data (see delete_where_pruned), then one
+        # consistent listing drives everything (_visible_state)
+        dvs = self.visible_dvs()
+        dv_files = {f for d in dvs for f in d.get("files", [])}
         manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
         n_snap = (snap["index"] + 1) if snap else 0
-        dvs = self.visible_dvs()
-        dv_files = {f for d in dvs for f in d.get("files", [])}
         new_dir = f"compacted-{n_snap}-{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.root, "data", new_dir)
         os.makedirs(out_dir, exist_ok=True)
@@ -1932,7 +1979,6 @@ class ManifestSinkTable:
                 cand_paths.append(os.path.join(base, e["name"]))
             else:
                 kept_entries.append(self._pointer_copy(e, base, out_dir))
-        kept_names = {e["name"] for e in kept_entries}
         if delete and not cand_paths:
             # no visible file can hold any delete key: whole op is a no-op
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -1957,22 +2003,13 @@ class ManifestSinkTable:
                 .filter(F.col("_rn") == 1)
                 .drop("_prec", "_rn")
             )
-        tmp_out = os.path.join(self.root, "data", f"{new_dir}.rw-{uuid.uuid4().hex[:8]}")
-        self._write_datafiles(rewritten_df, tmp_out, target_files=target_files)
-        for f in sorted(os.listdir(tmp_out)):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(tmp_out, f), os.path.join(out_dir, f))
-        shutil.rmtree(tmp_out, ignore_errors=True)
-        rewritten = sorted(
-            f for f in os.listdir(out_dir) if f.endswith(".parquet") and f not in kept_names
-        )
-        file_entries = kept_entries + _collect_file_stats(out_dir, rewritten, self.bloom_columns, self.sum_columns)
-        if not self._commit_rewrite_snapshot(n_snap, new_dir, file_entries, batch_ids, absorbed, dvs):
-            shutil.rmtree(out_dir, ignore_errors=True)
+        self._materialize_rewrite(rewritten_df, new_dir, out_dir, target_files)
+        res = self._finish_rewrite(n_snap, new_dir, out_dir, kept_entries, batch_ids, absorbed, dvs)
+        if res is None:
             return None
         if marker:
             self._atomic_create(marker, json.dumps({"op_id": op_id, "snapshot": n_snap}))
-        return n_snap, len(rewritten), len(kept_entries)
+        return res
 
     def upsert_mor(
         self,
@@ -2245,12 +2282,15 @@ class ManifestSinkTable:
             # order would silently destroy the co-located-join layout
             raise ValueError("bucketed tables cluster by bucket_spec; order_by/zorder_by unsupported")
         self._repair_void_mors(spark)
+        # ONE dv listing, taken BEFORE the data listing (see
+        # delete_where_pruned), drives both the no-op decision and the
+        # apply/absorb set below
+        dvs = self.visible_dvs()
         manifests, batch_ids, absorbed, snap = self._visible_state()
         prior_dirs = list((snap or {}).get("compacted_dirs", []))
-        pending_dvs = self.visible_dvs()
         # a single data dir normally needs no compaction — unless delete
         # vectors are pending, whose absorption is itself the point
-        if require_multiple and len(batch_ids) + len(prior_dirs) <= 1 and not pending_dvs:
+        if require_multiple and len(batch_ids) + len(prior_dirs) <= 1 and not dvs:
             return None
         if len(batch_ids) + len(prior_dirs) == 0:
             return None
@@ -2267,12 +2307,10 @@ class ManifestSinkTable:
         # read).
         paths = [os.path.join(self.root, "data", m["dir"]) for m in manifests]
         merged = spark.read.schema(self.schema()).parquet(*paths)
-        # apply-and-absorb visible delete vectors: without this, the
-        # rewrite would resurrect tombstoned rows into the new snapshot.
-        # The same listing moment drives data, absorbed batches AND
-        # absorbed DVs; a DV committed after this listing guards itself
-        # via the barrier-snapshot protocol (see delete vector section).
-        dvs = self.visible_dvs()
+        # apply-and-absorb the DVs from the pre-data listing: without
+        # this, the rewrite would resurrect tombstoned rows into the new
+        # snapshot. A DV committed after that listing stays visible and
+        # guards itself via the barrier-snapshot protocol.
         if dvs:
             merged = self._apply_dv(merged, self._dv_relation(spark, dvs)).select(
                 *[f.name for f in self.schema().fields]

@@ -151,3 +151,38 @@ def test_vacuum_reclaims_consumed_change_logs(spark, tmp_path):
     assert src.merge_rows_pruned(spark, upd2, keys=["k"], op_id="b2") is not None
     assert src.log_changes(upd2, 2)
     assert not any(r.startswith("_changes/") for r in src.vacuum(retention_s=0.0))
+
+
+def test_late_consumer_bootstraps_after_reclaim(spark, tmp_path):
+    """The snapshot-then-follow path the change-log reclaim assumes: a
+    consumer attaching AFTER vacuum reclaimed the history seeds from the
+    table state, then follows only future changes."""
+    src = _sink(spark, tmp_path / "src", n_batches=2)
+    upd = _kv(spark, [(3, "U")])
+    assert src.merge_rows_pruned(spark, upd, keys=["k"], op_id="b2") is not None
+    assert src.log_changes(upd, 2)
+    t1 = ManifestSinkTable(str(tmp_path / "t1"), write_mode="committed")
+    c1 = ChangeFeedConsumer(src, t1, keys=["k"], checkpoint_dir=str(tmp_path / "c1"))
+    assert c1.run_available_now(spark) == 3
+    src.vacuum(retention_s=0.0)  # history reclaimed past c1's cursor
+    # a from-scratch replay is now impossible...
+    t_broken = ManifestSinkTable(str(tmp_path / "tb"), write_mode="committed")
+    broken = ChangeFeedConsumer(src, t_broken, keys=["k"], checkpoint_dir=str(tmp_path / "cb"))
+    with pytest.raises(ValueError, match="vacuumed"):
+        broken.run_available_now(spark)
+    broken.deregister()
+    # ...but bootstrap seeds from table state and follows from there
+    t2 = ManifestSinkTable(str(tmp_path / "t2"), write_mode="committed")
+    c2 = ChangeFeedConsumer(src, t2, keys=["k"], checkpoint_dir=str(tmp_path / "c2"))
+    assert c2.bootstrap(spark) == 40
+    assert c2.poll(spark) == 0
+    assert _content(src, spark) == _content(t2, spark)
+    # future changes flow normally to BOTH mirrors
+    upd2 = _kv(spark, [(7, "V"), (100, "N")])
+    assert src.merge_rows_pruned(spark, upd2, keys=["k"], op_id="b9") is not None
+    assert src.log_changes(upd2, 9)
+    assert c2.poll(spark) == 1 and c1.poll(spark) == 1
+    assert _content(src, spark) == _content(t2, spark) == _content(t1, spark)
+    # a non-empty target refuses (an existing mirror should poll)
+    with pytest.raises(ValueError, match="empty target"):
+        c1.bootstrap(spark)
