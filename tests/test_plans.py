@@ -690,3 +690,12 @@ def test_q223_span_removal_hashes_exchange_no_pairs(spark, sf_dir):
     # one Generate per explode stage (chunk tiling), join only for the
     # per-doc reassembly (base LEFT JOIN per_doc on doc_id)
     assert plan.count("Generate") <= 2
+
+
+def test_q226_unaligned_span_removal_plan_shape(spark, sf_dir):
+    """q226's stride-1 election must stay hash-keyed and doc-pair-free:
+    no cartesian/NestedLoop, the first-occurrence window rides on
+    xxhash64, coverage expansion is a Generate (not a join explosion)."""
+    plan = _plan(spark, sf_dir, "q226_unaligned_span_removal")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan and "row_number" in plan
