@@ -282,6 +282,11 @@ class ChangeFeedConsumer:
                 cur["applied_dvs"] = sorted(set(cur["applied_dvs"]) | {ident})
                 self.applied.append((ident, "delete"))
             self._advance(cur)
+        if not work:
+            # heartbeat: refresh the registration mtime even on an idle
+            # poll, so a TTL-bounded vacuum (consumer_ttl_s) distinguishes
+            # a live-but-idle consumer from an abandoned one (ADVICE r11)
+            self._register(cur)
         return len(work)
 
     def run_available_now(self, spark: SparkSession) -> int:

@@ -568,14 +568,23 @@ class ManifestSinkTable:
         this fallback keeps old tables readable with no migration."""
         return f"batch={batch_id}"
 
-    def _committed_manifests(self) -> dict[int, dict]:
+    def _committed_manifests(self, dv_commits: dict[int, dict] | None = None) -> dict[int, dict]:
         """Every committed micro-batch id -> its manifest
         ``{"dir": <rel>, "files": [...] | None}`` (files carry the
         data-skipping stats; None for legacy markers/epochs written before
         stats existed — readers then list the dir and skip nothing), from
         batch markers + epoch files. Markers survive compaction, so the id
         set keeps absorbed replays idempotent without any watermark over
-        the shared id space."""
+        the shared id space.
+
+        ``dv_commits``: callers that also consume the delete-vector log
+        MUST pass their own ``_dv_commits()`` listing so the MOR insert
+        manifests merged below come from the SAME snapshot of the log —
+        two separate listings let an ``upsert_mor`` CAS land in between,
+        making a rewrite absorb the batch's insert rows WITHOUT its
+        tombstones (duplicates baked in, then the void-repair recompute
+        tombstones the batch's own rewritten rows: silent key loss —
+        ADVICE r11)."""
         entries: dict[int, dict] = {}
         commits = os.path.join(self.root, "_commits")
         for f in os.listdir(commits):
@@ -598,15 +607,17 @@ class ManifestSinkTable:
         # a marker/epoch entry for the same id wins, and between two MOR
         # publishes of one batch id (racing zombie replays) the LOWEST dv
         # index wins deterministically (_mor_insert_manifests is sorted)
-        for bid, m in self._mor_insert_manifests().items():
+        for bid, m in self._mor_insert_manifests(dv_commits).items():
             entries.setdefault(bid, m)
         return entries
 
-    def _mor_insert_manifests(self) -> dict[int, dict]:
+    def _mor_insert_manifests(self, dv_commits: dict[int, dict] | None = None) -> dict[int, dict]:
         """batch id -> insert manifest for every MOR upsert published via a
         DV commit (``upsert_mor``), lowest dv index winning per batch id."""
         out: dict[int, dict] = {}
-        for _i, d in sorted(self._dv_commits().items()):
+        if dv_commits is None:
+            dv_commits = self._dv_commits()
+        for _i, d in sorted(dv_commits.items()):
             ins = d.get("insert")
             if ins and int(ins["batch_id"]) not in out:
                 out[int(ins["batch_id"])] = {"dir": ins["dir"], "files": ins.get("files")}
@@ -972,25 +983,42 @@ class ManifestSinkTable:
 
     # -- shared rewrite mechanics (one listing, pointer copies, the commit) --
 
-    def _visible_state(self) -> tuple[list[dict], list[int], set[int], dict | None]:
+    def _visible_state(
+        self,
+    ) -> tuple[list[dict], list[int], set[int], dict | None, list[dict]]:
         """ONE consistent listing for every rewrite path: (visible
-        manifests, visible batch ids, absorbed ids, latest snapshot).
-        The snapshot is read FIRST, then the commit log — a batch
-        committing between the two reads is then included in BOTH the
-        data and the absorbed set, and a snapshot landing between them
-        only makes this rewrite's own CAS lose (safe). The reverse
-        order could mark a freshly committed batch absorbed WITHOUT
-        merging its rows — silent data loss (round-11 review)."""
+        manifests, visible batch ids, absorbed ids, latest snapshot,
+        visible DVs). The snapshot is read FIRST, then the commit log —
+        a batch committing between the two reads is then included in
+        BOTH the data and the absorbed set, and a snapshot landing
+        between them only makes this rewrite's own CAS lose (safe). The
+        reverse order could mark a freshly committed batch absorbed
+        WITHOUT merging its rows — silent data loss (round-11 review).
+
+        The visible DVs and the MOR insert manifests merged into the
+        data listing derive from ONE ``_dv_commits()`` read (ADVICE
+        r11): an ``upsert_mor`` publishes tombstones and insert rows
+        through a single dv-commit CAS, so a rewrite must see both or
+        neither — two listings could absorb the inserts while leaving
+        the tombstones unapplied (duplicates baked in, and the void
+        repair would then tombstone the batch's own rewritten rows).
+        The DV log is listed BEFORE the batch markers: a marker-path
+        batch committing in between carries no DV yet, and a DV commit
+        landing after this point stays visible and guards itself via
+        the barrier-snapshot protocol."""
         snap = self._latest_snapshot()
         compacted = list((snap or {}).get("compacted_dirs", []))
         absorbed = set((snap or {}).get("absorbed_batch_ids", []))
-        committed = self._committed_manifests()
+        absorbed_dv = set((snap or {}).get("absorbed_dv_ids", []))
+        dv_commits = self._dv_commits()
+        dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
+        committed = self._committed_manifests(dv_commits)
         batch_ids = sorted(set(committed) - absorbed)
         manifests = [
             {"dir": d, "files": ((snap or {}).get("files") or {}).get(d)} for d in compacted
         ]
         manifests += [committed[i] for i in batch_ids]
-        return manifests, batch_ids, absorbed, snap
+        return manifests, batch_ids, absorbed, snap, dvs
 
     @staticmethod
     def _listed_entries(manifests: list[dict], root: str) -> list[tuple[dict, str]]:
@@ -1153,18 +1181,13 @@ class ManifestSinkTable:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
         self._repair_void_mors(spark)
-        # DVs are listed BEFORE the data (round-11 review): a DV committed
-        # between a data listing and a later DV listing can reference a
-        # batch the data listing never saw — absorbing it without applying
-        # it would silently resurrect its rows. Listed-first, every live
-        # reference is inside the data listing (files only leave
-        # visibility via snapshots, which would make this CAS lose), and
-        # a DV committed after this point stays visible and guards itself
-        # via the barrier protocol.
-        dvs = self.visible_dvs()
+        # ONE listing for data AND DVs (_visible_state, ADVICE r11): the
+        # DV log is read once, before the batch markers, so a MOR commit
+        # is seen entire (tombstones + inserts) or not at all, and every
+        # live DV reference is inside the data listing (files only leave
+        # visibility via snapshots, which would make this CAS lose).
+        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
         dv_files = {f for d in dvs for f in d.get("files", [])}
-        # one consistent listing drives everything (the _visible_state rule)
-        manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
         n_snap = (snap["index"] + 1) if snap else 0
@@ -1230,10 +1253,9 @@ class ManifestSinkTable:
         if self.bucket_spec is not None and order_by:
             raise ValueError("bucketed tables cluster by bucket_spec; order_by unsupported")
         self._repair_void_mors(spark)
-        # DVs listed BEFORE the data (see delete_where_pruned)
-        dvs = self.visible_dvs()
+        # ONE listing for data AND DVs (see delete_where_pruned)
+        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
         dv_files = {f for d in dvs for f in d.get("files", [])}
-        manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
         n_snap = (snap["index"] + 1) if snap else 0
@@ -1368,11 +1390,15 @@ class ManifestSinkTable:
         snap = self._latest_snapshot()
         return set((snap or {}).get("absorbed_dv_ids", []))
 
-    def visible_dvs(self) -> list[dict]:
+    def visible_dvs(self, dv_commits: dict[int, dict] | None = None) -> list[dict]:
         """DV commits not yet absorbed by the latest snapshot (includes
-        raced-and-void DVs, which no-op via dead basenames)."""
+        raced-and-void DVs, which no-op via dead basenames). Pass
+        ``dv_commits`` to reuse an already-taken listing (the one-listing
+        rule — see ``_committed_manifests``)."""
         absorbed = self._absorbed_dv_ids()
-        return [d for i, d in sorted(self._dv_commits().items()) if i not in absorbed]
+        if dv_commits is None:
+            dv_commits = self._dv_commits()
+        return [d for i, d in sorted(dv_commits.items()) if i not in absorbed]
 
     def _dv_relation(self, spark: SparkSession, dvs: list[dict]) -> DataFrame:
         paths = [os.path.join(self.root, d["dir"]) for d in dvs]
@@ -1961,11 +1987,9 @@ class ManifestSinkTable:
             return None
 
         self._repair_void_mors(spark)
-        # DVs listed BEFORE the data (see delete_where_pruned), then one
-        # consistent listing drives everything (_visible_state)
-        dvs = self.visible_dvs()
+        # ONE listing for data AND DVs (see delete_where_pruned)
+        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
         dv_files = {f for d in dvs for f in d.get("files", [])}
-        manifests, batch_ids, absorbed, snap = self._visible_state()
         if not manifests:
             return None
         n_snap = (snap["index"] + 1) if snap else 0
@@ -2102,6 +2126,15 @@ class ManifestSinkTable:
                 os.path.join(self.root, "data", ins["dir"])
             )
             repair = True
+            snap_now = self._latest_snapshot() or {}
+            if batch_id in set(snap_now.get("absorbed_batch_ids", [])):
+                # distinct case (ADVICE r11): the batch was absorbed into
+                # a compacted layout (its rows renamed) while this DV was
+                # not — recomputing tombstones by key would delete the
+                # upserted rows. Verify by full row and mark repaired.
+                self._verify_mor_merged(spark, updates, keys, batch_id)
+                self._mor_mark_repaired(batch_id, void_ids)
+                return None
         if not repair:
             dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
             if not dup.isEmpty():
@@ -2271,8 +2304,67 @@ class ManifestSinkTable:
                 if latest.get("barrier"):
                     guard = latest  # another committer's barrier: files unchanged
                     continue
+                if batch_id in set(latest.get("absorbed_batch_ids", [])):
+                    # distinct case (ADVICE r11): the racing rewrite
+                    # absorbed this batch's insert rows — now under NEW
+                    # basenames — without absorbing this DV. A key-based
+                    # recompute would tombstone the upserted rows
+                    # themselves; verify the merged state by full row
+                    # instead (raises on divergence).
+                    self._verify_mor_merged(spark, updates, keys, batch_id)
+                    if repair:
+                        self._mor_mark_repaired(batch_id, void_ids)
+                    if marker:
+                        self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
+                    return idx, n
                 break  # real snapshot rewrote our referenced files: recompute
         raise RuntimeError("upsert_mor: lost the snapshot race 5 times to concurrent rewrites")
+
+    def _verify_mor_merged(self, spark: SparkSession, updates: DataFrame, keys: list[str], batch_id: int) -> None:
+        """The distinct absorbed-batch/unabsorbed-DV case (ADVICE r11):
+        a rewrite absorbed this MOR batch's insert rows — they now live
+        under NEW basenames in the compacted layout — while one of the
+        batch's DVs stayed unabsorbed (committed after the rewrite's
+        listing). Recomputing tombstones BY KEY against that layout
+        would tombstone the upserted rows themselves (the own-row
+        exclusion is basename-based and the basenames changed): silent
+        key deletion. Under the one-listing absorb discipline this
+        state is only reachable when the merged content is already
+        correct (the absorbing rewrite applied a visible DV — ours or a
+        repair twin's — covering the superseded positions), so instead
+        of recomputing, VERIFY: a torn absorb's signature is the
+        superseded version surviving NEXT TO the new row — duplicate
+        visible rows per batch key (keys an ``upsert_mor`` manages are
+        unique by the merge contract). Any key showing >1 row raises
+        loudly (manual intervention beats silent loss). Keys with 0 or
+        1 rows whose values differ from the batch are LATER legitimate
+        writes (a delete or a newer upsert landed between the absorb
+        and this check), not corruption — a full-row equality check
+        here would false-positive on them. Cost: one keyed semi-join +
+        aggregate over the update keys (bounded by
+        ``max_distinct_keys``)."""
+        from pyspark.sql import functions as F
+
+        upd_keys = updates.select(*[F.col(c).alias(f"_u_{c}") for c in keys]).distinct()
+        match = None
+        for c in keys:
+            this = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+            match = this if match is None else (match & this)
+        dup = (
+            self.read(spark)
+            .join(upd_keys, match, "left_semi")
+            .groupBy(*[F.col(c) for c in keys])
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        if not dup.isEmpty():
+            raise RuntimeError(
+                f"upsert_mor batch {batch_id}: the batch was absorbed by a rewrite "
+                "without its delete vector and duplicate rows survive for its keys "
+                "— a torn absorb (two-listing rewrite or foreign writer) baked the "
+                "superseded versions in; refusing the key-based recompute that "
+                "would delete the upserted rows with them"
+            )
 
     def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple, zorder_by=None):
         if order_by and zorder_by:
@@ -2282,11 +2374,9 @@ class ManifestSinkTable:
             # order would silently destroy the co-located-join layout
             raise ValueError("bucketed tables cluster by bucket_spec; order_by/zorder_by unsupported")
         self._repair_void_mors(spark)
-        # ONE dv listing, taken BEFORE the data listing (see
-        # delete_where_pruned), drives both the no-op decision and the
-        # apply/absorb set below
-        dvs = self.visible_dvs()
-        manifests, batch_ids, absorbed, snap = self._visible_state()
+        # ONE listing for data AND DVs (see delete_where_pruned) drives
+        # the no-op decision and the apply/absorb set below
+        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
         prior_dirs = list((snap or {}).get("compacted_dirs", []))
         # a single data dir normally needs no compaction — unless delete
         # vectors are pending, whose absorption is itself the point
@@ -2379,12 +2469,27 @@ class ManifestSinkTable:
         out: list[dict] = []
         if os.path.isdir(reg_root):
             for f in sorted(os.listdir(reg_root)):
-                if f.endswith(".json"):
-                    with open(os.path.join(reg_root, f)) as fh:
-                        out.append(json.load(fh))
+                if not f.endswith(".json"):
+                    continue
+                path = os.path.join(reg_root, f)
+                try:
+                    with open(path) as fh:
+                        reg = json.load(fh)
+                except FileNotFoundError:
+                    # a concurrent deregister() removed it between the
+                    # listing and the open — the consumer released its
+                    # hold; skip (same handling as _staged_manifests)
+                    continue
+                try:
+                    reg["_mtime"] = os.path.getmtime(path)
+                except OSError:
+                    reg["_mtime"] = time.time()  # vanished post-read: fresh
+                out.append(reg)
         return out
 
-    def vacuum(self, retention_s: float = 24 * 3600.0) -> list[str]:
+    def vacuum(
+        self, retention_s: float = 24 * 3600.0, consumer_ttl_s: float | None = None
+    ) -> list[str]:
         """Delete data directories no longer referenced by the manifest:
         batch dirs absorbed by a compaction snapshot and compacted dirs
         superseded by a newer snapshot. Safe to run any time after
@@ -2433,8 +2538,18 @@ class ManifestSinkTable:
         live_batches = (set(committed) - absorbed) | set(staged)
         live_dirs = {committed[b] for b in committed if b in live_batches} | set(staged.values())
         live_compacted, _ = self._snapshot_state()
-        # consumer pins: unconsumed change sources survive this vacuum
+        # consumer pins: unconsumed change sources survive this vacuum.
+        # consumer_ttl_s bounds the pin (ADVICE r11): a registration is a
+        # LEASE, refreshed on every poll/advance (ChangeFeedConsumer
+        # heartbeats idle polls too), so one whose file mtime is older
+        # than the TTL belongs to an abandoned/crashed consumer — ignore
+        # it rather than let it pin every change source forever. Such a
+        # consumer, if it ever resumes, keeps the documented loud-failure
+        # behavior on a reclaimed source. Default None = never expire
+        # (the conservative pre-lease behavior).
         consumers = self._registered_consumers()
+        if consumer_ttl_s is not None:
+            consumers = [c for c in consumers if now - c.get("_mtime", now) < consumer_ttl_s]
         pinned_bids: set[int] = set()
         pinned_dvs: set[int] = set()
         pinned_files: set[str] = set()
@@ -2814,16 +2929,60 @@ class ManifestSinkTable:
         )
 
     # -- read path ------------------------------------------------------------
-    def _visible_manifests(self) -> list[dict]:
+    def _visible_manifests(self, dv_commits: dict[int, dict] | None = None) -> list[dict]:
         """Visible content = latest compaction snapshot's dirs plus
         committed batches not absorbed by it, each as
-        ``{"dir": rel, "files": [{"name", "rows", "stats"}] | None}``."""
+        ``{"dir": rel, "files": [{"name", "rows", "stats"}] | None}``.
+        One snapshot read + one commit-log read drive both halves (the
+        absorbed set comes from the SAME snapshot the compacted dirs do);
+        pass ``dv_commits`` to also share the DV-log listing with a
+        caller that applies tombstones (the one-listing rule)."""
         snap = self._latest_snapshot() or {}
         compacted = list(snap.get("compacted_dirs", []))
         manifests = [{"dir": d, "files": (snap.get("files") or {}).get(d)} for d in compacted]
-        committed = self._committed_manifests()
-        manifests += [committed[i] for i in self.committed_ids()]
+        committed = self._committed_manifests(dv_commits)
+        absorbed = set(snap.get("absorbed_batch_ids", []))
+        manifests += [committed[i] for i in sorted(set(committed) - absorbed)]
         return manifests
+
+    def _read_state(
+        self, where: list[tuple] | None = None
+    ) -> tuple[list[str], list[dict]]:
+        """ONE consistent (pruned file paths, visible DVs) listing for the
+        read path (ADVICE r11): a single ``_dv_commits()`` read and a
+        single snapshot read drive both the data listing and the
+        tombstone relation, so an ``upsert_mor`` publish is seen entire —
+        inserts AND tombstones — or not at all. Listing data first and
+        DVs second could apply a new MOR DV's tombstones against the old
+        files while its insert rows are absent from the path list:
+        upserted keys would transiently vanish, a state that never
+        existed."""
+        dv_commits = self._dv_commits()
+        snap = self._latest_snapshot() or {}
+        absorbed_dv = set(snap.get("absorbed_dv_ids", []))
+        dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
+        compacted = list(snap.get("compacted_dirs", []))
+        manifests = [{"dir": d, "files": (snap.get("files") or {}).get(d)} for d in compacted]
+        committed = self._committed_manifests(dv_commits)
+        absorbed = set(snap.get("absorbed_batch_ids", []))
+        manifests += [committed[i] for i in sorted(set(committed) - absorbed)]
+        return self._prune_paths(manifests, where), dvs
+
+    def _prune_paths(self, manifests: list[dict], where: list[tuple] | None) -> list[str]:
+        if where is not None:
+            for _, op, _v in where:
+                if op not in _PRUNE_OPS:
+                    raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
+        paths: list[str] = []
+        for m in manifests:
+            base = os.path.join(self.root, "data", m["dir"])
+            entries = m["files"]
+            if entries is None:  # legacy layout: list, keep everything
+                entries = [{"name": f, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
+            for e in entries:
+                if _entry_may_match(e, where):
+                    paths.append(os.path.join(base, e["name"]))
+        return paths
 
     def visible_files(self, where: list[tuple] | None = None) -> list[str]:
         """Absolute paths of the parquet files a read must open, after
@@ -2834,28 +2993,18 @@ class ManifestSinkTable:
         always kept. This is the introspection surface the data-skipping
         tests pin: ``len(visible_files(point_pred)) < len(visible_files())``.
         """
-        if where is not None:
-            for _, op, _v in where:
-                if op not in _PRUNE_OPS:
-                    raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
-        paths: list[str] = []
-        for m in self._visible_manifests():
-            base = os.path.join(self.root, "data", m["dir"])
-            entries = m["files"]
-            if entries is None:  # legacy layout: list, keep everything
-                entries = [{"name": f, "stats": {}} for f in sorted(os.listdir(base)) if f.endswith(".parquet")]
-            for e in entries:
-                if _entry_may_match(e, where):
-                    paths.append(os.path.join(base, e["name"]))
-        return paths
+        return self._prune_paths(self._visible_manifests(), where)
 
     def read(self, spark: SparkSession, where: list[tuple] | None = None) -> DataFrame:
         """Visible rows; with ``where``, a pruned read: manifest stats drop
         files that cannot contain a match (zone-map skipping) and the same
         predicates are applied as a residual row filter, so
         ``read(spark, where=p)`` always equals ``read(spark).filter(p)``.
+        The file list and the tombstone relation come from ONE
+        ``_read_state`` listing, so a concurrent MOR upsert is never seen
+        torn (inserts without tombstones or vice versa — ADVICE r11).
         """
-        paths = self.visible_files(where)
+        paths, dvs = self._read_state(where)
         schema = self.schema()
         if not paths:
             if schema is None:
@@ -2863,7 +3012,6 @@ class ManifestSinkTable:
             df = spark.createDataFrame([], schema)
         else:
             df = spark.read.schema(schema).parquet(*paths)
-            dvs = self.visible_dvs()
             if dvs:
                 # merge-on-read: tombstoned positions drop via one anti-join
                 # against the DV relation (small; absorbed by compaction)

@@ -322,3 +322,152 @@ def test_rewrite_includes_batch_committed_mid_listing(spark, tmp_path, monkeypat
         "the mid-listing batch must be merged, not absorbed-and-lost"
     )
     assert sink.committed_ids() == []  # and it IS absorbed by the snapshot
+
+
+def test_rewrite_sees_mor_publish_atomically(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (high): a MOR publish landing between a rewrite's
+    snapshot read and its commit-log read must be seen ENTIRE — insert
+    rows AND tombstones come from the same dv-commit listing. The former
+    two-listing shape (visible_dvs() first, _visible_state() second)
+    could absorb the insert rows without applying the tombstones:
+    duplicates baked in, DV left void, and the subsequent repair would
+    key-tombstone the batch's own rewritten rows (silent key loss)."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    upd = _kv(spark, [(5, "U"), (150, "U"), (900, "N")])
+    orig_snap = sink._latest_snapshot
+    fired = {"done": False}
+
+    def sneaky():
+        snap = orig_snap()
+        if not fired["done"]:
+            fired["done"] = True
+            # a MOR upsert publishes its dv CAS mid-listing and "crashes"
+            # before its barrier guard (the worst interleaving)
+            def crash(_prior):
+                raise RuntimeError("simulated crash before barrier")
+
+            sink._create_barrier_snapshot = crash
+            try:
+                with pytest.raises(RuntimeError, match="simulated crash"):
+                    sink.upsert_mor(spark, upd, keys=["k"], batch_id=9)
+            finally:
+                del sink.__dict__["_create_barrier_snapshot"]
+        return snap
+
+    monkeypatch.setattr(sink, "_latest_snapshot", sneaky)
+    assert sink.compact(spark) is not None
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    dup = sink.read(spark).groupBy("k").count().filter("count > 1").count()
+    assert dup == 0, "torn absorb: superseded versions baked in next to the upserts"
+    assert got[5] == "U" and got[150] == "U" and got[900] == "N" and len(got) == 201
+    # the commit was absorbed entire: no void residue, nothing to repair
+    assert not sink._mor_needs_repair(9)
+    assert sink.visible_dvs() == []
+
+
+def test_mor_absorbed_without_dv_verifies_not_recomputes(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (high, second half): when a batch is in the latest
+    snapshot's absorbed set but one of its MOR DVs is not (the DV was
+    committed after the rewrite's listing and went void), the replay /
+    repair path must NOT recompute tombstones by key — the batch's own
+    rows were rewritten under new basenames, so the basename own-row
+    exclusion no longer protects them and a key recompute would delete
+    the upserted rows. It verifies the merged state instead and marks
+    the void DV repaired."""
+    import json
+    import uuid
+
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    upd = _kv(spark, [(5, "U"), (150, "U"), (900, "N")])
+    res = sink.upsert_mor(spark, upd, keys=["k"], batch_id=9)
+    assert res is not None and res[1] == 2
+
+    # handcraft a follow-up tombstone-only MOR DV that will go void: it
+    # references basenames no rewrite output will ever contain
+    rel_dv = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
+    spark.createDataFrame(
+        [("dead-basename.parquet", 0)], "file string, pos long"
+    ).coalesce(1).write.parquet(os.path.join(sink.root, rel_dv))
+    ghost_idx = max(sink._dv_commits()) + 1
+    assert sink._atomic_create(
+        os.path.join(sink.root, "_commits", f"dv-{ghost_idx}.json"),
+        json.dumps(
+            {"index": ghost_idx, "dir": rel_dv, "rows": 1,
+             "files": ["dead-basename.parquet"], "mor": True, "insert": None,
+             "keys": ["k"], "read_snapshot": -1, "as_of_batch": 9,
+             "as_of_epoch": -1, "op_id": None}
+        ),
+    )
+
+    # a compaction whose listing predates the ghost DV absorbs batch 9
+    # (and its real DV) but not the ghost
+    real_dv_commits = type(sink)._dv_commits
+
+    def blind(self):
+        return {i: d for i, d in real_dv_commits(self).items() if i != ghost_idx}
+
+    monkeypatch.setattr(type(sink), "_dv_commits", blind)
+    assert sink.compact(spark) is not None
+    monkeypatch.undo()
+
+    snap = sink._latest_snapshot()
+    assert 9 in set(snap["absorbed_batch_ids"])
+    assert ghost_idx not in set(snap["absorbed_dv_ids"])
+    assert sink._mor_needs_repair(9)
+
+    # replaying the batch must verify-and-mark, never key-recompute
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=9) is None
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got.get(5) == "U" and got.get(150) == "U" and got.get(900) == "N", (
+        "the key recompute deleted the upserted rows (ADVICE r11 data loss)"
+    )
+    assert len(got) == 201
+    assert not sink._mor_needs_repair(9)
+    # a later maintenance pass absorbs the ghost as a no-op
+    assert sink.compact(spark) is not None
+    assert sink.visible_dvs() == []
+    assert len({r["k"] for r in sink.read(spark).collect()}) == 201
+
+
+def test_mor_verify_raises_on_baked_in_duplicates(spark, tmp_path):
+    """_verify_mor_merged fails LOUDLY when the absorbed layout holds
+    duplicate rows for a batch key (the torn-absorb signature a foreign
+    two-listing writer could bake in) instead of recomputing tombstones."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=1)
+    upd = _kv(spark, [(5, "U")])
+    # simulate the corrupted state: duplicate key 5 appended directly
+    sink.write_batch(_kv(spark, [(5, "STALE")]).coalesce(1), 50)
+    with pytest.raises(RuntimeError, match="duplicate rows survive"):
+        sink._verify_mor_merged(spark, upd, ["k"], batch_id=9)
+
+
+def test_read_sees_mor_publish_atomically(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): read() must take its file list and its
+    tombstone relation from ONE dv-commit listing — data-first listing
+    let a concurrent MOR publish apply its tombstones against the old
+    files while its insert rows were absent: upserted keys transiently
+    vanished, a state that never existed."""
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    upd = _kv(spark, [(5, "U"), (150, "U"), (900, "N")])
+    orig_snap = sink._latest_snapshot
+    fired = {"done": False}
+
+    def sneaky():
+        snap = orig_snap()
+        if not fired["done"]:
+            fired["done"] = True
+            # lands AFTER the reader's dv listing, BEFORE its data listing
+            assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=9) is not None
+        return snap
+
+    monkeypatch.setattr(sink, "_latest_snapshot", sneaky)
+    df = sink.read(spark)
+    monkeypatch.undo()
+    got = {r["k"]: r["v"] for r in df.collect()}
+    assert len(got) == 200 and got[5] == "x" and got[150] == "x", (
+        "torn read: tombstones applied without the insert rows (keys vanished)"
+    )
+    # a fresh read sees the upsert entire
+    got2 = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got2[5] == "U" and got2[150] == "U" and got2[900] == "N" and len(got2) == 201

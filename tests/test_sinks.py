@@ -1245,17 +1245,19 @@ def test_dv_loses_race_to_concurrent_rewrite_and_recomputes(spark, tmp_path, mon
     ever resurrect."""
     sink = _dv_table(spark, tmp_path)
     cls = type(sink)
-    real_visible = cls.visible_dvs
+    real_dv_commits = cls._dv_commits
     real_barrier = cls._create_barrier_snapshot
     state = {"raced": False}
 
     def racing_barrier(self, prior):
         if not state["raced"]:
             state["raced"] = True
-            # simulate a compactor whose DV listing predates our commit
-            monkeypatch.setattr(cls, "visible_dvs", lambda s: [])
+            # simulate a compactor whose one DV-log listing predates our
+            # commit (rewrites take dvs from _visible_state's single
+            # _dv_commits read, so blind that read)
+            monkeypatch.setattr(cls, "_dv_commits", lambda s: {})
             assert real_compact(self, spark, target_files=1) is not None
-            monkeypatch.setattr(cls, "visible_dvs", real_visible)
+            monkeypatch.setattr(cls, "_dv_commits", real_dv_commits)
         return real_barrier(self, prior)
 
     real_compact = cls.compact
