@@ -1151,30 +1151,7 @@ def repeated_span_token_dedup(
     length repeats; fixed-window-at-stride-1 is its bounded map-reduce
     restatement (windows >= w match exactly).
     """
-    from pyspark.sql import Window
-
-    # the tokenized corpus feeds THREE subtrees (window generation, the
-    # posexplode token list, and the final per-doc join) — one eager
-    # barrier instead of three regex tokenizations of every document
-    # (the q221 multi-consumer rule)
-    d = (
-        ensure_compute_parallelism(
-            df.select(
-                id_col,
-                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
-            )
-        )
-        .withColumn("_n", F.size("_t"))
-        .localCheckpoint(eager=True)
-    )
-    starts = F.when(
-        F.col("_n") >= window, F.sequence(F.lit(0), F.col("_n") - window, F.lit(stride))
-    ).otherwise(F.expr("array()").cast("array<int>"))
-    wins = d.select(id_col, F.explode(starts).alias("s"), "_t").select(
-        id_col, "s", F.xxhash64(F.array_join(F.slice("_t", F.col("s") + 1, window), " ")).alias("h")
-    )
-    w = Window.partitionBy("h").orderBy(id_col, "s")
-    dup_wins = wins.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    d, dup_wins = _unaligned_dup_windows(df, id_col, text_col, window, stride)
     covered = dup_wins.select(
         id_col, F.explode(F.sequence(F.col("s"), F.col("s") + window - 1)).alias("p")
     ).distinct()
@@ -1195,5 +1172,103 @@ def repeated_span_token_dedup(
             F.col("_n").alias("n_tokens"),
             (F.col("_n") - F.coalesce("_n_kept", F.lit(0))).alias("n_removed_tokens"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def _unaligned_dup_windows(
+    df: DataFrame, id_col: str, text_col: str, window: int, stride: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared election for the unaligned span family: tokenize once
+    (eager barrier — the corpus feeds several subtrees downstream, the
+    q221 multi-consumer rule), slide ``window``-token windows at
+    ``stride``, and keep every window whose text occurred EARLIER in the
+    corpus (global order = (doc id, start); first occurrence elected by
+    ONE row_number window keyed on xxhash64 of the window text — 8-byte
+    hashes shuffle, never the text). Returns (tokenized docs with
+    ``_t``/``_n``, duplicate windows as (id_col, s))."""
+    from pyspark.sql import Window
+
+    d = (
+        ensure_compute_parallelism(
+            df.select(
+                id_col,
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
+            )
+        )
+        .withColumn("_n", F.size("_t"))
+        .localCheckpoint(eager=True)
+    )
+    starts = F.when(
+        F.col("_n") >= window, F.sequence(F.lit(0), F.col("_n") - window, F.lit(stride))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    wins = d.select(id_col, F.explode(starts).alias("s"), "_t").select(
+        id_col, "s", F.xxhash64(F.array_join(F.slice("_t", F.col("s") + 1, window), " ")).alias("h")
+    )
+    w = Window.partitionBy("h").orderBy(id_col, "s")
+    return d, wins.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+
+
+def repeated_span_extents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+    stride: int = 1,
+) -> DataFrame:
+    """MAXIMAL duplicate-span extents (VERDICT r11 #4 — the survivorship
+    statistic of Lee et al. 2022 §4): the same unaligned first-occurrence
+    election as ``repeated_span_token_dedup``, but instead of rewriting
+    documents, overlapping-or-adjacent duplicate windows merge into
+    maximal (start, end) spans per document — what a curation pipeline
+    inspects to set survivorship thresholds ("drop docs > X‰
+    duplicated") and to excise spans server-side, without materializing
+    cleaned text. One row per maximal span:
+
+        id_col, span_start, span_end, span_tokens, n_tokens,
+        doc_dup_tokens, dup_permille
+
+    Positions are 0-based inclusive token offsets; ``doc_dup_tokens`` is
+    the union coverage of the doc's spans (== the token dedup operator's
+    ``n_removed_tokens`` — pytest-pinned invariant) and ``dup_permille``
+    = (1000 * doc_dup_tokens) div n_tokens in INTEGER arithmetic (Spark
+    ``div`` == DuckDB ``//`` for positives — no float-rounding seam).
+
+    Exact at window-text grain, so the whole operator carries a DuckDB
+    oracle: the interval merge is the standard gaps-and-islands idiom
+    (a span breaks where the next duplicate window starts past the
+    running max end + 1), SQL-expressible verbatim. Scale shape:
+    inherits the w/stride window blow-up (compute-side; hashes
+    shuffle); the merge itself is one per-doc window function over
+    DUPLICATE windows only — output-sensitive, cost follows boilerplate
+    volume, not corpus size; no doc-vs-doc pairing anywhere.
+    """
+    from pyspark.sql import Window
+
+    d, dup_wins = _unaligned_dup_windows(df, id_col, text_col, window, stride)
+    iv = dup_wins.select(id_col, "s", (F.col("s") + window - 1).alias("e"))
+    w_ord = Window.partitionBy(id_col).orderBy("s")
+    prev_e = F.max("e").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    spans = (
+        iv.withColumn(
+            "_brk", F.when(prev_e.isNull() | (F.col("s") > prev_e + 1), 1).otherwise(0)
+        )
+        .withColumn("_g", F.sum("_brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "_g")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .withColumn("span_tokens", F.col("span_end") - F.col("span_start") + 1)
+    )
+    per_doc = spans.groupBy(id_col).agg(F.sum("span_tokens").alias("doc_dup_tokens"))
+    return (
+        spans.join(per_doc, id_col)
+        .join(d.select(id_col, F.col("_n").alias("n_tokens")), id_col)
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            "span_tokens",
+            "n_tokens",
+            "doc_dup_tokens",
+            F.expr("(1000 * doc_dup_tokens) div n_tokens").alias("dup_permille"),
         )
     )

@@ -820,3 +820,104 @@ def q226_unaligned_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_removed_tokens").desc(), "doc_id")
         .limit(20)
     )
+
+
+@query(
+    "q228_duplicate_span_extents",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_Q223_BANNER}' || ' ' || text
+                  WHEN doc_id % 7 = 0 THEN 'xx ' || '{_Q223_BANNER}' || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM corpus),
+    meta AS (SELECT doc_id, len(t) AS n FROM toks),
+    wins AS (
+      SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 20), ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 20, 1)) AS s) st
+      WHERE len(t) >= 20
+    ),
+    dupw AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn
+        FROM wins
+      ) WHERE rn > 1
+    ),
+    brk AS (
+      SELECT doc_id, s, s + 19 AS e,
+             CASE WHEN s > coalesce(max(s + 19) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+                  THEN 1 ELSE 0 END AS b
+      FROM dupw
+    ),
+    grp AS (
+      SELECT doc_id, s, e,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+             max(e) - min(s) + 1 AS span_tokens
+      FROM grp GROUP BY doc_id, g
+    ),
+    pd AS (SELECT doc_id, sum(span_tokens) AS doc_dup_tokens FROM spans GROUP BY doc_id)
+    SELECT sp.doc_id,
+           CAST(sp.span_start AS BIGINT) AS span_start,
+           CAST(sp.span_end AS BIGINT) AS span_end,
+           CAST(sp.span_tokens AS BIGINT) AS span_tokens,
+           CAST(m.n AS BIGINT) AS n_tokens,
+           CAST(p.doc_dup_tokens AS BIGINT) AS doc_dup_tokens,
+           CAST((1000 * p.doc_dup_tokens) // m.n AS BIGINT) AS dup_permille
+    FROM spans sp JOIN pd p USING (doc_id) JOIN meta m USING (doc_id)
+    ORDER BY span_tokens DESC, sp.doc_id, sp.span_start
+    LIMIT 50
+    """,
+)
+def q228_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicate-span extents (VERDICT r11 #4 — Lee et al. 2022
+    §4's survivorship statistic, completing q226's unaligned family):
+    the same planted corpus (aligned banner on doc_id % 5, one-token-
+    SHIFTED banner on doc_id % 7), but instead of rewriting documents,
+    overlapping/adjacent duplicate windows merge into maximal
+    (start, end) token spans — the artifact a curation pipeline uses to
+    set "drop if > X‰ duplicated" thresholds and excise spans without
+    materializing cleaned text. Exact at window grain: the interval
+    merge is the SQL gaps-and-islands idiom, so every span boundary,
+    coverage count and integer per-mille fraction is value-oracled
+    (top-50 widest spans; a one-token boundary slip or an unmerged
+    adjacency shifts the rows).
+
+    Scale shape: inherits the stride-1 window blow-up (compute-only;
+    8-byte hashes shuffle); the merge is one per-doc window over
+    DUPLICATE windows only — output-sensitive, cost follows boilerplate
+    volume, not corpus size. No doc-vs-doc pairing.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import repeated_span_extents
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit(_Q223_BANNER), F.lit(" "), F.col("text")))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("xx "), F.lit(_Q223_BANNER), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    ext = repeated_span_extents(docs, id_col="doc_id", text_col="text", window=20, stride=1)
+    return (
+        ext.select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("span_tokens").cast("long").alias("span_tokens"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("doc_dup_tokens").cast("long").alias("doc_dup_tokens"),
+            F.col("dup_permille").cast("long").alias("dup_permille"),
+        )
+        .orderBy(F.col("span_tokens").desc(), "doc_id", "span_start")
+        .limit(50)
+    )

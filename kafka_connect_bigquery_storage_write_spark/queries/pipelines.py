@@ -2123,3 +2123,104 @@ def q225_sink_binpack_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderstatus")
     )
     return _finalize(out, root)
+
+
+@query(
+    "q227_streaming_mor_pipeline",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type AS last_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(event_id) AS BIGINT) AS sum_last_event_id,
+           CAST(min(event_id) AS BIGINT) AS min_last_event_id,
+           CAST(round(sum(CAST(round(value, 2) AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_last_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    ORDER BY last_type
+    """,
+)
+def q227_streaming_mor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of merge-on-read, driver-visible (VERDICT r11
+    #1): q208's ingest-CDC shape — Kafka-enveloped events through
+    ``IngestPipeline``'s parse/validate/dedup path — but with
+    ``upsert_mode='mor'`` (`streaming/pipeline.py` wires the foreachBatch
+    merge into ``upsert_mor``), so each keyed micro-batch APPENDS and
+    supersedes by tombstone instead of rewriting touched files. The
+    write-amplification contract is asserted in-query PER MICRO-BATCH
+    (q221's pin): every pre-existing visible file survives BY NAME and
+    exactly one batch-sized file is appended — under COW the same keys
+    straddle every seed file and each batch would rewrite a table-share.
+    A terminal ``compact_small_files`` (the hourly binpack that makes
+    the MOR trade sustainable) absorbs the accumulated tombstones, and a
+    ``ChangeFeedConsumer`` drained AFTER the binpack must still converge
+    a mirror to the source exactly (change sources survive absorption) —
+    the aggregate is computed from the MIRROR, so a resurrected
+    superseded version, a lost insert, or a mistyped MOR change batch
+    all shift the oracle comparison.
+
+    Reference lineage: the micro-batch put/flush loop of
+    BigqueryStorageWriteSinkTask.java:99-140 with upsert delivery
+    semantics layered on (R7/R9/R14/R17).
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.cdf_consumer import ChangeFeedConsumer
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    sink_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("event_id", T.LongType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), True),
+        ]
+    )
+    ev = ensure_compute_parallelism(load_table(spark, sf_dir, "events"))
+    hi = ev.agg(F.max("event_id")).first()[0] + 1
+    step = (hi + 3) // 4
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q227_")
+    cfg = PipelineConfig(
+        sink_path=f"{root}/a", write_mode="committed",
+        upsert_keys=["user_id"], upsert_order_col="event_id",
+        upsert_mode="mor",
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=EVENT_VALUE_SCHEMA, sink_schema=sink_schema)
+    sink = pipe._sink
+    # batch 0 seeds (plain append); batches 1-3 are MOR micro-batches
+    for b in range(4):
+        batch = ev.filter((F.col("event_id") >= b * step) & (F.col("event_id") < (b + 1) * step))
+        pre = {os.path.basename(p) for p in sink.visible_files()} if b else set()
+        pipe.run_batch(_encode_envelope(batch), batch_id=b)
+        if b:
+            post = {os.path.basename(p) for p in sink.visible_files()}
+            assert pre <= post, (
+                f"micro-batch {b} rewrote or renamed a visible file — the "
+                "streaming MOR path must be append-only per batch"
+            )
+            assert len(post - pre) == 1, (
+                f"micro-batch {b} appended {len(post - pre)} files, expected 1"
+            )
+    assert sink.visible_dvs(), "MOR micro-batches must leave tombstones to absorb"
+    # the hourly maintenance pass: binpack the streaming litter, absorb DVs
+    assert sink.compact_small_files(spark, small_rows=10**9) is not None
+    assert not sink.visible_dvs(), "binpack must absorb the MOR tombstones"
+    # CDC attach AFTER absorption: change sources must outlive the rewrite
+    mirror = ManifestSinkTable(f"{root}/b", write_mode="committed")
+    consumer = ChangeFeedConsumer(sink, mirror, keys=["user_id"], checkpoint_dir=f"{root}/ckpt")
+    assert consumer.run_available_now(spark) == 4
+    a_df, b_df = sink.read(spark), mirror.read(spark)
+    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    out = (
+        b_df.groupBy(F.col("event_type").alias("last_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("event_id").alias("sum_last_event_id"),
+            F.min("event_id").alias("min_last_event_id"),
+            F.round(F.sum(F.round("value", 2).cast("decimal(18,2)")), 2).cast("double").alias("sum_last_value"),
+        )
+        .orderBy("last_type")
+    )
+    return _finalize(out, root)

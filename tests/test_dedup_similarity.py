@@ -1019,3 +1019,61 @@ def test_unaligned_span_dedup_catches_shifted_boilerplate(spark):
     short = spark.createDataFrame([(9, "just three tokens")], "doc_id long, text string")
     s = repeated_span_token_dedup(short, window=w).collect()[0]
     assert (s["n_tokens"], s["n_removed_tokens"], s["clean_text"]) == (3, 0, "just three tokens")
+
+
+def test_span_extents_merge_and_fraction(spark):
+    """repeated_span_extents (VERDICT r11 #4): overlapping AND adjacent
+    duplicate windows merge into one maximal (start, end) span, boundary
+    offsets are exact, and the per-doc duplicate fraction is integer
+    per-mille (engine-portable div)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import repeated_span_extents
+
+    w = 4
+    banner = "aa bb cc dd"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{banner} u0 u1 u2 u3"),                 # first occurrence: no spans
+            (1, f"xx {banner} v0 v1 v2"),                 # one shifted copy -> [1,4]
+            (2, f"{banner} {banner} t0 t1"),              # adjacent copies -> one [0,7] span
+            (3, f"{banner} m0 m1 m2 m3 m4 m5 {banner}"),  # two separated copies -> two spans
+        ],
+        "doc_id long, text string",
+    )
+    rows = repeated_span_extents(docs, window=w, stride=1).orderBy("doc_id", "span_start").collect()
+    got = [(r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"]) for r in rows]
+    assert got == [(1, 1, 4, 4), (2, 0, 7, 8), (3, 0, 3, 4), (3, 10, 13, 4)]
+    by_doc = {r["doc_id"]: r for r in rows}
+    assert by_doc[2]["doc_dup_tokens"] == 8 and by_doc[2]["n_tokens"] == 10
+    assert by_doc[2]["dup_permille"] == 800
+    assert by_doc[3]["doc_dup_tokens"] == 8 and by_doc[3]["n_tokens"] == 14
+    assert by_doc[3]["dup_permille"] == (1000 * 8) // 14
+
+
+def test_span_extents_coverage_equals_token_dedup(spark, sf_dir):
+    """Invariant: the union coverage of merged extents equals the token
+    dedup operator's n_removed_tokens for every document (same election,
+    two output shapes)."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+        repeated_span_extents,
+        repeated_span_token_dedup,
+    )
+    from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("z " * 6), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).limit(200)
+    ext = (
+        repeated_span_extents(docs, window=6, stride=1)
+        .groupBy("doc_id")
+        .agg(F.first("doc_dup_tokens").alias("cov"))
+    )
+    td = repeated_span_token_dedup(docs, window=6, stride=1).select("doc_id", "n_removed_tokens")
+    joined = td.join(ext, "doc_id", "left").select(
+        "doc_id", "n_removed_tokens", F.coalesce("cov", F.lit(0)).alias("cov")
+    )
+    mismatches = joined.filter(F.col("n_removed_tokens") != F.col("cov")).count()
+    assert mismatches == 0
