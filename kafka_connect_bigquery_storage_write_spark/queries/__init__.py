@@ -55,76 +55,70 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-11 rotation (VERDICT r10 #5: burn the last r6 staleness): lead
-# with the SIX queries new this round (q221 merge-on-read upserts,
-# q222 CDC across schema evolution, q223 repeated-span removal, q224
-# consumer-aware vacuum, q225 binpack OPTIMIZE, q226 unaligned span
-# removal — zero official rows),
-# then the COMPLETE r6-latest cohort: its 12 oracled stragglers plus
-# its 7 rows-only ANN queries — joined by the other two rows-only ANN
-# queries (q145 r7-latest, q175) — because all nine now carry IN-QUERY
-# recall/precision gates (VERDICT r10 #1): their official rows-only
-# record is no longer a silent pass but a live assert, and refreshing
-# them demonstrates the gates in the official window. The remaining 23
-# slots refresh the r7-latest cohort in registration order. After this
-# round no query's newest official row is older than r7, and ~26 r7
-# oracled stragglers remain for the round-12 lead.
+# Round-12 rotation (VERDICT r11 #2: burn the r7 staleness): lead with
+# the THREE queries new this round (q227 streaming merge-on-read
+# pipeline, q228 duplicate-span extents, q229 maintenance advisor loop
+# — zero official rows), then the COMPLETE r7-latest cohort (26 oracled
+# stragglers, registration order). The remaining 21 slots begin the
+# r8-latest cohort in registration order. All 50 rows are oracled this
+# round (the nine gated rows-only ANN queries occupied official slots
+# in r11 and keep their live in-query asserts in every sim run). After
+# this round no query's newest official row is older than r8, and the
+# 28 remaining r8 stragglers lead round 13.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new this round (r11; zero official rows) ---
-    "q221_sink_upsert_mor",
-    "q222_cdc_schema_evolution_sync",
-    "q223_repeated_span_removal",
-    "q224_consumer_aware_vacuum",
-    "q225_sink_binpack_optimize",
-    "q226_unaligned_span_removal",
-    # --- r6-latest oracled stragglers (complete) ---
-    "q111_key_skew_profile",
-    "q114_series_outliers",
-    "q117_incremental_quantile_rollup",
-    "q118_chisquare_independence",
-    "q119_numeric_correlations",
-    "q120_theta_returning_users",
-    "q121_column_profile",
-    "q123_interval_join_attribution",
-    "q126_filtered_cosine_topk",
-    "q127_unpivot_metrics",
-    "q129_null_safe_join",
-    "q130_cdc_latest_state",
-    # --- the nine self-verifying rows-only ANN queries (in-query
-    # recall/precision gates, r10 commit c6951a1; 7 are r6-latest) ---
-    "q33_simhash_near_dups",
-    "q36_lsh_ann_topk",
-    "q38_embedding_near_dups_blocked",
-    "q39_ivf_ann_topk",
-    "q63_embedding_near_dups_lsh",
-    "q88_ivf_int8_serving",
-    "q92_semantic_dedup",
-    "q145_pq_ann_topk",
-    "q175_ivfpq_topk",
-    # --- r7-latest cohort, registration order (first 23) ---
-    "q136_bm25_ranking",
-    "q137_repeated_passages",
-    "q140_token_balanced_shards",
-    "q144_bpe_pair_stats",
-    "q148_html_strip_roundtrip",
-    "q149_url_canonicalize",
-    "q150_chat_flatten",
-    "q153_length_bucketed_batches",
-    "q154_preference_pairs",
-    "q132_image_pixel_checksum",
-    "q142_audio_sample_checksum",
-    "q143_audio_activity_frames",
-    "q147_video_frame_checksum",
-    "q138_orc_source",
-    "q146_avro_file_source",
-    "q135_expectation_checks",
-    "q14_running_customer_spend",
-    "q15_union_all_counts",
-    "q16_intersect_except",
-    "q17_string_functions",
-    "q18_date_functions",
-    "q19_ship_delay",
-    "q20_math_functions",
+    # --- new this round (r12; zero official rows) ---
+    "q227_streaming_mor_pipeline",
+    "q228_duplicate_span_extents",
+    "q229_maintenance_advisor_loop",
+    # --- r7-latest oracled stragglers (complete, registration order) ---
+    "q21_array_functions",
+    "q22_json_functions",
+    "q23_approx_distinct",
+    "q28_full_outer_presence",
+    "q29_bag_setops",
+    "q34_pivot_status_matrix",
+    "q25_grouping_sets_sql",
+    "q26_map_functions",
+    "q27_percentiles",
+    "q24_explode_tokens",
+    "q58_small_quantity_revenue",
+    "q59_trailing_hour_window",
+    "q89_large_volume_customers",
+    "q90_waiting_suppliers",
+    "q91_idle_rich_customers",
+    "q152_window_frames",
+    "q35_cosine_topk",
+    "q37_embedding_near_dups",
+    "q64_user_activity_similarity",
+    "q95_embedding_outliers",
+    "q151_pq_exact_topk",
+    "q48_salted_agg",
+    "q141_count_min_estimates",
+    "q133_left_outer_attribution",
+    "q134_scd2_history",
+    "q139_point_in_time_join",
+    # --- r8-latest cohort, registration order (first 21) ---
+    "q155_bigram_surprisal",
+    "q156_source_js_divergence",
+    "q164_bpe_encode",
+    "q173_bpe_token_shards",
+    "q160_rare_phrase_postings",
+    "q178_pmi_collocations",
+    "q183_group_disjoint_split",
+    "q185_trigram_backoff_lm",
+    "q194_sparse_cosine_topk",
+    "q198_phrase_blocklist",
+    "q204_unigram_viterbi",
+    "q157_boilerplate_salvage",
+    "q184_ppjoin_jaccard_pairs",
+    "q168_triangle_count",
+    "q172_reachability_bfs",
+    "q201_kcore_peel_trace",
+    "q161_image_ahash_dups",
+    "q165_jpeg_block_checksum",
+    "q166_audio_fingerprint_dups",
+    "q186_video_scene_cuts",
+    "q192_image_resize_checksum",
 )
 
 

@@ -271,6 +271,13 @@ class ChangeFeedConsumer:
         commits applied this cycle. Crash-safe at any point (see module
         docstring); safe to call from a streaming foreachBatch."""
         cur = self.cursor()
+        # lease heartbeat at poll START (not only on the idle branch): a
+        # live consumer whose applies keep failing (CAS contention, a
+        # transient vanished-source race) must still refresh its
+        # registration mtime, or a TTL-bounded vacuum would mistake an
+        # actively-retrying consumer for an abandoned one and reclaim the
+        # very sources it is retrying toward (round-12 review)
+        self._register(cur)
         work = self._worklist(cur)
         for _order, kind, ident in work:
             if kind == "batch":
@@ -282,11 +289,6 @@ class ChangeFeedConsumer:
                 cur["applied_dvs"] = sorted(set(cur["applied_dvs"]) | {ident})
                 self.applied.append((ident, "delete"))
             self._advance(cur)
-        if not work:
-            # heartbeat: refresh the registration mtime even on an idle
-            # poll, so a TTL-bounded vacuum (consumer_ttl_s) distinguishes
-            # a live-but-idle consumer from an abandoned one (ADVICE r11)
-            self._register(cur)
         return len(work)
 
     def run_available_now(self, spark: SparkSession) -> int:

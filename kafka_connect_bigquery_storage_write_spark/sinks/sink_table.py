@@ -412,6 +412,21 @@ def _zorder_expr(cols: list[str], bounds: dict[str, tuple[float, float]], bits: 
     return z
 
 
+def _key_match(updates: DataFrame, keys: list[str]) -> tuple[DataFrame, "Column"]:
+    """(distinct update-key relation aliased ``_u_<k>``, eqNullSafe join
+    condition) — the ONE definition of merge key matching (NULL keys
+    match NULL), shared by ``upsert_mor``'s tombstone scan and
+    ``_verify_mor_merged`` so the two can never diverge."""
+    from pyspark.sql import functions as F
+
+    upd_keys = updates.select(*[F.col(c).alias(f"_u_{c}") for c in keys]).distinct()
+    match = None
+    for c in keys:
+        this = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+        match = this if match is None else (match & this)
+    return upd_keys, match
+
+
 def _apply_where(df: DataFrame, where: list[tuple] | None) -> DataFrame:
     """Apply the conjunctive ``(column, op, literal)`` predicate DSL as a
     row filter (the residual half of the pruned-read contract)."""
@@ -1007,17 +1022,13 @@ class ManifestSinkTable:
         landing after this point stays visible and guards itself via
         the barrier-snapshot protocol."""
         snap = self._latest_snapshot()
-        compacted = list((snap or {}).get("compacted_dirs", []))
         absorbed = set((snap or {}).get("absorbed_batch_ids", []))
         absorbed_dv = set((snap or {}).get("absorbed_dv_ids", []))
         dv_commits = self._dv_commits()
         dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
         committed = self._committed_manifests(dv_commits)
         batch_ids = sorted(set(committed) - absorbed)
-        manifests = [
-            {"dir": d, "files": ((snap or {}).get("files") or {}).get(d)} for d in compacted
-        ]
-        manifests += [committed[i] for i in batch_ids]
+        manifests = self._manifests_from(snap or {}, dv_commits, committed=committed)
         return manifests, batch_ids, absorbed, snap, dvs
 
     @staticmethod
@@ -1132,6 +1143,48 @@ class ManifestSinkTable:
             return None
         return n_snap, len(rewritten), len(kept_entries)
 
+    def _rewrite_listing(
+        self, spark: SparkSession
+    ) -> tuple[list[dict], list[int], set[int], dict | None, list[dict]]:
+        """``_repair_void_mors`` + ``_visible_state``, with void-ness
+        RE-CHECKED against the LISTING about to be absorbed (round-12
+        review): a MOR DV that goes void BETWEEN the repair pass and the
+        listing — a racing rewrite's snapshot CAS landing in that window
+        — would otherwise be absorbed as a no-op, permanently baking the
+        resurrected superseded versions in AND clearing the void signal
+        the replay repair keys on. Deriving void-ness from the same
+        listing the snapshot will absorb closes the window: any visible
+        MOR DV whose referenced basenames are not fully contained in the
+        listing (and that carries no morfix verdict) sends the pass back
+        through repair for a fresh listing. Basenames are never reused,
+        so void-ness is monotone and each retry makes progress (repair
+        either publishes a fresh DV, verifies an absorbed batch, or
+        records a morfix marker)."""
+        for _ in range(5):
+            self._repair_void_mors(spark)
+            state = self._visible_state()
+            manifests, _batch_ids, _absorbed, _snap, dvs = state
+            names = {e["name"] for e, _b in self._listed_entries(manifests, self.root)}
+            void = [
+                d
+                for d in dvs
+                if d.get("mor")
+                and not set(d.get("files", [])) <= names
+                and not os.path.exists(
+                    os.path.join(
+                        self.root,
+                        "_commits",
+                        f"morfix-{int(d.get('as_of_batch', -1))}-{int(d['index'])}.marker",
+                    )
+                )
+            ]
+            if not void:
+                return state
+        raise RuntimeError(
+            "rewrite: unrepaired void MOR delete vectors kept appearing "
+            "mid-listing after 5 repair passes"
+        )
+
     def _repair_void_mors(self, spark: SparkSession) -> None:
         """Pre-rewrite self-heal (round-11 review): a VOID mor DV that a
         rewrite lists and absorbs is applied as a NO-OP (dead basenames),
@@ -1180,13 +1233,13 @@ class ManifestSinkTable:
         for _c, op, _v in where:
             if op not in _PRUNE_OPS:
                 raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
-        self._repair_void_mors(spark)
         # ONE listing for data AND DVs (_visible_state, ADVICE r11): the
         # DV log is read once, before the batch markers, so a MOR commit
         # is seen entire (tombstones + inserts) or not at all, and every
         # live DV reference is inside the data listing (files only leave
         # visibility via snapshots, which would make this CAS lose).
-        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
+        # Void MOR DVs repair against THIS listing (_rewrite_listing).
+        manifests, batch_ids, absorbed, snap, dvs = self._rewrite_listing(spark)
         dv_files = {f for d in dvs for f in d.get("files", [])}
         if not manifests:
             return None
@@ -1252,9 +1305,9 @@ class ManifestSinkTable:
 
         if self.bucket_spec is not None and order_by:
             raise ValueError("bucketed tables cluster by bucket_spec; order_by unsupported")
-        self._repair_void_mors(spark)
-        # ONE listing for data AND DVs (see delete_where_pruned)
-        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
+        # ONE listing for data AND DVs, void MOR DVs repaired against it
+        # (see delete_where_pruned / _rewrite_listing)
+        manifests, batch_ids, absorbed, snap, dvs = self._rewrite_listing(spark)
         dv_files = {f for d in dvs for f in d.get("files", [])}
         if not manifests:
             return None
@@ -1304,14 +1357,15 @@ class ManifestSinkTable:
         At 100 TB this is the hourly cron's only read: one snapshot +
         commit-log listing, O(files) dict arithmetic.
         """
-        manifests = self._visible_manifests()
+        snap = self._latest_snapshot() or {}
+        dv_commits = self._dv_commits()
+        manifests = self._manifests_from(snap, dv_commits)
         plan = self._listed_entries(manifests, self.root)
         n_files = len(plan)
         n_small = sum(
             1 for e, _b in plan if e.get("rows") is None or e["rows"] < small_rows
         )
-        dv_commits = self._dv_commits()
-        absorbed_dv = self._absorbed_dv_ids()
+        absorbed_dv = set(snap.get("absorbed_dv_ids", []))
         dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
         dv_rows = sum(int(d.get("rows", 0)) for d in dvs)
         # void-MOR detection against the ONE listing above (the report
@@ -1390,15 +1444,14 @@ class ManifestSinkTable:
         snap = self._latest_snapshot()
         return set((snap or {}).get("absorbed_dv_ids", []))
 
-    def visible_dvs(self, dv_commits: dict[int, dict] | None = None) -> list[dict]:
+    def visible_dvs(self) -> list[dict]:
         """DV commits not yet absorbed by the latest snapshot (includes
-        raced-and-void DVs, which no-op via dead basenames). Pass
-        ``dv_commits`` to reuse an already-taken listing (the one-listing
-        rule — see ``_committed_manifests``)."""
+        raced-and-void DVs, which no-op via dead basenames). Callers that
+        also consume the data listing must NOT pair this with a separate
+        manifest listing — use ``_visible_state``/``_read_state`` (the
+        one-listing rule, see ``_committed_manifests``)."""
         absorbed = self._absorbed_dv_ids()
-        if dv_commits is None:
-            dv_commits = self._dv_commits()
-        return [d for i, d in sorted(dv_commits.items()) if i not in absorbed]
+        return [d for i, d in sorted(self._dv_commits().items()) if i not in absorbed]
 
     def _dv_relation(self, spark: SparkSession, dvs: list[dict]) -> DataFrame:
         paths = [os.path.join(self.root, d["dir"]) for d in dvs]
@@ -1986,9 +2039,9 @@ class ManifestSinkTable:
                 self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
             return None
 
-        self._repair_void_mors(spark)
-        # ONE listing for data AND DVs (see delete_where_pruned)
-        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
+        # ONE listing for data AND DVs, void MOR DVs repaired against it
+        # (see delete_where_pruned / _rewrite_listing)
+        manifests, batch_ids, absorbed, snap, dvs = self._rewrite_listing(spark)
         dv_files = {f for d in dvs for f in d.get("files", [])}
         if not manifests:
             return None
@@ -2121,7 +2174,14 @@ class ManifestSinkTable:
                 return None
             ins = self._mor_insert_manifests().get(batch_id)
             if ins is None or not os.path.exists(os.path.join(self.root, "data", ins["dir"])):
-                return None  # absorbed+vacuumed: a later rewrite applied everything
+                # absorbed+vacuumed: a later rewrite applied everything and
+                # vacuum reclaimed the batch dir — nothing verifiable
+                # remains, so record the conclusion (the morfix marker)
+                # rather than leave a permanently-void DV that every later
+                # rewrite would re-detect (round-12 review: the
+                # _rewrite_listing loop would otherwise never converge)
+                self._mor_mark_repaired(batch_id, void_ids)
+                return None
             updates = spark.read.schema(self.schema()).parquet(
                 os.path.join(self.root, "data", ins["dir"])
             )
@@ -2131,9 +2191,11 @@ class ManifestSinkTable:
                 # distinct case (ADVICE r11): the batch was absorbed into
                 # a compacted layout (its rows renamed) while this DV was
                 # not — recomputing tombstones by key would delete the
-                # upserted rows. Verify by full row and mark repaired.
+                # upserted rows. Verify instead and mark repaired.
                 self._verify_mor_merged(spark, updates, keys, batch_id)
                 self._mor_mark_repaired(batch_id, void_ids)
+                if marker:  # crash-window dedup marker, like every exit
+                    self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return None
         if not repair:
             dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
@@ -2211,13 +2273,7 @@ class ManifestSinkTable:
                     .withColumn("file", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
                     .withColumn("pos", F.col("_metadata.row_index"))
                 )
-                upd_keys = updates.select(
-                    *[F.col(c).alias(f"_u_{c}") for c in keys]
-                ).distinct()
-                match = None
-                for c in keys:  # eqNullSafe: NULL keys match NULL (merge semantics)
-                    this = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
-                    match = this if match is None else (match & this)
+                upd_keys, match = _key_match(updates, keys)
                 hits = scan.join(upd_keys, match, "left_semi").select("file", "pos")
                 dvs = self.visible_dvs()
                 if dvs:  # already-tombstoned positions don't re-tombstone
@@ -2309,11 +2365,12 @@ class ManifestSinkTable:
                     # absorbed this batch's insert rows — now under NEW
                     # basenames — without absorbing this DV. A key-based
                     # recompute would tombstone the upserted rows
-                    # themselves; verify the merged state by full row
-                    # instead (raises on divergence).
+                    # themselves; verify the merged state instead
+                    # (raises on duplicates), and mark the verified DV
+                    # repaired so later rewrites don't re-run the verify
+                    # job for a conclusion already reached.
                     self._verify_mor_merged(spark, updates, keys, batch_id)
-                    if repair:
-                        self._mor_mark_repaired(batch_id, void_ids)
+                    self._mor_mark_repaired(batch_id, void_ids if repair else [idx])
                     if marker:
                         self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": n, "dv": idx}))
                     return idx, n
@@ -2345,11 +2402,7 @@ class ManifestSinkTable:
         ``max_distinct_keys``)."""
         from pyspark.sql import functions as F
 
-        upd_keys = updates.select(*[F.col(c).alias(f"_u_{c}") for c in keys]).distinct()
-        match = None
-        for c in keys:
-            this = F.col(c).eqNullSafe(F.col(f"_u_{c}"))
-            match = this if match is None else (match & this)
+        upd_keys, match = _key_match(updates, keys)
         dup = (
             self.read(spark)
             .join(upd_keys, match, "left_semi")
@@ -2361,9 +2414,12 @@ class ManifestSinkTable:
             raise RuntimeError(
                 f"upsert_mor batch {batch_id}: the batch was absorbed by a rewrite "
                 "without its delete vector and duplicate rows survive for its keys "
-                "— a torn absorb (two-listing rewrite or foreign writer) baked the "
-                "superseded versions in; refusing the key-based recompute that "
-                "would delete the upserted rows with them"
+                "— refusing the key-based recompute that would delete the upserted "
+                "rows with them. Either a torn absorb (two-listing rewrite or "
+                "foreign writer) baked superseded versions in permanently, or a "
+                "DIFFERENT in-flight upsert on a shared key is mid-void-retry and "
+                "its own guard loop is about to tombstone the transient duplicate "
+                "— retry this maintenance pass before escalating"
             )
 
     def _rewrite_visible(self, spark, fn, target_files, order_by, require_multiple, zorder_by=None):
@@ -2373,10 +2429,10 @@ class ManifestSinkTable:
             # bucketed tables cluster by their bucket spec — a competing
             # order would silently destroy the co-located-join layout
             raise ValueError("bucketed tables cluster by bucket_spec; order_by/zorder_by unsupported")
-        self._repair_void_mors(spark)
-        # ONE listing for data AND DVs (see delete_where_pruned) drives
-        # the no-op decision and the apply/absorb set below
-        manifests, batch_ids, absorbed, snap, dvs = self._visible_state()
+        # ONE listing for data AND DVs, void MOR DVs repaired against it
+        # (see delete_where_pruned / _rewrite_listing); drives the no-op
+        # decision and the apply/absorb set below
+        manifests, batch_ids, absorbed, snap, dvs = self._rewrite_listing(spark)
         prior_dirs = list((snap or {}).get("compacted_dirs", []))
         # a single data dir normally needs no compaction — unless delete
         # vectors are pending, whose absorption is itself the point
@@ -2929,21 +2985,33 @@ class ManifestSinkTable:
         )
 
     # -- read path ------------------------------------------------------------
-    def _visible_manifests(self, dv_commits: dict[int, dict] | None = None) -> list[dict]:
+    def _manifests_from(
+        self,
+        snap: dict,
+        dv_commits: dict[int, dict] | None,
+        committed: dict[int, dict] | None = None,
+    ) -> list[dict]:
+        """Visible manifests derived from an ALREADY-READ snapshot and
+        (optionally) already-taken DV-commit / batch-marker listings —
+        the single body behind ``_visible_manifests``, ``_visible_state``
+        and ``_read_state``, so the legacy-files handling and the
+        absorbed-set arithmetic can never diverge between them."""
+        compacted = list(snap.get("compacted_dirs", []))
+        manifests = [{"dir": d, "files": (snap.get("files") or {}).get(d)} for d in compacted]
+        if committed is None:
+            committed = self._committed_manifests(dv_commits)
+        absorbed = set(snap.get("absorbed_batch_ids", []))
+        manifests += [committed[i] for i in sorted(set(committed) - absorbed)]
+        return manifests
+
+    def _visible_manifests(self) -> list[dict]:
         """Visible content = latest compaction snapshot's dirs plus
         committed batches not absorbed by it, each as
         ``{"dir": rel, "files": [{"name", "rows", "stats"}] | None}``.
         One snapshot read + one commit-log read drive both halves (the
-        absorbed set comes from the SAME snapshot the compacted dirs do);
-        pass ``dv_commits`` to also share the DV-log listing with a
-        caller that applies tombstones (the one-listing rule)."""
-        snap = self._latest_snapshot() or {}
-        compacted = list(snap.get("compacted_dirs", []))
-        manifests = [{"dir": d, "files": (snap.get("files") or {}).get(d)} for d in compacted]
-        committed = self._committed_manifests(dv_commits)
-        absorbed = set(snap.get("absorbed_batch_ids", []))
-        manifests += [committed[i] for i in sorted(set(committed) - absorbed)]
-        return manifests
+        absorbed set comes from the SAME snapshot the compacted dirs
+        do)."""
+        return self._manifests_from(self._latest_snapshot() or {}, None)
 
     def _read_state(
         self, where: list[tuple] | None = None
@@ -2961,11 +3029,7 @@ class ManifestSinkTable:
         snap = self._latest_snapshot() or {}
         absorbed_dv = set(snap.get("absorbed_dv_ids", []))
         dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
-        compacted = list(snap.get("compacted_dirs", []))
-        manifests = [{"dir": d, "files": (snap.get("files") or {}).get(d)} for d in compacted]
-        committed = self._committed_manifests(dv_commits)
-        absorbed = set(snap.get("absorbed_batch_ids", []))
-        manifests += [committed[i] for i in sorted(set(committed) - absorbed)]
+        manifests = self._manifests_from(snap, dv_commits)
         return self._prune_paths(manifests, where), dvs
 
     def _prune_paths(self, manifests: list[dict], where: list[tuple] | None) -> list[str]:

@@ -186,3 +186,55 @@ def test_late_consumer_bootstraps_after_reclaim(spark, tmp_path):
     # a non-empty target refuses (an existing mirror should poll)
     with pytest.raises(ValueError, match="empty target"):
         c1.bootstrap(spark)
+
+
+def test_vacuum_consumer_ttl_lease(spark, tmp_path):
+    """ADVICE r11: a registration is a LEASE. An abandoned consumer's
+    stale registration (mtime past consumer_ttl_s) stops pinning change
+    sources; a live consumer refreshes its mtime on every poll — even an
+    idle or about-to-fail one — so it is never mistaken for abandoned.
+    Default (consumer_ttl_s=None) keeps the pin forever."""
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    consumer = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert src.compact(spark) is not None
+    # lagging + fresh registration: pinned under any TTL
+    removed = src.vacuum(retention_s=0.0, consumer_ttl_s=3600.0)
+    assert not any(r.startswith("batch=") for r in removed)
+    # age the registration past the TTL: the lease expires, pins drop
+    reg = consumer._registry_path()
+    os.utime(reg, (os.path.getmtime(reg) - 7200, os.path.getmtime(reg) - 7200))
+    # default None: still pinned (conservative pre-lease behavior)
+    removed = src.vacuum(retention_s=0.0)
+    assert not any(r.startswith("batch=") for r in removed)
+    # a poll (idle here) heartbeats the lease back to life BEFORE the
+    # TTL-bounded vacuum runs — the live consumer keeps its pins ...
+    consumer.poll(spark)  # applies everything (also advances the cursor)
+    # ... so test expiry with a SECOND lagging state: new batch, aged reg
+    src.write_batch(_kv(spark, [(999, "z")]).coalesce(1), 9)
+    assert src.compact(spark) is not None
+    os.utime(reg, (os.path.getmtime(reg) - 7200, os.path.getmtime(reg) - 7200))
+    removed = src.vacuum(retention_s=0.0, consumer_ttl_s=3600.0)
+    assert any(r.startswith("batch=") for r in removed), (
+        "an expired lease must stop pinning change sources"
+    )
+
+
+def test_registered_consumers_tolerates_vanished_registration(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (low): a concurrent deregister() between vacuum's
+    listdir and its open must be skipped, not crash the pass."""
+    src = _sink(spark, tmp_path / "src")
+    tgt = ManifestSinkTable(str(tmp_path / "tgt"), write_mode="committed")
+    ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    real_listdir = os.listdir
+
+    def ghosting(path):
+        out = real_listdir(path)
+        if str(path).endswith("_consumers"):
+            return list(out) + ["ghost-deregistered.json"]
+        return out
+
+    monkeypatch.setattr(os, "listdir", ghosting)
+    regs = src._registered_consumers()  # must skip the ghost, keep the real one
+    assert len(regs) == 1
+    src.vacuum(retention_s=0.0)  # and the full pass survives it

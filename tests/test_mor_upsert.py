@@ -471,3 +471,60 @@ def test_read_sees_mor_publish_atomically(spark, tmp_path, monkeypatch):
     # a fresh read sees the upsert entire
     got2 = {r["k"]: r["v"] for r in sink.read(spark).collect()}
     assert got2[5] == "U" and got2[150] == "U" and got2[900] == "N" and len(got2) == 201
+
+
+def test_rewrite_repairs_dv_voided_mid_listing(spark, tmp_path, monkeypatch):
+    """Round-12 review (TOCTOU between _repair_void_mors and the
+    listing): a MOR DV that goes void AFTER the rewrite's repair pass
+    but BEFORE its listing — a racing rewrite's snapshot CAS landing in
+    that window — must not be absorbed as a no-op (duplicates baked in,
+    void signal cleared forever). _rewrite_listing re-derives void-ness
+    from the listing being absorbed and loops back through repair."""
+    import json
+    import uuid
+
+    sink = _ranged_sink(spark, tmp_path, n_batches=2)
+    upd = _kv(spark, [(5, "U"), (150, "U"), (900, "N")])
+    pre_manifests = sink._visible_manifests()
+    pre_batch_ids = sink.committed_ids()
+
+    def crash(_prior):
+        raise RuntimeError("simulated crash before barrier")
+
+    monkeypatch.setattr(sink, "_create_barrier_snapshot", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        sink.upsert_mor(spark, upd, keys=["k"], batch_id=9)
+    monkeypatch.undo()
+
+    real_repair = type(sink)._repair_void_mors
+    fired = {"done": False}
+
+    def racing_repair(self, sp):
+        real_repair(self, sp)  # finds nothing: the DV is still intact here
+        if not fired["done"]:
+            fired["done"] = True
+            # the racing compactor (whose listing predates the MOR
+            # publish) lands its snapshot AFTER the repair pass ran
+            new_dir = f"compacted-0-{uuid.uuid4().hex[:12]}"
+            paths = [os.path.join(sink.root, "data", m["dir"]) for m in pre_manifests]
+            spark.read.schema(sink.schema()).parquet(*paths).coalesce(1).write.parquet(
+                os.path.join(sink.root, "data", new_dir)
+            )
+            assert sink._atomic_create(
+                os.path.join(sink.root, "_commits", "snapshot-0.json"),
+                json.dumps(
+                    {"index": 0, "compacted_dirs": [new_dir],
+                     "absorbed_batch_ids": pre_batch_ids, "absorbed_dv_ids": []}
+                ),
+            )
+
+    monkeypatch.setattr(type(sink), "_repair_void_mors", racing_repair)
+    assert sink.compact(spark) is not None
+    monkeypatch.undo()
+    assert fired["done"]
+    dup = sink.read(spark).groupBy("k").count().filter("count > 1").count()
+    assert dup == 0, "mid-listing void DV absorbed as a no-op: duplicates baked in"
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "U" and got[150] == "U" and got[900] == "N" and len(got) == 201
+    assert not sink._mor_needs_repair(9)
+    assert sink.visible_dvs() == []
