@@ -1,0 +1,176 @@
+"""Systematic interleaving explorer for the manifest sink protocol.
+
+Every round's external review has found one more two-operation
+interleaving bug (round 10: absorb-without-merge; round 11: DV listed
+after data; round 12: MOR publish between two DV listings, repair-to-
+listing TOCTOU). Each was fixable AND testable with the same mechanics:
+monkeypatch a listing step of a victim operation to run a complete
+racing operation at that exact point, then assert the final content
+against an order-independent model. This module runs that construction
+as a GRID instead of one-off regressions: every (victim op, injection
+point, racing op) combination, so the next protocol edit that reopens
+an interleaving window fails here before an advisor finds it.
+
+Design notes:
+- The racing op runs to completion inside the hook (its CAS lands mid-
+  victim) — the worst single-interleaving case. The victim may lose its
+  snapshot CAS to the racer's barrier (compact/delete return None);
+  content-affecting victims contribute to the model only when they
+  report success.
+- Key ranges are disjoint across ops, so every linearization yields the
+  SAME final content — the assertion needs no order reasoning.
+- Invariants per scenario: exact content match (keys AND values), no
+  duplicate keys, racer replay is a no-op, and a terminal compact
+  converges with all DVs absorbed and the maintenance advisor clear.
+- read() as victim asserts snapshot atomicity instead: the collected
+  rows equal the pre-racer or the post-racer state entire, never a mix.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_connect_bigquery_storage_write_spark.sinks import ManifestSinkTable
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+SEED = {k: "x" for k in range(100)}
+APPEND = {k: "a" for k in range(100, 105)}
+UPSERT = {**{k: "U" for k in range(10, 15)}, **{k: "n" for k in range(200, 205)}}
+DVDEL = set(range(90, 100))
+VICDEL = set(range(0, 5))
+
+
+def _seeded(spark, tmp_path) -> ManifestSinkTable:
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="committed")
+    sink.write_batch(_kv(spark, [(k, "x") for k in range(50)]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(k, "x") for k in range(50, 100)]).coalesce(1), 1)
+    return sink
+
+
+def _racer_append(sink, spark):
+    sink.write_batch(_kv(spark, sorted(APPEND.items())).coalesce(1), 50)
+
+
+def _racer_upsert(sink, spark):
+    res = sink.upsert_mor(spark, _kv(spark, sorted(UPSERT.items())), keys=["k"], batch_id=51)
+    assert res is not None
+
+
+def _racer_dvdel(sink, spark):
+    res = sink.delete_where_dv(spark, [("k", ">=", 90)])
+    assert res is not None and res[1] == len(DVDEL)
+
+
+RACERS = {
+    "append": (_racer_append, lambda m: m.update(APPEND)),
+    "upsert": (_racer_upsert, lambda m: m.update(UPSERT)),
+    "dvdel": (_racer_dvdel, lambda m: [m.pop(k) for k in DVDEL]),
+}
+
+# injection points: the instance method whose FIRST call during the
+# victim triggers the racer (each is a distinct gap in the listing
+# sequence: before everything; between snapshot and DV log; between DV
+# log and batch markers; between the repair pass and the listing)
+HOOKS = ["_latest_snapshot", "_dv_commits", "_committed_manifests", "_repair_void_mors"]
+
+VICTIMS = {
+    "compact": lambda s, sp: s.compact(sp),
+    "binpack": lambda s, sp: s.compact_small_files(sp, small_rows=10**9),
+    "delete": lambda s, sp: s.delete_where_pruned(sp, [("k", "<", 5)]),
+}
+
+
+def _inject(monkeypatch, sink, hook: str, racer) -> dict:
+    real = getattr(type(sink), hook)
+    state = {"fired": False, "in_racer": False}
+
+    def wrapped(self, *a, **kw):
+        out = real(self, *a, **kw)
+        if not state["fired"] and not state["in_racer"]:
+            state["fired"] = True
+            state["in_racer"] = True
+            try:
+                racer()
+            finally:
+                state["in_racer"] = False
+        return out
+
+    monkeypatch.setattr(type(sink), hook, wrapped)
+    return state
+
+
+def _content(sink, spark) -> dict:
+    rows = sink.read(spark).collect()
+    got = {}
+    for r in rows:
+        assert r["k"] not in got, f"duplicate key {r['k']} in visible content"
+        got[r["k"]] = r["v"]
+    return got
+
+
+@pytest.mark.parametrize("victim", sorted(VICTIMS))
+@pytest.mark.parametrize("hook", HOOKS)
+@pytest.mark.parametrize("racer", sorted(RACERS))
+def test_racer_lands_mid_victim(spark, tmp_path, monkeypatch, victim, hook, racer):
+    sink = _seeded(spark, tmp_path)
+    racer_fn, racer_model = RACERS[racer]
+    state = _inject(monkeypatch, sink, hook, lambda: racer_fn(sink, spark))
+    vic_result = VICTIMS[victim](sink, spark)
+    monkeypatch.undo()
+    assert state["fired"], "injection point never reached"
+
+    expected = dict(SEED)
+    racer_model(expected)
+    if victim == "delete" and vic_result is not None:
+        for k in VICDEL:
+            expected.pop(k, None)
+    assert _content(sink, spark) == expected
+
+    # racer replay is a no-op (idempotence survives the interleaving)
+    if racer == "append":
+        assert sink.write_batch(
+            _kv(spark, sorted(APPEND.items())).coalesce(1), 50
+        ).already_exists
+    elif racer == "upsert":
+        assert sink.upsert_mor(
+            spark, _kv(spark, sorted(UPSERT.items())), keys=["k"], batch_id=51
+        ) is None
+    assert _content(sink, spark) == expected
+
+    # terminal maintenance converges and clears (None = nothing to do:
+    # the victim already absorbed everything, which is itself converged)
+    sink.compact(spark)
+    assert sink.visible_dvs() == []
+    assert _content(sink, spark) == expected
+    rep = sink.maintenance_report(small_rows=1)
+    assert not rep["binpack_due"] and rep["n_void_mor_batches"] == 0
+
+
+@pytest.mark.parametrize("hook", ["_dv_commits", "_latest_snapshot", "_committed_manifests"])
+@pytest.mark.parametrize("racer", sorted(RACERS))
+def test_read_is_atomic_under_racer(spark, tmp_path, monkeypatch, hook, racer):
+    """A reader overlapped by any publish sees the OLD state entire or
+    the NEW state entire — never tombstones without inserts (or the
+    reverse)."""
+    sink = _seeded(spark, tmp_path)
+    racer_fn, racer_model = RACERS[racer]
+    state = _inject(monkeypatch, sink, hook, lambda: racer_fn(sink, spark))
+    df = sink.read(spark)
+    monkeypatch.undo()
+    assert state["fired"]
+    got = {}
+    for r in df.collect():
+        assert r["k"] not in got, f"duplicate key {r['k']} in torn read"
+        got[r["k"]] = r["v"]
+    pre = dict(SEED)
+    post = dict(SEED)
+    racer_model(post)
+    assert got in (pre, post), "torn read: a state that never existed"
+    # and a fresh read sees the publish entire
+    assert _content(sink, spark) == post
