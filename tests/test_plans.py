@@ -699,3 +699,17 @@ def test_q226_unaligned_span_removal_plan_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q226_unaligned_span_removal")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "xxhash64" in plan and "row_number" in plan
+
+
+def test_q228_span_extents_plan_shape(spark, sf_dir):
+    """q228's extents must inherit q226's no-pair election (hash-keyed
+    window, no cartesian/NestedLoop) and add ONLY per-doc windows for
+    the gaps-and-islands merge — no doc-vs-doc join anywhere; the output
+    joins are the bounded per-doc aggregates."""
+    plan = _plan(spark, sf_dir, "q228_duplicate_span_extents")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "xxhash64" in plan
+    assert "row_number" in plan
+    # interval merge = running max + running sum + min/max aggregate,
+    # all partitioned by doc id — never a global window
+    assert "windowspecdefinition(doc_id" in plan
