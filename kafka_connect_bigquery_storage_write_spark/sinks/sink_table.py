@@ -3004,6 +3004,25 @@ class ManifestSinkTable:
         manifests += [committed[i] for i in sorted(set(committed) - absorbed)]
         return manifests
 
+    def _dv_free_manifests(self, what: str) -> list[dict]:
+        """One-listing 'no pending DVs' read state for the stats-only and
+        bucketed paths (round-12 review, same class as ADVICE r11's torn
+        read): the DV-emptiness CHECK and the manifest listing derive
+        from ONE ``_dv_commits()`` + ONE snapshot read. Checked-then-
+        listed separately, a MOR upsert publishing in between would slip
+        its insert rows into a listing whose tombstones the check never
+        saw — a bucketed snapshot (or stats sum) quietly carrying both
+        the superseded and the new row versions. Raises the documented
+        pending-DV refusal; otherwise returns the visible manifests."""
+        dv_commits = self._dv_commits()
+        snap = self._latest_snapshot() or {}
+        absorbed_dv = set(snap.get("absorbed_dv_ids", []))
+        if any(i not in absorbed_dv for i in dv_commits):
+            raise ValueError(
+                f"{what} unavailable while delete vectors are pending; run compact() first"
+            )
+        return self._manifests_from(snap, dv_commits)
+
     def _visible_manifests(self) -> list[dict]:
         """Visible content = latest compaction snapshot's dirs plus
         committed batches not absorbed by it, each as
@@ -3106,17 +3125,14 @@ class ManifestSinkTable:
         ``stats_agg`` rule, raise rather than quietly degrade."""
         if self.bucket_spec is None:
             raise ValueError("read_bucketed requires a table built with bucket_spec=")
-        if self.visible_dvs():
-            raise ValueError(
-                "bucketed read unavailable while delete vectors are pending; run compact() first"
-            )
+        manifests = self._dv_free_manifests("bucketed read")
         schema = self.schema()
         if schema is None:
             raise ValueError(f"sink table at {self.root} has never been written")
         n, cols = self.bucket_spec
         snap_dir = os.path.join(self.root, "_bucketed_reads", f"snap-{uuid.uuid4().hex[:12]}")
         os.makedirs(snap_dir)
-        for p in self.visible_files():
+        for p in self._prune_paths(manifests, None):
             base = os.path.basename(p)
             if _bucket_of(base) is None:
                 raise ValueError(
@@ -3158,13 +3174,11 @@ class ManifestSinkTable:
         rewrites exactly like min/max: rewritten files are re-stamped
         from content, pointer-copied files carry their entries.
         """
-        if self.visible_dvs():
-            # manifest row counts include tombstoned rows; a stats-only
-            # answer would overcount. compact() absorbs the DVs and
-            # restores the zero-scan path — raise, never guess.
-            raise ValueError(
-                "stats-only aggregates unavailable while delete vectors are pending; run compact() first"
-            )
+        # manifest row counts include tombstoned rows; a stats-only
+        # answer would overcount. compact() absorbs the DVs and restores
+        # the zero-scan path — raise, never guess. The check and the
+        # listing below share ONE dv/snapshot read (_dv_free_manifests).
+        manifests = self._dv_free_manifests("stats-only aggregates")
         sum_cols = sum_cols or []
         count_cols = count_cols or []
         total = 0
@@ -3172,7 +3186,7 @@ class ManifestSinkTable:
         maxs: dict[str, object] = {c: None for c in cols}
         sums: dict[str, object] = {c: None for c in sum_cols}
         nonnull: dict[str, int] = {c: 0 for c in count_cols}
-        for m in self._visible_manifests():
+        for m in manifests:
             entries = m["files"]
             if entries is None:
                 raise ValueError(f"legacy layout without stats under {m['dir']}; compact first")

@@ -174,3 +174,55 @@ def test_read_is_atomic_under_racer(spark, tmp_path, monkeypatch, hook, racer):
     assert got in (pre, post), "torn read: a state that never existed"
     # and a fresh read sees the publish entire
     assert _content(sink, spark) == post
+
+
+@pytest.mark.parametrize("hook", ["_dv_commits", "_latest_snapshot"])
+def test_stats_agg_not_torn_by_mor_publish(spark, tmp_path, monkeypatch, hook):
+    """stats_agg's pending-DV refusal and its manifest listing share one
+    dv/snapshot read (round-12 review): a MOR upsert publishing between
+    a separate check and listing would slip its insert rows into the
+    row-count sum while its tombstones went unchecked — an overcount
+    from a state that never existed. The aggregate must be the pre-racer
+    value entire, or the documented pending-DV raise."""
+    sink = _seeded(spark, tmp_path)
+    state = _inject(monkeypatch, sink, hook, lambda: _racer_upsert(sink, spark))
+    try:
+        total = sink.stats_agg(["k"])["rows"]
+    except ValueError as e:
+        assert "delete vectors are pending" in str(e)
+        total = None
+    monkeypatch.undo()
+    assert state["fired"]
+    assert total in (None, len(SEED)), (
+        f"torn stats: {total} rows counted (pre={len(SEED)}, "
+        f"torn would be {len(SEED) + len(UPSERT)})"
+    )
+
+
+@pytest.mark.parametrize("hook", ["_dv_commits", "_latest_snapshot"])
+def test_read_bucketed_not_torn_by_mor_publish(spark, tmp_path, monkeypatch, hook):
+    """read_bucketed's snapshot must be a state that existed: a MOR
+    publish landing between the DV check and the file hardlinking must
+    not put un-tombstoned superseded versions next to the new rows in
+    the bucketed snapshot."""
+    sink = ManifestSinkTable(
+        str(tmp_path / "t"), write_mode="committed", bucket_spec=(4, ["k"])
+    )
+    sink.write_batch(_kv(spark, [(k, "x") for k in range(100)]), 0)
+    state = _inject(monkeypatch, sink, hook, lambda: _racer_upsert(sink, spark))
+    name = f"bread_race_{hook.strip('_')}"
+    try:
+        rows = sink.read_bucketed(spark, name).collect()
+    except ValueError as e:
+        assert "delete vectors are pending" in str(e)
+        rows = None
+    finally:
+        monkeypatch.undo()
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    assert state["fired"]
+    if rows is not None:
+        got = {}
+        for r in rows:
+            assert r["k"] not in got, f"duplicate key {r['k']} in bucketed snapshot"
+            got[r["k"]] = r["v"]
+        assert got == SEED, "bucketed snapshot must be the pre-racer state entire"
