@@ -56,20 +56,22 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # unwindowed majority.
 #
 # Round-12 rotation (VERDICT r11 #2: burn the r7 staleness): lead with
-# the THREE queries new this round (q227 streaming merge-on-read
-# pipeline, q228 duplicate-span extents, q229 maintenance advisor loop
-# — zero official rows), then the COMPLETE r7-latest cohort (26 oracled
-# stragglers, registration order). The remaining 21 slots begin the
-# r8-latest cohort in registration order. All 50 rows are oracled this
-# round (the nine gated rows-only ANN queries occupied official slots
-# in r11 and keep their live in-query asserts in every sim run). After
-# this round no query's newest official row is older than r8, and the
-# 28 remaining r8 stragglers lead round 13.
+# the FOUR queries new this round (q227 streaming merge-on-read
+# pipeline, q228 duplicate-span extents, q229 maintenance advisor loop,
+# q230 storage response routing — zero official rows), then the
+# COMPLETE r7-latest cohort (26 oracled stragglers, registration
+# order). The remaining 20 slots begin the r8-latest cohort in
+# registration order. All 50 rows are oracled this round (the nine
+# gated rows-only ANN queries occupied official slots in r11 and keep
+# their live in-query asserts in every sim run). After this round no
+# query's newest official row is older than r8, and the 29 remaining
+# r8 stragglers lead round 13.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round (r12; zero official rows) ---
     "q227_streaming_mor_pipeline",
     "q228_duplicate_span_extents",
     "q229_maintenance_advisor_loop",
+    "q230_storage_response_routing",
     # --- r7-latest oracled stragglers (complete, registration order) ---
     "q21_array_functions",
     "q22_json_functions",
@@ -118,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q165_jpeg_block_checksum",
     "q166_audio_fingerprint_dups",
     "q186_video_scene_cuts",
-    "q192_image_resize_checksum",
 )
 
 

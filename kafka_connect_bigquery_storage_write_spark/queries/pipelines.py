@@ -2365,3 +2365,142 @@ def q229_maintenance_advisor_loop(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_visible_dvs long, pending_dv_rows long",
     ).orderBy("phase")
     return _finalize(out, root)
+
+
+@query(
+    "q230_storage_response_routing",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 23 = 0 THEN 'dlq' ELSE 'landed' END AS route,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS sum_cents,
+           CAST(max(CASE WHEN o_orderkey % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS err_code,
+           CAST(sum(CASE WHEN o_orderkey % 23 = 0
+                         THEN length('required field violation at key ' || CAST(o_orderkey AS VARCHAR))
+                         ELSE 0 END) AS BIGINT) AS sum_msg_len
+    FROM orders
+    GROUP BY route
+    ORDER BY route
+    """,
+)
+def q230_storage_response_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ half of the Storage Write protocol, driver-visible:
+    ``AppendRowsResponse`` frames ride the real proto2 wire format and
+    the reference's exact routing precedence decides each row's fate
+    in-query (q179 covered the request frame; this covers the response
+    the per-append callback consumes, BigqueryStreamWriter.java:354-376,
+    and the task routing of BigqueryStorageWriteSinkTask.java:214-241).
+
+    Per Arrow batch the kernel (a) encodes the batch's rows against the
+    schema-derived descriptor, (b) marks rows with ``o_orderkey % 23 ==
+    0`` as per-row failures and builds the RESPONSE frame — AppendResult
+    offset + RowError{index, FIELDS_ERROR, message} entries — exactly as
+    a server acknowledging a partial batch would (the R10 salvage
+    shape), (c) re-parses the frame, classifies it
+    (``classify_append_response`` must say ``dlq_rows``), and routes
+    every row from the DECODED frame alone: corrupted indexes
+    dead-letter, the rest land. Control frames for the other outcomes
+    (ALREADY_EXISTS -> skip_success, INTERNAL -> retry, INVALID_ARGUMENT
+    -> dlq_all_rewind, OUT_OF_RANGE -> rewind) are built, parsed and
+    asserted per batch, pinning the classification table (R11/R13/R14/
+    R15). The dlq rows' error codes and decoded message lengths ride to
+    the oracle, so a mis-framed index, enum, or string anywhere in the
+    response codec shifts the aggregate.
+
+    Scale: batch-local Python (the jar-less trade, q179's note); the
+    output aggregate is a two-group partial agg, no extra shuffle.
+    """
+    import decimal
+
+    import pandas as pd
+
+    from kafka_connect_bigquery_storage_write_spark.sinks import protowire as pw
+
+    cols = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    desc = pw.descriptor_for_spark_schema(cols, name="Order")
+    out_schema = T.StructType(
+        [
+            T.StructField("route", T.StringType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("cents", T.LongType()),
+            T.StructField("err_code", T.LongType()),
+            T.StructField("msg_len", T.LongType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = [
+                pw.encode_message(
+                    {"o_orderkey": int(t.o_orderkey), "o_orderstatus": t.o_orderstatus,
+                     "o_totalprice": float(t.o_totalprice)},
+                    desc,
+                )
+                for t in pdf.itertuples(index=False)
+            ]
+            keys = pdf["o_orderkey"].tolist()
+            row_errors = [
+                (i, pw.ROW_ERROR_FIELDS, f"required field violation at key {k}")
+                for i, k in enumerate(keys)
+                if k % 23 == 0
+            ]
+            frame = pw.append_rows_response(offset=0, row_errors=row_errors, write_stream="s")
+            parsed = pw.parse_append_rows_response(frame)
+            cls = pw.classify_append_response(parsed)
+            assert cls["action"] == ("dlq_rows" if row_errors else "ok"), cls
+            # the other outcomes, framed + parsed + classified per batch:
+            # the full AppendContext truth table from the wire
+            table = [
+                ((pw.GRPC_ALREADY_EXISTS, "already exists"), "skip_success"),
+                ((pw.GRPC_INTERNAL, "internal"), "retry"),
+                ((3, "invalid argument"), "dlq_all_rewind"),
+                ((pw.GRPC_OUT_OF_RANGE, "offset gap"), "rewind"),
+            ]
+            for status, want in table:
+                got = pw.classify_append_response(
+                    pw.parse_append_rows_response(pw.append_rows_response(status=status))
+                )["action"]
+                assert got == want, (status, got, want)
+            # route every row from the DECODED frame alone
+            bad = {e["index"]: e for e in parsed["row_errors"]}
+            decoded = [pw.decode_message(r, desc) for r in rows]
+            yield pd.DataFrame(
+                {
+                    "route": ["dlq" if i in bad else "landed" for i in range(len(rows))],
+                    "o_orderkey": [d["o_orderkey"] for d in decoded],
+                    "cents": [
+                        int(
+                            (decimal.Decimal(str(d["o_totalprice"])) * 100).quantize(
+                                decimal.Decimal("1")
+                            )
+                        )
+                        for d in decoded
+                    ],
+                    "err_code": [bad[i]["code"] if i in bad else 0 for i in range(len(rows))],
+                    "msg_len": [len(bad[i]["message"]) if i in bad else 0 for i in range(len(rows))],
+                }
+            )
+
+    src = ensure_compute_parallelism(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    routed = src.mapInPandas(kernel, schema=out_schema)
+    return (
+        routed.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("sum_key"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("err_code").alias("err_code"),
+            F.sum("msg_len").alias("sum_msg_len"),
+        )
+        .orderBy("route")
+    )

@@ -475,3 +475,200 @@ def parse_append_rows_request(data: bytes) -> dict[str, Any]:
         else:
             pos = _skip(data, pos, wt)
     return out
+
+
+# -- AppendRowsResponse (the read half of the Storage Write protocol) --------
+#
+# The reference's per-append callback consumes this frame
+# (BigqueryStreamWriter.java:354-376 sets it on the AppendContext;
+# :148-183 derive hasError / hasUnretryableError / isAlreadyExists /
+# isOutOfRange / corruptedRowKafkaOffsets from it). Field numbers from the
+# PUBLIC google/cloud/bigquery/storage/v1/storage.proto:
+#   oneof response { AppendResult append_result = 1   # { Int64Value offset = 1 }
+#                    google.rpc.Status error    = 2 } # { int32 code = 1, string message = 2 }
+#   repeated RowError row_errors = 4                  # { int64 index = 1, ErrorCode code = 2,
+#                                                     #   string message = 3 }
+#   string write_stream = 5
+# (updated_schema = 3 is not modeled: the connector never reads it.)
+
+# gRPC status codes (public google.rpc.Code); the retriable set is the
+# reference's RETRIABLE_ERROR_CODES (BigqueryStreamWriter.java:120-127)
+GRPC_CANCELLED = 1
+GRPC_DEADLINE_EXCEEDED = 4
+GRPC_ALREADY_EXISTS = 6
+GRPC_FAILED_PRECONDITION = 9
+GRPC_ABORTED = 10
+GRPC_OUT_OF_RANGE = 11
+GRPC_INTERNAL = 13
+GRPC_UNAVAILABLE = 14
+RETRIABLE_ERROR_CODES = frozenset(
+    {GRPC_INTERNAL, GRPC_ABORTED, GRPC_CANCELLED, GRPC_FAILED_PRECONDITION,
+     GRPC_DEADLINE_EXCEEDED, GRPC_UNAVAILABLE}
+)
+ROW_ERROR_FIELDS = 1  # RowError.ErrorCode.FIELDS_ERROR
+
+
+def append_rows_response(
+    offset: int | None = None,
+    status: tuple[int, str] | None = None,
+    row_errors: Iterable[tuple[int, int, str]] = (),
+    write_stream: str = "",
+) -> bytes:
+    """One Storage Write append RESPONSE frame: success carries
+    ``append_result.offset`` (Int64Value — presence distinguishes 0 from
+    unset, same as the request side); failure carries ``error`` (a
+    google.rpc.Status); per-row failures ride ``row_errors`` as
+    (index, code, message) with the batch otherwise acknowledged — the
+    shape behind the reference's partial-batch salvage (R10/R11)."""
+    out = bytearray()
+    if offset is not None:
+        inner = _tag(1, _WT_VARINT) + encode_varint64(offset)
+        ar = _tag(1, _WT_LEN) + encode_uvarint(len(inner)) + inner
+        out += _tag(1, _WT_LEN) + encode_uvarint(len(ar)) + ar
+    if status is not None:
+        code, msg = status
+        raw = msg.encode()
+        st = _tag(1, _WT_VARINT) + encode_uvarint(code)
+        st += _tag(2, _WT_LEN) + encode_uvarint(len(raw)) + raw
+        out += _tag(2, _WT_LEN) + encode_uvarint(len(st)) + st
+    for index, code, msg in row_errors:
+        raw = msg.encode()
+        re_ = _tag(1, _WT_VARINT) + encode_varint64(index)
+        re_ += _tag(2, _WT_VARINT) + encode_uvarint(code)
+        re_ += _tag(3, _WT_LEN) + encode_uvarint(len(raw)) + raw
+        out += _tag(4, _WT_LEN) + encode_uvarint(len(re_)) + re_
+    if write_stream:
+        raw = write_stream.encode()
+        out += _tag(5, _WT_LEN) + encode_uvarint(len(raw)) + raw
+    return bytes(out)
+
+
+def parse_append_rows_response(data: bytes) -> dict[str, Any]:
+    """Inverse of :func:`append_rows_response` — what a client callback
+    reads off the wire."""
+    out: dict[str, Any] = {"offset": None, "status": None, "row_errors": [], "write_stream": ""}
+    pos = 0
+    while pos < len(data):
+        key, pos = decode_uvarint(data, pos)
+        number, wt = key >> 3, key & 7
+        if number == 1 and wt == _WT_LEN:  # AppendResult
+            ln, pos = decode_uvarint(data, pos)
+            inner = data[pos : pos + ln]
+            pos += ln
+            ipos = 0
+            while ipos < len(inner):
+                ik, ipos = decode_uvarint(inner, ipos)
+                if ik >> 3 == 1 and ik & 7 == _WT_LEN:  # Int64Value offset
+                    il, ipos = decode_uvarint(inner, ipos)
+                    wrapped = inner[ipos : ipos + il]
+                    ipos += il
+                    wpos = 0
+                    while wpos < len(wrapped):
+                        wk, wpos = decode_uvarint(wrapped, wpos)
+                        if wk >> 3 == 1:
+                            u, wpos = decode_uvarint(wrapped, wpos)
+                            out["offset"] = _to_signed64(u)
+                        else:
+                            wpos = _skip(wrapped, wpos, wk & 7)
+                else:
+                    ipos = _skip(inner, ipos, ik & 7)
+        elif number == 2 and wt == _WT_LEN:  # google.rpc.Status
+            ln, pos = decode_uvarint(data, pos)
+            inner = data[pos : pos + ln]
+            pos += ln
+            st = {"code": 0, "message": ""}
+            ipos = 0
+            while ipos < len(inner):
+                ik, ipos = decode_uvarint(inner, ipos)
+                if ik >> 3 == 1 and ik & 7 == _WT_VARINT:
+                    st["code"], ipos = decode_uvarint(inner, ipos)
+                elif ik >> 3 == 2 and ik & 7 == _WT_LEN:
+                    il, ipos = decode_uvarint(inner, ipos)
+                    st["message"] = inner[ipos : ipos + il].decode()
+                    ipos += il
+                else:
+                    ipos = _skip(inner, ipos, ik & 7)
+            out["status"] = st
+        elif number == 4 and wt == _WT_LEN:  # RowError
+            ln, pos = decode_uvarint(data, pos)
+            inner = data[pos : pos + ln]
+            pos += ln
+            re_ = {"index": 0, "code": 0, "message": ""}
+            ipos = 0
+            while ipos < len(inner):
+                ik, ipos = decode_uvarint(inner, ipos)
+                if ik >> 3 == 1 and ik & 7 == _WT_VARINT:
+                    u, ipos = decode_uvarint(inner, ipos)
+                    re_["index"] = _to_signed64(u)
+                elif ik >> 3 == 2 and ik & 7 == _WT_VARINT:
+                    re_["code"], ipos = decode_uvarint(inner, ipos)
+                elif ik >> 3 == 3 and ik & 7 == _WT_LEN:
+                    il, ipos = decode_uvarint(inner, ipos)
+                    re_["message"] = inner[ipos : ipos + il].decode()
+                    ipos += il
+                else:
+                    ipos = _skip(inner, ipos, ik & 7)
+            out["row_errors"].append(re_)
+        elif number == 5 and wt == _WT_LEN:
+            ln, pos = decode_uvarint(data, pos)
+            out["write_stream"] = data[pos : pos + ln].decode()
+            pos += ln
+        else:
+            pos = _skip(data, pos, wt)
+    return out
+
+
+def classify_append_response(parsed: dict[str, Any]) -> dict[str, Any]:
+    """The reference's AppendContext routing over a parsed response frame
+    (BigqueryStreamWriter.java:148-183, exact semantics):
+
+      has_error          status present OR any row_errors
+      retriable          status code in RETRIABLE_ERROR_CODES (retry the
+                         whole append; row errors alone are NOT retried)
+      already_exists     ALREADY_EXISTS -> the offset-checked append was
+                         a replay: treat as success, advance past it (R14)
+      out_of_range       OUT_OF_RANGE -> offset gap: rewind (R15)
+      corrupted_indexes  row indexes to dead-letter (R11/R12): ALL rows
+                         for an unretryable status, else exactly the
+                         row_errors' indexes, else none
+      action             the TASK's routing with the reference's exact
+                         precedence (BigqueryStorageWriteSinkTask.java:
+                         214-241 — isAlreadyExists FIRST, then
+                         isOutOfRange, then hasError):
+                           skip_success    replayed offset: committed as-is (R14)
+                           rewind          offset gap: re-consume from first (R15)
+                           retry           whole append retried (R13)
+                           dlq_all_rewind  unretryable: every row dead-letters
+                           dlq_rows        row errors only: salvage the rest (R10)
+                           ok              clean append
+    """
+    st = parsed.get("status")
+    code = st["code"] if st else None
+    row_errors = parsed.get("row_errors", [])
+    has_error = st is not None or bool(row_errors)
+    retriable = st is not None and code in RETRIABLE_ERROR_CODES
+    unretryable = st is not None and code not in RETRIABLE_ERROR_CODES
+    already = code == GRPC_ALREADY_EXISTS
+    oor = code == GRPC_OUT_OF_RANGE
+    if already:
+        action = "skip_success"
+    elif oor:
+        action = "rewind"
+    elif retriable:
+        action = "retry"
+    elif unretryable:
+        action = "dlq_all_rewind"
+    elif row_errors:
+        action = "dlq_rows"
+    else:
+        action = "ok"
+    return {
+        "has_error": has_error,
+        "retriable": retriable,
+        "already_exists": already,
+        "out_of_range": oor,
+        "corrupted_indexes": (
+            "ALL" if unretryable else [e["index"] for e in row_errors]
+        ),
+        "action": action,
+    }

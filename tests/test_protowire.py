@@ -287,3 +287,57 @@ def test_descriptor_proto_emits_fields_and_nested():
     assert parsed["field"][1]["type"] == 11  # TYPE_MESSAGE
     assert parsed["field"][1]["type_name"] == "Row_sub"
     assert len(parsed["nested_type"]) == 1
+
+
+# -- AppendRowsResponse (round 12: the read half of the protocol) ------------
+
+
+def test_append_rows_response_roundtrip():
+    """Every field of the response frame survives encode -> parse:
+    Int64Value offset (0 distinguishable from unset), repeated RowError
+    triples in order, write_stream."""
+    f = pw.append_rows_response(
+        offset=0,
+        row_errors=[(2, pw.ROW_ERROR_FIELDS, "bad"), (5, pw.ROW_ERROR_FIELDS, "worse")],
+        write_stream="projects/p/streams/s",
+    )
+    p = pw.parse_append_rows_response(f)
+    assert p["offset"] == 0 and p["status"] is None
+    assert [(e["index"], e["code"], e["message"]) for e in p["row_errors"]] == [
+        (2, 1, "bad"), (5, 1, "worse"),
+    ]
+    assert p["write_stream"] == "projects/p/streams/s"
+    # unset offset parses as None (oneof not taken)
+    assert pw.parse_append_rows_response(pw.append_rows_response())["offset"] is None
+
+
+def test_append_rows_response_status_roundtrip():
+    p = pw.parse_append_rows_response(
+        pw.append_rows_response(status=(pw.GRPC_ALREADY_EXISTS, "offset already exists"))
+    )
+    assert p["status"] == {"code": 6, "message": "offset already exists"}
+
+
+def test_classification_matches_reference_truth_table():
+    """classify_append_response mirrors AppendContext + the task routing
+    (BigqueryStreamWriter.java:120-183, BigqueryStorageWriteSinkTask.java:
+    214-241): retriable set verbatim, ALREADY_EXISTS precedence over the
+    unretryable branch, row errors salvage instead of rewind."""
+    def cls(**kw):
+        return pw.classify_append_response(
+            pw.parse_append_rows_response(pw.append_rows_response(**kw))
+        )
+
+    assert cls(offset=3)["action"] == "ok"
+    for code in sorted(pw.RETRIABLE_ERROR_CODES):
+        c = cls(status=(code, "x"))
+        assert c["action"] == "retry" and c["retriable"] and c["corrupted_indexes"] == []
+    ae = cls(status=(pw.GRPC_ALREADY_EXISTS, "x"))
+    assert ae["action"] == "skip_success" and ae["already_exists"]
+    oor = cls(status=(pw.GRPC_OUT_OF_RANGE, "x"))
+    assert oor["action"] == "rewind" and oor["out_of_range"]
+    inv = cls(status=(3, "invalid"))
+    assert inv["action"] == "dlq_all_rewind" and inv["corrupted_indexes"] == "ALL"
+    rows = cls(offset=7, row_errors=[(1, 1, "a"), (4, 1, "b")])
+    assert rows["action"] == "dlq_rows" and rows["corrupted_indexes"] == [1, 4]
+    assert rows["has_error"] and not rows["retriable"]
