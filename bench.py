@@ -197,8 +197,11 @@ def main() -> None:
     # budget raised from 240s with the round-5 registry growth (107
     # queries): a noisy first pass must not disable the warm pass, or the
     # reported number is all cold-start noise (a 383s min-of-1 was
-    # recorded where the warm suite runs ~90s)
-    if time.perf_counter() - bench_start < 600:
+    # recorded where the warm suite runs ~90s). Raised again to 900s at
+    # 229 queries (round 12): under moderate steal the first pass runs
+    # 450-550s, and a min-of-1 there is all weather — the warm second
+    # pass is exactly what the min-merge needs most on contended days.
+    if time.perf_counter() - bench_start < 900:
         runs.append(sweep(SF_DIR))
 
     best = {name: min(r[name] for r in runs) for name in runs[0]}
