@@ -226,3 +226,29 @@ def test_read_bucketed_not_torn_by_mor_publish(spark, tmp_path, monkeypatch, hoo
             assert r["k"] not in got, f"duplicate key {r['k']} in bucketed snapshot"
             got[r["k"]] = r["v"]
         assert got == SEED, "bucketed snapshot must be the pre-racer state entire"
+
+
+@pytest.mark.parametrize("hook", HOOKS[:3])
+@pytest.mark.parametrize("racer", sorted(RACERS))
+def test_vacuum_mid_racer_reclaims_nothing_needed(spark, tmp_path, monkeypatch, hook, racer):
+    """vacuum overlapped by a publish must never reclaim anything the
+    publish (or any reader) needs: the racer's data survives, content
+    converges, and the racer's replay stays a no-op. Seeded with an
+    absorbed layout so the vacuum actually has reclaim candidates."""
+    sink = _seeded(spark, tmp_path)
+    assert sink.compact(spark) is not None  # batch dirs become reclaimable
+    racer_fn, racer_model = RACERS[racer]
+    state = _inject(monkeypatch, sink, hook, lambda: racer_fn(sink, spark))
+    removed = sink.vacuum(retention_s=3600.0)
+    monkeypatch.undo()
+    assert state["fired"]
+    expected = dict(SEED)
+    racer_model(expected)
+    assert _content(sink, spark) == expected, f"vacuum reclaimed live data: {removed}"
+    if racer == "upsert":
+        assert sink.upsert_mor(
+            spark, _kv(spark, sorted(UPSERT.items())), keys=["k"], batch_id=51
+        ) is None
+    sink.compact(spark)
+    assert sink.visible_dvs() == []
+    assert _content(sink, spark) == expected
