@@ -224,6 +224,23 @@ def main() -> None:
     obs_par = (cal_start[1] + cal_end[1]) / 2
     cal_ref = ref_cal if ref_cal else [obs_single, obs_par]
     factor = min(1.0, cal_ref[0] / max(obs_single, 1e-9), cal_ref[1] / max(obs_par, 1e-9))
+    # Normalization factor for the min-of-N headline (VERDICT r12 #1): the
+    # per-query values are MINIMA across passes, so when one pass was badly
+    # stolen the recorded times come predominantly from the healthier pass —
+    # averaging both calibration windows then DOUBLE-corrects (r12: avg
+    # factor 0.34 claimed 96s where the healthy-window passes measured
+    # 204-227s). The defensible bound is the BEST single calibration
+    # window's factor: the run demonstrably contained a window that quiet,
+    # and min-merge means the minima are no worse than that window's
+    # weather. The conservative AVERAGED factor above still gates
+    # BENCH_LOCAL persistence (a half-stolen run must not persist minima).
+    factor_norm = min(
+        1.0,
+        max(
+            min(1.0, cal_ref[0] / max(c[0], 1e-9), cal_ref[1] / max(c[1], 1e-9))
+            for c in (cal_start, cal_end)
+        ),
+    )
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "query_suite_wall_clock",
@@ -253,7 +270,7 @@ def main() -> None:
         # rounds when host_cal shows theft.
         "host_cal": [cal_start, cal_end],
         "host_cal_ref": cal_ref,
-        "host_cal_norm_total": round(total * factor, 3),
+        "host_cal_norm_total": round(total * factor_norm, 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_LOCAL.json",
         # commit that last touched the reference minima being compared

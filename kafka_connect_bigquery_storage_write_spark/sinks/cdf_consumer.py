@@ -280,6 +280,14 @@ class ChangeFeedConsumer:
         self._register(cur)
         work = self._worklist(cur)
         for _order, kind, ident in work:
+            # refresh the lease BEFORE each source read, not only at poll
+            # start and after each applied commit (_advance): one commit
+            # whose apply outlasts consumer_ttl_s would otherwise leave
+            # the registration mtime stale MID-apply, and a concurrent
+            # TTL-bounded vacuum could reclaim the very source being read
+            # (ADVICE r12). With the in-loop refresh the TTL only needs to
+            # exceed one apply's read-and-merge, not a whole worklist.
+            self._register(cur)
             if kind == "batch":
                 applied_kind = self._apply_batch(spark, ident)
                 cur["after_batch_id"] = ident

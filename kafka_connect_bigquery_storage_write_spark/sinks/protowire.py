@@ -562,6 +562,11 @@ def parse_append_rows_response(data: bytes) -> dict[str, Any]:
                     il, ipos = decode_uvarint(inner, ipos)
                     wrapped = inner[ipos : ipos + il]
                     ipos += il
+                    # Wrapper PRESENCE is what carries "offset is set":
+                    # canonical proto3 encoders omit the zero varint inside
+                    # Int64Value, so an empty wrapper body means offset=0,
+                    # not unset.
+                    out["offset"] = 0
                     wpos = 0
                     while wpos < len(wrapped):
                         wk, wpos = decode_uvarint(wrapped, wpos)

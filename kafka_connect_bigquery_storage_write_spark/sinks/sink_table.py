@@ -2602,7 +2602,11 @@ class ManifestSinkTable:
         # it rather than let it pin every change source forever. Such a
         # consumer, if it ever resumes, keeps the documented loud-failure
         # behavior on a reclaimed source. Default None = never expire
-        # (the conservative pre-lease behavior).
+        # (the conservative pre-lease behavior). Sizing: the TTL must
+        # exceed ONE commit's apply (read + merge) — the consumer
+        # refreshes its lease before every source read (per-commit, not
+        # just per-poll), so a long WORKLIST never lets the lease go
+        # stale, only a single pathologically slow apply could.
         consumers = self._registered_consumers()
         if consumer_ttl_s is not None:
             consumers = [c for c in consumers if now - c.get("_mtime", now) < consumer_ttl_s]
