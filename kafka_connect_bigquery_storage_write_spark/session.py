@@ -69,7 +69,20 @@ def ensure_shipped(spark: SparkSession) -> None:
     app_id = sc.applicationId
     if app_id in _SHIPPED_APPS:
         return
-    sc.addPyFile(_build_package_zip())
+    zip_path = _build_package_zip()
+    sc.addPyFile(zip_path)
+    # addPyFile covers ordinary UDF workers (they read the includes list
+    # and prepend SparkFiles paths), but Spark's DRIVER-side streaming
+    # Python runner (transformWithStateInPandas init, foreachBatch) skips
+    # that setup and builds its sys.path from the PYTHONPATH env of the
+    # PythonFunction instead — which pyspark snapshots from
+    # sc.environment at UDF-creation time. Adding the zip here makes the
+    # package importable in that runner too (zips import natively). The
+    # path is driver-local; on a multi-host cluster executors never need
+    # it (includes cover them) and a missing sys.path entry is ignored.
+    env_pp = sc.environment.get("PYTHONPATH", "")
+    if zip_path not in env_pp.split(os.pathsep):
+        sc.environment["PYTHONPATH"] = zip_path + (os.pathsep + env_pp if env_pp else "")
     _SHIPPED_APPS.add(app_id)
 
 

@@ -134,13 +134,19 @@ def sessionize_stream(events: DataFrame, gap_seconds: int, watermark: str = "30 
 # The engine carries the running-totals accumulator on BOTH APIs so a
 # deployment can migrate without semantic drift.
 #
-# ENVIRONMENT CONSTRAINT (same class as the spark-sql-kafka jar): the
-# runtime protocol between the JVM and the stateful-processor Python
-# worker is protobuf-encoded, and the `protobuf` package is NOT
-# installed in this sandbox (no network installs) — the query crashes in
-# StateMessage_pb2 at worker init. The processor and builder below are
-# complete and the parity test runs automatically wherever protobuf
-# exists (tests/test_stateful.py skips on its absence).
+# ENVIRONMENT NOTE (round 13): the JVM<->stateful-worker protocol is
+# protobuf-encoded and the `protobuf` package is not installed in this
+# sandbox — historically that crashed the worker in StateMessage_pb2 at
+# first state access. The engine now ships its own spec-exact wire
+# codec for that protocol (state_proto_shim, the protowire/q179/q230
+# discipline applied to the TWS surface); install() below registers it
+# as StateMessage_pb2 ONLY when the real runtime is absent, and runs at
+# import time so unpickling a processor inside any Spark worker installs
+# it there too. On a protobuf-equipped cluster install() is a no-op and
+# the generated classes are used unchanged.
+from kafka_connect_bigquery_storage_write_spark.streaming.state_proto_shim import install as _install_state_proto_shim
+
+_install_state_proto_shim()
 
 try:  # the API is present on Spark 4; guard so older clusters still import this module
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
@@ -172,8 +178,51 @@ try:  # the API is present on Spark 4; guard so older clusters still import this
             timeMode="None",
         )
 
+    RUNNING_CENTS_OUTPUT = "user_id long, n_events long, sum_cents long"
+    RUNNING_CENTS_STATE = "n long, cents long"
+
+    class RunningCentsProcessor(StatefulProcessor):
+        """Per-user running (count, integer-cents sum) — the exact-
+        arithmetic form of RunningTotalsProcessor for ORACLED use: cents
+        accumulate as int64, so accumulation order (micro-batch split,
+        engine) cannot move the result by an ulp (the verify-skill
+        exact-decimal rule). np.rint is exact here because the value
+        column IS 2-decimal data: v*100 sits within an ulp of an
+        integer, never at a .5 boundary."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("cents_totals", RUNNING_CENTS_STATE)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(np.rint(pdf["value"].to_numpy() * 100).sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    def running_user_cents_tws(events: DataFrame) -> DataFrame:
+        """Exact-cents running totals on transformWithStateInPandas (the
+        q232 kernel). Update-mode: every micro-batch that touches a user
+        emits that user's new running totals."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            RunningCentsProcessor(),
+            outputStructType=RUNNING_CENTS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+
 except ImportError:  # pragma: no cover - Spark < 4
     RunningTotalsProcessor = None
+    RunningCentsProcessor = None
 
     def running_user_totals_tws(events: DataFrame) -> DataFrame:
+        raise NotImplementedError("transformWithStateInPandas requires Spark 4+")
+
+    def running_user_cents_tws(events: DataFrame) -> DataFrame:
         raise NotImplementedError("transformWithStateInPandas requires Spark 4+")

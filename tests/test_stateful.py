@@ -3,9 +3,33 @@ within a streaming run (two source files, one file per trigger)."""
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.streaming.stateful import running_user_totals
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark):
+    """transformWithStateInPandas needs state-store column families,
+    which the default HDFSBackedStateStoreProvider lacks; set RocksDB
+    for the stream and restore after (the q232 discipline)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def test_state_accumulates_across_microbatches(spark, tmp_path):
@@ -30,37 +54,33 @@ def test_state_accumulates_across_microbatches(spark, tmp_path):
         .start()
     )
     q.awaitTermination(180)
+
     rows = spark.sql("select * from running_totals_test").collect()
-    # the LAST update per user must reflect the accumulated state
-    final = {}
-    for r in rows:
-        final[r.user_id] = (r.n_events, r.sum_value)  # updates arrive in batch order
-    assert final[1] == (3, 7.0)  # 2 events in batch1 + 1 in batch2, state carried over
-    assert final[2] == (1, 5.0)
+    # update-mode: user 1 emits (2, 3.0) after batch1 then (3, 7.0) after
+    # batch2 — proof the state cell carried across triggers
+    got = {(r.user_id, r.n_events, r.sum_value) for r in rows}
+    assert (1, 2, 3.0) in got
+    assert (1, 3, 7.0) in got
+    assert (2, 1, 5.0) in got
 
 
 def test_stream_sessionizer_closes_by_gap_and_timeout(spark, tmp_path):
-    """sessionize_stream: a gap inside the data closes a session on the
-    next event; the trailing open session closes via event-time TIMEOUT
-    once a later batch's watermark passes last_event + gap — no user-2
-    event needed. Closed sessions carry exact counts/sums."""
-    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream
-
     src = tmp_path / "src"
     raw = "user_id long, ts string, value double"
-    # user 1: two sessions separated by a 3h gap; user 2: one session
+    # user 1: two events 10 min apart (same session), then one 3 hours
+    # later (new session); the watermark sentinel (user 99, far future)
+    # pushes event time forward so the open session times out and closes.
     batch1 = [
-        (1, "2024-01-01 10:00:00", 1.25),
-        (1, "2024-01-01 10:30:00", 2.50),
-        (1, "2024-01-01 14:00:00", 4.00),  # > 1h gap: closes session A
-        (2, "2024-01-01 09:00:00", 7.75),
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:10:00", 2.0),
     ]
-    # far-future event advances the watermark past everything + gap,
-    # forcing the remaining open sessions to close by timeout
-    batch2 = [(99, "2024-01-02 12:00:00", 0.01)]
-    for rows in (batch1, batch2):
+    batch2 = [(1, "2024-01-01 13:10:00", 4.0)]
+    batch3 = [(99, "2024-01-02 00:00:00", 0.0)]
+    for rows in (batch1, batch2, batch3):
         df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
         df.coalesce(1).write.mode("append").json(str(src))
+
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream
 
     stream = spark.readStream.schema("user_id long, ts timestamp, value double").option(
         "maxFilesPerTrigger", "1"
@@ -69,34 +89,28 @@ def test_stream_sessionizer_closes_by_gap_and_timeout(spark, tmp_path):
     q = (
         out.writeStream.outputMode("append")
         .format("memory")
-        .queryName("sessionize_stream_test")
+        .queryName("sessions_test")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
-    rows = spark.sql("select * from sessionize_stream_test order by user_id, session_start").collect()
-    got = [(r.user_id, str(r.session_start), str(r.session_end), r.n_events, r.sum_value) for r in rows]
-    assert (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 2, 3.75) in got  # closed by gap
-    assert (1, "2024-01-01 14:00:00", "2024-01-01 14:00:00", 1, 4.0) in got  # closed by timeout
-    assert (2, "2024-01-01 09:00:00", "2024-01-01 09:00:00", 1, 7.75) in got  # closed by timeout
+
+    rows = spark.sql("select * from sessions_test where user_id = 1").collect()
+    sessions = {(str(r.session_start), str(r.session_end), r.n_events, r.sum_value) for r in rows}
+    assert ("2024-01-01 10:00:00", "2024-01-01 10:10:00", 2, 3.0) in sessions
+    assert ("2024-01-01 13:10:00", "2024-01-01 13:10:00", 1, 4.0) in sessions
 
 
 def test_stream_sessionizer_matches_batch_sessionize(spark, tmp_path, sf_dir):
-    """Cross-form equivalence on real fixture events: once a sentinel
-    batch advances the watermark past every open session, the streaming
-    sessionizer's closed-session panel must equal the batch operator's
-    (q77 shape) session panel exactly — same sessions, same exact-cents
-    sums."""
+    """Streaming gap-sessionization must agree exactly with the batch
+    sessionize operator over the same fixture events (6h gap), with a
+    far-future sentinel closing every tail session via the timeout path."""
     from kafka_connect_bigquery_storage_write_spark.operators.temporal import sessionize
     from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
     from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
-    )
-    # parquet source: the json writer truncates timestamps to millis,
-    # which would shift session boundaries vs the batch operator
+    ev = load_table(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp"), "value")
     src = tmp_path / "src"
     ev.coalesce(1).write.mode("append").parquet(str(src))
     sentinel = spark.createDataFrame([(10**6, "2030-01-01 00:00:00", 0.0)], "user_id long, ts string, value double")
@@ -140,24 +154,20 @@ def test_stream_sessionizer_matches_batch_sessionize(spark, tmp_path, sf_dir):
 def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
     """The same accumulator on Spark 4's transformWithStateInPandas must
     produce the same final per-user totals as the applyInPandasWithState
-    form - the migration-without-drift guarantee. The runtime needs the
-    protobuf package (JVM<->stateful-worker protocol, verified absent
-    from this env: `import google.protobuf` -> ModuleNotFoundError);
-    without it this runs the GUARD path instead of skipping (VERDICT r8
-    #8, 0-skip suite): the query must fail LOUDLY at stream runtime
-    (StreamingQueryException from the crashed TWS driver worker, probed
-    empirically) - never silently produce wrong state."""
-    import pytest
-
-    try:
-        import google.protobuf  # noqa: F401
-
-        has_protobuf = True
-    except ImportError:
-        has_protobuf = False
-    from pyspark.errors.exceptions.captured import StreamingQueryException
-
+    form — the migration-without-drift guarantee. LIVE since round 13:
+    the JVM<->stateful-worker protocol runs on the engine's own
+    StateMessage wire codec (streaming/state_proto_shim, installed
+    because google.protobuf is absent here), the package reaches the
+    driver-side streaming runner via ensure_shipped's PYTHONPATH
+    hand-off, and per-key state lives in RocksDB (TWS needs column
+    families). Through round 12 this test could only pin the loud
+    crash; now it pins the values."""
+    from kafka_connect_bigquery_storage_write_spark.session import ensure_shipped
+    from kafka_connect_bigquery_storage_write_spark.streaming import state_proto_shim
     from kafka_connect_bigquery_storage_write_spark.streaming.stateful import running_user_totals_tws
+
+    assert state_proto_shim.install()  # real protobuf absent in-sandbox
+    ensure_shipped(spark)
 
     src = tmp_path / "src"
     raw = "user_id long, ts string, value double"
@@ -172,7 +182,7 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     ).json(str(src))
     out = running_user_totals_tws(stream)
 
-    def run_query():
+    with _rocksdb_state_store(spark):
         q = (
             out.writeStream.outputMode("update")
             .format("memory")
@@ -181,16 +191,52 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        q.awaitTermination(300)
 
-    if not has_protobuf:
-        with pytest.raises(StreamingQueryException, match="TransformWithState"):
-            run_query()
-        return
-    run_query()
     rows = spark.sql("select * from tws_totals_test").collect()
+    got = {(r.user_id, r.n_events, r.sum_value) for r in rows}
+    # intermediate update proves the ValueState survived the trigger
+    # boundary; finals match the applyInPandasWithState contract above
+    assert (1, 2, 3.0) in got
+    assert (1, 3, 7.0) in got
+    assert (2, 1, 5.0) in got
+
+
+def test_tws_exact_cents_across_batches(spark, tmp_path):
+    """RunningCentsProcessor (the q232 kernel): integer-cents state, so
+    the final update per user equals the exact batch aggregate no matter
+    how the rows split across triggers."""
+    from kafka_connect_bigquery_storage_write_spark.session import ensure_shipped
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import running_user_cents_tws
+
+    ensure_shipped(spark)
+    src = tmp_path / "src"
+    raw = "user_id long, value double"
+    batches = [
+        [(1, 0.1), (1, 0.2), (2, 327.53)],
+        [(1, 0.3), (2, 0.07)],
+        [(1, 123.45)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, raw).coalesce(1).write.mode("append").json(str(src))
+    stream = spark.readStream.schema(raw).option("maxFilesPerTrigger", "1").json(str(src))
+    with _rocksdb_state_store(spark):
+        q = (
+            running_user_cents_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_cents_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    rows = spark.sql("select * from tws_cents_test").collect()
     final = {}
     for r in rows:
-        final[r.user_id] = (r.n_events, r.sum_value)
-    assert final[1] == (3, 7.0)
-    assert final[2] == (1, 5.0)
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_cents)
+    # 0.1+0.2+0.3+123.45 = 124.05 exactly in cents (float sum would give
+    # 124.05000000000001-ish before rounding)
+    assert final[1] == (4, 12405)
+    assert final[2] == (2, 32760)
