@@ -1199,6 +1199,15 @@ def _unaligned_dup_windows(
         .withColumn("_n", F.size("_t"))
         .localCheckpoint(eager=True)
     )
+    return d, _dup_windows_from_tokens(d, id_col, window, stride)
+
+
+def _dup_windows_from_tokens(d: DataFrame, id_col: str, window: int, stride: int) -> DataFrame:
+    """Election half of ``_unaligned_dup_windows`` over an already
+    tokenized relation (``_t``/``_n`` columns) — split out so multi-grain
+    sweeps (q231) tokenize ONCE and run one election per window size."""
+    from pyspark.sql import Window
+
     starts = F.when(
         F.col("_n") >= window, F.sequence(F.lit(0), F.col("_n") - window, F.lit(stride))
     ).otherwise(F.expr("array()").cast("array<int>"))
@@ -1206,7 +1215,74 @@ def _unaligned_dup_windows(
         id_col, "s", F.xxhash64(F.array_join(F.slice("_t", F.col("s") + 1, window), " ")).alias("h")
     )
     w = Window.partitionBy("h").orderBy(id_col, "s")
-    return d, wins.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    return wins.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+
+
+def multi_grain_span_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    windows: tuple[int, ...] = (20, 10),
+    stride: int = 1,
+) -> DataFrame:
+    """Duplicate-token coverage at MULTIPLE window grains in one pass
+    (VERDICT r12 #3 — the w-floor blind spot): the unaligned
+    first-occurrence election (``_unaligned_dup_windows``) is exact only
+    for repeats of at least ``window`` tokens, so a single w=20 run is
+    blind to 10–19-token boilerplate (chat headers, footers). This
+    operator tokenizes the corpus ONCE and runs one independent election
+    per grain, returning one row per document:
+
+        id_col, n_tokens, dup_tokens_w{w}... , dup_permille_w{w}...
+
+    where ``dup_tokens_w{w}`` is the union coverage of duplicate
+    ``w``-token windows (== ``repeated_span_token_dedup(window=w)``'s
+    ``n_removed_tokens``) and ``dup_permille_w{w}`` the integer per-mille
+    fraction (Spark ``div`` == DuckDB ``//``, no float seam). A
+    curation pipeline reads the GAP between grains: a doc with high
+    w10 coverage but low w20 coverage is full of short repeated
+    fragments that the coarse grain certifies clean.
+
+    Scale shape: tokenization is shared (one eager barrier — multiple
+    elections consume it, the q221 multi-consumer rule); each election
+    is the documented ~n_tokens/stride window blow-up, compute-side,
+    with only 8-byte hashes shuffling; coverage expansion emits rows
+    for DUPLICATE windows only (output-sensitive) — at w=10 the window
+    COUNT is the same ~n per doc as w=20 and each window hashes half
+    the text, so the sweep prices ~2x one election, not 2x the corpus.
+    Smaller windows elect MORE duplicates (any 10-token phrase recurring
+    anywhere), which is the statistic's point — the operator reports
+    coverage, it does not rewrite text at the finer grain.
+    """
+    d = (
+        ensure_compute_parallelism(
+            df.select(
+                id_col,
+                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
+            )
+        )
+        .withColumn("_n", F.size("_t"))
+        .localCheckpoint(eager=True)
+    )
+    out = d.select(id_col, F.col("_n").alias("n_tokens"))
+    for w in windows:
+        dup_wins = _dup_windows_from_tokens(d, id_col, w, stride)
+        covered = (
+            dup_wins.select(
+                id_col, F.explode(F.sequence(F.col("s"), F.col("s") + w - 1)).alias("p")
+            )
+            .distinct()
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias(f"dup_tokens_w{w}"))
+        )
+        out = out.join(covered, id_col, "left").withColumn(
+            f"dup_tokens_w{w}", F.coalesce(f"dup_tokens_w{w}", F.lit(0))
+        )
+    for w in windows:
+        out = out.withColumn(
+            f"dup_permille_w{w}", F.expr(f"(1000 * dup_tokens_w{w}) div n_tokens")
+        )
+    return out
 
 
 def repeated_span_extents(

@@ -921,3 +921,117 @@ def q228_duplicate_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("span_tokens").desc(), "doc_id", "span_start")
         .limit(50)
     )
+
+
+_Q231_HEADER = (
+    "start of transcript the following exchange was recorded for quality "
+    "assurance purposes"
+)  # exactly 12 whitespace tokens: SHORTER than the 20-token window
+
+
+@query(
+    "q231_span_grain_sweep",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN '{_Q231_HEADER}' || ' ' || text
+                  WHEN doc_id % 5 = 0 THEN '{_Q223_BANNER}' || ' ' || text
+                  WHEN doc_id % 7 = 0 THEN 'xx ' || '{_Q223_BANNER}' || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t FROM corpus),
+    meta AS (SELECT doc_id, len(t) AS n FROM toks),
+    wins20 AS (
+      SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 20), ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 20, 1)) AS s) st
+      WHERE len(t) >= 20
+    ),
+    dupw20 AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn
+        FROM wins20
+      ) WHERE rn > 1
+    ),
+    cov20 AS (
+      SELECT doc_id, count(DISTINCT p) AS c
+      FROM dupw20, LATERAL (SELECT unnest(generate_series(s, s + 19)) AS p) pp
+      GROUP BY doc_id
+    ),
+    wins10 AS (
+      SELECT doc_id, s, array_to_string(list_slice(t, s + 1, s + 10), ' ') AS w
+      FROM toks, LATERAL (SELECT unnest(generate_series(0, len(t) - 10, 1)) AS s) st
+      WHERE len(t) >= 10
+    ),
+    dupw10 AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn
+        FROM wins10
+      ) WHERE rn > 1
+    ),
+    cov10 AS (
+      SELECT doc_id, count(DISTINCT p) AS c
+      FROM dupw10, LATERAL (SELECT unnest(generate_series(s, s + 9)) AS p) pp
+      GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(m.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(c20.c, 0) AS BIGINT) AS dup_tokens_w20,
+           CAST(coalesce(c10.c, 0) AS BIGINT) AS dup_tokens_w10,
+           CAST((1000 * coalesce(c20.c, 0)) // m.n AS BIGINT) AS dup_permille_w20,
+           CAST((1000 * coalesce(c10.c, 0)) // m.n AS BIGINT) AS dup_permille_w10
+    FROM meta m
+    LEFT JOIN cov20 c20 USING (doc_id)
+    LEFT JOIN cov10 c10 USING (doc_id)
+    ORDER BY dup_tokens_w10 - dup_tokens_w20 DESC, m.doc_id
+    LIMIT 50
+    """,
+)
+def q231_span_grain_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span coverage at TWO window grains from one tokenization
+    (VERDICT r12 #3 — closing the w-floor blind spot): the unaligned
+    election is exact only for repeats >= the window size, so w=20 alone
+    is blind to 10–19-token boilerplate. The planted corpus proves it:
+    doc_id % 3 docs carry a 12-token transcript header — INVISIBLE at
+    w=20 (every 20-token window spanning it continues into per-doc
+    unique text) but fully covered at w=10 — while the %5/%7 docs keep
+    the 20-token banner both grains see. Reported per doc: token
+    coverage and integer per-mille at each grain, ranked by the w10-w20
+    GAP (the short-fragment signal a curation threshold reads). Exact at
+    window-text grain; both elections and the coverage expansion are
+    value-oracled via the same gaps-free SQL twin.
+
+    Scale: ONE tokenize barrier feeds both elections (multi-consumer
+    rule); each election shuffles 8-byte hashes over ~n/stride windows —
+    the sweep prices ~2x one election, not 2x the corpus; coverage rows
+    exist only for DUPLICATE windows (output-sensitive). SCALING.md
+    round-13 records the measured w=10-vs-w=20 cost ratio.
+    """
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import multi_grain_span_coverage
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit(_Q231_HEADER), F.lit(" "), F.col("text")))
+        .when(F.col("doc_id") % 5 == 0, F.concat(F.lit(_Q223_BANNER), F.lit(" "), F.col("text")))
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit("xx "), F.lit(_Q223_BANNER), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cov = multi_grain_span_coverage(
+        docs, id_col="doc_id", text_col="text", windows=(20, 10), stride=1
+    )
+    return (
+        cov.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("dup_tokens_w20").cast("long").alias("dup_tokens_w20"),
+            F.col("dup_tokens_w10").cast("long").alias("dup_tokens_w10"),
+            F.col("dup_permille_w20").cast("long").alias("dup_permille_w20"),
+            F.col("dup_permille_w10").cast("long").alias("dup_permille_w10"),
+        )
+        .orderBy((F.col("dup_tokens_w10") - F.col("dup_tokens_w20")).desc(), "doc_id")
+        .limit(50)
+    )

@@ -1077,3 +1077,45 @@ def test_span_extents_coverage_equals_token_dedup(spark, sf_dir):
     )
     mismatches = joined.filter(F.col("n_removed_tokens") != F.col("cov")).count()
     assert mismatches == 0
+
+
+def test_multi_grain_span_coverage_matches_single_grain_removals(spark):
+    """q231's kernel: per-grain coverage must equal the corresponding
+    single-grain token dedup's n_removed_tokens, and a 12-token header
+    (below the w=20 floor) must be visible ONLY at w=10."""
+    from kafka_connect_bigquery_storage_write_spark.operators.dedup import (
+        multi_grain_span_coverage,
+        repeated_span_token_dedup,
+    )
+
+    header = "h1 h2 h3 h4 h5 h6 h7 h8 h9 h10 h11 h12"  # 12 tokens
+    banner = " ".join(f"b{i}" for i in range(20))  # 20 tokens
+    rows = []
+    for i in range(6):
+        body = " ".join(f"doc{i}w{j}" for j in range(30))  # unique per doc
+        text = f"{header} {body}" if i % 2 == 0 else f"{banner} {body}"
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cov = {r["doc_id"]: r for r in multi_grain_span_coverage(docs, windows=(20, 10)).collect()}
+    for w in (20, 10):
+        removed = {
+            r["doc_id"]: r["n_removed_tokens"]
+            for r in repeated_span_token_dedup(docs, window=w, stride=1).collect()
+        }
+        for did, r in cov.items():
+            assert r[f"dup_tokens_w{w}"] == removed[did], (w, did)
+
+    # header docs (even ids > 0): the 12-token repeat is invisible at w=20,
+    # fully covered at w=10 (first occurrence doc 0 keeps it)
+    for did in (2, 4):
+        assert cov[did]["dup_tokens_w20"] == 0
+        assert cov[did]["dup_tokens_w10"] == 12
+    # banner docs (odd ids > 1): caught at both grains
+    for did in (3, 5):
+        assert cov[did]["dup_tokens_w20"] == 20
+        assert cov[did]["dup_tokens_w10"] == 20
+    # first occurrences keep their text at every grain
+    assert cov[0]["dup_tokens_w10"] == 0 and cov[1]["dup_tokens_w20"] == 0
+    # integer per-mille: 12 dup of 42 tokens = 285 permille exactly
+    assert cov[2]["dup_permille_w10"] == (1000 * 12) // 42
