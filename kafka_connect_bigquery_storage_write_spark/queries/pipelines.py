@@ -2504,3 +2504,149 @@ def q230_storage_response_routing(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("route")
     )
+
+
+@query(
+    "q233_pending_cdc_epoch",
+    oracle="""
+    WITH hi AS (SELECT max(o_orderkey) AS mk FROM orders),
+    upd AS (
+      SELECT CASE WHEN o_orderkey % 22 = 0 THEN CAST(o_orderkey AS DOUBLE) * 4.0
+                  WHEN o_orderkey % 11 = 0 THEN CAST(o_orderkey AS DOUBLE) * 2.0
+                  ELSE o_totalprice END AS p
+      FROM orders
+    ),
+    news AS (
+      SELECT CASE WHEN g.i <= 10 THEN CAST(hi.mk + g.i AS DOUBLE) * 7.0
+                  ELSE CAST(hi.mk + g.i AS DOUBLE) * 0.5 END AS p
+      FROM hi, generate_series(1, 20) g(i)
+    ),
+    fin AS (SELECT p FROM upd UNION ALL SELECT p FROM news),
+    seed AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+             FROM orders),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(p AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+          FROM fin)
+    SELECT 'a_staged' AS phase, seed.n AS n_rows, seed.cents AS sum_cents,
+           CAST(3 AS BIGINT) AS n_staged_dvs, CAST(0 AS BIGINT) AS n_visible_dvs
+    FROM seed
+    UNION ALL SELECT 'b_committed', f.n, f.cents, 0, 3 FROM f
+    UNION ALL SELECT 'c_replayed',  f.n, f.cents, 0, 3 FROM f
+    UNION ALL SELECT 'd_reset',     f.n, f.cents, 0, 3 FROM f
+    UNION ALL SELECT 'e_compacted', f.n, f.cents, 0, 0 FROM f
+    ORDER BY phase
+    """,
+)
+def q233_pending_cdc_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PENDING-MODE (transactional) CDC (VERDICT r12 #5 — the reference's
+    R17 pending semantics, ``BigqueryStreamWriterIntegrationTest.java:
+    103-116``, composed with the MERGE surface): a three-batch CDC feed
+    with OVERLAPPING keys stages against a pending-mode table — updates
+    to %11 keys, then %22 keys (superseding half the staged updates
+    IN-transaction), then re-updates of 10 staged NEW keys — and the
+    whole transaction is invisible until ONE epoch rename publishes
+    inserts, upserts and tombstones atomically. Five phases, each a
+    content-aggregate row (count + exact cents) plus the transaction
+    observables:
+
+      a_staged     3 staged merges open: visible content still EXACTLY
+                   the seed (the oracle pins the seed aggregate — one
+                   leaked insert or tombstone flips it); changes() past
+                   the seed must be empty and maintenance must refuse
+                   (both asserted in-query)
+      b_committed  commit() published [1,2,3]: content equals the SQL
+                   twin's recomputation of the converged merge —
+                   including the in-transaction supersedes (%22 beats
+                   %11; new-key re-updates beat their staged inserts)
+      c_replayed   replaying a staged batch id after publish is a no-op
+      d_reset      a 4th merge staged then reset(): content unchanged
+      e_compacted  terminal compact absorbs the 3 published DVs;
+                   content invariant, advice clear
+
+    Scale: staging costs exactly what committed MOR costs (one O(batch)
+    append + one pruned position scan + one dv CAS per feed batch); the
+    commit is ONE epoch-file rename regardless of transaction size; the
+    open transaction pins nothing but its own files (maintenance defers,
+    vacuum holds — no retention clock).
+    """
+    from kafka_connect_bigquery_storage_write_spark.sinks.sink_table import ManifestSinkTable
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)
+    )
+    hi = src.agg(F.max("o_orderkey")).first()[0]
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q233_")
+    sink = ManifestSinkTable(f"{root}/mirror", write_mode="pending")
+    sink.write_batch(src.coalesce(2), 0)
+    assert sink.commit() == [0]
+
+    def content_row(phase: str) -> tuple:
+        agg = (
+            sink.read(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+            )
+            .first()
+        )
+        dvc = sink._dv_commits()
+        staged = sum(1 for d in dvc.values() if d.get("staged") and not d.get("_published"))
+        visible = len(sink.visible_dvs())
+        return (phase, agg["n"], agg["cents"], staged, visible)
+
+    # the staged multi-batch feed (overlapping keys across batches)
+    b1 = src.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
+    )
+    news = spark.range(1, 21).select(
+        (F.col("id") + hi).alias("o_orderkey"),
+        ((F.col("id") + hi).cast("double") * 0.5).alias("o_totalprice"),
+    )
+    assert sink.upsert_mor(spark, b1.unionByName(news), keys=["o_orderkey"], batch_id=1) is not None
+    b2 = src.filter(F.col("o_orderkey") % 22 == 0).withColumn(
+        "o_totalprice", F.col("o_orderkey").cast("double") * 4.0
+    )
+    assert sink.upsert_mor(spark, b2, keys=["o_orderkey"], batch_id=2) is not None
+    b3 = spark.range(1, 11).select(
+        (F.col("id") + hi).alias("o_orderkey"),
+        ((F.col("id") + hi).cast("double") * 7.0).alias("o_totalprice"),
+    )
+    assert sink.upsert_mor(spark, b3, keys=["o_orderkey"], batch_id=3) is not None
+
+    rows = [content_row("a_staged")]
+    # invisible: the feed shows nothing past the seed, maintenance defers
+    assert sink.changes(spark, after_batch_id=0).count() == 0, "staged merge leaked into the feed"
+    try:
+        sink.compact_small_files(spark)
+        raise AssertionError("maintenance must defer while the transaction is open")
+    except ValueError as e:
+        assert "staged pending-mode merge open" in str(e)
+
+    assert sink.commit() == [1, 2, 3]
+    rows.append(content_row("b_committed"))
+    # the published feed carries exactly the three upsert batches
+    assert [(b, t) for b, _d, t in sink._change_sources(0)] == [
+        (1, "upsert"), (2, "upsert"), (3, "upsert"),
+    ]
+
+    assert sink.upsert_mor(spark, b2, keys=["o_orderkey"], batch_id=2) is None, "replay must no-op"
+    rows.append(content_row("c_replayed"))
+
+    b9 = src.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_totalprice", F.lit(999999.0)
+    )
+    assert sink.upsert_mor(spark, b9, keys=["o_orderkey"], batch_id=9) is not None
+    assert sink.reset() == [9]
+    rows.append(content_row("d_reset"))
+
+    assert sink.compact(spark, target_files=2) is not None
+    rows.append(content_row("e_compacted"))
+
+    out = spark.createDataFrame(
+        rows,
+        "phase string, n_rows long, sum_cents long, n_staged_dvs long, n_visible_dvs long",
+    ).orderBy("phase")
+    return _finalize(out, root)

@@ -634,7 +634,9 @@ class ManifestSinkTable:
             dv_commits = self._dv_commits()
         for _i, d in sorted(dv_commits.items()):
             ins = d.get("insert")
-            if ins and int(ins["batch_id"]) not in out:
+            # a staged pending-mode upsert's insert is invisible until its
+            # epoch publishes — same switch as its tombstones (_dv_live)
+            if ins and self._dv_live(d) and int(ins["batch_id"]) not in out:
                 out[int(ins["batch_id"])] = {"dir": ins["dir"], "files": ins.get("files")}
         return out
 
@@ -650,7 +652,10 @@ class ManifestSinkTable:
         mor = {
             i: d
             for i, d in self._dv_commits().items()
-            if d.get("mor") and int(d.get("as_of_batch", -1)) == batch_id
+            # staged-unpublished DVs are invisible: no reader applies them
+            # and no rewrite can invalidate them (rewrites defer while a
+            # transaction is open), so void-ness is undefined until commit
+            if d.get("mor") and int(d.get("as_of_batch", -1)) == batch_id and self._dv_live(d)
         }
         if not mor:
             return []
@@ -668,6 +673,25 @@ class ManifestSinkTable:
 
     def _mor_needs_repair(self, batch_id: int) -> bool:
         return bool(self._mor_void_dvs(batch_id))
+
+    def _staged_mor_inserts(
+        self, dv_commits: dict[int, dict] | None = None
+    ) -> dict[int, dict]:
+        """batch id -> insert manifest for STAGED-unpublished pending-mode
+        upserts (lowest dv index wins, like ``_mor_insert_manifests``) —
+        the open transaction's merge half, consumed by ``commit()`` (to
+        publish), ``reset()`` (to discard), later staged upserts in the
+        same epoch (to tombstone against), ``_is_known`` and ``vacuum``."""
+        out: dict[int, dict] = {}
+        if dv_commits is None:
+            dv_commits = self._dv_commits()
+        for i, d in sorted(dv_commits.items()):
+            ins = d.get("insert")
+            if ins and d.get("staged") and not d.get("_published"):
+                out.setdefault(
+                    int(ins["batch_id"]), {"dir": ins["dir"], "files": ins.get("files")}
+                )
+        return out
 
     def _mor_mark_repaired(self, batch_id: int, void_ids: list[int]) -> None:
         """Record that a repair pass verified/fixed these void DVs — the
@@ -712,11 +736,16 @@ class ManifestSinkTable:
 
     def _is_known(self, batch_id: int) -> bool:
         """A batch id is known if staged, committed, or absorbed by a
-        compaction snapshot — replaying any of them is a no-op (R14)."""
+        compaction snapshot — replaying any of them is a no-op (R14).
+        Staged pending-mode MOR upserts carry no marker (their insert
+        rides the staged DV commit), so the DV log is consulted too —
+        without it a replayed staged upsert would stage twin files."""
         if os.path.exists(self._staged_marker(batch_id)):
             return True
         _, absorbed = self._snapshot_state()
-        return batch_id in absorbed or batch_id in self._marker_ids()
+        if batch_id in absorbed or batch_id in self._marker_ids():
+            return True
+        return batch_id in self._staged_mor_inserts()
 
     def _freeze_schema(self, df: DataFrame) -> None:
         # CAS: of two concurrent first-writers, one freezes the schema,
@@ -875,10 +904,25 @@ class ManifestSinkTable:
         # some staged markers) and retry at the next index. Visibility is
         # the set UNION of epoch batch-id lists, so a batch id that lands
         # in two racing epochs is still exactly-once to readers.
+        #
+        # Staged MERGES (pending-mode upsert_mor) publish through the SAME
+        # epoch rename: the epoch's ``dv_indexes`` names their delete
+        # vectors (tombstones AND the embedded insert manifests flip live
+        # together via _dv_live), and the insert dirs also enter the
+        # epoch's ``dirs``/``files`` maps so epoch-based time travel and
+        # the committed-manifest scan see them like any published batch.
+        # One rename makes the whole multi-batch transaction visible —
+        # inserts, upserted rows and tombstones — or none of it.
         while True:
             manifests = self._staged_manifests()
-            staged = sorted(manifests)
-            if not staged:
+            dv_listing = self._dv_commits()
+            staged_dvs = sorted(
+                i for i, d in dv_listing.items() if d.get("staged") and not d.get("_published")
+            )
+            mor_inserts = self._staged_mor_inserts(dv_listing)
+            all_manifests = {**manifests, **mor_inserts}
+            staged = sorted(all_manifests)
+            if not staged and not staged_dvs:
                 return []
             epoch = len([f for f in os.listdir(os.path.join(self.root, "_commits")) if f.startswith("epoch-")])
             created = self._atomic_create(
@@ -886,31 +930,57 @@ class ManifestSinkTable:
                 json.dumps(
                     {
                         "batch_ids": staged,
-                        "dirs": {str(b): m["dir"] for b, m in manifests.items()},
+                        "dirs": {str(b): m["dir"] for b, m in all_manifests.items()},
                         # per-file zone-map stats ride from staged marker to
                         # epoch so pending-mode tables skip files too
-                        "files": {str(b): m["files"] for b, m in manifests.items() if m["files"] is not None},
+                        "files": {
+                            str(b): m["files"]
+                            for b, m in all_manifests.items()
+                            if m["files"] is not None
+                        },
+                        "dv_indexes": staged_dvs,
                     }
                 ),
             )
             if created:
                 break
-        for b in staged:
+        for b in manifests:
             # the racing winner may have already consumed a marker
             with contextlib_suppress(FileNotFoundError):
                 os.remove(self._staged_marker(b))
         return staged
 
     def reset(self) -> list[int]:
-        """Discard staged-but-uncommitted batches (finalize-only reset).
-        The abandoned attempt directories are deleted with their markers."""
+        """Discard staged-but-uncommitted batches (finalize-only reset):
+        plain staged appends AND staged pending-mode merges. For a staged
+        merge the dv-commit json is removed FIRST (it is the only pointer
+        that could resurrect the transaction), then its tombstone dir and
+        insert dir — a crash in between leaves only pointerless dirs for
+        vacuum's retention sweep. Reset and commit() must not race (the
+        reference's finalize-only contract: one finalizer per stream,
+        BigqueryStreamWriterIntegrationTest.java:103-116); a discarded
+        staged dv index MAY be reused by a later merge, which is safe
+        because nothing — no epoch, no snapshot, no consumer cursor —
+        ever referenced the unpublished index."""
         import shutil
 
         entries = self._staged_entries()
         for b, rel_dir in entries.items():
             os.remove(self._staged_marker(b))
             shutil.rmtree(os.path.join(self.root, "data", rel_dir), ignore_errors=True)
-        return sorted(entries)
+        discarded = set(entries)
+        for i, d in sorted(self._dv_commits().items()):
+            if not (d.get("staged") and not d.get("_published")):
+                continue
+            with contextlib_suppress(FileNotFoundError):
+                os.remove(os.path.join(self.root, "_commits", f"dv-{i}.json"))
+            if d.get("dir"):
+                shutil.rmtree(os.path.join(self.root, d["dir"]), ignore_errors=True)
+            ins = d.get("insert")
+            if ins:
+                discarded.add(int(ins["batch_id"]))
+                shutil.rmtree(os.path.join(self.root, "data", ins["dir"]), ignore_errors=True)
+        return sorted(discarded)
 
     # -- maintenance -------------------------------------------------------
     def compact(
@@ -1025,7 +1095,11 @@ class ManifestSinkTable:
         absorbed = set((snap or {}).get("absorbed_batch_ids", []))
         absorbed_dv = set((snap or {}).get("absorbed_dv_ids", []))
         dv_commits = self._dv_commits()
-        dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
+        dvs = [
+            d
+            for i, d in sorted(dv_commits.items())
+            if i not in absorbed_dv and self._dv_live(d)
+        ]
         committed = self._committed_manifests(dv_commits)
         batch_ids = sorted(set(committed) - absorbed)
         manifests = self._manifests_from(snap or {}, dv_commits, committed=committed)
@@ -1159,7 +1233,25 @@ class ManifestSinkTable:
         through repair for a fresh listing. Basenames are never reused,
         so void-ness is monotone and each retry makes progress (repair
         either publishes a fresh DV, verifies an absorbed batch, or
-        records a morfix marker)."""
+        records a morfix marker).
+
+        OPEN-TRANSACTION GUARD (pending mode): rewrites refuse while a
+        staged-unpublished merge exists — a rewrite's snapshot renames
+        the very files the staged tombstones reference, voiding them
+        BEFORE they were ever visible (resurrection at commit, with no
+        void signal until then). Deferring maintenance across an open
+        transaction is the Delta/Iceberg conflict-abort shape; the
+        transaction releases it at commit()/reset()."""
+        staged_open = [
+            i
+            for i, d in self._dv_commits().items()
+            if d.get("staged") and not d.get("_published")
+        ]
+        if staged_open:
+            raise ValueError(
+                f"maintenance deferred: staged pending-mode merge open (dv {sorted(staged_open)}); "
+                "commit() or reset() the transaction first"
+            )
         for _ in range(5):
             self._repair_void_mors(spark)
             state = self._visible_state()
@@ -1431,14 +1523,35 @@ class ManifestSinkTable:
     # them as no-ops; they never affect results.
 
     def _dv_commits(self) -> dict[int, dict]:
+        """One listing of the DV log. STAGED delete vectors (pending-mode
+        ``upsert_mor``: ``"staged": true`` in the commit) are annotated
+        with ``"_published"`` from the SAME directory listing — an epoch
+        file naming the index in its ``dv_indexes`` is the atomic publish
+        — so every consumer decides staged-visibility and data-visibility
+        from one coherent snapshot of ``_commits/`` (the ADVICE r11
+        one-listing rule extended to the transaction boundary)."""
         out: dict[int, dict] = {}
+        published: set[int] = set()
         commits = os.path.join(self.root, "_commits")
         for f in os.listdir(commits):
             if f.startswith("dv-") and f.endswith(".json"):
                 with open(os.path.join(commits, f)) as fh:
                     d = json.load(fh)
                 out[int(d["index"])] = d
+            elif f.startswith("epoch-") and f.endswith(".json"):
+                with open(os.path.join(commits, f)) as fh:
+                    e = json.load(fh)
+                published.update(int(i) for i in e.get("dv_indexes", []))
+        for i, d in out.items():
+            if d.get("staged"):
+                d["_published"] = i in published
         return out
+
+    @staticmethod
+    def _dv_live(d: dict) -> bool:
+        """A DV participates in visibility iff it is not a staged
+        pending-mode commit, or its staging epoch has published."""
+        return not d.get("staged") or bool(d.get("_published"))
 
     def _absorbed_dv_ids(self) -> set[int]:
         snap = self._latest_snapshot()
@@ -1449,9 +1562,14 @@ class ManifestSinkTable:
         raced-and-void DVs, which no-op via dead basenames). Callers that
         also consume the data listing must NOT pair this with a separate
         manifest listing — use ``_visible_state``/``_read_state`` (the
-        one-listing rule, see ``_committed_manifests``)."""
+        one-listing rule, see ``_committed_manifests``). Staged
+        pending-mode DVs enter only once their epoch publishes."""
         absorbed = self._absorbed_dv_ids()
-        return [d for i, d in sorted(self._dv_commits().items()) if i not in absorbed]
+        return [
+            d
+            for i, d in sorted(self._dv_commits().items())
+            if i not in absorbed and self._dv_live(d)
+        ]
 
     def _dv_relation(self, spark: SparkSession, dvs: list[dict]) -> DataFrame:
         paths = [os.path.join(self.root, d["dir"]) for d in dvs]
@@ -2144,6 +2262,29 @@ class ManifestSinkTable:
         keyed merge, same as a COW upsert. Time travel applies the DV
         exactly from its own batch id onward.
 
+        PENDING MODE (round 13, the reference's R17 pending semantics
+        composed with the MERGE surface): on a ``write_mode="pending"``
+        table the upsert STAGES instead of publishing — the insert files
+        land but the dv commit carries ``"staged": true`` (pure inserts
+        CAS the staged marker like a plain pending append), and NOTHING
+        is visible to reads, changes(), stats or consumers until
+        ``commit()`` names the dv indexes in an epoch file: one rename
+        flips the whole multi-batch transaction — inserts, upserts and
+        tombstones — atomically (invisible -> commit -> visible,
+        ``BigqueryStreamWriterIntegrationTest.java:103-116``). Within an
+        open transaction, later staged upserts tombstone EARLIER staged
+        rows too (the candidate scan includes the staged members), so a
+        multi-batch CDC feed staged under one epoch converges to its
+        final state at publish. ``reset()`` discards the staged merges
+        entirely. Maintenance (compact/binpack/zorder/COW ops) defers
+        with a loud error while a staged merge is open — a rewrite's
+        renames would void never-yet-visible tombstones
+        (_rewrite_listing guard); vacuum pins the staged dirs with no
+        retention clock. Tombstones are computed against the stage-time
+        state, so concurrent COMMITTED writers to the same keys during
+        an open transaction are outside the contract (single-finalizer,
+        like the reference's pending stream).
+
         Returns ``(dv_index | None, n_tombstoned)`` — dv_index None for
         the pure-insert path — or None for a replayed/empty batch.
         """
@@ -2151,8 +2292,7 @@ class ManifestSinkTable:
 
         from pyspark.sql import functions as F
 
-        if self.write_mode != "committed":
-            raise ValueError("upsert_mor requires a committed-mode table")
+        pending = self.write_mode == "pending"
         marker = os.path.join(self.root, "_commits", f"morop-{op_id}.marker") if op_id else None
         if marker and os.path.exists(marker):
             return None
@@ -2246,9 +2386,25 @@ class ManifestSinkTable:
         own_batch_dir = f"batch={batch_id}"
         published = repair  # insert manifest rides only the FIRST dv commit
         for _attempt in range(5):
+            # ONE DV-log listing drives the candidate manifests, the
+            # staged-transaction members AND the already-tombstoned
+            # filter below (the one-listing rule)
+            dv_listing = self._dv_commits()
             prior = self._latest_snapshot()
+            listing = self._manifests_from(prior or {}, dv_listing)
+            if pending:
+                # staged rows publish in the SAME epoch as this merge, so
+                # later staged upserts must tombstone superseded versions
+                # inside the open transaction too — plain staged batches
+                # and earlier staged MOR inserts join the candidate scan
+                # (their tombstones become visible together at commit)
+                listing = (
+                    listing
+                    + [m for _b, m in sorted(self._staged_manifests().items())]
+                    + [m for _b, m in sorted(self._staged_mor_inserts(dv_listing).items())]
+                )
             cand: list[str] = []
-            for m in self._visible_manifests():
+            for m in listing:
                 # never tombstone THIS batch's own rows: on a void-retry
                 # (or a zombie twin's publish) the batch is already
                 # visible and its files contain every update key
@@ -2275,8 +2431,16 @@ class ManifestSinkTable:
                 )
                 upd_keys, match = _key_match(updates, keys)
                 hits = scan.join(upd_keys, match, "left_semi").select("file", "pos")
-                dvs = self.visible_dvs()
-                if dvs:  # already-tombstoned positions don't re-tombstone
+                absorbed_dv = set((prior or {}).get("absorbed_dv_ids", []))
+                # already-tombstoned positions don't re-tombstone; in
+                # pending mode the open transaction's staged DVs count
+                # (they publish with this one)
+                dvs = [
+                    d
+                    for i, d in sorted(dv_listing.items())
+                    if i not in absorbed_dv and (pending or self._dv_live(d))
+                ]
+                if dvs:
                     hits = hits.join(self._dv_relation(spark, dvs), ["file", "pos"], "left_anti")
                 rel_dv = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
                 dv_dir = os.path.join(self.root, rel_dv)
@@ -2288,7 +2452,10 @@ class ManifestSinkTable:
                     rel_dv = None
             if n == 0 and not published:
                 # pure insert: publish via the ordinary batch-marker CAS
-                if not self._atomic_create(self._commit_marker(batch_id), json.dumps(insert_manifest)):
+                # (pending mode: the STAGED marker — invisible until the
+                # epoch, exactly like a plain pending append)
+                ins_marker = self._staged_marker(batch_id) if pending else self._commit_marker(batch_id)
+                if not self._atomic_create(ins_marker, json.dumps(insert_manifest)):
                     shutil.rmtree(data_dir, ignore_errors=True)  # replay raced us
                     if marker:
                         self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
@@ -2332,6 +2499,11 @@ class ManifestSinkTable:
                             )
                             - 1,
                             "op_id": op_id,
+                            # pending mode: invisible until an epoch file
+                            # names this index in dv_indexes (commit());
+                            # time travel then derives visibility from
+                            # that epoch, not as_of_epoch above
+                            "staged": pending,
                         }
                     ),
                 )
@@ -2590,9 +2762,18 @@ class ManifestSinkTable:
 
         committed = self._committed_entries()
         staged = self._staged_entries()
+        # pending-mode MOR upserts stage through the DV log, not a marker:
+        # their batch dirs would otherwise look orphaned and fall to the
+        # retention clock — but an OPEN transaction must survive
+        # arbitrarily long (commit()/reset() releases it, not time)
+        staged_mor = {b: m["dir"] for b, m in self._staged_mor_inserts().items()}
         _, absorbed = self._snapshot_state()
-        live_batches = (set(committed) - absorbed) | set(staged)
-        live_dirs = {committed[b] for b in committed if b in live_batches} | set(staged.values())
+        live_batches = (set(committed) - absorbed) | set(staged) | set(staged_mor)
+        live_dirs = (
+            {committed[b] for b in committed if b in live_batches}
+            | set(staged.values())
+            | set(staged_mor.values())
+        )
         live_compacted, _ = self._snapshot_state()
         # consumer pins: unconsumed change sources survive this vacuum.
         # consumer_ttl_s bounds the pin (ADVICE r11): a registration is a
@@ -2787,8 +2968,10 @@ class ManifestSinkTable:
         stats, so zone maps drop non-matching files before any scan and
         the predicate re-applies as a residual filter —
         ``read_as_of(..., where=p) == read_as_of(...).filter(p)``.
-        Epoch manifests and legacy markers have no stats; their files
-        are always kept (residual-only)."""
+        Epoch manifests carry per-file stats since the staged-merge
+        work (commit() copies them from the staged markers); legacy
+        epochs and markers without stats keep all files
+        (residual-only)."""
         if (epoch is None) == (batch_id is None):
             raise ValueError("pass exactly one of epoch= (pending) or batch_id= (committed)")
         if where is not None:
@@ -2797,14 +2980,21 @@ class ManifestSinkTable:
                     raise ValueError(f"unsupported predicate op {op!r}; use one of {_PRUNE_OPS}")
         commits = os.path.join(self.root, "_commits")
         manifests: dict[int, dict] = {}
+        published_at: dict[int, int] = {}  # staged dv index -> publishing epoch
         if epoch is not None:
             for f in os.listdir(commits):
-                if f.startswith("epoch-") and f.endswith(".json") and int(f[len("epoch-") : -len(".json")]) <= epoch:
+                if f.startswith("epoch-") and f.endswith(".json"):
+                    e_idx = int(f[len("epoch-") : -len(".json")])
                     with open(os.path.join(commits, f)) as fh:
                         e = json.load(fh)
+                    for i in e.get("dv_indexes", []):
+                        published_at[int(i)] = min(published_at.get(int(i), e_idx), e_idx)
+                    if e_idx > epoch:
+                        continue
                     dirs = e.get("dirs") or {str(b): self._legacy_dir(int(b)) for b in e["batch_ids"]}
+                    files_map = e.get("files") or {}
                     for bid, d in dirs.items():
-                        manifests[int(bid)] = {"dir": d, "files": None}
+                        manifests[int(bid)] = {"dir": d, "files": files_map.get(bid)}
         else:
             mor_bids = set(self._mor_insert_manifests())
             for b, m in self._committed_manifests().items():
@@ -2833,11 +3023,18 @@ class ManifestSinkTable:
         # was taken — apply exactly those whose as-of stamp precedes the
         # travel target, regardless of later compaction-absorption (travel
         # bypasses compacted layouts by reading the original batch dirs).
-        dvs = [
-            d
-            for d in self._dv_commits().values()
-            if (d.get("as_of_epoch", -1) <= epoch if epoch is not None else d.get("as_of_batch", -1) <= batch_id)
-        ]
+        # STAGED DVs (pending-mode merges) become history at the epoch
+        # that PUBLISHED them (the epoch's dv_indexes), never at their
+        # stage-time as_of_epoch — an uncommitted transaction is not
+        # history at all.
+        def _dv_in_history(d: dict) -> bool:
+            if epoch is not None:
+                if d.get("staged"):
+                    return published_at.get(int(d["index"]), 1 << 62) <= epoch
+                return d.get("as_of_epoch", -1) <= epoch
+            return self._dv_live(d) and d.get("as_of_batch", -1) <= batch_id
+
+        dvs = [d for d in self._dv_commits().values() if _dv_in_history(d)]
         if dvs:
             # layout-reconstructibility check against ALL traveled files,
             # not the pruned subset — DV validity is a property of the
@@ -3051,7 +3248,11 @@ class ManifestSinkTable:
         dv_commits = self._dv_commits()
         snap = self._latest_snapshot() or {}
         absorbed_dv = set(snap.get("absorbed_dv_ids", []))
-        dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
+        dvs = [
+            d
+            for i, d in sorted(dv_commits.items())
+            if i not in absorbed_dv and self._dv_live(d)
+        ]
         manifests = self._manifests_from(snap, dv_commits)
         return self._prune_paths(manifests, where), dvs
 

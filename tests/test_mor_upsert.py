@@ -173,10 +173,96 @@ def test_mor_additive_schema_evolution(spark, tmp_path):
     assert got == [(1, "a", None), (2, "B", 9)]
 
 
-def test_mor_pending_mode_rejected(spark, tmp_path):
+def _pending_seeded(spark, tmp_path):
     sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
-    with pytest.raises(ValueError, match="committed"):
-        sink.upsert_mor(spark, _kv(spark, [(1, "a")]), keys=["k"], batch_id=0)
+    sink.write_batch(_kv(spark, [(i, "base") for i in range(20)]).coalesce(2), 0)
+    sink.commit()
+    return sink
+
+
+def test_mor_pending_invisible_until_commit_then_atomic(spark, tmp_path):
+    """R17 pending semantics on the MERGE surface (VERDICT r12 #5): a
+    staged multi-batch feed with OVERLAPPING keys across batches is
+    invisible everywhere (read, changes, time travel), then one commit()
+    flips the converged final state — later staged upserts supersede
+    earlier staged rows inside the transaction."""
+    sink = _pending_seeded(spark, tmp_path)
+    assert sink.upsert_mor(spark, _kv(spark, [(1, "u1"), (2, "u1"), (100, "n1")]), keys=["k"], batch_id=1) is not None
+    assert sink.upsert_mor(spark, _kv(spark, [(2, "u2"), (3, "u2")]), keys=["k"], batch_id=2) is not None
+    assert sink.upsert_mor(spark, _kv(spark, [(100, "u3"), (4, "u3")]), keys=["k"], batch_id=3) is not None
+    pre = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert pre == {i: "base" for i in range(20)}
+    assert sink.changes(spark, after_batch_id=0).count() == 0
+    published = sink.commit()
+    assert published == [1, 2, 3]
+    exp = {i: "base" for i in range(20)} | {1: "u1", 2: "u2", 3: "u2", 4: "u3", 100: "u3"}
+    assert {r["k"]: r["v"] for r in sink.read(spark).collect()} == exp
+    # the feed shows the three batches as upserts only AFTER the epoch
+    assert [(b, t) for b, _d, t in sink._change_sources(0)] == [(1, "upsert"), (2, "upsert"), (3, "upsert")]
+    # epoch-grain time travel: before-state and after-state both reachable
+    assert all(v == "base" for v in {r["k"]: r["v"] for r in sink.read_as_of(spark, epoch=0).collect()}.values())
+    assert {r["k"]: r["v"] for r in sink.read_as_of(spark, epoch=1).collect()} == exp
+
+
+def test_mor_pending_replay_and_reset(spark, tmp_path):
+    """A replayed staged batch id is a no-op (R14 under the transaction);
+    reset() discards the staged merge entirely — dv json, tombstone dir
+    and insert dir — leaving the committed state untouched."""
+    sink = _pending_seeded(spark, tmp_path)
+    assert sink.upsert_mor(spark, _kv(spark, [(5, "x")]), keys=["k"], batch_id=1) is not None
+    assert sink.upsert_mor(spark, _kv(spark, [(5, "x")]), keys=["k"], batch_id=1) is None  # replay
+    assert sink.reset() == [1]
+    assert {r["k"]: r["v"] for r in sink.read(spark).collect()} == {i: "base" for i in range(20)}
+    # transaction gone: maintenance works again and a fresh merge commits
+    assert sink.upsert_mor(spark, _kv(spark, [(5, "y")]), keys=["k"], batch_id=2) is not None
+    sink.commit()
+    assert sink.compact_small_files(spark) is not None
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[5] == "y" and len(got) == 20
+
+
+def test_mor_pending_blocks_maintenance_while_open(spark, tmp_path):
+    """Rewrites defer with a loud error while a staged merge is open: a
+    rewrite's renames would void tombstones that were never visible
+    (resurrection at commit with no void signal until then)."""
+    sink = _pending_seeded(spark, tmp_path)
+    assert sink.upsert_mor(spark, _kv(spark, [(1, "u")]), keys=["k"], batch_id=1) is not None
+    for op in (
+        lambda: sink.compact_small_files(spark),
+        lambda: sink.compact(spark),
+        lambda: sink.delete_where_pruned(spark, [("k", "<", 5)]),
+    ):
+        with pytest.raises(ValueError, match="staged pending-mode merge open"):
+            op()
+    sink.commit()
+    assert sink.compact_small_files(spark) is not None
+
+
+def test_mor_pending_pure_insert_stages_via_marker(spark, tmp_path):
+    """A staged upsert matching no existing key publishes through the
+    STAGED marker (no DV) — invisible until the epoch like any pending
+    append, and stats-carrying after it."""
+    sink = _pending_seeded(spark, tmp_path)
+    res = sink.upsert_mor(spark, _kv(spark, [(500, "new")]), keys=["k"], batch_id=1)
+    assert res == (None, 0)
+    assert {r["k"] for r in sink.read(spark).collect()} == set(range(20))
+    assert sink.staged_ids() == [1]
+    sink.commit()
+    got = {r["k"]: r["v"] for r in sink.read(spark).collect()}
+    assert got[500] == "new" and len(got) == 21
+
+
+def test_mor_pending_vacuum_pins_open_transaction(spark, tmp_path):
+    """vacuum must never reclaim an open transaction's insert or
+    tombstone dirs, regardless of retention age (commit()/reset()
+    releases them, not time)."""
+    sink = _pending_seeded(spark, tmp_path)
+    assert sink.upsert_mor(spark, _kv(spark, [(1, "u"), (300, "n")]), keys=["k"], batch_id=1) is not None
+    removed = sink.vacuum(retention_s=0.0)
+    assert removed == []
+    sink.commit()
+    exp = {i: "base" for i in range(20)} | {1: "u", 300: "n"}
+    assert {r["k"]: r["v"] for r in sink.read(spark).collect()} == exp
 
 
 def test_mor_bucketed_layout_preserved(spark, tmp_path):

@@ -252,3 +252,109 @@ def test_vacuum_mid_racer_reclaims_nothing_needed(spark, tmp_path, monkeypatch, 
     sink.compact(spark)
     assert sink.visible_dvs() == []
     assert _content(sink, spark) == expected
+
+
+# -- pending-mode (transactional) scenarios (VERDICT r12 #5) -----------------
+#
+# The staged-merge protocol adds a new interleaving class: operations
+# overlapped by a STAGING publish (whose dv CAS lands mid-victim but is
+# invisible until an epoch), and commit() itself as a victim. Staging
+# must never tear anything — an uncommitted transaction is not state.
+
+PENDING_UPSERT = {**{k: "P" for k in range(20, 25)}, **{k: "q" for k in range(300, 305)}}
+
+
+def _pending_seeded(spark, tmp_path) -> ManifestSinkTable:
+    sink = ManifestSinkTable(str(tmp_path / "p"), write_mode="pending")
+    sink.write_batch(_kv(spark, [(k, "x") for k in range(50)]).coalesce(1), 0)
+    sink.write_batch(_kv(spark, [(k, "x") for k in range(50, 100)]).coalesce(1), 1)
+    sink.commit()
+    return sink
+
+
+def _racer_stage(sink, spark):
+    res = sink.upsert_mor(spark, _kv(spark, sorted(PENDING_UPSERT.items())), keys=["k"], batch_id=61)
+    assert res is not None
+
+
+@pytest.mark.parametrize("hook", ["_dv_commits", "_latest_snapshot", "_committed_manifests"])
+def test_pending_staging_never_tears_read(spark, tmp_path, monkeypatch, hook):
+    """A read overlapped by a STAGING publish sees the committed state —
+    always: the staged dv CAS landing mid-listing must not leak either
+    its tombstones or its insert manifest into the read."""
+    sink = _pending_seeded(spark, tmp_path)
+    state = _inject(monkeypatch, sink, hook, lambda: _racer_stage(sink, spark))
+    df = sink.read(spark)
+    monkeypatch.undo()
+    assert state["fired"]
+    got = {}
+    for r in df.collect():
+        assert r["k"] not in got, f"duplicate key {r['k']} leaked from staged merge"
+        got[r["k"]] = r["v"]
+    assert got == SEED, "staged (uncommitted) rows or tombstones leaked into a read"
+    # the transaction then publishes entire
+    sink.commit()
+    expected = dict(SEED)
+    expected.update(PENDING_UPSERT)
+    assert _content(sink, spark) == expected
+
+
+@pytest.mark.parametrize("hook", ["_staged_manifests", "_dv_commits"])
+def test_commit_overlapped_by_staging_publishes_consistently(spark, tmp_path, monkeypatch, hook):
+    """A staging publish landing INSIDE commit()'s listing either rides
+    that epoch or waits for the next — both consistent; never a torn
+    half (insert without tombstones or the reverse), and the follow-up
+    commit converges to the full transaction."""
+    sink = _pending_seeded(spark, tmp_path)
+    sink.write_batch(_kv(spark, sorted(APPEND.items())).coalesce(1), 60)  # staged append
+    state = _inject(monkeypatch, sink, hook, lambda: _racer_stage(sink, spark))
+    sink.commit()
+    monkeypatch.undo()
+    assert state["fired"]
+    got = _content(sink, spark)
+    with_stage = {**SEED, **APPEND, **PENDING_UPSERT}
+    without_stage = {**SEED, **APPEND}
+    assert got in (with_stage, without_stage), "torn epoch: partial transaction visible"
+    sink.commit()  # drains whatever the first epoch missed
+    assert _content(sink, spark) == with_stage
+    # replay of the staged merge stays a no-op across the epochs
+    assert sink.upsert_mor(
+        spark, _kv(spark, sorted(PENDING_UPSERT.items())), keys=["k"], batch_id=61
+    ) is None
+    sink.compact(spark)
+    assert _content(sink, spark) == with_stage
+
+
+@pytest.mark.parametrize("hook", ["_staged_manifests", "_dv_commits"])
+def test_commit_races_commit_exactly_once(spark, tmp_path, monkeypatch, hook):
+    """Two committers racing one transaction: epoch CAS + set-union
+    visibility keep every staged batch exactly-once no matter which
+    committer's epoch claims it."""
+    sink = _pending_seeded(spark, tmp_path)
+    sink.write_batch(_kv(spark, sorted(APPEND.items())).coalesce(1), 60)
+    _racer_stage(sink, spark)  # staged merge, pre-existing
+    state = _inject(monkeypatch, sink, hook, lambda: sink.commit())
+    sink.commit()
+    monkeypatch.undo()
+    assert state["fired"]
+    expected = {**SEED, **APPEND, **PENDING_UPSERT}
+    assert _content(sink, spark) == expected
+    sink.compact(spark)
+    assert sink.visible_dvs() == []
+    assert _content(sink, spark) == expected
+
+
+@pytest.mark.parametrize("hook", ["_committed_manifests", "_dv_commits"])
+def test_vacuum_overlapped_by_staging_pins_transaction(spark, tmp_path, monkeypatch, hook):
+    """vacuum overlapped by a staging publish must not reclaim the
+    transaction's dirs (they carry no marker and no epoch yet — only
+    the staged dv json pins them)."""
+    sink = _pending_seeded(spark, tmp_path)
+    state = _inject(monkeypatch, sink, hook, lambda: _racer_stage(sink, spark))
+    sink.vacuum(retention_s=0.0)
+    monkeypatch.undo()
+    assert state["fired"]
+    sink.commit()
+    expected = dict(SEED)
+    expected.update(PENDING_UPSERT)
+    assert _content(sink, spark) == expected, "vacuum reclaimed an open transaction's files"
