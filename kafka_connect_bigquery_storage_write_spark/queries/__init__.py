@@ -55,71 +55,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-12 rotation (VERDICT r11 #2: burn the r7 staleness): lead with
-# the FOUR queries new this round (q227 streaming merge-on-read
-# pipeline, q228 duplicate-span extents, q229 maintenance advisor loop,
-# q230 storage response routing — zero official rows), then the
-# COMPLETE r7-latest cohort (26 oracled stragglers, registration
-# order). The remaining 20 slots begin the r8-latest cohort in
-# registration order. All 50 rows are oracled this round (the nine
-# gated rows-only ANN queries occupied official slots in r11 and keep
-# their live in-query asserts in every sim run). After this round no
-# query's newest official row is older than r8, and the 29 remaining
-# r8 stragglers lead round 13.
+# Round-13 rotation (VERDICT r12 #1: burn the r8 staleness): lead with
+# the FOUR queries new this round (q231 two-grain span sweep, q232 live
+# transformWithStateInPandas, q233 pending-mode CDC epoch, q234 IVF
+# maintenance cycle — zero official rows), then the COMPLETE r8-latest
+# cohort (all 29 remaining stragglers, registration order). The final
+# 17 slots begin the r9-latest cohort in registration order. All 50
+# rows are oracled (the nine gated rows-only ANN queries keep their
+# live in-query asserts in every sim run). After this round no query's
+# newest official row is older than r9; 33 r9 stragglers lead round 14.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new this round (r12; zero official rows) ---
-    "q227_streaming_mor_pipeline",
-    "q228_duplicate_span_extents",
-    "q229_maintenance_advisor_loop",
-    "q230_storage_response_routing",
-    # --- r7-latest oracled stragglers (complete, registration order) ---
-    "q21_array_functions",
-    "q22_json_functions",
-    "q23_approx_distinct",
-    "q28_full_outer_presence",
-    "q29_bag_setops",
-    "q34_pivot_status_matrix",
-    "q25_grouping_sets_sql",
-    "q26_map_functions",
-    "q27_percentiles",
-    "q24_explode_tokens",
-    "q58_small_quantity_revenue",
-    "q59_trailing_hour_window",
-    "q89_large_volume_customers",
-    "q90_waiting_suppliers",
-    "q91_idle_rich_customers",
-    "q152_window_frames",
-    "q35_cosine_topk",
-    "q37_embedding_near_dups",
-    "q64_user_activity_similarity",
-    "q95_embedding_outliers",
-    "q151_pq_exact_topk",
-    "q48_salted_agg",
-    "q141_count_min_estimates",
-    "q133_left_outer_attribution",
-    "q134_scd2_history",
-    "q139_point_in_time_join",
-    # --- r8-latest cohort, registration order (first 21) ---
-    "q155_bigram_surprisal",
-    "q156_source_js_divergence",
-    "q164_bpe_encode",
-    "q173_bpe_token_shards",
-    "q160_rare_phrase_postings",
-    "q178_pmi_collocations",
-    "q183_group_disjoint_split",
-    "q185_trigram_backoff_lm",
-    "q194_sparse_cosine_topk",
-    "q198_phrase_blocklist",
-    "q204_unigram_viterbi",
-    "q157_boilerplate_salvage",
-    "q184_ppjoin_jaccard_pairs",
-    "q168_triangle_count",
-    "q172_reachability_bfs",
-    "q201_kcore_peel_trace",
-    "q161_image_ahash_dups",
-    "q165_jpeg_block_checksum",
-    "q166_audio_fingerprint_dups",
-    "q186_video_scene_cuts",
+    # --- new this round (r13; zero official rows) ---
+    "q231_span_grain_sweep",
+    "q232_tws_running_totals",
+    "q233_pending_cdc_epoch",
+    "q234_ivf_maintenance_cycle",
+    # --- r8-latest oracled stragglers (complete, registration order) ---
+    "q158_lateral_topk",
+    "q159_hourly_autocorrelation",
+    "q162_map_in_arrow_charge",
+    "q163_full_outer_attribution",
+    "q167_xml_source",
+    "q169_sink_pruned_read",
+    "q170_sink_time_travel",
+    "q171_schema_evolution_read",
+    "q174_ivfpq_exact_topk",
+    "q176_sink_merge_upsert",
+    "q177_cdc_upsert_pipeline",
+    "q179_protobuf_wire_roundtrip",
+    "q180_sink_bloom_pruned_read",
+    "q181_sink_zorder_read",
+    "q182_jl_projection",
+    "q187_winsorized_stats",
+    "q188_equidepth_binning",
+    "q189_cohort_retention",
+    "q190_entity_resolution",
+    "q191_asof_directions",
+    "q192_image_resize_checksum",
+    "q193_hard_negative_mining",
+    "q195_ewma_user_scores",
+    "q196_bitext_margin_mining",
+    "q197_sink_stats_only_agg",
+    "q199_k_anonymity_audit",
+    "q200_audio_decimate_checksum",
+    "q202_image_equalize_checksum",
+    "q203_mmr_diversified_topk",
+    # --- r9-latest cohort, registration order (first 17) ---
+    "q105_contamination_scores",
+    "q40_text_stats",
+    "q41_language_histogram",
+    "q42_top_tokens",
+    "q44_train_test_split",
+    "q45_token_budget",
+    "q46_winnow_fingerprints",
+    "q43_quality_filter",
+    "q57_repetition_signals",
+    "q66_mixture_sampling",
+    "q74_tfidf_top_terms",
+    "q75_pii_scrub",
+    "q79_sequence_packing",
+    "q80_document_chunking",
+    "q82_stratified_sample",
+    "q96_vocab_encode",
+    "q206_byte_bpe_encode",
 )
 
 
