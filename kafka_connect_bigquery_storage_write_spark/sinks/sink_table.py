@@ -1458,16 +1458,33 @@ class ManifestSinkTable:
             1 for e, _b in plan if e.get("rows") is None or e["rows"] < small_rows
         )
         absorbed_dv = set(snap.get("absorbed_dv_ids", []))
-        dvs = [d for i, d in sorted(dv_commits.items()) if i not in absorbed_dv]
+        # the advisor reads the VISIBLE state: staged-unpublished DVs
+        # (an open pending-mode transaction) are not pending read work,
+        # and every rewrite DEFERS while one exists — advising binpack
+        # on staged tombstones would make the cron act into the loud
+        # open-transaction refusal, breaking the always-clears contract.
+        # The open transaction is surfaced explicitly instead.
+        dvs = [
+            d
+            for i, d in sorted(dv_commits.items())
+            if i not in absorbed_dv and self._dv_live(d)
+        ]
+        n_staged_open = sum(
+            1 for d in dv_commits.values() if d.get("staged") and not d.get("_published")
+        )
         dv_rows = sum(int(d.get("rows", 0)) for d in dvs)
         # void-MOR detection against the ONE listing above (the report
-        # stays a single snapshot + commit-log pass at any batch count)
+        # stays a single snapshot + commit-log pass at any batch count);
+        # staged DVs are excluded — they may legitimately reference other
+        # STAGED (not-yet-visible) files, and void-ness is undefined for
+        # a transaction no reader can see
         visible_names = {e["name"] for e, _b in plan}
         n_void = sum(
             1
             for i, d in sorted(dv_commits.items())
             if d.get("mor")
             and i not in absorbed_dv
+            and self._dv_live(d)
             and not set(d.get("files", [])) <= visible_names
             and not os.path.exists(
                 os.path.join(
@@ -1483,11 +1500,14 @@ class ManifestSinkTable:
             "pending_dv_rows": dv_rows,
             "n_visible_dvs": len(dvs),
             "n_void_mor_batches": n_void,
+            "staged_merges_open": n_staged_open,
             # thresholds mirror the actions' own no-op conditions so the
             # advice always clears once acted on: compact_small_files
-            # no-ops at <=1 small file with no DVs, compact() at <=1 dir
-            "binpack_due": n_small > 1 or bool(dvs),
-            "compact_due": n_files > 1 and n_small * 2 > n_files,
+            # no-ops at <=1 small file with no DVs, compact() at <=1 dir;
+            # both DEFER while a staged merge is open, so the advice does
+            # too (act after commit()/reset())
+            "binpack_due": (n_small > 1 or bool(dvs)) and n_staged_open == 0,
+            "compact_due": n_files > 1 and n_small * 2 > n_files and n_staged_open == 0,
         }
 
     # -- merge-on-read delete vectors (Iceberg v2 / Delta DV model) --------

@@ -614,3 +614,23 @@ def test_rewrite_repairs_dv_voided_mid_listing(spark, tmp_path, monkeypatch):
     assert got[5] == "U" and got[150] == "U" and got[900] == "N" and len(got) == 201
     assert not sink._mor_needs_repair(9)
     assert sink.visible_dvs() == []
+
+
+def test_mor_pending_advisor_defers_while_open(spark, tmp_path):
+    """The maintenance advisor must not advise an action that would hit
+    the open-transaction refusal (the always-clears contract): while a
+    staged merge is open, binpack/compact advice is suppressed and the
+    transaction is surfaced as staged_merges_open; after commit() the
+    advice returns and acting clears it."""
+    sink = _pending_seeded(spark, tmp_path)
+    assert sink.upsert_mor(spark, _kv(spark, [(1, "u"), (400, "n")]), keys=["k"], batch_id=1) is not None
+    rep = sink.maintenance_report(small_rows=1000)
+    assert rep["staged_merges_open"] == 1
+    assert not rep["binpack_due"] and not rep["compact_due"]
+    assert rep["n_visible_dvs"] == 0 and rep["n_void_mor_batches"] == 0
+    sink.commit()
+    rep = sink.maintenance_report(small_rows=1000)
+    assert rep["staged_merges_open"] == 0 and rep["binpack_due"]
+    assert sink.compact_small_files(spark, small_rows=1000) is not None
+    rep = sink.maintenance_report(small_rows=1000)
+    assert not rep["binpack_due"] and rep["n_visible_dvs"] == 0
