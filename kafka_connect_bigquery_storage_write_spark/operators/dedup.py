@@ -1187,8 +1187,16 @@ def _unaligned_dup_windows(
     ONE row_number window keyed on xxhash64 of the window text — 8-byte
     hashes shuffle, never the text). Returns (tokenized docs with
     ``_t``/``_n``, duplicate windows as (id_col, s))."""
-    from pyspark.sql import Window
+    d = _tokenized(df, id_col, text_col)
+    return d, _dup_windows_from_tokens(d, id_col, window, stride)
 
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """ONE tokenization for the whole span family (shared by the
+    single-grain election and the multi-grain sweep so the split regex
+    and empty-token filter can never diverge between them): whitespace
+    tokens as ``_t`` with length ``_n``, eagerly checkpointed — the
+    corpus feeds several consumers downstream (the q221 rule)."""
     d = (
         ensure_compute_parallelism(
             df.select(
@@ -1199,7 +1207,7 @@ def _unaligned_dup_windows(
         .withColumn("_n", F.size("_t"))
         .localCheckpoint(eager=True)
     )
-    return d, _dup_windows_from_tokens(d, id_col, window, stride)
+    return d
 
 
 def _dup_windows_from_tokens(d: DataFrame, id_col: str, window: int, stride: int) -> DataFrame:
@@ -1254,16 +1262,7 @@ def multi_grain_span_coverage(
     anywhere), which is the statistic's point — the operator reports
     coverage, it does not rewrite text at the finer grain.
     """
-    d = (
-        ensure_compute_parallelism(
-            df.select(
-                id_col,
-                F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != "").alias("_t"),
-            )
-        )
-        .withColumn("_n", F.size("_t"))
-        .localCheckpoint(eager=True)
-    )
+    d = _tokenized(df, id_col, text_col)
     out = d.select(id_col, F.col("_n").alias("n_tokens"))
     for w in windows:
         dup_wins = _dup_windows_from_tokens(d, id_col, w, stride)

@@ -1445,12 +1445,16 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # nightly ingest: three FOREIGN clusters (constant-direction shifts
     # with 0.3x jitter — re-embeddings from a model the frozen quantizer
-    # never saw), every step through the persisted-artifact path
+    # never saw), every step through the persisted-artifact path. The
+    # foreign id offset derives from the CORPUS (max id + 1 per batch,
+    # the q233 discipline) so fabricated ids can never collide with real
+    # ones at any scale factor.
+    off = int(emb.agg(F.max("vec_id")).first()[0]) + 1
     dirs = {1: "1.0", 2: "-1.0", 3: "(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END)"}
     corpus = emb
     for b in (1, 2, 3):
         shift = emb.select(
-            (F.col("vec_id") + 1_000_000 * b).alias("vec_id"),
+            (F.col("vec_id") + off * b).alias("vec_id"),
             F.expr(
                 f"transform(sequence(0, 63), j -> embedding[j] * 0.3 + {dirs[b]})"
             ).alias("embedding"),
@@ -1466,8 +1470,9 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_decayed = served.drift()["weighted_mean_drift"]
     if d_decayed <= 0.02:
         raise ValueError(f"q234 gate: foreign appends did not trip the drift alarm ({d_decayed:.4f})")
+    # 20 deterministic batch-3 queries: base ids [0, 20) shifted by 3*off
     foreign_queries = corpus.filter(
-        (F.col("vec_id") >= 3_000_000) & (F.col("vec_id") < 3_000_020)
+        (F.col("vec_id") >= 3 * off) & (F.col("vec_id") < 3 * off + 20)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     if recall_at5(served, corpus, foreign_queries) < floor:
         raise ValueError("q234 gate: frozen-index recall below the per-SF floor")

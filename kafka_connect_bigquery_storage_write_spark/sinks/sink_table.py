@@ -601,6 +601,7 @@ class ManifestSinkTable:
         tombstones the batch's own rewritten rows: silent key loss —
         ADVICE r11)."""
         entries: dict[int, dict] = {}
+        mor_bids: set[int] = set()
         commits = os.path.join(self.root, "_commits")
         for f in os.listdir(commits):
             if f.startswith("batch-") and f.endswith(".marker"):
@@ -611,6 +612,7 @@ class ManifestSinkTable:
             elif f.startswith("epoch-") and f.endswith(".json"):
                 with open(os.path.join(commits, f)) as fh:
                     e = json.load(fh)
+                mor_bids.update(int(b) for b in e.get("mor_batch_ids", []))
                 if "dirs" in e:
                     for bid, d in e["dirs"].items():
                         entries[int(bid)] = {"dir": d, "files": (e.get("files") or {}).get(bid)}
@@ -622,8 +624,23 @@ class ManifestSinkTable:
         # a marker/epoch entry for the same id wins, and between two MOR
         # publishes of one batch id (racing zombie replays) the LOWEST dv
         # index wins deterministically (_mor_insert_manifests is sorted)
-        for bid, m in self._mor_insert_manifests(dv_commits).items():
+        dvc = dv_commits if dv_commits is not None else self._dv_commits()
+        for bid, m in self._mor_insert_manifests(dvc).items():
             entries.setdefault(bid, m)
+        # "mor" typing rides each ENTRY so change-feed typing and the
+        # entry itself come from one coherent listing (round-13 review:
+        # a commit() epoch rename landing between a DV-log read and the
+        # marker/epoch read otherwise typed merge batches 'insert' —
+        # mirrored consumers would append duplicates instead of merging).
+        # Sources: the epoch's own mor_batch_ids (stamped at publish) and
+        # every dv commit carrying an insert — UNFILTERED by staged-
+        # visibility, so pre-mor_batch_ids epochs still type correctly.
+        for d in dvc.values():
+            ins = d.get("insert")
+            if ins:
+                mor_bids.add(int(ins["batch_id"]))
+        for bid in mor_bids & set(entries):
+            entries[bid]["mor"] = True
         return entries
 
     def _mor_insert_manifests(self, dv_commits: dict[int, dict] | None = None) -> dict[int, dict]:
@@ -939,6 +956,11 @@ class ManifestSinkTable:
                             if m["files"] is not None
                         },
                         "dv_indexes": staged_dvs,
+                        # typing travels WITH the publish (round-13
+                        # review): a reader listing epochs after this
+                        # rename but the DV log before it must still
+                        # type these batches 'upsert' in the change feed
+                        "mor_batch_ids": sorted(mor_inserts),
                     }
                 ),
             )
@@ -1551,7 +1573,7 @@ class ManifestSinkTable:
         from one coherent snapshot of ``_commits/`` (the ADVICE r11
         one-listing rule extended to the transaction boundary)."""
         out: dict[int, dict] = {}
-        published: set[int] = set()
+        epoch_files: list[str] = []
         commits = os.path.join(self.root, "_commits")
         for f in os.listdir(commits):
             if f.startswith("dv-") and f.endswith(".json"):
@@ -1559,12 +1581,20 @@ class ManifestSinkTable:
                     d = json.load(fh)
                 out[int(d["index"])] = d
             elif f.startswith("epoch-") and f.endswith(".json"):
+                epoch_files.append(f)
+        # parse epoch payloads only when a staged DV exists (round-13
+        # review: transaction-free tables — the common case — must not
+        # pay O(epochs) json parses per listing for an annotation no
+        # entry needs)
+        if any(d.get("staged") for d in out.values()):
+            published: set[int] = set()
+            for f in epoch_files:
                 with open(os.path.join(commits, f)) as fh:
                     e = json.load(fh)
                 published.update(int(i) for i in e.get("dv_indexes", []))
-        for i, d in out.items():
-            if d.get("staged"):
-                d["_published"] = i in published
+            for i, d in out.items():
+                if d.get("staged"):
+                    d["_published"] = i in published
         return out
 
     @staticmethod
@@ -1805,9 +1835,14 @@ class ManifestSinkTable:
         (``changes()`` unions them; an incremental consumer reads them
         one at a time)."""
         logged = self._change_commits()
-        mor_bids = set(self._mor_insert_manifests())
+        # ONE DV-log listing feeds both the committed set and the typing:
+        # each entry carries its own "mor" flag (round-13 review — a
+        # separate _mor_insert_manifests listing could miss a merge batch
+        # that an epoch rename published in between, typing it 'insert'
+        # and making a mirror append duplicates instead of merging)
+        committed = self._committed_manifests(self._dv_commits())
         sources: list[tuple[int, str, str]] = []
-        for b, d in sorted(self._committed_entries().items()):
+        for b, m in sorted(committed.items()):
             if b <= after_batch_id:
                 continue
             if b in logged:
@@ -1815,7 +1850,9 @@ class ManifestSinkTable:
             else:
                 # a MOR batch's dir IS its change set, and its rows REPLACE
                 # matched keys downstream — type 'upsert', not 'insert'
-                sources.append((b, os.path.join("data", d), "upsert" if b in mor_bids else "insert"))
+                sources.append(
+                    (b, os.path.join("data", m["dir"]), "upsert" if m.get("mor") else "insert")
+                )
         # merge batches absorbed into snapshots keep their change commit
         # even though the batch id never got a data dir of its own
         for b, d in sorted(logged.items()):
@@ -3238,7 +3275,14 @@ class ManifestSinkTable:
         dv_commits = self._dv_commits()
         snap = self._latest_snapshot() or {}
         absorbed_dv = set(snap.get("absorbed_dv_ids", []))
-        if any(i not in absorbed_dv for i in dv_commits):
+        # staged-unpublished DVs (an open pending-mode transaction) are
+        # NOT pending read work — the visible state carries zero
+        # tombstones, so stats/bucketed answers over it are exact; and
+        # the refusal's advice ('run compact() first') would dead-end in
+        # compact()'s own open-transaction deferral (round-13 review)
+        if any(
+            i not in absorbed_dv and self._dv_live(d) for i, d in dv_commits.items()
+        ):
             raise ValueError(
                 f"{what} unavailable while delete vectors are pending; run compact() first"
             )

@@ -358,3 +358,39 @@ def test_vacuum_overlapped_by_staging_pins_transaction(spark, tmp_path, monkeypa
     expected = dict(SEED)
     expected.update(PENDING_UPSERT)
     assert _content(sink, spark) == expected, "vacuum reclaimed an open transaction's files"
+
+
+@pytest.mark.parametrize("hook", ["_dv_commits", "_committed_manifests"])
+def test_change_feed_typing_not_torn_by_commit(spark, tmp_path, monkeypatch, hook):
+    """A commit() publishing a staged MERGE mid-listing of the change
+    feed must never type the merge batch 'insert' (round-13 review): a
+    mirror applying an insert-typed merge batch appends duplicates
+    instead of merging. The batch appears as 'upsert' or not at all."""
+    sink = _pending_seeded(spark, tmp_path)
+    _racer_stage(sink, spark)  # staged merge, batch 61
+    state = _inject(monkeypatch, sink, hook, lambda: sink.commit())
+    sources = sink._change_sources(1)
+    monkeypatch.undo()
+    assert state["fired"]
+    typing = {b: t for b, _d, t in sources}
+    assert typing.get(61) in (None, "upsert"), f"merge batch torn to {typing.get(61)!r}"
+    # post-commit listing always sees it as an upsert
+    assert {b: t for b, _d, t in sink._change_sources(1)}[61] == "upsert"
+
+
+def test_stats_agg_available_during_open_transaction(spark, tmp_path):
+    """Staged-unpublished DVs are not pending read work: stats-only
+    aggregates and bucketed reads over the committed state keep working
+    while a pending-mode merge is open (round-13 review — the old
+    refusal's advice dead-ended in compact()'s deferral)."""
+    sink = _pending_seeded(spark, tmp_path)
+    assert sink.stats_agg(["k"])["rows"] == len(SEED)
+    _racer_stage(sink, spark)
+    assert sink.stats_agg(["k"])["rows"] == len(SEED)  # visible state only
+    sink.commit()
+    with pytest.raises(ValueError, match="delete vectors are pending"):
+        sink.stats_agg(["k"])  # now the DVs are real read work
+    sink.compact(spark)
+    expected = dict(SEED)
+    expected.update(PENDING_UPSERT)
+    assert sink.stats_agg(["k"])["rows"] == len(expected)
