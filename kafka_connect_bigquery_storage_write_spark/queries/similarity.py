@@ -1351,8 +1351,8 @@ def q203_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'a_built' AS phase, n.c AS n_vectors,
            CAST(0 AS BIGINT) AS gate_fired, CAST(1 AS BIGINT) AS recall_ok
     FROM n
-    UNION ALL SELECT 'b_drifted', 4 * n.c, 1, 1 FROM n
-    UNION ALL SELECT 'c_healed',  4 * n.c, 0, 1 FROM n
+    UNION ALL SELECT 'b_drifted', 3 * n.c, 1, 1 FROM n
+    UNION ALL SELECT 'c_healed',  3 * n.c, 0, 1 FROM n
     ORDER BY phase
     """,
 )
@@ -1370,7 +1370,7 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       a_built    fresh persisted index: gate must NOT fire; serving
                  recall@5 vs brute force >= the per-SF floor
-      b_drifted  after 3 foreign batches (corpus 4x): gate FIRES —
+      b_drifted  after 2 foreign batches (corpus 3x): gate FIRES —
                  measured weighted drift 0.60-0.66 at every SF vs the
                  0.02 threshold (30x margin); frozen-index recall still
                  >= floor (exact_rescore inside probed lists)
@@ -1443,16 +1443,16 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("q234 gate: fresh-index recall below the per-SF floor")
     rows = [("a_built", n0, 0, 1)]
 
-    # nightly ingest: three FOREIGN clusters (constant-direction shifts
+    # nightly ingest: two FOREIGN clusters (constant-direction shifts
     # with 0.3x jitter — re-embeddings from a model the frozen quantizer
     # never saw), every step through the persisted-artifact path. The
     # foreign id offset derives from the CORPUS (max id + 1 per batch,
     # the q233 discipline) so fabricated ids can never collide with real
     # ones at any scale factor.
     off = int(emb.agg(F.max("vec_id")).first()[0]) + 1
-    dirs = {1: "1.0", 2: "-1.0", 3: "(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END)"}
+    dirs = {1: "1.0", 2: "(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END)"}
     corpus = emb
-    for b in (1, 2, 3):
+    for b in (1, 2):
         shift = emb.select(
             (F.col("vec_id") + off * b).alias("vec_id"),
             F.expr(
@@ -1470,15 +1470,15 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_decayed = served.drift()["weighted_mean_drift"]
     if d_decayed <= 0.02:
         raise ValueError(f"q234 gate: foreign appends did not trip the drift alarm ({d_decayed:.4f})")
-    # 20 deterministic batch-3 queries: base ids [0, 20) shifted by 3*off
+    # 20 deterministic batch-2 queries: base ids [0, 20) shifted by 2*off
     foreign_queries = corpus.filter(
-        (F.col("vec_id") >= 3 * off) & (F.col("vec_id") < 3 * off + 20)
+        (F.col("vec_id") >= 2 * off) & (F.col("vec_id") < 2 * off + 20)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
     if recall_at5(served, corpus, foreign_queries) < floor:
         raise ValueError("q234 gate: frozen-index recall below the per-SF floor")
-    if served.lists.count() != 4 * n0:
+    if served.lists.count() != 3 * n0:
         raise ValueError("q234 gate: appends lost rows")
-    rows.append(("b_drifted", 4 * n0, 1, 1))
+    rows.append(("b_drifted", 3 * n0, 1, 1))
 
     healed, fired = served.rebuild_if(0.02)
     if not fired:
@@ -1492,9 +1492,9 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"q234 gate: heal ratio too weak ({d_healed:.4f} vs {d_decayed:.4f})")
     if recall_at5(healed, corpus, foreign_queries) < floor:
         raise ValueError("q234 gate: healed-index recall below the per-SF floor")
-    if healed.lists.count() != 4 * n0:
+    if healed.lists.count() != 3 * n0:
         raise ValueError("q234 gate: rebuild changed the row population")
-    rows.append(("c_healed", 4 * n0, 0, 1))
+    rows.append(("c_healed", 3 * n0, 0, 1))
 
     out = spark.createDataFrame(
         rows, "phase string, n_vectors long, gate_fired long, recall_ok long"
