@@ -1558,3 +1558,45 @@ def test_maintenance_report_reads_only_the_manifest(spark, tmp_path):
     rep2 = sink.maintenance_report(small_rows=100)
     assert not rep2["binpack_due"] and not rep2["compact_due"]
     assert rep2["pending_dv_rows"] == 0 and rep2["n_visible_dvs"] == 0
+
+
+def test_read_as_of_epoch_carries_stats_and_prunes(spark, tmp_path):
+    """Epoch manifests carry per-file zone-map stats since the staged-
+    merge work (commit() copies them from staged markers), so pruned
+    historical reads work on pending-mode tables too: the where= form
+    equals the filter form at every epoch, including a staged-merge
+    epoch whose insert manifests rode dv commits."""
+    import json
+    import os
+
+    sink = ManifestSinkTable(str(tmp_path / "t"), write_mode="pending")
+    lo = spark.createDataFrame([(i, "x") for i in range(50)], "k long, v string")
+    hi = spark.createDataFrame([(i, "x") for i in range(100, 150)], "k long, v string")
+    sink.write_batch(lo.coalesce(1), 0)
+    sink.write_batch(hi.coalesce(1), 1)
+    sink.commit()  # epoch 0
+    upd = spark.createDataFrame([(5, "U"), (200, "N")], "k long, v string")
+    assert sink.upsert_mor(spark, upd, keys=["k"], batch_id=2) is not None
+    sink.commit()  # epoch 1: the staged merge
+    # the epoch files really carry stats for every batch they publish
+    for f in sorted(os.listdir(os.path.join(str(tmp_path / "t"), "_commits"))):
+        if f.startswith("epoch-"):
+            e = json.load(open(os.path.join(str(tmp_path / "t"), "_commits", f)))
+            assert set(e["files"]) == {str(b) for b in e["batch_ids"]}, f
+    for epoch in (0, 1):
+        for where in ([("k", ">=", 100)], [("k", "==", 5)]):
+            pruned = {(r["k"], r["v"]) for r in sink.read_as_of(spark, epoch=epoch, where=where).collect()}
+            full = sink.read_as_of(spark, epoch=epoch)
+            cond = None
+            from pyspark.sql import functions as F
+
+            for c, op, v in where:
+                this = {"==": F.col(c) == v, ">=": F.col(c) >= v}[op]
+                cond = this if cond is None else (cond & this)
+            expect = {(r["k"], r["v"]) for r in full.filter(cond).collect()}
+            assert pruned == expect, (epoch, where)
+    # epoch-1 history reflects the merge: key 5 updated, 200 inserted
+    t1 = {r["k"]: r["v"] for r in sink.read_as_of(spark, epoch=1).collect()}
+    assert t1[5] == "U" and t1[200] == "N" and len(t1) == 101
+    t0 = {r["k"]: r["v"] for r in sink.read_as_of(spark, epoch=0).collect()}
+    assert t0[5] == "x" and 200 not in t0 and len(t0) == 100
