@@ -1351,17 +1351,17 @@ def q203_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'a_built' AS phase, n.c AS n_vectors,
            CAST(0 AS BIGINT) AS gate_fired, CAST(1 AS BIGINT) AS recall_ok
     FROM n
-    UNION ALL SELECT 'b_drifted', 3 * n.c, 1, 1 FROM n
-    UNION ALL SELECT 'c_healed',  3 * n.c, 0, 1 FROM n
+    UNION ALL SELECT 'b_drifted', 2 * n.c, 1, 1 FROM n
+    UNION ALL SELECT 'c_healed',  2 * n.c, 0, 1 FROM n
     ORDER BY phase
     """,
 )
 def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF index maintenance cycle, driver-visible (VERDICT r12 #6 —
-    the drift-gate/heal loop was pytest-only): build -> persist -> three
-    nightly appends of FOREIGN vectors (cluster-shifted re-embeddings
-    the frozen quantizer never saw, each step loading the saved index
-    from disk, appending, saving — the ingest cadence) -> the drift
+    the drift-gate/heal loop was pytest-only): build -> persist -> ONE
+    nightly append of FOREIGN vectors (a cluster-shifted re-embedding
+    batch the frozen quantizer never saw, through the persisted path:
+    load from disk, append, save — the ingest cadence) -> the drift
     gate fires -> rebuild_if() heals -> the gate clears. The q229
     advise->act->clear contract applied to the ANN index: the same
     threshold (weighted mean drift 0.02) drives both the alarm and the
@@ -1370,13 +1370,13 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
       a_built    fresh persisted index: gate must NOT fire; serving
                  recall@5 vs brute force >= the per-SF floor
-      b_drifted  after 2 foreign batches (corpus 3x): gate FIRES —
-                 measured weighted drift 0.60-0.66 at every SF vs the
-                 0.02 threshold (30x margin); frozen-index recall still
-                 >= floor (exact_rescore inside probed lists)
+      b_drifted  after the foreign batch (corpus 2x): gate FIRES —
+                 measured weighted drift ~0.50 at every SF vs the
+                 0.02 threshold (25-30x margin); frozen-index recall
+                 still >= floor (exact_rescore inside probed lists)
       c_healed   rebuild_if acted through the persisted path: gate
                  clear, healed drift < decayed/4 (measured ratio
-                 <= 0.01 at all SFs), recall >= floor
+                 <= 0.02 at all SFs), recall >= floor
 
     gate_fired / n_vectors are pinned constants in the oracle (the
     booleans are deterministic: seeded k-means, deterministic foreign
@@ -1385,7 +1385,11 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured - 0.08, the q36/q39/q88/q145/q175 discipline): base
     queries on near-random vectors at n_probe=2/8 (floors 0.39-0.45)
     and concentrated foreign-cluster queries (floor 0.92, measured
-    1.000 at every SF).
+    1.000 at every SF). Bench footprint (VERDICT r13 #5): one foreign
+    batch (it alone clears the gate margin 25x) and ONE cached
+    brute-force truth table shared by the drifted + healed recall
+    checks — the 32.6s two-batch/three-truth form now runs in the
+    ~10s composition budget with every gate intact.
 
     Scale: drift() is a per-list aggregate over the posting lists (one
     shuffle keyed by list_id, O(vectors) compute, no pairs); rebuild is
@@ -1425,13 +1429,16 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir, {"sf0.001": 0.92, "sf0.01": 0.92, "sf0.1": 0.92}, 0.92
     )
 
-    def recall_at5(idx, corpus, queries) -> float:
-        got: dict = {}
+    def truth_table(corpus, queries) -> dict:
         truth: dict = {}
-        for r in idx.topk(queries, k=5, n_probe=2).select("query_id", "neighbor_id").collect():
-            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         for r in cosine_topk(corpus, queries, k=5).select("query_id", "neighbor_id").collect():
             truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return truth
+
+    def recall_at5(idx, queries, truth) -> float:
+        got: dict = {}
+        for r in idx.topk(queries, k=5, n_probe=2).select("query_id", "neighbor_id").collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
         return sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(
             len(truth[q]) for q in truth
         )
@@ -1439,46 +1446,41 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_queries = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    if recall_at5(fresh, emb, base_queries) < base_floor:
+    if recall_at5(fresh, base_queries, truth_table(emb, base_queries)) < base_floor:
         raise ValueError("q234 gate: fresh-index recall below the per-SF floor")
     rows = [("a_built", n0, 0, 1)]
 
-    # nightly ingest: two FOREIGN clusters (constant-direction shifts
+    # nightly ingest: ONE FOREIGN cluster (a constant-direction shift
     # with 0.3x jitter — re-embeddings from a model the frozen quantizer
-    # never saw), every step through the persisted-artifact path. The
-    # foreign id offset derives from the CORPUS (max id + 1 per batch,
-    # the q233 discipline) so fabricated ids can never collide with real
-    # ones at any scale factor.
+    # never saw), through the persisted-artifact path. The foreign id
+    # offset derives from the CORPUS (max id + 1, the q233 discipline)
+    # so fabricated ids can never collide with real ones at any scale
+    # factor.
     off = int(emb.agg(F.max("vec_id")).first()[0]) + 1
-    dirs = {1: "1.0", 2: "(CASE WHEN j % 2 = 0 THEN 1.0 ELSE -1.0 END)"}
-    corpus = emb
-    for b in (1, 2):
-        shift = emb.select(
-            (F.col("vec_id") + off * b).alias("vec_id"),
-            F.expr(
-                f"transform(sequence(0, 63), j -> embedding[j] * 0.3 + {dirs[b]})"
-            ).alias("embedding"),
-        )
-        corpus = corpus.unionByName(shift)
-        idx = IvfIndex.load(spark, path).append(shift)
-        newp = os.path.join(root, f"ivf-b{b}")
-        idx.save(newp)
-        path = newp
-    corpus = corpus.localCheckpoint(eager=True)
+    shift = emb.select(
+        (F.col("vec_id") + off).alias("vec_id"),
+        F.expr("transform(sequence(0, 63), j -> embedding[j] * 0.3 + 1.0)").alias("embedding"),
+    )
+    corpus = emb.unionByName(shift).localCheckpoint(eager=True)
+    IvfIndex.load(spark, path).append(shift).save(os.path.join(root, "ivf-b1"))
+    path = os.path.join(root, "ivf-b1")
 
     served = IvfIndex.load(spark, path)
     d_decayed = served.drift()["weighted_mean_drift"]
     if d_decayed <= 0.02:
         raise ValueError(f"q234 gate: foreign appends did not trip the drift alarm ({d_decayed:.4f})")
-    # 20 deterministic batch-2 queries: base ids [0, 20) shifted by 2*off
+    # 20 deterministic foreign queries (base ids [0, 20) shifted by off);
+    # ONE brute-force truth table serves both the drifted and healed
+    # recall checks — the corpus does not change between them.
     foreign_queries = corpus.filter(
-        (F.col("vec_id") >= 2 * off) & (F.col("vec_id") < 2 * off + 20)
+        (F.col("vec_id") >= off) & (F.col("vec_id") < off + 20)
     ).select(F.col("vec_id").alias("query_id"), "embedding")
-    if recall_at5(served, corpus, foreign_queries) < floor:
+    foreign_truth = truth_table(corpus, foreign_queries)
+    if recall_at5(served, foreign_queries, foreign_truth) < floor:
         raise ValueError("q234 gate: frozen-index recall below the per-SF floor")
-    if served.lists.count() != 3 * n0:
+    if served.lists.count() != 2 * n0:
         raise ValueError("q234 gate: appends lost rows")
-    rows.append(("b_drifted", 3 * n0, 1, 1))
+    rows.append(("b_drifted", 2 * n0, 1, 1))
 
     healed, fired = served.rebuild_if(0.02)
     if not fired:
@@ -1490,11 +1492,11 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(f"q234 gate: acting must clear the alarm ({d_healed:.4f})")
     if d_healed >= d_decayed / 4:
         raise ValueError(f"q234 gate: heal ratio too weak ({d_healed:.4f} vs {d_decayed:.4f})")
-    if recall_at5(healed, corpus, foreign_queries) < floor:
+    if recall_at5(healed, foreign_queries, foreign_truth) < floor:
         raise ValueError("q234 gate: healed-index recall below the per-SF floor")
-    if healed.lists.count() != 3 * n0:
+    if healed.lists.count() != 2 * n0:
         raise ValueError("q234 gate: rebuild changed the row population")
-    rows.append(("c_healed", 3 * n0, 0, 1))
+    rows.append(("c_healed", 2 * n0, 0, 1))
 
     out = spark.createDataFrame(
         rows, "phase string, n_vectors long, gate_fired long, recall_ok long"
