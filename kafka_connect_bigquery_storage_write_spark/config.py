@@ -45,8 +45,10 @@ class PipelineConfig:
     # WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) instead of an
     # append. ``upsert_order_col`` names the column that orders multiple
     # changes to one key WITHIN a batch (latest wins); without it a
-    # batch must carry at most one row per key. Requires committed mode
-    # (a staged-then-epoch merge has no defined point-in-time base).
+    # batch must carry at most one row per key. Composes with
+    # write_mode='pending' when upsert_mode='mor' (round 14): each
+    # micro-batch STAGES its merge — appended rows + tombstones — and
+    # the whole multi-batch transaction publishes at the epoch commit.
     upsert_keys: list[str] | None = None
     upsert_order_col: str | None = None
     # how keyed merges materialize (round 11): "cow" routes each batch
@@ -56,6 +58,15 @@ class PipelineConfig:
     # superseded versions, defer all rewriting to compact() — right for
     # scattered / high-frequency change streams, see SCALING.md r11)
     upsert_mode: str = "cow"
+    # pending-mode epoch cadence (round 14, the reference's R17 —
+    # commit at offset-commit time, BigqueryStorageWriteSinkTask.java:
+    # 148-245 — at the streaming surface): publish an epoch every N
+    # micro-batches. foreachBatch batch ids are checkpoint-monotonic,
+    # so the rule (batch_id + 1) % N == 0 is deterministic under
+    # replay, and a replayed batch whose epoch already published
+    # re-commits an empty staging set (a no-op). None = commit only
+    # when the caller invokes pipeline.commit() (stream stop).
+    commit_every_n_batches: int | None = None
 
     def __post_init__(self) -> None:
         if self.write_mode not in WRITE_MODES:
@@ -76,9 +87,19 @@ class PipelineConfig:
             raise ValueError("configure either dlq_path (parquet DLQ) or dlq_topic (Kafka DLQ), not both")
         if self.upsert_order_col is not None and self.upsert_keys is None:
             raise ValueError("upsert_order_col requires upsert_keys")
-        if self.upsert_keys is not None and self.write_mode != "committed":
-            raise ValueError("upsert_keys requires write_mode='committed' (merge has no pending-epoch semantics)")
+        if self.upsert_keys is not None and self.write_mode != "committed" and self.upsert_mode != "mor":
+            raise ValueError(
+                "write_mode='pending' merges require upsert_mode='mor': a COW merge "
+                "rewrites the visible base in place so it cannot stage, while a MOR "
+                "merge stages its append + tombstones and publishes atomically at "
+                "the epoch commit"
+            )
         if self.upsert_mode not in ("cow", "mor"):
             raise ValueError(f"upsert_mode must be cow|mor, got {self.upsert_mode!r}")
         if self.upsert_mode == "mor" and self.upsert_keys is None:
             raise ValueError("upsert_mode='mor' requires upsert_keys")
+        if self.commit_every_n_batches is not None:
+            if self.write_mode != "pending":
+                raise ValueError("commit_every_n_batches requires write_mode='pending'")
+            if self.commit_every_n_batches <= 0:
+                raise ValueError("commit_every_n_batches must be positive")

@@ -68,6 +68,9 @@ class BatchStats:
     written_rows: int
     dlq_rows: int
     already_exists: bool = False
+    # pending mode with a commit cadence: the batch ids this micro-batch's
+    # trailing epoch published (None = no epoch committed at this batch)
+    epoch_batch_ids: list[int] | None = None
 
 
 @dataclass
@@ -183,6 +186,17 @@ class IngestPipeline:
                 dlq_rows=n_bad,
                 already_exists=result.already_exists,
             )
+            # pending-mode epoch cadence (R17 at the streaming surface,
+            # BigqueryStorageWriteSinkTask.java:148-245 — the reference
+            # commits pending streams at offset-commit time): every Nth
+            # micro-batch publishes the staged transaction in ONE epoch
+            # rename. Deterministic under replay — batch ids are
+            # checkpoint-monotonic, and re-committing after a crash
+            # between commit and checkpoint re-lists an empty staging
+            # set (a no-op epoch is never written).
+            cadence = self.config.commit_every_n_batches
+            if cadence and self.config.write_mode == "pending" and (batch_id + 1) % cadence == 0:
+                stats.epoch_batch_ids = self._sink.commit()
             self.stats.append(stats)
             return stats
         finally:
@@ -210,8 +224,16 @@ class IngestPipeline:
         if self.config.upsert_order_col:
             w = Window.partitionBy(*keys).orderBy(F.col(self.config.upsert_order_col).desc())
             rows = rows.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        if self._sink.schema() is None or not self._sink.committed_ids() and not self._sink._latest_snapshot():
-            # first batch: nothing to merge onto — plain append seeds the table
+        if self.config.upsert_mode != "mor" and (
+            self._sink.schema() is None
+            or not self._sink.committed_ids()
+            and not self._sink._latest_snapshot()
+        ):
+            # first batch: nothing to merge onto — plain append seeds the
+            # table. COW only: upsert_mor seeds itself (and in pending
+            # mode the "is the table empty" test must count STAGED
+            # content too — a staged seed followed by a staged merge is
+            # one open transaction, not two seeds)
             result = self._sink.write_batch(rows, batch_id)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "seed": True}))
             return result
@@ -337,7 +359,21 @@ class IngestPipeline:
         return self._sink.commit()
 
     def reset(self) -> list[int]:
-        return self._sink.reset()
+        """Discard the open staged transaction (finalize-only abort).
+
+        Also un-marks the discarded MERGE batch ids: reset aborts the
+        transaction, so a checkpoint replay (or a manual re-run) must be
+        able to RE-stage those batches — a surviving ``merge-<id>.marker``
+        would short-circuit them into silent data loss.
+        """
+        import contextlib as _contextlib
+        import os as _os
+
+        discarded = self._sink.reset()
+        for b in discarded:
+            with _contextlib.suppress(FileNotFoundError):
+                _os.remove(_os.path.join(self._sink.root, "_commits", f"merge-{b}.marker"))
+        return discarded
 
     def read_sink(self, spark) -> DataFrame:
         return self._sink.read(spark)

@@ -394,3 +394,96 @@ def test_stats_agg_available_during_open_transaction(spark, tmp_path):
     expected = dict(SEED)
     expected.update(PENDING_UPSERT)
     assert sink.stats_agg(["k"])["rows"] == len(expected)
+
+
+# -- pending x STREAMING-pipeline scenarios (VERDICT r13 #2) ------------------
+#
+# Round 14 routes pending-mode MOR merges through IngestPipeline
+# (foreachBatch stages, an epoch publishes every commit_every_n_batches
+# micro-batches). The new interleaving class: the pipeline's staged
+# merge — which layers the merge-marker replay protocol on top of the
+# sink's staging — racing reads and external finalizers.
+
+PIPE_MERGE = {**{k: "M" for k in range(30, 35)}, **{k: "m" for k in range(400, 405)}}
+
+
+def _pending_pipe(spark, tmp_path, cadence=None):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    schema = T.StructType(
+        [T.StructField("k", T.LongType(), False), T.StructField("v", T.StringType(), True)]
+    )
+    cfg = PipelineConfig(
+        sink_path=str(tmp_path / "pp"),
+        write_mode="pending",
+        upsert_keys=["k"],
+        upsert_mode="mor",
+        commit_every_n_batches=cadence,
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=schema, sink_schema=schema)
+
+    def env(rows):
+        return _kv(spark, rows).select(
+            F.lit("t").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.col("k").alias("offset"),
+            F.col("k").cast("string").alias("key"),
+            F.to_json(F.struct("k", "v")).alias("value"),
+        )
+
+    return pipe, env
+
+
+@pytest.mark.parametrize("hook", ["_dv_commits", "_latest_snapshot"])
+def test_pipeline_staged_merge_never_tears_read(spark, tmp_path, monkeypatch, hook):
+    """A read overlapped by a PIPELINE-staged merge micro-batch (the
+    streaming foreachBatch path: merge marker + staged dv CAS) sees the
+    committed state entire — staging through the pipeline must be as
+    invisible as staging at the sink API."""
+    pipe, env = _pending_pipe(spark, tmp_path)
+    sink = pipe._sink
+    pipe.run_batch(env([(k, "x") for k in SEED]), batch_id=0)
+    assert pipe.commit() == [0]
+    state = _inject(
+        monkeypatch, sink, hook,
+        lambda: pipe.run_batch(env(sorted(PIPE_MERGE.items())), batch_id=1),
+    )
+    df = sink.read(spark)
+    monkeypatch.undo()
+    assert state["fired"]
+    got = {}
+    for r in df.collect():
+        assert r["k"] not in got, f"duplicate key {r['k']} leaked from pipeline staging"
+        got[r["k"]] = r["v"]
+    assert got == SEED, "pipeline-staged (uncommitted) micro-batch leaked into a read"
+    # replay of the staged micro-batch short-circuits on the merge marker
+    assert pipe.run_batch(env(sorted(PIPE_MERGE.items())), batch_id=1).already_exists
+    assert pipe.commit() == [1]
+    assert _content(sink, spark) == {**SEED, **PIPE_MERGE}
+
+
+@pytest.mark.parametrize("hook", ["_staged_manifests", "_dv_commits"])
+def test_pipeline_cadence_commit_races_finalizer(spark, tmp_path, monkeypatch, hook):
+    """An external finalizer's commit() lands MID-staging of the cadence
+    micro-batch: the epoch CAS + set-union visibility keep every batch
+    exactly-once whichever epoch claims it, and the cadence commit drains
+    whatever the external epoch missed."""
+    pipe, env = _pending_pipe(spark, tmp_path, cadence=2)
+    sink = pipe._sink
+    s0 = pipe.run_batch(env([(k, "x") for k in SEED]), batch_id=0)
+    assert s0.epoch_batch_ids is None  # mid-epoch: still staged
+    state = _inject(monkeypatch, sink, hook, lambda: sink.commit())
+    s1 = pipe.run_batch(env(sorted(PIPE_MERGE.items())), batch_id=1)
+    monkeypatch.undo()
+    assert state["fired"]
+    # between the external epoch and the cadence epoch, everything published
+    assert sink.commit() == []  # nothing left staged
+    assert _content(sink, spark) == {**SEED, **PIPE_MERGE}
+    # replay stays a no-op across the racing epochs
+    assert pipe.run_batch(env(sorted(PIPE_MERGE.items())), batch_id=1).already_exists
+    sink.compact(spark)
+    assert _content(sink, spark) == {**SEED, **PIPE_MERGE}

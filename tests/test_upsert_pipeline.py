@@ -77,8 +77,18 @@ def test_upsert_streaming_end_to_end(spark, tmp_path):
 def test_upsert_config_validation(tmp_path):
     with pytest.raises(ValueError, match="requires upsert_keys"):
         PipelineConfig(sink_path=str(tmp_path), upsert_order_col="seq")
-    with pytest.raises(ValueError, match="committed"):
+    # pending composes ONLY with MOR (round 14): a COW merge rewrites the
+    # visible base in place, so it cannot stage; MOR stages and publishes
+    # at the epoch commit
+    with pytest.raises(ValueError, match="upsert_mode='mor'"):
         PipelineConfig(sink_path=str(tmp_path), write_mode="pending", upsert_keys=["k"])
+    PipelineConfig(
+        sink_path=str(tmp_path), write_mode="pending", upsert_keys=["k"], upsert_mode="mor"
+    )
+    with pytest.raises(ValueError, match="write_mode='pending'"):
+        PipelineConfig(sink_path=str(tmp_path), commit_every_n_batches=2)
+    with pytest.raises(ValueError, match="positive"):
+        PipelineConfig(sink_path=str(tmp_path), write_mode="pending", commit_every_n_batches=0)
 
 
 def test_upsert_lost_snapshot_cas_does_not_mark_batch(spark, tmp_path, monkeypatch):
