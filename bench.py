@@ -111,6 +111,7 @@ def main() -> None:
     # terminates; the count is reported in the payload.
     ref_mins: dict[str, float] = {}
     ref_cal: list[float] | None = None
+    _ref: dict = {}
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     # per-query implementation fingerprint: the min-merge and the 3x-retry
     # rule must only reuse a historical minimum measured on the SAME query
@@ -241,6 +242,74 @@ def main() -> None:
             for c in (cal_start, cal_end)
         ),
     )
+
+    # --- reference-epoch policy (VERDICT r13 #4, the 4-round carry) ---
+    # Rounds 11-13 measured every calibration window 18-25% above the
+    # round-9 reference in BOTH shapes, with the BEST windows stable to
+    # within 1% across rounds ([0.285,0.408]/[0.283,0.412]/[0.285,0.405]
+    # vs ref [0.231,0.335]). Transient hypervisor steal varies window to
+    # window; a three-round floor stable to 1% is a structural host
+    # performance change (clock/turbo/migration) — and under it the 0.85
+    # persistence factor is permanently unreachable, silently turning the
+    # min-reference discipline into "never persist again". Policy: track
+    # a STREAK of consecutive sub-0.85 runs whose best windows sit at a
+    # STABLE floor (each shape within +-10% of the streak's running
+    # best); at STREAK_N=3 the floor is declared the host's new baseline:
+    # the old reference retires into host_cal_ref_epochs (with the old
+    # per-query minima and the streak evidence — provenance, not
+    # deletion), host_cal_ref restarts at the streak's best windows, and
+    # per-query minima restart under the new epoch. A quiet window
+    # (factor >= 0.85) resets the streak; a best window >10% BELOW the
+    # floor restarts the streak at the lower level (the floor was not
+    # structural); a run worse than the floor everywhere is weather and
+    # leaves the streak unchanged.
+    STREAK_N = 3
+    obs_best = [min(cal_start[0], cal_end[0]), min(cal_start[1], cal_end[1])]
+    streak = _ref.get("shift_streak") or {"n": 0, "best": None}
+    epoch_rolled = False
+    if ref_cal:
+        if factor_norm >= 0.85:
+            streak = {"n": 0, "best": None}
+        elif streak["best"] is None:
+            streak = {"n": 1, "best": [round(v, 3) for v in obs_best]}
+        else:
+            ratios = [obs_best[i] / max(streak["best"][i], 1e-9) for i in (0, 1)]
+            floor = [round(min(a, b), 3) for a, b in zip(streak["best"], obs_best)]
+            if min(ratios) < 0.90:
+                streak = {"n": 1, "best": floor}
+            elif max(ratios) <= 1.10:
+                streak = {"n": streak["n"] + 1, "best": floor}
+        if streak["n"] >= STREAK_N:
+            epochs = _ref.get("host_cal_ref_epochs", [])
+            epochs.append(
+                {
+                    "host_cal_ref": cal_ref,
+                    "queries": _ref.get("queries", {}),
+                    "impl_hash": _ref.get("impl_hash", {}),
+                    "retired_after_commit": ref_commit,
+                    "streak_evidence": streak,
+                    "reason": (
+                        f"best calibration windows held a stable floor for {streak['n']} "
+                        "consecutive runs in both shapes while never reaching factor 0.85 "
+                        "— structural host baseline shift, not steal (BASELINE.md epoch policy)"
+                    ),
+                }
+            )
+            cal_ref = ref_cal = list(streak["best"])
+            ref_mins = {}
+            _ref = {**_ref, "host_cal_ref_epochs": epochs, "queries": {}, "impl_hash": {}}
+            streak = {"n": 0, "best": None}
+            epoch_rolled = True
+            # re-derive the factors against the new epoch's reference
+            factor = min(1.0, cal_ref[0] / max(obs_single, 1e-9), cal_ref[1] / max(obs_par, 1e-9))
+            factor_norm = min(
+                1.0,
+                max(
+                    min(1.0, cal_ref[0] / max(c[0], 1e-9), cal_ref[1] / max(c[1], 1e-9))
+                    for c in (cal_start, cal_end)
+                ),
+            )
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     payload = {
         "metric": "query_suite_wall_clock",
@@ -276,6 +345,10 @@ def main() -> None:
         # commit that last touched the reference minima being compared
         # against (null on a fresh checkout / no git)
         "ref_commit": ref_commit,
+        # reference-epoch policy state: how many baselines this host has
+        # retired (BASELINE.md epoch policy), and whether THIS run rolled
+        "cal_epoch": len(_ref.get("host_cal_ref_epochs", [])),
+        "epoch_rolled": epoch_rolled,
     }
     detail = dict(payload)
     # per-query MIN rule across history: a contended window can only fail
@@ -288,6 +361,9 @@ def main() -> None:
     detail["queries"] = {k: min(v, ref_mins[k]) if k in ref_mins else v for k, v in best.items()}
     detail["value"] = round(sum(detail["queries"].values()), 3)
     detail["impl_hash"] = impl_hash
+    detail["shift_streak"] = streak
+    if _ref.get("host_cal_ref_epochs"):
+        detail["host_cal_ref_epochs"] = _ref["host_cal_ref_epochs"]
     # BENCH_LOCAL.json is the committed steady-state reference the retry
     # rule reads — a contended run must NOT overwrite it with inflated
     # minima (observed: a theft window wrote q122=128.6s where the steady
@@ -304,9 +380,9 @@ def main() -> None:
         json.dump({**dict(payload), "queries": best, "impl_hash": impl_hash, "healthy": factor >= 0.85}, f, indent=1)
     if factor >= 0.85 or not os.path.exists(local_path):
         # the persisted reference calibration tracks the QUIETEST window
-        # ever observed on this host (min per shape), so the retry/normalize
-        # thresholds keep tightening toward the host's true steady state
-        obs_best = [min(cal_start[0], cal_end[0]), min(cal_start[1], cal_end[1])]
+        # ever observed on this host — WITHIN the current epoch — (min per
+        # shape), so the retry/normalize thresholds keep tightening toward
+        # the host's true steady state
         detail["host_cal_ref"] = [round(min(a, b), 3) for a, b in zip(cal_ref, obs_best)] if ref_cal else [
             round(v, 3) for v in obs_best
         ]
@@ -314,6 +390,26 @@ def main() -> None:
             json.dump(detail, f, indent=1)
     else:
         payload["detail"] = "BENCH_LOCAL.json (stale: contended run not persisted)"
+        # streak/epoch bookkeeping must survive contended runs — under a
+        # shifted baseline healthy runs never happen, which is exactly
+        # when the policy has to act. Update ONLY the epoch-policy fields
+        # of the committed reference; minima stay untouched (an epoch
+        # roll restarts them explicitly).
+        try:
+            with open(local_path) as f:
+                cur = json.load(f)
+            if cur.get("shift_streak") != streak or epoch_rolled:
+                cur["shift_streak"] = streak
+                if epoch_rolled:
+                    cur["host_cal_ref_epochs"] = _ref["host_cal_ref_epochs"]
+                    cur["host_cal_ref"] = [round(v, 3) for v in cal_ref]
+                    cur["queries"] = {}
+                    cur["impl_hash"] = {}
+                    cur["value"] = None
+                with open(local_path, "w") as f:
+                    json.dump(cur, f, indent=1)
+        except (OSError, ValueError):
+            pass
     line = json.dumps(payload, separators=(",", ":"))
     # hard guarantee against the round-3/round-7 truncation class: the
     # driver captures the LAST 2000 chars of stdout, so an oversized line
