@@ -55,69 +55,69 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # (harness_canon.py), so local green is a faithful predictor for the
 # unwindowed majority.
 #
-# Round-13 rotation (VERDICT r12 #1: burn the r8 staleness): lead with
-# the FOUR queries new this round (q231 two-grain span sweep, q232 live
-# transformWithStateInPandas, q233 pending-mode CDC epoch, q234 IVF
-# maintenance cycle — zero official rows), then the COMPLETE r8-latest
-# cohort (all 29 remaining stragglers, registration order). The final
-# 17 slots begin the r9-latest cohort in registration order. All 50
-# rows are oracled (the nine gated rows-only ANN queries keep their
-# live in-query asserts in every sim run). After this round no query's
-# newest official row is older than r9; 33 r9 stragglers lead round 14.
+# Round-14 rotation (VERDICT r13 #1: burn the r9 staleness): lead with
+# the TWO queries new this round (q235 pending-mode CDC at the streaming
+# surface, q236 TWS timer sessionizer — zero official rows), then the
+# COMPLETE r9-latest cohort (all 33 remaining stragglers, registration
+# order). The final 15 slots begin the r10-latest cohort in registration
+# order. All 50 rows are oracled (the nine gated rows-only ANN queries
+# keep their live in-query asserts in every sim run). After this round
+# no query's newest official row is older than r10; the remaining 35
+# r10 stragglers lead round 15.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # --- new this round (r13; zero official rows) ---
-    "q231_span_grain_sweep",
-    "q232_tws_running_totals",
-    "q233_pending_cdc_epoch",
-    "q234_ivf_maintenance_cycle",
-    # --- r8-latest oracled stragglers (complete, registration order) ---
-    "q158_lateral_topk",
-    "q159_hourly_autocorrelation",
-    "q162_map_in_arrow_charge",
-    "q163_full_outer_attribution",
-    "q167_xml_source",
-    "q169_sink_pruned_read",
-    "q170_sink_time_travel",
-    "q171_schema_evolution_read",
-    "q174_ivfpq_exact_topk",
-    "q176_sink_merge_upsert",
-    "q177_cdc_upsert_pipeline",
-    "q179_protobuf_wire_roundtrip",
-    "q180_sink_bloom_pruned_read",
-    "q181_sink_zorder_read",
-    "q182_jl_projection",
-    "q187_winsorized_stats",
-    "q188_equidepth_binning",
-    "q189_cohort_retention",
-    "q190_entity_resolution",
-    "q191_asof_directions",
-    "q192_image_resize_checksum",
-    "q193_hard_negative_mining",
-    "q195_ewma_user_scores",
-    "q196_bitext_margin_mining",
-    "q197_sink_stats_only_agg",
-    "q199_k_anonymity_audit",
-    "q200_audio_decimate_checksum",
-    "q202_image_equalize_checksum",
-    "q203_mmr_diversified_topk",
-    # --- r9-latest cohort, registration order (first 17) ---
-    "q105_contamination_scores",
-    "q40_text_stats",
-    "q41_language_histogram",
-    "q42_top_tokens",
-    "q44_train_test_split",
-    "q45_token_budget",
-    "q46_winnow_fingerprints",
-    "q43_quality_filter",
-    "q57_repetition_signals",
-    "q66_mixture_sampling",
-    "q74_tfidf_top_terms",
-    "q75_pii_scrub",
-    "q79_sequence_packing",
-    "q80_document_chunking",
-    "q82_stratified_sample",
-    "q96_vocab_encode",
-    "q206_byte_bpe_encode",
+    # --- new this round (r14; zero official rows) ---
+    "q235_pending_stream_epoch",
+    "q236_tws_timer_sessions",
+    # --- r9-latest oracled stragglers (complete, registration order) ---
+    "q209_temperature_mixture",
+    "q211_tokenizer_compression_eval",
+    "q214_hashed_ngram_importance",
+    "q210_weighted_sssp",
+    "q72_avro_ingest_roundtrip",
+    "q205_sink_delete_vectors",
+    "q207_sink_stats_sum_pushdown",
+    "q208_cdc_change_feed_replay",
+    "q215_sink_snapshot_diff",
+    "q216_bucketed_colocated_join",
+    "q213_bootstrap_ci",
+    "q01_pricing_summary",
+    "q02_filtered_scan",
+    "q03_shipping_priority",
+    "q04_order_priority_check",
+    "q05_supplier_region_volume",
+    "q06_forecast_revenue",
+    "q07_customer_order_counts",
+    "q08_customers_without_orders",
+    "q84_disjunctive_predicates",
+    "q85_global_threshold",
+    "q102_returned_items",
+    "q103_promo_revenue",
+    "q104_top_revenue_supplier",
+    "q100_ivf_exact_topk",
+    "q101_blocked_near_dups_exact",
+    "q76_embedding_quantize",
+    "q93_label_centroids",
+    "q107_embedding_gram_matrix",
+    "q49_salted_join",
+    "q98_incremental_topk_rollup",
+    "q97_gap_filled_hourly",
+    "q212_event_transition_matrix",
+    # --- r10-latest cohort, registration order (first 15) ---
+    "q30_dedup_exact",
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_near_dups",
+    "q65_incremental_dedup",
+    "q73_dedup_clusters",
+    "q87_dedup_clusters_star",
+    "q78_decontamination",
+    "q94_containment_pairs",
+    "q109_bloom_prefilter_dedup",
+    "q113_incremental_near_dup",
+    "q99_weighted_quota_sample",
+    "q106_token_freq_of_freq",
+    "q108_quality_decile_bins",
+    "q112_vocab_coverage",
+    "q110_unigram_surprisal",
 )
 
 
