@@ -915,3 +915,125 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("n_types", "n_events_capped")
     )
     return _finalize(out, root)
+
+
+@query(
+    "q237_tws_initial_state",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State BOOTSTRAP through transformWithStateInPandas's
+    ``initialState`` (round 14 — the last TWS surface after q232's
+    ValueState and q236's timers/ListState/MapState): the even-event_id
+    half of events is pre-aggregated as a BATCH per-user totals relation
+    — the migrated history table — and handed to the stream as initial
+    state; only the odd half ever streams (two micro-batch files). The
+    final update per user must equal the FULL-events aggregate, which is
+    the oracle: if handleInitialState never ran (or wrote to the wrong
+    state cell) the totals equal the streamed half only and every row's
+    hash fails; exact int64-cents arithmetic keeps engines and batch
+    splits bit-identical.
+
+    In-query gates: (a) both halves cover every user (the fixture
+    property the oracle equality relies on — errors loudly at any SF
+    where the split degenerates); (b) at least one user's updates span
+    both micro-batches (state crossed a trigger boundary on top of the
+    bootstrap, q232's gate).
+
+    Scale: the bootstrap is one grouped batch relation read once at
+    stream start (state lands directly in RocksDB, O(distinct keys));
+    it replaces replaying arbitrarily deep history through the stream —
+    at 100 TB the difference between rehydrating a table and re-running
+    a year of CDC.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
+        running_user_cents_bootstrapped_tws,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("long")
+    hist = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .localCheckpoint(eager=True)
+    )
+    live = ev.filter(F.col("event_id") % 2 == 1).localCheckpoint(eager=True)
+    # gate (a): the oracle equality needs both halves to cover every user
+    n_all = ev.select("user_id").distinct().count()
+    if hist.count() != n_all or live.select("user_id").distinct().count() != n_all:
+        raise ValueError("q237 gate: the even/odd split does not cover every user at this SF")
+
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q237_")
+    src = os.path.join(root, "src")
+    for i in range(2):
+        (
+            live.filter(F.pmod("event_id", F.lit(4)) == 2 * i + 1)
+            .select("user_id", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    qname = f"q237_tws_{uuid.uuid4().hex[:8]}"
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(provider_key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            running_user_cents_bootstrapped_tws(stream, hist)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    updates = spark.table(qname).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(qname)
+    # gate (b): some user's state visibly crossed the trigger boundary
+    n_updates = updates.count()
+    n_users = updates.select("user_id").distinct().count()
+    if n_updates <= n_users:
+        raise ValueError(
+            f"q237 gate: {n_updates} update rows for {n_users} users — no per-key "
+            "state crossed a micro-batch boundary"
+        )
+    final = (
+        updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_cents", "n_events").alias("sum_cents"),
+        )
+        .orderBy("user_id")
+    )
+    return _finalize(final, root)

@@ -218,6 +218,33 @@ try:  # the API is present on Spark 4; guard so older clusters still import this
             timeMode="None",
         )
 
+    class BootstrappedCentsProcessor(RunningCentsProcessor):
+        """RunningCentsProcessor seeded from an INITIAL STATE relation
+        (round 14 — the last TWS surface: ``initialState=`` bootstraps
+        per-key state from a batch DataFrame in the stream's first
+        micro-batch, the migration path from a batch aggregate table
+        into a live stateful stream). handleInitialState receives each
+        key's one-row pandas frame (n_events, sum_cents) and writes it
+        into the same named ValueState the streaming path accumulates;
+        every later micro-batch then updates on top of history the
+        stream itself never saw."""
+
+        def handleInitialState(self, key, initialState, timerValues) -> None:
+            self._totals.update(
+                (int(initialState["n_events"].iloc[0]), int(initialState["sum_cents"].iloc[0]))
+            )
+
+    def running_user_cents_bootstrapped_tws(events: DataFrame, initial: DataFrame) -> DataFrame:
+        """running_user_cents_tws with state bootstrapped from ``initial``
+        (columns: user_id, n_events, sum_cents — one row per key)."""
+        return events.groupBy("user_id").transformWithStateInPandas(
+            BootstrappedCentsProcessor(),
+            outputStructType=RUNNING_CENTS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+            initialState=initial.groupBy("user_id"),
+        )
+
     TIMER_SESSION_OUTPUT = (
         "user_id long, start_us long, end_us long, n_events long, "
         "sum_cents long, n_types long, session_seq long"
@@ -352,4 +379,7 @@ except ImportError:  # pragma: no cover - Spark < 4
         raise NotImplementedError("transformWithStateInPandas requires Spark 4+")
 
     def sessionize_stream_tws(events: DataFrame, gap_seconds: int, watermark: str = "30 minutes") -> DataFrame:
+        raise NotImplementedError("transformWithStateInPandas requires Spark 4+")
+
+    def running_user_cents_bootstrapped_tws(events: DataFrame, initial: DataFrame) -> DataFrame:
         raise NotImplementedError("transformWithStateInPandas requires Spark 4+")

@@ -326,3 +326,52 @@ def test_tws_timer_sessionizer_live_and_parity(spark, tmp_path):
         if r.user_id >= 0
     }
     assert apws == {(u, s, e, n, c) for u, s, e, n, c, _t, _q in got}
+
+
+def test_tws_initial_state_bootstrap(spark, tmp_path):
+    """BootstrappedCentsProcessor: per-key state seeded from a batch
+    relation via initialState; streamed updates accumulate ON TOP of
+    history the stream never saw, and a key with no initial state
+    starts from zero."""
+    from kafka_connect_bigquery_storage_write_spark.session import ensure_shipped
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
+        running_user_cents_bootstrapped_tws,
+    )
+
+    ensure_shipped(spark)
+    initial = spark.createDataFrame(
+        [(1, 3, 1000), (2, 1, 250)], "user_id long, n_events long, sum_cents long"
+    )
+    src = tmp_path / "src"
+    batches = [[(1, 0.5), (3, 2.0)], [(1, 0.25), (2, 1.0)]]
+    for rows in batches:
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(1).write.mode(
+            "append"
+        ).json(str(src))
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    with _rocksdb_state_store(spark):
+        q = (
+            running_user_cents_bootstrapped_tws(stream, initial)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_bootstrap_test")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    rows = spark.sql("select * from tws_bootstrap_test").collect()
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_cents)
+    # user 1: 3 events/1000c history + 50c + 25c across two batches
+    assert final[1] == (5, 1075)
+    # user 2: history + one streamed event
+    assert final[2] == (2, 350)
+    # user 3: NO initial state — starts from zero
+    assert final[3] == (1, 200)
