@@ -56,9 +56,10 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # unwindowed majority.
 #
 # Round-14 rotation (VERDICT r13 #1: burn the r9 staleness): lead with
-# the THREE queries new this round (q235 pending-mode CDC at the
+# the FOUR queries new this round (q235 pending-mode CDC at the
 # streaming surface, q236 TWS timer sessionizer, q237 TWS initial-state
-# bootstrap — zero official rows), then the
+# bootstrap, q238 pending-mode DLQ immediacy — zero official rows),
+# then the
 # COMPLETE r9-latest cohort (all 33 remaining stragglers, registration
 # order). The final 15 slots begin the r10-latest cohort in registration
 # order. All 50 rows are oracled (the nine gated rows-only ANN queries
@@ -70,6 +71,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q235_pending_stream_epoch",
     "q236_tws_timer_sessions",
     "q237_tws_initial_state",
+    "q238_pending_dlq_immediacy",
     # --- r9-latest oracled stragglers (complete, registration order) ---
     "q209_temperature_mixture",
     "q211_tokenizer_compression_eval",
@@ -118,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q99_weighted_quota_sample",
     "q106_token_freq_of_freq",
     "q108_quality_decile_bins",
-    "q112_vocab_coverage",
 )
 
 

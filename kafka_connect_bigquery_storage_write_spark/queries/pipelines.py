@@ -2867,3 +2867,133 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_visible_dvs long, n_epochs long",
     ).orderBy("phase")
     return _finalize(out, root)
+
+
+@query(
+    "q238_pending_dlq_immediacy",
+    oracle="""
+    WITH good AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    bad AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(o_orderkey * 900) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT 'a_staged' AS phase, CAST(0 AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS sum_cents, bad.n AS n_dlq_pending,
+           CAST(0 AS BIGINT) AS n_epochs
+    FROM bad
+    UNION ALL SELECT 'b_committed', good.n, good.cents, bad.n, 1 FROM good, bad
+    UNION ALL SELECT 'c_repaired', good.n + bad.n, good.cents + bad.cents, 0, 2
+    FROM good, bad
+    ORDER BY phase
+    """,
+)
+def q238_pending_dlq_immediacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-lettering is NOT transactional (round 14): the reference
+    reports errant records BEFORE the offset commit
+    (BigqueryStorageWriteSinkTask.java:86-92), so in pending mode a bad
+    row must surface in the DLQ the moment its micro-batch stages —
+    while the GOOD rows of the same batches stay invisible until the
+    epoch. Two staged micro-batches of orders with every %7 key's
+    payload corrupted: phase a pins the split (sink reads empty, DLQ
+    already carries every bad row); commit publishes the good rows
+    (phase b); then ``replay_dlq`` repairs the payloads (price :=
+    key * 9.00) and re-ingests them through the SAME validated pipeline
+    path — the replay batch STAGES like any pending write, a second
+    epoch publishes it, and the DLQ's replay tombstones flip the
+    pending count to zero (phase c). A leaked staged row, a DLQ write
+    deferred to commit time, a replay that bypassed validation, or a
+    lost replay tombstone each shifts a pinned phase row.
+
+    Scale: the DLQ write is one O(bad rows) idempotent parquet append
+    per micro-batch (batch= dir overwrite), the replay is one normal
+    pipeline batch — dead-lettering adds no commit-path coupling at any
+    transaction size.
+    """
+    from kafka_connect_bigquery_storage_write_spark.streaming.pipeline import IngestPipeline
+
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .localCheckpoint(eager=True)
+    )
+    mid = int(src.agg(F.max("o_orderkey")).first()[0]) // 2
+    root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q238_")
+
+    def env(df: DataFrame) -> DataFrame:
+        good_payload = F.to_json(F.struct("o_orderkey", "o_totalprice"))
+        return df.select(
+            F.lit("orders").alias("topic"),
+            F.lit(0).alias("partition"),
+            F.col("o_orderkey").alias("offset"),
+            F.col("o_orderkey").cast("string").alias("key"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.concat(F.lit("corrupt{"), F.col("o_orderkey")))
+            .otherwise(good_payload)
+            .alias("value"),
+        )
+
+    value_schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType(), False),
+            T.StructField("o_totalprice", T.DoubleType(), True),
+        ]
+    )
+    cfg = PipelineConfig(
+        sink_path=os.path.join(root, "sink"),
+        dlq_path=os.path.join(root, "dlq"),
+        write_mode="pending",
+    )
+    pipe = IngestPipeline(config=cfg, value_schema=value_schema, sink_schema=value_schema)
+
+    def content_row(phase: str) -> tuple:
+        agg = (
+            pipe.read_sink(spark)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+                    F.lit(0),
+                ).alias("cents"),
+            )
+            .first()
+        )
+        pending_ids = pipe._dlq.batch_ids()
+        n_dlq = pipe._dlq.read(spark, batch_ids=pending_ids).count() if pending_ids else 0
+        epochs = len(
+            [
+                f
+                for f in os.listdir(os.path.join(cfg.sink_path, "_commits"))
+                if f.startswith("epoch-")
+            ]
+        )
+        return (phase, agg["n"], agg["cents"], n_dlq, epochs)
+
+    pipe.run_batch(env(src.filter(F.col("o_orderkey") <= mid)), batch_id=0)
+    pipe.run_batch(env(src.filter(F.col("o_orderkey") > mid)), batch_id=1)
+    rows = [content_row("a_staged")]
+
+    assert pipe.commit() == [0, 1]
+    rows.append(content_row("b_committed"))
+
+    def fix(df: DataFrame) -> DataFrame:
+        k = F.col("key").cast("long")
+        return df.withColumn(
+            "value",
+            F.to_json(
+                F.struct(k.alias("o_orderkey"), (k.cast("double") * 9.0).alias("o_totalprice"))
+            ),
+        )
+
+    stats = pipe.replay_dlq(spark, batch_id=2, fix=fix)
+    assert stats.dlq_rows == 0, "repaired rows must not re-dead-letter"
+    assert pipe.commit() == [2]
+    rows.append(content_row("c_repaired"))
+
+    out = spark.createDataFrame(
+        rows, "phase string, n_rows long, sum_cents long, n_dlq_pending long, n_epochs long"
+    ).orderBy("phase")
+    return _finalize(out, root)
