@@ -267,6 +267,7 @@ def main() -> None:
     obs_best = [min(cal_start[0], cal_end[0]), min(cal_start[1], cal_end[1])]
     streak = _ref.get("shift_streak") or {"n": 0, "best": None}
     epoch_rolled = False
+    confirmed_this_run = False  # the roll needs THIS run to sit at the floor
     if ref_cal:
         if factor_norm >= 0.85:
             streak = {"n": 0, "best": None}
@@ -279,7 +280,8 @@ def main() -> None:
                 streak = {"n": 1, "best": floor}
             elif max(ratios) <= 1.10:
                 streak = {"n": streak["n"] + 1, "best": floor}
-        if streak["n"] >= STREAK_N:
+                confirmed_this_run = True
+        if streak["n"] >= STREAK_N and confirmed_this_run:
             epochs = _ref.get("host_cal_ref_epochs", [])
             epochs.append(
                 {

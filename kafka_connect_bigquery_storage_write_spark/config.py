@@ -87,6 +87,8 @@ class PipelineConfig:
             raise ValueError("configure either dlq_path (parquet DLQ) or dlq_topic (Kafka DLQ), not both")
         if self.upsert_order_col is not None and self.upsert_keys is None:
             raise ValueError("upsert_order_col requires upsert_keys")
+        if self.upsert_mode not in ("cow", "mor"):
+            raise ValueError(f"upsert_mode must be cow|mor, got {self.upsert_mode!r}")
         if self.upsert_keys is not None and self.write_mode != "committed" and self.upsert_mode != "mor":
             raise ValueError(
                 "write_mode='pending' merges require upsert_mode='mor': a COW merge "
@@ -94,8 +96,6 @@ class PipelineConfig:
                 "merge stages its append + tombstones and publishes atomically at "
                 "the epoch commit"
             )
-        if self.upsert_mode not in ("cow", "mor"):
-            raise ValueError(f"upsert_mode must be cow|mor, got {self.upsert_mode!r}")
         if self.upsert_mode == "mor" and self.upsert_keys is None:
             raise ValueError("upsert_mode='mor' requires upsert_keys")
         if self.commit_every_n_batches is not None:

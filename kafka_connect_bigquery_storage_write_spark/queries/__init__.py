@@ -59,13 +59,12 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 # the FOUR queries new this round (q235 pending-mode CDC at the
 # streaming surface, q236 TWS timer sessionizer, q237 TWS initial-state
 # bootstrap, q238 pending-mode DLQ immediacy — zero official rows),
-# then the
-# COMPLETE r9-latest cohort (all 33 remaining stragglers, registration
-# order). The final 15 slots begin the r10-latest cohort in registration
-# order. All 50 rows are oracled (the nine gated rows-only ANN queries
-# keep their live in-query asserts in every sim run). After this round
-# no query's newest official row is older than r10; the remaining 35
-# r10 stragglers lead round 15.
+# then the COMPLETE r9-latest cohort (all 33 remaining stragglers,
+# registration order). The final 13 slots begin the r10-latest cohort
+# in registration order. All 50 rows are oracled (the nine gated
+# rows-only ANN queries keep their live in-query asserts in every sim
+# run). After this round no query's newest official row is older than
+# r10; the remaining 37 r10 stragglers lead round 15.
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- new this round (r14; zero official rows) ---
     "q235_pending_stream_epoch",
@@ -106,7 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "q98_incremental_topk_rollup",
     "q97_gap_filled_hourly",
     "q212_event_transition_matrix",
-    # --- r10-latest cohort, registration order (first 15) ---
+    # --- r10-latest cohort, registration order (first 13) ---
     "q30_dedup_exact",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_near_dups",

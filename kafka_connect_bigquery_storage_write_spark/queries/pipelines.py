@@ -2745,8 +2745,8 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_json(F.struct("o_orderkey", "o_totalprice")).alias("value"),
         )
 
-    # the CDC feed, one file per micro-batch (mtimes pin the file-source
-    # order): seed, %11 updates + 20 new keys, %22 supersedes
+    # the CDC feed, one file per micro-batch: seed, %11 updates + 20 new
+    # keys, %22 supersedes
     b1 = src.filter(F.col("o_orderkey") % 11 == 0).withColumn(
         "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
     )
@@ -2758,11 +2758,6 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_orderkey").cast("double") * 4.0
     )
     feed = os.path.join(root, "feed")
-    for b, df in enumerate([src, b1.unionByName(news), b2]):
-        d = os.path.join(feed, f"b{b}")
-        env(df).coalesce(1).write.json(d)
-        for f in os.listdir(d):
-            os.utime(os.path.join(d, f), (1_000_000 + b, 1_000_000 + b))
 
     value_schema = T.StructType(
         [
@@ -2781,13 +2776,9 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = pipe._sink
 
     def stream(p: IngestPipeline):
-        s = (
-            spark.readStream.schema(
-                "topic string, partition int, offset long, key string, value string"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .json(os.path.join(feed, "b*"))
-        )
+        s = spark.readStream.schema(
+            "topic string, partition int, offset long, key string, value string"
+        ).json(os.path.join(feed, "b*"))
         q = p.start_stream(s, trigger_once=True)
         q.awaitTermination(300)
 
@@ -2810,7 +2801,15 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (phase, agg["n"], agg["cents"], staged, len(sink.visible_dvs()), epochs)
 
-    stream(pipe)
+    # PHASE-WISE availableNow runs pin the micro-batch ORDER (Spark's
+    # file source does not reliably order same-listing files — observed
+    # processing a later-mtime file first ~40% of runs in a probe; the
+    # %22-supersedes-%11 convergence depends on b2 merging AFTER b1):
+    # one write + one checkpointed restart per feed batch makes each run
+    # consume exactly the new file.
+    for b, df in enumerate([src, b1.unionByName(news), b2]):
+        env(df).coalesce(1).write.json(os.path.join(feed, f"b{b}"))
+        stream(pipe)
     rows = [content_row("a_staged")]
     # invisible mid-transaction: empty feed, maintenance defers
     assert sink.changes(spark, after_batch_id=-1).count() == 0, "staged merge leaked into the feed"
@@ -2833,10 +2832,7 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") + hi).alias("o_orderkey"),
         ((F.col("id") + hi).cast("double") * 7.0).alias("o_totalprice"),
     )
-    d3 = os.path.join(feed, "b3")
-    env(b3).coalesce(1).write.json(d3)
-    for f in os.listdir(d3):
-        os.utime(os.path.join(d3, f), (1_000_003, 1_000_003))
+    env(b3).coalesce(1).write.json(os.path.join(feed, "b3"))
     cfg2 = PipelineConfig(
         sink_path=cfg.sink_path,
         checkpoint_path=cfg.checkpoint_path,

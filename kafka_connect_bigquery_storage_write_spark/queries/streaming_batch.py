@@ -661,7 +661,10 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import running_user_cents_tws
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
+        rocksdb_state_store,
+        running_user_cents_tws,
+    )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q232_")
@@ -680,16 +683,7 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     qname = f"q232_tws_{uuid.uuid4().hex[:8]}"
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(provider_key)
-    except Exception:
-        prev = None
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         q = (
             running_user_cents_tws(stream)
             .writeStream.outputMode("update")
@@ -700,11 +694,6 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
     updates = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     n_updates = updates.count()
@@ -774,8 +763,9 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     final session can ONLY close through handleExpiredTimer, and the
     in-query gate proves every user's last event reached a closed
     session that way. MapState carries the open session's per-type
-    tallies (emitted as n_types), ListState the closed-session log
-    (emitted as the 1-based session_seq). The session panel then rolls
+    tallies (emitted as n_types), a counter ValueState the 1-based
+    session_seq, ListState the bounded recent-durations ring
+    (get + append + put, capped at 8). The session panel then rolls
     up to a (n_types, capped n_events) summary the SQL twin recomputes
     via gaps-and-islands — a dropped timer close, a torn map/list cell,
     or a session split drifting across a trigger boundary shifts the
@@ -787,8 +777,8 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     closes happened too, so both close paths ran).
 
     Scale: state per key is the open session (4 longs) + O(event types)
-    map entries + O(closed sessions) list entries (production would TTL
-    the log); state ops price one ~30-byte proto frame per op, never
+    map entries + a capped 8-entry duration ring — O(1) per close, no
+    unbounded log; state ops price one ~30-byte proto frame per op, never
     per row — rows move through Arrow batches; event-time-ordered
     micro-batches mean a fired timer can never race a still-in-gap
     future event (the file split guarantees min(batch k+1) >= max(batch
@@ -798,8 +788,11 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
-    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import sessionize_stream_tws
+    from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
+        TIMER_SESSION_OUTPUT,
+        rocksdb_state_store,
+        sessionize_stream_tws,
+    )
 
     ev = (
         load_table(spark, sf_dir, "events")
@@ -826,11 +819,6 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter((F.col("us") >= b1) & (F.col("us") < b2)),
         ev.filter(F.col("us") >= b2),
     ]
-    for i, part in enumerate(splits):
-        d = os.path.join(src, f"b{i}")
-        part.select(*cols).coalesce(1).write.parquet(d)
-        for f in os.listdir(d):
-            os.utime(os.path.join(d, f), (1_000_000 + i, 1_000_000 + i))
     # the sentinel advances the watermark past every last_event + gap so
     # the trailing (no-data) micro-batch fires all remaining timers
     sentinel = spark.createDataFrame(
@@ -841,44 +829,35 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    d3 = os.path.join(src, "b3")
-    sentinel.coalesce(1).write.parquet(d3)
-    for f in os.listdir(d3):
-        os.utime(os.path.join(d3, f), (1_000_003, 1_000_003))
-
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp, event_type string, value double")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(os.path.join(src, "b*"))
+    # PHASE-WISE availableNow runs pin the micro-batch ORDER: Spark's
+    # file source does not reliably order same-listing files (observed
+    # processing a later-mtime file first ~40% of runs in a probe), and
+    # the event-time-ordered split is exactly what makes a fired timer
+    # safe against still-in-gap future events. One write + one restart
+    # per phase makes each run consume exactly the new file. The memory
+    # sink cannot recover from a checkpoint, so emissions collect
+    # through foreachBatch (driver-side list, bounded by the session
+    # count).
+    emitted: list = []
+    with rocksdb_state_store(spark):
+        for i, part in enumerate(splits + [sentinel]):
+            part.select(*cols).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string, value double"
+            ).parquet(os.path.join(src, "b*"))
+            q = (
+                sessionize_stream_tws(stream, gap_seconds=6 * 3600, watermark="1 minute")
+                .writeStream.foreachBatch(lambda d, _i: emitted.extend(d.collect()))
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    sess = (
+        spark.createDataFrame(emitted, TIMER_SESSION_OUTPUT)
+        .filter(F.col("user_id") >= 0)
+        .localCheckpoint(eager=True)
     )
-    qname = f"q236_tws_{uuid.uuid4().hex[:8]}"
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(provider_key)
-    except Exception:
-        prev = None
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
-        q = (
-            sessionize_stream_tws(stream, gap_seconds=6 * 3600, watermark="1 minute")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName(qname)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
-    sess = spark.table(qname).filter(F.col("user_id") >= 0).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(qname)
 
     # gate (a): the timer-close proof — every user's LAST event (nothing
     # later exists to close it by arrival) terminates a closed session
@@ -958,8 +937,8 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
     from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
+        rocksdb_state_store,
         running_user_cents_bootstrapped_tws,
     )
 
@@ -993,16 +972,7 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     qname = f"q237_tws_{uuid.uuid4().hex[:8]}"
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(provider_key)
-    except Exception:
-        prev = None
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
-    try:
+    with rocksdb_state_store(spark):
         q = (
             running_user_cents_bootstrapped_tws(stream, hist)
             .writeStream.outputMode("update")
@@ -1013,11 +983,6 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, prev)
     updates = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     # gate (b): some user's state visibly crossed the trigger boundary

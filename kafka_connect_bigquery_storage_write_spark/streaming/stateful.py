@@ -10,6 +10,7 @@ fault-tolerant via the checkpoint instead of the Phaser/TreeSet machinery
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Iterator
 from typing import Any
 
@@ -20,6 +21,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTALS_OUTPUT = "user_id long, n_events long, sum_value double"
 RUNNING_TOTALS_STATE = "n long, s double"
+
+
+@contextlib.contextmanager
+def rocksdb_state_store(spark):
+    """Scope the RocksDB state-store provider to one stream:
+    transformWithStateInPandas needs state-store column families, which
+    the default HDFSBackedStateStoreProvider lacks — set RocksDB for
+    the stream and restore the prior conf after (the q232 discipline,
+    shared by every TWS call site)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _running_totals_fn(
@@ -262,13 +287,16 @@ try:  # the API is present on Spark 4; guard so older clusters still import this
         State per key:
           - ValueState ``open_session`` (start_us, last_us, n, cents) —
             the single open session, exact int64 arithmetic;
+          - ValueState ``closed_count`` — closed-session counter; each
+            emission's 1-based session_seq in O(1) (sessions close in
+            start order per key, so the counter IS the ordinal);
           - MapState ``type_counts`` (event_type -> n) — the open
             session's per-type tallies, emitted as n_types (distinct
             event types) at close;
-          - ListState ``closed_durations`` — one duration per closed
-            session, giving each emission its 1-based session_seq
-            (sessions close in start order per key, so list length + 1
-            IS the ordinal; production would cap or TTL this log).
+          - ListState ``recent_durations`` — the last 8 closed-session
+            durations, maintained by get + append + put (the bounded
+            recent-history ring every ListState feature-window uses;
+            O(8) per close, never O(closed sessions)).
 
         Timer protocol: after each input batch the key's timers are
         cleared (listTimers -> deleteTimer) and ONE timer is registered
@@ -288,12 +316,16 @@ try:  # the API is present on Spark 4; guard so older clusters still import this
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._open = handle.getValueState("open_session", TIMER_SESSION_STATE)
+            self._seq = handle.getValueState("closed_count", "c long")
             self._types = handle.getMapState("type_counts", "t string", "n long")
-            self._durations = handle.getListState("closed_durations", "d long")
+            self._durations = handle.getListState("recent_durations", "d long")
 
         def _close_row(self, key, cur, types: dict) -> tuple:
-            seq = (sum(1 for _ in self._durations.get()) if self._durations.exists() else 0) + 1
-            self._durations.appendValue((cur[1] - cur[0],))
+            seq = (self._seq.get()[0] if self._seq.exists() else 0) + 1
+            self._seq.update((seq,))
+            recent = list(self._durations.get()) if self._durations.exists() else []
+            recent.append((cur[1] - cur[0],))
+            self._durations.put(recent[-8:])
             return (key[0], cur[0], cur[1], cur[2], cur[3], len(types), seq)
 
         def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:

@@ -116,24 +116,26 @@ def test_pending_reset_unmarks_merge_batches(spark, tmp_path):
 
 def test_pending_mor_streaming_end_to_end(spark, tmp_path):
     """A REAL Structured Streaming drive: three file-source micro-batches
-    under cadence=3 publish as ONE epoch from inside foreachBatch."""
+    under cadence=3 publish as ONE epoch from inside foreachBatch.
+    Phase-wise availableNow runs pin the micro-batch order (the file
+    source does not reliably order same-listing files, and the k=2/k=3
+    latest-wins convergence depends on it)."""
     src = tmp_path / "src"
+    pipe = _pipe(tmp_path, cadence=3)
+
+    def stream():
+        return spark.readStream.schema(
+            "topic string, partition int, offset long, key string, value string"
+        ).json(str(src / "b*"))
+
     for b, rows in enumerate([[(1, 10), (2, 20)], [(2, 21), (3, 30)], [(3, 31)]]):
         _env(spark, rows).coalesce(1).write.json(str(src / f"b{b}"))
-        for f in os.listdir(src / f"b{b}"):
-            os.utime(src / f"b{b}" / f, (1_000_000 + b, 1_000_000 + b))
-    pipe = _pipe(tmp_path, cadence=3)
-    stream = (
-        spark.readStream.schema("topic string, partition int, offset long, key string, value string")
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src / "b*"))
-    )
-    q = pipe.start_stream(stream, trigger_once=True)
-    q.awaitTermination(180)
+        q = pipe.start_stream(stream(), trigger_once=True)
+        q.awaitTermination(180)
     assert _content(spark, pipe) == {1: 10, 2: 21, 3: 31}
     assert [s.epoch_batch_ids for s in pipe.stats] == [None, None, [0, 1, 2]]
     # restarting the checkpointed stream with no new files replays nothing
-    q2 = pipe.start_stream(stream, trigger_once=True)
+    q2 = pipe.start_stream(stream(), trigger_once=True)
     q2.awaitTermination(180)
     assert _content(spark, pipe) == {1: 10, 2: 21, 3: 31}
 

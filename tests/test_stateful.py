@@ -10,26 +10,11 @@ from pyspark.sql import functions as F
 from kafka_connect_bigquery_storage_write_spark.streaming.stateful import running_user_totals
 
 
-@contextlib.contextmanager
-def _rocksdb_state_store(spark):
-    """transformWithStateInPandas needs state-store column families,
-    which the default HDFSBackedStateStoreProvider lacks; set RocksDB
-    for the stream and restore after (the q232 discipline)."""
-    key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(
-        key, "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    )
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+# the product context manager (streaming/stateful.py) is the single
+# source of truth for the RocksDB-provider scoping every TWS call needs
+from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (  # noqa: E402
+    rocksdb_state_store as _rocksdb_state_store,
+)
 
 
 def test_state_accumulates_across_microbatches(spark, tmp_path):
@@ -257,39 +242,48 @@ def test_tws_timer_sessionizer_live_and_parity(spark, tmp_path):
     )
 
     ensure_shipped(spark)
-    src = tmp_path / "src"
     raw = "user_id long, ts string, event_type string, value double"
     batches = [
         [(1, "2024-01-01 10:00:00", "a", 1.0), (1, "2024-01-01 10:00:30", "b", 2.0),
          (2, "2024-01-01 10:00:00", "a", 7.25)],
         [(1, "2024-01-01 10:01:00", "a", 3.0),   # session A spans the trigger boundary
          (1, "2024-01-01 10:05:00", "c", 4.0)],  # past gap: closes A on arrival
-        [(1, "2024-01-01 10:10:00", "a", 5.0),   # past gap: closes B on arrival
-         (-1, "2024-01-02 12:00:00", "x", 0.0)],  # sentinel: advances the watermark
+        [(1, "2024-01-01 10:10:00", "a", 5.0)],  # past gap: closes B on arrival
+        [(-1, "2024-01-02 12:00:00", "x", 0.0)],  # sentinel: advances the watermark
     ]
-    for rows in batches:
-        df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
-        df.coalesce(1).write.mode("append").json(str(src))
 
-    def stream():
-        return spark.readStream.schema(
-            "user_id long, ts timestamp, event_type string, value double"
-        ).option("maxFilesPerTrigger", "1").json(str(src))
+    # PHASE-WISE availableNow runs pin the micro-batch ORDER: Spark's
+    # file source does not reliably order same-listing files (observed
+    # processing a later-mtime file first ~40% of runs), and the
+    # sentinel triggering early would advance the watermark and drop
+    # every 2024-01-01 event as late data. One write + one restart per
+    # batch makes each run consume exactly the new file — deterministic.
+    # The memory sink cannot recover from a checkpoint, so the phases
+    # emit through foreachBatch into a driver-side list instead.
+    def drive(sessionize_fn, name):
+        src = tmp_path / f"src_{name}"
+        rows_out = []
+        for rows in batches:
+            df = spark.createDataFrame(rows, raw).withColumn("ts", F.to_timestamp("ts"))
+            df.coalesce(1).write.mode("append").json(str(src))
+            stream = spark.readStream.schema(
+                "user_id long, ts timestamp, event_type string, value double"
+            ).json(str(src))
+            q = (
+                sessionize_fn(stream, gap_seconds=60, watermark="30 minutes")
+                .writeStream.foreachBatch(lambda d, _i: rows_out.extend(d.collect()))
+                .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        return rows_out
 
     with _rocksdb_state_store(spark):
-        q = (
-            sessionize_stream_tws(stream(), gap_seconds=60, watermark="30 minutes")
-            .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("tws_sessions_test")
-            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        tws_rows = drive(sessionize_stream_tws, "tws_sess")
     got = {
         (r.user_id, r.start_us, r.end_us, r.n_events, r.sum_cents, r.n_types, r.session_seq)
-        for r in spark.sql("select * from tws_sessions_test").collect()
+        for r in tws_rows
         if r.user_id >= 0
     }
 
@@ -308,21 +302,12 @@ def test_tws_timer_sessionizer_live_and_parity(spark, tmp_path):
     }
 
     # parity vs the applyInPandasWithState sessionizer on the same input
-    q2 = (
-        sessionize_stream(stream(), gap_seconds=60, watermark="30 minutes")
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("apws_sessions_test")
-        .option("checkpointLocation", str(tmp_path / "ckpt_apws"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q2.awaitTermination(300)
+    apws_rows = drive(sessionize_stream, "apws_sess")
     apws = {
         (r.user_id, int(r.session_start.timestamp() * 1_000_000),
          int(r.session_end.timestamp() * 1_000_000), r.n_events,
          int(round(r.sum_value * 100)))
-        for r in spark.sql("select * from apws_sessions_test").collect()
+        for r in apws_rows
         if r.user_id >= 0
     }
     assert apws == {(u, s, e, n, c) for u, s, e, n, c, _t, _q in got}

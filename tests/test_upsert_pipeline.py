@@ -56,20 +56,21 @@ def test_upsert_streaming_end_to_end(spark, tmp_path):
     """Two file-source micro-batches of keyed changes through a REAL
     Structured Streaming query: the sink converges to latest-per-key."""
     src = tmp_path / "src"
-    _env(spark, [(1, 10, 1), (2, 20, 2)]).coalesce(1).write.json(str(src / "b0"))
-    _env(spark, [(1, 111, 3), (3, 30, 4)]).coalesce(1).write.json(str(src / "b1"))
     cfg = PipelineConfig(
         sink_path=str(tmp_path / "sink"), checkpoint_path=str(tmp_path / "ckpt"),
         write_mode="committed", upsert_keys=["k"], upsert_order_col="seq",
     )
     pipe = IngestPipeline(config=cfg, value_schema=VALUE_SCHEMA, sink_schema=VALUE_SCHEMA)
-    stream = (
-        spark.readStream.schema("topic string, partition int, offset long, key string, value string")
-        .option("maxFilesPerTrigger", 1)
-        .json(str(src / "b*"))
-    )
-    q = pipe.start_stream(stream, trigger_once=True)
-    q.awaitTermination(180)
+    # phase-wise availableNow runs pin the micro-batch order (the file
+    # source does not reliably order same-listing files, and k=1 must
+    # converge to the LATER batch's value)
+    for b, rows in enumerate([[(1, 10, 1), (2, 20, 2)], [(1, 111, 3), (3, 30, 4)]]):
+        _env(spark, rows).coalesce(1).write.json(str(src / f"b{b}"))
+        stream = spark.readStream.schema(
+            "topic string, partition int, offset long, key string, value string"
+        ).json(str(src / "b*"))
+        q = pipe.start_stream(stream, trigger_once=True)
+        q.awaitTermination(180)
     got = {r["k"]: r["v"] for r in pipe.read_sink(spark).collect()}
     assert got == {1: 111, 2: 20, 3: 30}
 
