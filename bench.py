@@ -243,43 +243,57 @@ def main() -> None:
         ),
     )
 
-    # --- reference-epoch policy (VERDICT r13 #4, the 4-round carry) ---
-    # Rounds 11-13 measured every calibration window 18-25% above the
-    # round-9 reference in BOTH shapes, with the BEST windows stable to
-    # within 1% across rounds ([0.285,0.408]/[0.283,0.412]/[0.285,0.405]
-    # vs ref [0.231,0.335]). Transient hypervisor steal varies window to
-    # window; a three-round floor stable to 1% is a structural host
-    # performance change (clock/turbo/migration) — and under it the 0.85
-    # persistence factor is permanently unreachable, silently turning the
-    # min-reference discipline into "never persist again". Policy: track
-    # a STREAK of consecutive sub-0.85 runs whose best windows sit at a
-    # STABLE floor (each shape within +-10% of the streak's running
-    # best); at STREAK_N=3 the floor is declared the host's new baseline:
-    # the old reference retires into host_cal_ref_epochs (with the old
-    # per-query minima and the streak evidence — provenance, not
-    # deletion), host_cal_ref restarts at the streak's best windows, and
-    # per-query minima restart under the new epoch. A quiet window
-    # (factor >= 0.85) resets the streak; a best window >10% BELOW the
-    # floor restarts the streak at the lower level (the floor was not
-    # structural); a run worse than the floor everywhere is weather and
-    # leaves the streak unchanged.
-    STREAK_N = 3
+    # --- reference-epoch policy (VERDICT r13 #4; amended round 14) ---
+    # The SINGLE-THREAD calibration floor has been pinned 22-30% above
+    # the round-9 reference for five rounds (best windows 0.283-0.300 vs
+    # 0.231, NEVER once below 0.283 in ~60 windows since r10 — under
+    # random steal a quiet single would occasionally appear, as r10's
+    # 0.223 did), while the PARALLEL shape still reaches near-reference
+    # in quiet windows (r14: 0.362 vs 0.335 ref; even r10's
+    # healthy-single round measured 0.367). That shape-split is the
+    # signature of a structural single-thread baseline shift
+    # (clock/turbo) with ordinary parallel weather on top — NOT global
+    # steal, which slows both shapes together. Under it the 0.85
+    # persistence factor is permanently unreachable and the
+    # min-reference discipline silently becomes "never persist again".
+    # Policy: a CONFIRMING run has its best single window > 1.2x
+    # reference (stable within +-10% of the streak's floor) WHILE its
+    # best parallel window is <= 1.15x reference (a stolen host cannot
+    # run 16-way near reference). At STREAK_N consecutive confirming
+    # runs, the reference retires into host_cal_ref_epochs (provenance:
+    # ref, minima, streak evidence); the single-thread reference
+    # restarts at the streak's floor, the parallel reference is KEPT
+    # (it was never the shifted shape), and per-query minima restart
+    # under the new epoch. A quiet single window (<= 1.1x ref) resets
+    # the streak; a globally-slow run is weather and leaves it
+    # unchanged.
+    STREAK_N = 2
     obs_best = [min(cal_start[0], cal_end[0]), min(cal_start[1], cal_end[1])]
     streak = _ref.get("shift_streak") or {"n": 0, "best": None}
     epoch_rolled = False
-    confirmed_this_run = False  # the roll needs THIS run to sit at the floor
+    confirmed_this_run = False  # the roll needs THIS run to confirm the split
     if ref_cal:
-        if factor_norm >= 0.85:
+        if factor_norm >= 0.85 or obs_best[0] <= 1.1 * cal_ref[0]:
             streak = {"n": 0, "best": None}
-        elif streak["best"] is None:
-            streak = {"n": 1, "best": [round(v, 3) for v in obs_best]}
+        elif not (obs_best[0] > 1.2 * cal_ref[0] and obs_best[1] <= 1.15 * cal_ref[1]):
+            pass  # globally-slow window: weather, evidence of nothing
+        elif streak.get("best") is None:
+            streak = {"n": 1, "best": [round(obs_best[0], 3), round(obs_best[1], 3)]}
+            confirmed_this_run = True
         else:
-            ratios = [obs_best[i] / max(streak["best"][i], 1e-9) for i in (0, 1)]
-            floor = [round(min(a, b), 3) for a, b in zip(streak["best"], obs_best)]
-            if min(ratios) < 0.90:
-                streak = {"n": 1, "best": floor}
-            elif max(ratios) <= 1.10:
-                streak = {"n": streak["n"] + 1, "best": floor}
+            r0 = obs_best[0] / max(streak["best"][0], 1e-9)
+            if r0 < 0.90:
+                # a meaningfully lower single floor: restart the count there
+                streak = {"n": 1, "best": [round(obs_best[0], 3), round(obs_best[1], 3)]}
+                confirmed_this_run = True
+            elif r0 <= 1.10:
+                streak = {
+                    "n": streak["n"] + 1,
+                    "best": [
+                        round(min(streak["best"][0], obs_best[0]), 3),
+                        round(min(streak["best"][1], obs_best[1]), 3),
+                    ],
+                }
                 confirmed_this_run = True
         if streak["n"] >= STREAK_N and confirmed_this_run:
             epochs = _ref.get("host_cal_ref_epochs", [])
@@ -291,13 +305,15 @@ def main() -> None:
                     "retired_after_commit": ref_commit,
                     "streak_evidence": streak,
                     "reason": (
-                        f"best calibration windows held a stable floor for {streak['n']} "
-                        "consecutive runs in both shapes while never reaching factor 0.85 "
-                        "— structural host baseline shift, not steal (BASELINE.md epoch policy)"
+                        f"single-thread floor stable > 1.2x reference across {streak['n']} "
+                        "consecutive confirming runs while the parallel shape reached "
+                        "<= 1.15x reference — structural single-thread baseline shift, "
+                        "not steal (BASELINE.md epoch policy)"
                     ),
                 }
             )
-            cal_ref = ref_cal = list(streak["best"])
+            # the parallel shape was never shifted: keep its reference
+            cal_ref = ref_cal = [streak["best"][0], cal_ref[1]]
             ref_mins = {}
             _ref = {**_ref, "host_cal_ref_epochs": epochs, "queries": {}, "impl_hash": {}}
             streak = {"n": 0, "best": None}
