@@ -1150,11 +1150,19 @@ class IvfIndex:
         is already "half the corpus no longer matches the quantizer"
         territory; rebuild_if(0.02) is the probed default.
         """
-        norm_vec = F.expr("transform(_cvec, x -> x / sqrt(aggregate(_cvec, 0D, (a, x) -> a + x * x)))")
+        # the row norm is hoisted into its own column instead of living
+        # inside the transform() lambda: Catalyst does not common-
+        # subexpression-eliminate a lambda-invariant aggregate() out of
+        # the per-element closure, so the inline form folds the 64-element
+        # norm once PER COMPONENT (dim² work per row) — measured 2x slower
+        # at fixture scale (guide §1.2 per-task work; OPTIMIZATION_r14.md)
         comp = (
-            self.lists.select("list_id", F.posexplode(norm_vec).alias("pos", "val"))
+            self.lists.withColumn(
+                "_nrm", F.sqrt(F.expr("aggregate(_cvec, 0D, (a, x) -> a + x * x)"))
+            )
+            .select("list_id", "_nrm", F.posexplode("_cvec").alias("pos", "val"))
             .groupBy("list_id", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("val") / F.col("_nrm")).alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
         by_list: dict[int, dict] = {}
@@ -1199,12 +1207,20 @@ class IvfIndex:
             exact_rescore=self.raw_vectors,
         )
 
-    def rebuild_if(self, threshold: float, **rebuild_kwargs) -> tuple["IvfIndex", bool]:
+    def rebuild_if(
+        self, threshold: float, measured: float | None = None, **rebuild_kwargs
+    ) -> tuple["IvfIndex", bool]:
         """Gate: rebuild when weighted mean drift exceeds ``threshold``;
         otherwise keep serving the frozen index. Returns (index, rebuilt).
         The production cadence: call on a maintenance schedule, swap the
-        served index only when the gate fires (save() the new one)."""
-        if self.drift()["weighted_mean_drift"] > threshold:
+        served index only when the gate fires (save() the new one).
+
+        ``measured`` lets a caller that already ran ``drift()`` this
+        maintenance cycle pass the weighted mean in instead of paying the
+        posexplode aggregate a second time (drift is a pure function of
+        the stored lists, which cannot change between the two calls)."""
+        d = self.drift()["weighted_mean_drift"] if measured is None else measured
+        if d > threshold:
             return self.rebuild(**rebuild_kwargs), True
         return self, False
 

@@ -1409,7 +1409,11 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )
-    n0 = emb.count()
+    # ONE agg job carries both corpus facts the cycle needs (count for the
+    # oracle rows, max id for the foreign offset) — was two jobs (r14 opt)
+    stats = emb.agg(F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")).first()
+    n0 = int(stats["n"])
+    off = int(stats["mx"]) + 1
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q234_")
     path = os.path.join(root, "ivf")
     IvfIndex.build(emb, n_lists=8, exact_rescore=True).save(path)
@@ -1453,20 +1457,22 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nightly ingest: ONE FOREIGN cluster (a constant-direction shift
     # with 0.3x jitter — re-embeddings from a model the frozen quantizer
     # never saw), through the persisted-artifact path. The foreign id
-    # offset derives from the CORPUS (max id + 1, the q233 discipline)
-    # so fabricated ids can never collide with real ones at any scale
-    # factor.
-    off = int(emb.agg(F.max("vec_id")).first()[0]) + 1
+    # offset derives from the CORPUS (max id + 1, the q233 discipline —
+    # computed in the opening agg) so fabricated ids can never collide
+    # with real ones at any scale factor.
     shift = emb.select(
         (F.col("vec_id") + off).alias("vec_id"),
         F.expr("transform(sequence(0, 63), j -> embedding[j] * 0.3 + 1.0)").alias("embedding"),
     )
     corpus = emb.unionByName(shift).localCheckpoint(eager=True)
-    IvfIndex.load(spark, path).append(shift).save(os.path.join(root, "ivf-b1"))
+    # `fresh` IS the loaded persisted index — appending through it is the
+    # same persisted path without re-collecting the centroids (r14 opt)
+    fresh.append(shift).save(os.path.join(root, "ivf-b1"))
     path = os.path.join(root, "ivf-b1")
 
     served = IvfIndex.load(spark, path)
-    d_decayed = served.drift()["weighted_mean_drift"]
+    d_served = served.drift()
+    d_decayed = d_served["weighted_mean_drift"]
     if d_decayed <= 0.02:
         raise ValueError(f"q234 gate: foreign appends did not trip the drift alarm ({d_decayed:.4f})")
     # 20 deterministic foreign queries (base ids [0, 20) shifted by off);
@@ -1478,23 +1484,31 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreign_truth = truth_table(corpus, foreign_queries)
     if recall_at5(served, foreign_queries, foreign_truth) < floor:
         raise ValueError("q234 gate: frozen-index recall below the per-SF floor")
-    if served.lists.count() != 2 * n0:
+    # the drift aggregate already counted every list member — the
+    # population gate reads its per-list counts instead of re-scanning
+    # the lists relation (one job saved per phase, r14 opt; exact: both
+    # are the same COUNT over the same stored rows)
+    if sum(d["n_members"] for d in d_served["per_list"]) != 2 * n0:
         raise ValueError("q234 gate: appends lost rows")
     rows.append(("b_drifted", 2 * n0, 1, 1))
 
-    healed, fired = served.rebuild_if(0.02)
+    # drift is a pure function of the stored lists, which have not changed
+    # since d_served was measured — pass it through instead of paying the
+    # posexplode aggregate a second time inside rebuild_if (r14 opt)
+    healed, fired = served.rebuild_if(0.02, measured=d_decayed)
     if not fired:
         raise ValueError("q234 gate: rebuild_if did not act on a tripped alarm")
     healed.save(os.path.join(root, "ivf-healed"))
     healed = IvfIndex.load(spark, os.path.join(root, "ivf-healed"))
-    d_healed = healed.drift()["weighted_mean_drift"]
+    d_after = healed.drift()
+    d_healed = d_after["weighted_mean_drift"]
     if d_healed > 0.02:
         raise ValueError(f"q234 gate: acting must clear the alarm ({d_healed:.4f})")
     if d_healed >= d_decayed / 4:
         raise ValueError(f"q234 gate: heal ratio too weak ({d_healed:.4f} vs {d_decayed:.4f})")
     if recall_at5(healed, foreign_queries, foreign_truth) < floor:
         raise ValueError("q234 gate: healed-index recall below the per-SF floor")
-    if healed.lists.count() != 2 * n0:
+    if sum(d["n_members"] for d in d_after["per_list"]) != 2 * n0:
         raise ValueError("q234 gate: rebuild changed the row population")
     rows.append(("c_healed", 2 * n0, 0, 1))
 

@@ -664,9 +664,13 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
         rocksdb_state_store,
         running_user_cents_tws,
+        state_shuffle_partitions,
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # approximate distinct keys (partition sizing needs a scale, not an
+    # exact count) drives the scale-adaptive state-partition rule
+    n_keys = int(ev.agg(F.approx_count_distinct("user_id")).first()[0])
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q232_")
     src = os.path.join(root, "src")
     for i in range(3):
@@ -683,7 +687,7 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     qname = f"q232_tws_{uuid.uuid4().hex[:8]}"
-    with rocksdb_state_store(spark):
+    with rocksdb_state_store(spark, shuffle_partitions=state_shuffle_partitions(spark, n_keys)):
         q = (
             running_user_cents_tws(stream)
             .writeStream.outputMode("update")
@@ -795,6 +799,7 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         TIMER_SESSION_OUTPUT,
         rocksdb_state_store,
         sessionize_stream_tws,
+        state_shuffle_partitions,
     )
 
     ev = (
@@ -812,6 +817,9 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_hi = ev.agg(
         F.expr("percentile_approx(us, array(0.5))").alias("b"),
         F.max("us").alias("mx"),
+        # approximate distinct keys for the scale-adaptive state-partition
+        # rule, carried by the agg job this fixture already pays
+        F.approx_count_distinct("user_id").alias("nk"),
     ).first()
     b1 = int(lo_hi["b"][0])
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q236_")
@@ -841,7 +849,13 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through foreachBatch (driver-side list, bounded by the session
     # count).
     emitted: list = []
-    with rocksdb_state_store(spark):
+    with rocksdb_state_store(
+        spark,
+        # per-key state ops here are heavier than q232's single ValueState
+        # (timers + MapState + ListState round trips per close), so spread
+        # keys thinner than the default rule's 200/partition
+        shuffle_partitions=state_shuffle_partitions(spark, int(lo_hi["nk"]), keys_per_partition=32),
+    ):
         for i, part in enumerate(splits + [sentinel]):
             part.select(*cols).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
             stream = spark.readStream.schema(
@@ -855,29 +869,34 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    sess = (
-        spark.createDataFrame(emitted, TIMER_SESSION_OUTPUT)
-        .filter(F.col("user_id") >= 0)
-        .localCheckpoint(eager=True)
-    )
+    # the emissions already sit on the driver (foreachBatch collect) — the
+    # gates run in plain Python against them instead of re-materializing a
+    # DataFrame for a count + a semi-join count + another count (3 Spark
+    # jobs + an eager checkpoint replaced by ONE small collect, r14 opt)
+    sess_rows = [r for r in emitted if r["user_id"] >= 0]
 
     # gate (a): the timer-close proof — every user's LAST event (nothing
     # later exists to close it by arrival) terminates a closed session
-    last = ev.groupBy("user_id").agg(F.max("us").alias("end_us"))
-    n_users = last.count()
-    n_timer_closed = last.join(sess, ["user_id", "end_us"], "left_semi").count()
+    last = {
+        (r["user_id"], r["end_us"])
+        for r in ev.groupBy("user_id").agg(F.max("us").alias("end_us")).collect()
+    }
+    n_users = len(last)
+    closed_ends = {(r["user_id"], r["end_us"]) for r in sess_rows}
+    n_timer_closed = len(last & closed_ends)
     if n_timer_closed != n_users:
         raise ValueError(
             f"q236 gate: {n_timer_closed}/{n_users} users' final sessions closed by "
             "timer expiry — registered timers did not fire"
         )
     # gate (b): arrival closes happened too (both close paths live)
-    n_sessions = sess.count()
+    n_sessions = len(sess_rows)
     if n_sessions <= n_users:
         raise ValueError(
             f"q236 gate: {n_sessions} sessions for {n_users} users — no session "
             "closed on past-gap arrival"
         )
+    sess = spark.createDataFrame(sess_rows, TIMER_SESSION_OUTPUT)
 
     out = (
         sess.withColumn(
@@ -942,6 +961,7 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_bigquery_storage_write_spark.streaming.stateful import (
         rocksdb_state_store,
         running_user_cents_bootstrapped_tws,
+        state_shuffle_partitions,
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
@@ -950,12 +970,18 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_id") % 2 == 0)
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
-        .localCheckpoint(eager=True)
     )
-    live = ev.filter(F.col("event_id") % 2 == 1).localCheckpoint(eager=True)
-    # gate (a): the oracle equality needs both halves to cover every user
-    n_all = ev.select("user_id").distinct().count()
-    if hist.count() != n_all or live.select("user_id").distinct().count() != n_all:
+    live = ev.filter(F.col("event_id") % 2 == 1)
+    # gate (a): the oracle equality needs both halves to cover every user.
+    # ONE agg job answers all three distinct counts (was 3 jobs + 2 eager
+    # checkpoints of single-use relations, r14 opt): hist's row count IS
+    # the even-half distinct-user count, live's distinct users the odd's.
+    cov = ev.agg(
+        F.countDistinct("user_id").alias("all_u"),
+        F.countDistinct(F.when(F.col("event_id") % 2 == 0, F.col("user_id"))).alias("even_u"),
+        F.countDistinct(F.when(F.col("event_id") % 2 == 1, F.col("user_id"))).alias("odd_u"),
+    ).first()
+    if not (cov["all_u"] == cov["even_u"] == cov["odd_u"]):
         raise ValueError("q237 gate: the even/odd split does not cover every user at this SF")
 
     root = tempfile.mkdtemp(prefix="kafka_connect_bigquery_storage_write_spark_q237_")
@@ -974,7 +1000,9 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     qname = f"q237_tws_{uuid.uuid4().hex[:8]}"
-    with rocksdb_state_store(spark):
+    with rocksdb_state_store(
+        spark, shuffle_partitions=state_shuffle_partitions(spark, int(cov["all_u"]))
+    ):
         q = (
             running_user_cents_bootstrapped_tws(stream, hist)
             .writeStream.outputMode("update")
