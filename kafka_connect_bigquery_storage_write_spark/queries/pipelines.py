@@ -598,7 +598,7 @@ def q176_sink_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = src.filter(F.col("o_orderkey") % 97 == 0).withColumn(
         "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
     ).unionByName(
-        spark.range(1, 51).select(
+        spark.range(1, 51, 1, 1).select(
             (F.col("id") + hi).alias("o_orderkey"),
             F.lit("U").alias("o_orderstatus"),
             (F.col("id").cast("double") * 1.5).alias("o_totalprice"),
@@ -1303,7 +1303,7 @@ def q215_sink_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.write_batch(
             src.filter((F.col("k") >= b * step) & (F.col("k") < (b + 1) * step)).coalesce(2), b
         )
-    inserts = spark.range(hi, hi + 100).select(
+    inserts = spark.range(hi, hi + 100, 1, 1).select(
         F.col("id").alias("k"), (F.col("id") * 10).cast("long").alias("cents")
     )
     sink.write_batch(inserts.coalesce(1), 3)  # arrives AFTER the travel anchor
@@ -1438,7 +1438,7 @@ def q217_sink_merge_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.filter((F.col("o_orderkey") < step) & (F.col("o_orderkey") % 7 == 0))
         .withColumn("o_totalprice", F.col("o_orderkey").cast("double") * 3.0)
         .unionByName(
-            spark.range(1, 51).select(
+            spark.range(1, 51, 1, 1).select(
                 (F.col("id") + hi).alias("o_orderkey"),
                 F.lit("P").alias("o_orderstatus"),
                 (F.col("id").cast("double") * 2.5).alias("o_totalprice"),
@@ -1784,7 +1784,7 @@ def q221_sink_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             src.filter((F.col("o_orderkey") >= b * step) & (F.col("o_orderkey") < (b + 1) * step)).coalesce(1),
             b,
         )
-    inserts = spark.range(1, 51).select(
+    inserts = spark.range(1, 51, 1, 1).select(
         (F.col("id") + hi).alias("o_orderkey"),
         F.lit("P").alias("o_orderstatus"),
         (F.col("id").cast("double") * 2.5).alias("o_totalprice"),
@@ -1802,7 +1802,7 @@ def q221_sink_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("o_totalprice", F.col("o_orderkey").cast("double") * 1.5)
         .unionByName(
-            spark.range(1, 51).filter(F.col("id") % 3 == 0).select(
+            spark.range(1, 51, 1, 1).filter(F.col("id") % 3 == 0).select(
                 (F.col("id") + hi).alias("o_orderkey"),
                 F.lit("Q").alias("o_orderstatus"),
                 (F.col("id").cast("double") * 7.0).alias("o_totalprice"),
@@ -1898,7 +1898,7 @@ def q222_cdc_schema_evolution_sync(spark: SparkSession, sf_dir: str) -> DataFram
     upd1 = src.filter(F.col("o_orderkey") % 11 == 0).withColumn("o_orderstatus", F.lit("A"))
     assert a.merge_rows_pruned(spark, upd1, keys=["o_orderkey"], op_id="b1") is not None
     assert a.log_changes(upd1, 1)
-    evolved = spark.range(1, 31).select(
+    evolved = spark.range(1, 31, 1, 1).select(
         (F.col("id") + mk).alias("o_orderkey"),
         F.lit("N").alias("o_orderstatus"),
         (F.col("id").cast("double") * 1.25).alias("o_totalprice"),
@@ -1910,7 +1910,7 @@ def q222_cdc_schema_evolution_sync(spark: SparkSession, sf_dir: str) -> DataFram
         .withColumn("o_orderstatus", F.lit("B"))
         .withColumn("o_priority", F.col("o_orderkey") % 10)
         .unionByName(
-            spark.range(1, 31).filter((F.col("id") + mk) % 13 == 0).select(
+            spark.range(1, 31, 1, 1).filter((F.col("id") + mk) % 13 == 0).select(
                 (F.col("id") + mk).alias("o_orderkey"),
                 F.lit("B").alias("o_orderstatus"),
                 (F.col("id").cast("double") * 1.25).alias("o_totalprice"),
@@ -2086,7 +2086,7 @@ def q225_sink_binpack_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     for b in range(4, 12):  # eight tiny appends (streaming litter)
         sink.write_batch(
-            spark.range(1, 6).select(
+            spark.range(1, 6, 1, 1).select(
                 (F.col("id") + hi + (b - 4) * 5).alias("o_orderkey"),
                 F.lit("Z").alias("o_orderstatus"),
                 ((F.col("id") + (b - 4) * 5).cast("double") * 0.5).alias("o_totalprice"),
@@ -2303,7 +2303,7 @@ def q229_maintenance_advisor_loop(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     def _fresh(lo: int, n: int, status: str, mult: float):
-        return spark.range(lo, lo + n).select(
+        return spark.range(lo, lo + n, 1, 1).select(
             (F.col("id") + hi).alias("o_orderkey"),
             F.lit(status).alias("o_orderstatus"),
             (F.col("id").cast("double") * mult).alias("o_totalprice"),
@@ -2601,7 +2601,7 @@ def q233_pending_cdc_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = src.filter(F.col("o_orderkey") % 11 == 0).withColumn(
         "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
     )
-    news = spark.range(1, 21).select(
+    news = spark.range(1, 21, 1, 1).select(
         (F.col("id") + hi).alias("o_orderkey"),
         ((F.col("id") + hi).cast("double") * 0.5).alias("o_totalprice"),
     )
@@ -2610,7 +2610,7 @@ def q233_pending_cdc_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_orderkey").cast("double") * 4.0
     )
     assert sink.upsert_mor(spark, b2, keys=["o_orderkey"], batch_id=2) is not None
-    b3 = spark.range(1, 11).select(
+    b3 = spark.range(1, 11, 1, 1).select(
         (F.col("id") + hi).alias("o_orderkey"),
         ((F.col("id") + hi).cast("double") * 7.0).alias("o_totalprice"),
     )
@@ -2750,7 +2750,7 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = src.filter(F.col("o_orderkey") % 11 == 0).withColumn(
         "o_totalprice", F.col("o_orderkey").cast("double") * 2.0
     )
-    news = spark.range(1, 21).select(
+    news = spark.range(1, 21, 1, 1).select(
         (F.col("id") + hi).alias("o_orderkey"),
         ((F.col("id") + hi).cast("double") * 0.5).alias("o_totalprice"),
     )
@@ -2828,7 +2828,7 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the CADENCE path: a redeployed pipeline on the same sink+checkpoint
     # with commit_every_n_batches=1 consumes the next file and publishes
     # its epoch from inside foreachBatch
-    b3 = spark.range(1, 11).select(
+    b3 = spark.range(1, 11, 1, 1).select(
         (F.col("id") + hi).alias("o_orderkey"),
         ((F.col("id") + hi).cast("double") * 7.0).alias("o_totalprice"),
     )

@@ -1712,14 +1712,16 @@ class ManifestSinkTable:
             rel_dir = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
             out_dir = os.path.join(self.root, rel_dir)
             hits.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            # ONE read-back action for count + distinct files (r14 opt)
             back = spark.read.schema("file string, pos long").parquet(out_dir)
-            n = back.count()
+            per_file = back.groupBy("file").agg(F.count(F.lit(1)).alias("_n")).collect()
+            n = sum(r["_n"] for r in per_file)
             if n == 0:
                 shutil.rmtree(out_dir, ignore_errors=True)
                 if marker:
                     self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return None
-            files_ref = sorted(r["file"] for r in back.select("file").distinct().collect())
+            files_ref = sorted(r["file"] for r in per_file)
             while True:  # dv-index CAS (concurrent deleters bump past each other)
                 idx = max(self._dv_commits(), default=-1) + 1
                 created = self._atomic_create(
@@ -2006,7 +2008,13 @@ class ManifestSinkTable:
 
         return self.rewrite(spark, _merge, target_files=target_files, order_by=order_by)
 
-    def _plan_key_touched(self, updates: DataFrame, keys: list[str], max_distinct_keys: int):
+    def _plan_key_touched(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        max_distinct_keys: int,
+        dup_error: str | None = None,
+    ):
         """Driver-side touched-file planning shared by ``merge_rows_pruned``
         and ``upsert_mor`` (the Delta touched-file job): collect the update
         keys (distinct, capped) and return a predicate
@@ -2016,23 +2024,36 @@ class ManifestSinkTable:
         Above ``max_distinct_keys`` the test degrades to per-column
         [min,max] range overlap — still sound, just coarser. NULL key
         components plan through per-file footer null counts (window-merge
-        semantics: NULL matches NULL)."""
+        semantics: NULL matches NULL).
+
+        ``dup_error``: both merge surfaces must reject an updates batch
+        carrying duplicate keys; the per-key counts ride the SAME grouped
+        collect the key planning already pays (one Spark action instead of
+        a separate groupBy/isEmpty job per merge batch — r14 opt). When
+        set, raises ``ValueError(dup_error)`` on any duplicated key; above
+        the cap the global max-count gate rides the fallback aggregate."""
         from pyspark.sql import functions as F
 
-        key_rows = updates.select(*keys).distinct().limit(max_distinct_keys + 1).collect()
+        grouped = updates.groupBy(*keys).agg(F.count(F.lit(1)).alias("_pkt_n"))
+        key_rows = grouped.limit(max_distinct_keys + 1).collect()
         if not key_rows:
             return None
         if len(key_rows) > max_distinct_keys:
             key_tuples = None  # range-overlap fallback
             null_tuples: list[tuple] | None = None
-            agg = updates.agg(
+            agg = grouped.agg(
+                *([F.max("_pkt_n").alias("dup_mx")] if dup_error else []),
                 *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(keys)],
                 *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(keys)],
                 *[F.max(F.col(c).isNull().cast("int")).alias(f"nl_{i}") for i, c in enumerate(keys)],
             ).first()
+            if dup_error and agg["dup_mx"] > 1:
+                raise ValueError(dup_error)
             key_ranges = {c: (agg[f"mn_{i}"], agg[f"mx_{i}"]) for i, c in enumerate(keys)}
             null_cols = {c for i, c in enumerate(keys) if agg[f"nl_{i}"]}
         else:
+            if dup_error and any(r["_pkt_n"] > 1 for r in key_rows):
+                raise ValueError(dup_error)
             # NULL components never match a zone map, and min()/max()/
             # sorted() choke comparing None against values (ADVICE r10) —
             # keep the range/bisect structures null-free and plan
@@ -2040,7 +2061,7 @@ class ManifestSinkTable:
             # (window-merge semantics treat NULL keys as equal, so a file
             # holding a null-keyed row MUST be rewritten when an update
             # key carries a NULL in that column)
-            all_tuples = [tuple(r) for r in key_rows]
+            all_tuples = [tuple(r)[: len(keys)] for r in key_rows]
             null_tuples = [t for t in all_tuples if any(v is None for v in t)]
             key_tuples = [t for t in all_tuples if all(v is not None for v in t)]
             null_cols = {c for t in null_tuples for c, v in zip(keys, t) if v is None}
@@ -2191,12 +2212,15 @@ class ManifestSinkTable:
         marker = os.path.join(self.root, "_commits", f"mrgop-{op_id}.marker") if op_id else None
         if marker and os.path.exists(marker):
             return None
-        if not delete:
-            dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
-            if not dup.isEmpty():
-                raise ValueError("merge_rows_pruned: updates contain duplicate keys (ambiguous merge source)")
         schema = self.schema()
         if schema is None:
+            # never-written table: still validate the updates batch (the
+            # main-path dup gate below rides the key planning this branch
+            # skips)
+            if not delete:
+                dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+                if not dup.isEmpty():
+                    raise ValueError("merge_rows_pruned: updates contain duplicate keys (ambiguous merge source)")
             return None
         if not delete and self.schema_evolution == "additive":
             # an update batch may ADD nullable columns (same contract as
@@ -2208,7 +2232,13 @@ class ManifestSinkTable:
             schema = self.schema()
         cols = [f.name for f in schema.fields]
 
-        _touched = self._plan_key_touched(updates, keys, max_distinct_keys)
+        _touched = self._plan_key_touched(
+            updates,
+            keys,
+            max_distinct_keys,
+            # keyed DELETE tolerates duplicate keys (same row set removed)
+            dup_error=None if delete else "merge_rows_pruned: updates contain duplicate keys (ambiguous merge source)",
+        )
         if _touched is None:  # no update keys
             if marker:
                 self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
@@ -2394,12 +2424,14 @@ class ManifestSinkTable:
                 if marker:  # crash-window dedup marker, like every exit
                     self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return None
-        if not repair:
-            dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
-            if not dup.isEmpty():
-                raise ValueError("upsert_mor: updates contain duplicate keys (ambiguous merge source)")
         if self.schema() is None:
-            # seed write: nothing to tombstone — a plain append IS the merge
+            # seed write: nothing to tombstone — a plain append IS the
+            # merge (dup gate kept standalone here: the seed runs once per
+            # table and skips the key planning the fused gate rides on)
+            if not repair:
+                dup = updates.groupBy(*keys).count().filter(F.col("count") > 1)
+                if not dup.isEmpty():
+                    raise ValueError("upsert_mor: updates contain duplicate keys (ambiguous merge source)")
             res = self.write_batch(updates, batch_id)
             if marker:
                 self._atomic_create(marker, json.dumps({"op_id": op_id, "seed": True}))
@@ -2408,7 +2440,14 @@ class ManifestSinkTable:
             self._evolve_schema(updates)
         schema = self.schema()
         cols = [f.name for f in schema.fields]
-        touched = self._plan_key_touched(updates, keys, max_distinct_keys)
+        touched = self._plan_key_touched(
+            updates,
+            keys,
+            max_distinct_keys,
+            # replay/repair paths re-read the batch's own published rows —
+            # already validated at first publish
+            dup_error=None if repair else "upsert_mor: updates contain duplicate keys (ambiguous merge source)",
+        )
         if touched is None:  # no update rows
             if marker:
                 self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
@@ -2502,8 +2541,12 @@ class ManifestSinkTable:
                 rel_dv = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
                 dv_dir = os.path.join(self.root, rel_dv)
                 hits.coalesce(1).write.mode("overwrite").parquet(dv_dir)
+                # ONE read-back action carries both facts the commit needs
+                # (total tombstone count + the distinct referenced files) —
+                # was a count job plus a distinct-collect job (r14 opt)
                 back = spark.read.schema("file string, pos long").parquet(dv_dir)
-                n = back.count()
+                per_file = back.groupBy("file").agg(F.count(F.lit(1)).alias("_n")).collect()
+                n = sum(r["_n"] for r in per_file)
                 if n == 0:
                     shutil.rmtree(dv_dir, ignore_errors=True)
                     rel_dv = None
@@ -2529,7 +2572,7 @@ class ManifestSinkTable:
                 if marker:
                     self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return (None, 0)
-            files_ref = sorted(r["file"] for r in back.select("file").distinct().collect())
+            files_ref = sorted(r["file"] for r in per_file)
             while True:  # dv-index CAS (concurrent committers bump past each other)
                 idx = max(self._dv_commits(), default=-1) + 1
                 created = self._atomic_create(

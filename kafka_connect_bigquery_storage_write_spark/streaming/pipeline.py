@@ -176,7 +176,7 @@ class IngestPipeline:
                     bad_out = bad.drop("_value_struct")
                 self._dlq.write(bad_out, batch_id)
             if self.config.upsert_keys:
-                result = self._upsert_batch(good_rows, batch_id)
+                result = self._upsert_batch(good_rows, batch_id, n_rows=n_input - n_bad)
             else:
                 result = self._sink.write_batch(good_rows, batch_id)
             stats = BatchStats(
@@ -202,7 +202,7 @@ class IngestPipeline:
         finally:
             validated.unpersist()
 
-    def _upsert_batch(self, rows: DataFrame, batch_id: int):
+    def _upsert_batch(self, rows: DataFrame, batch_id: int, n_rows: int | None = None):
         """Apply one micro-batch as a keyed MERGE (CDC ingestion).
 
         Exactly-once under replay: a ``merge-<batch_id>.marker`` CAS in
@@ -211,6 +211,10 @@ class IngestPipeline:
         merge and the marker, the replayed merge re-applies the SAME
         changes onto the merged state — a by-value no-op (whole-row
         upserts are idempotent) — and then sets the marker.
+
+        ``n_rows``: the batch's valid-row count when the caller already
+        measured it (process_batch's counts aggregate) — saves the
+        per-batch isEmpty job (r14 opt).
         """
         import json as _json
         import os as _os
@@ -237,12 +241,7 @@ class IngestPipeline:
             result = self._sink.write_batch(rows, batch_id)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "seed": True}))
             return result
-        # the deduped change set feeds TWO jobs below (changelog write +
-        # merge); checkpoint so the parse/validate/window pipeline runs
-        # once, not per consumer (the multi-consumer rule — without this
-        # the CDF log doubled q177's wall clock)
-        rows = rows.localCheckpoint(eager=True)
-        if rows.isEmpty():
+        if rows.isEmpty() if n_rows is None else n_rows == 0:
             # an all-DLQ'd (or empty-trigger) micro-batch has no change
             # set; merge_rows_pruned reports empty updates as None, which
             # the CAS retry loop below would misread as a lost snapshot
@@ -251,6 +250,11 @@ class IngestPipeline:
             # consumers skip unknown batch ids by construction)
             self._sink._atomic_create(marker, _json.dumps({"batch_id": batch_id, "rows": 0}))
             return AppendResult(batch_id=batch_id, rows=0)
+        # the deduped change set feeds TWO jobs below (changelog write +
+        # merge); checkpoint so the parse/validate/window pipeline runs
+        # once, not per consumer (the multi-consumer rule — without this
+        # the CDF log doubled q177's wall clock)
+        rows = rows.localCheckpoint(eager=True)
         if self.config.upsert_mode == "mor":
             # merge-on-read (round 11): the batch APPENDS and supersedes by
             # tombstone — no changelog write either, because the appended
