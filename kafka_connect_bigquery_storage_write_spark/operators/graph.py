@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from kafka_connect_bigquery_storage_write_spark.sources.tables import local_rows_df
 
 MICRO = 1_000_000
 
@@ -301,8 +302,8 @@ def kcore_peel(
         rows.append((rnd, int(stats["n"]), int(stats["s"]), int(stats["mn"]), int(stats["mx"])))
         alive = alive.join(rm, "v", "left_anti").localCheckpoint(eager=True)
     spark = edges.sparkSession
-    trace = spark.createDataFrame(
-        rows, "round int, n_removed long, sum_ids long, min_id long, max_id long"
+    trace = local_rows_df(
+        spark, rows, "round int, n_removed long, sum_ids long, min_id long, max_id long"
     )
     return trace, k, rnd - 1
 

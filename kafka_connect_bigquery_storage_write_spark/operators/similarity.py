@@ -19,6 +19,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
+from kafka_connect_bigquery_storage_write_spark.sources.tables import local_rows_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -363,7 +364,7 @@ def cosine_near_dup_pairs_blocked(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
     pair_rows = [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)]
-    pairs = spark.createDataFrame(pair_rows, "pa int, pb int")
+    pairs = local_rows_df(spark, pair_rows, "pa int, pb int")
     rep = blocks.join(F.broadcast(pairs), (F.col("_blk") == F.col("pa")) | (F.col("_blk") == F.col("pb")))
 
     out_schema = T.StructType(
@@ -788,8 +789,8 @@ def _cluster_block_groups(
         nb = max(1, -(-int(cnt) // max_cluster_rows))
         nb_rows.append((lid, nb))
         pair_rows.extend((lid, a, b) for a in range(nb) for b in range(a, nb))
-    nb_df = spark.createDataFrame(nb_rows, "list_id int, _nb int")
-    pairs_df = spark.createDataFrame(pair_rows, "list_id int, pa int, pb int")
+    nb_df = local_rows_df(spark, nb_rows, "list_id int, _nb int")
+    pairs_df = local_rows_df(spark, pair_rows, "list_id int, pa int, pb int")
     rep = (
         assign.join(F.broadcast(nb_df), "list_id")
         .withColumn("_blk", F.pmod(F.xxhash64(F.col("_id")), F.col("_nb")).cast("int"))
@@ -992,7 +993,10 @@ def save_ivf_index(spark, centroids: "np.ndarray", path: str) -> None:
     assigning with the in-memory array (pinned in tests).
     """
     rows = [(i, [float(v) for v in centroids[i]]) for i in range(len(centroids))]
-    spark.createDataFrame(rows, "list_id int, centroid array<double>").coalesce(1).write.mode(
+    # one-slice local relation: a coalesce(1) over a 32-slice python
+    # parallelize ran the worker round trips serially (5-7 s measured,
+    # r14 opt — see local_rows_df)
+    local_rows_df(spark, rows, "list_id int, centroid array<double>").write.mode(
         "overwrite"
     ).parquet(path)
 
@@ -1095,9 +1099,9 @@ class IvfIndex:
         import os
 
         spark = self.lists.sparkSession
-        spark.createDataFrame(
-            [(i, c.tolist()) for i, c in enumerate(self.centroids)], "list_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        local_rows_df(
+            spark, [(i, c.tolist()) for i, c in enumerate(self.centroids)], "list_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         self.lists.write.mode("overwrite").parquet(os.path.join(path, "lists"))
         with open(os.path.join(path, "_meta.json"), "w") as f:
             json.dump({"raw_vectors": self.raw_vectors, "n_lists": int(len(self.centroids))}, f)
@@ -1809,14 +1813,15 @@ class IvfPqIndex:
         import os
 
         spark = self.coded.sparkSession
-        spark.createDataFrame(
-            [(i, c.tolist()) for i, c in enumerate(self.centroids)], "list_id int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        local_rows_df(
+            spark, [(i, c.tolist()) for i, c in enumerate(self.centroids)], "list_id int, centroid array<double>"
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
         n_sub, kc, _subd = self.codebooks.shape
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(m, c, self.codebooks[m, c].tolist()) for m in range(n_sub) for c in range(kc)],
             "m int, c int, codeword array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+        ).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
         self.coded.write.mode("overwrite").parquet(os.path.join(path, "coded"))
         self.floats.write.mode("overwrite").parquet(os.path.join(path, "floats"))
         with open(os.path.join(path, "_meta.json"), "w") as f:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from kafka_connect_bigquery_storage_write_spark.sources.tables import local_rows_df
 
 
 def salted_agg(
@@ -131,7 +132,7 @@ def heavy_hitters(df: DataFrame, col: str, support: float = 0.01) -> DataFrame:
     # 1/support entries and bloats the plan at small support; a broadcast
     # hash semi-join stays flat at any candidate count
     cand_schema = T.StructType([df.schema[col]])
-    cand_df = df.sparkSession.createDataFrame([(c,) for c in candidates], cand_schema)
+    cand_df = local_rows_df(df.sparkSession, [(c,) for c in candidates], cand_schema)
     return (
         df.join(F.broadcast(cand_df), col, "left_semi")
         .groupBy(col)

@@ -13,7 +13,7 @@ from pyspark.sql import types as T
 from kafka_connect_bigquery_storage_write_spark.config import PipelineConfig
 from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.queries import query
-from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table, local_rows_df
 
 EVENT_VALUE_SCHEMA = T.StructType(
     [
@@ -1003,8 +1003,8 @@ def q197_sink_stats_only_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
-        row, "n_rows long, min_key long, max_key long, min_price double, max_price double"
+    return local_rows_df(
+        spark, row, "n_rows long, min_key long, max_key long, min_price double, max_price double"
     )
 
 
@@ -1154,7 +1154,8 @@ def q207_sink_stats_sum_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "phase string, n_rows long, sum_cents long, avg_cents_floor long, n_cust long, min_key long, max_key long",
     ).orderBy("phase")
@@ -2359,7 +2360,8 @@ def q229_maintenance_advisor_loop(spark: SparkSession, sf_dir: str) -> DataFrame
     assert not rep["binpack_due"] and not rep["compact_due"], "acting must clear the advice"
     rows.append(phase_row("d_compacted", rep))
 
-    out = spark.createDataFrame(
+    out = local_rows_df(
+        spark,
         rows,
         "phase string, n_rows long, sum_cents long, binpack_due long, compact_due long, "
         "n_visible_dvs long, pending_dv_rows long",
@@ -2645,7 +2647,8 @@ def q233_pending_cdc_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sink.compact(spark, target_files=2) is not None
     rows.append(content_row("e_compacted"))
 
-    out = spark.createDataFrame(
+    out = local_rows_df(
+        spark,
         rows,
         "phase string, n_rows long, sum_cents long, n_staged_dvs long, n_visible_dvs long",
     ).orderBy("phase")
@@ -2857,7 +2860,8 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert sink.compact(spark, target_files=2) is not None
     rows.append(content_row("e_compacted"))
 
-    out = spark.createDataFrame(
+    out = local_rows_df(
+        spark,
         rows,
         "phase string, n_rows long, sum_cents long, n_staged_dvs long, "
         "n_visible_dvs long, n_epochs long",
@@ -2989,7 +2993,7 @@ def q238_pending_dlq_immediacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert pipe.commit() == [2]
     rows.append(content_row("c_repaired"))
 
-    out = spark.createDataFrame(
-        rows, "phase string, n_rows long, sum_cents long, n_dlq_pending long, n_epochs long"
+    out = local_rows_df(
+        spark, rows, "phase string, n_rows long, sum_cents long, n_dlq_pending long, n_epochs long"
     ).orderBy("phase")
     return _finalize(out, root)

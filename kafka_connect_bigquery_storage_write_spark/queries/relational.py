@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.queries.parity import CHARGE_DECIMAL_SQL, exact_avg_cents, revenue_decimal_col, revenue_decimal_sql
-from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table, local_rows_df
 
 
 # --------------------------------------------------------------------------
@@ -1916,7 +1916,7 @@ def q129_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(F.nullif("event_type", F.lit("view")).alias("k"), "value")
-    weights = spark.createDataFrame([("click", 2.0), ("purchase", 5.0), (None, 0.5)], "k string, w double")
+    weights = local_rows_df(spark, [("click", 2.0), ("purchase", 5.0), (None, 0.5)], "k string, w double")
     return (
         keyed.join(F.broadcast(weights), keyed.k.eqNullSafe(weights.k))
         .groupBy(keyed.k, "w")

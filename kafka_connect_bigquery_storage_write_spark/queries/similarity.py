@@ -14,7 +14,7 @@ from kafka_connect_bigquery_storage_write_spark.operators.similarity import (
     lsh_topk,
 )
 from kafka_connect_bigquery_storage_write_spark.queries import query
-from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table, local_rows_df
 
 # double-precision dot product with left-to-right summation — the exact
 # float semantics of the Spark-side F.aggregate fold
@@ -1512,7 +1512,7 @@ def q234_ivf_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError("q234 gate: rebuild changed the row population")
     rows.append(("c_healed", 2 * n0, 0, 1))
 
-    out = spark.createDataFrame(
-        rows, "phase string, n_vectors long, gate_fired long, recall_ok long"
+    out = local_rows_df(
+        spark, rows, "phase string, n_vectors long, gate_fired long, recall_ok long"
     ).orderBy("phase")
     return _finalize(out, root)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from kafka_connect_bigquery_storage_write_spark.queries import query
 from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
 from kafka_connect_bigquery_storage_write_spark.queries.parity import exact_avg4_duckdb, exact_avg4_spark
-from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table, local_rows_df
 
 
 @query(
@@ -700,8 +700,11 @@ def q232_tws_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
     updates = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
-    n_updates = updates.count()
-    n_users = updates.select("user_id").distinct().count()
+    # ONE agg answers both gate counts (was 2 actions, r14 opt)
+    g = updates.agg(
+        F.count(F.lit(1)).alias("n_updates"), F.countDistinct("user_id").alias("n_users")
+    ).first()
+    n_updates, n_users = g["n_updates"], g["n_users"]
     if n_updates <= n_users:
         raise ValueError(
             f"q232 gate: {n_updates} update rows for {n_users} users — no per-key "
@@ -831,13 +834,15 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # the sentinel advances the watermark past every last_event + gap so
     # the trailing (no-data) micro-batch fires all remaining timers
-    sentinel = spark.createDataFrame(
-        [(-1, "x", 0.0)], "user_id long, event_type string, value double"
-    ).select(
-        "user_id",
+    # JVM-literal sentinel (r14 opt): the createDataFrame form parallelized
+    # one row into 32 Python slices and its coalesced write walked them
+    # SERIALLY through the Python boundary -- measured 5.2 s for this
+    # single-row write vs 0.2 s as a range projection (values identical)
+    sentinel = spark.range(0, 1, 1, 1).select(
+        F.lit(-1).cast("long").alias("user_id"),
         (F.timestamp_micros(F.lit(lo_hi["mx"] + 8 * 3600 * 1_000_000))).alias("ts"),
-        "event_type",
-        "value",
+        F.lit("x").alias("event_type"),
+        F.lit(0.0).cast("double").alias("value"),
     )
     # PHASE-WISE availableNow runs pin the micro-batch ORDER: Spark's
     # file source does not reliably order same-listing files (observed
@@ -896,7 +901,7 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q236 gate: {n_sessions} sessions for {n_users} users — no session "
             "closed on past-gap arrival"
         )
-    sess = spark.createDataFrame(sess_rows, TIMER_SESSION_OUTPUT)
+    sess = local_rows_df(spark, sess_rows, TIMER_SESSION_OUTPUT)
 
     out = (
         sess.withColumn(
@@ -1016,8 +1021,11 @@ def q237_tws_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = spark.table(qname).localCheckpoint(eager=True)
     spark.catalog.dropTempView(qname)
     # gate (b): some user's state visibly crossed the trigger boundary
-    n_updates = updates.count()
-    n_users = updates.select("user_id").distinct().count()
+    # (ONE agg answers both counts -- was 2 actions, r14 opt)
+    g = updates.agg(
+        F.count(F.lit(1)).alias("n_updates"), F.countDistinct("user_id").alias("n_users")
+    ).first()
+    n_updates, n_users = g["n_updates"], g["n_users"]
     if n_updates <= n_users:
         raise ValueError(
             f"q237 gate: {n_updates} update rows for {n_users} users — no per-key "

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.temporal import asof_join
 from kafka_connect_bigquery_storage_write_spark.queries import query
-from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table, local_rows_df
 
 PRICE_BANDS = [(0, 0.0, 400.0), (1, 400.0, 800.0), (2, 800.0, 1200.0), (3, 1200.0, 1e9)]
 
@@ -65,7 +65,7 @@ def q55_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-side with no shuffle — the right plan for any interval-
     classification join where one side is small."""
     part = load_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(PRICE_BANDS, "band_id int, lo double, hi double")
+    bands = local_rows_df(spark, PRICE_BANDS, "band_id int, lo double, hi double")
     return (
         part.join(
             F.broadcast(bands),

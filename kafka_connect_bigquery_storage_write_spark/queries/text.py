@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism, ranked_prefix_sum
 from kafka_connect_bigquery_storage_write_spark.operators.text import EN_STOPWORDS, langid_en_score, quality_score, text_stats
 from kafka_connect_bigquery_storage_write_spark.queries import query
-from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table
+from kafka_connect_bigquery_storage_write_spark.sources.tables import load_table, local_rows_df
 
 _SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -910,7 +910,7 @@ def q112_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     ranked = ranked_prefix_sum(tf, [F.col("c").desc(), F.col("token")], value="c")
     tot = tf.agg(F.sum("c").alias("total"))
-    th = spark.createDataFrame([(50,), (90,), (99,)], "pct int")
+    th = local_rows_df(spark, [(50,), (90,), (99,)], "pct int")
     return (
         ranked.crossJoin(F.broadcast(tot))
         .join(F.broadcast(th), F.col("cum") * 100 >= F.col("pct") * F.col("total"))
@@ -1625,7 +1625,7 @@ def q164_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     ids = vocab_ids(chars, _BPE_MERGES)
-    vocab = spark.createDataFrame(sorted(ids.items()), "token string, token_id int")
+    vocab = local_rows_df(spark, sorted(ids.items()), "token string, token_id int")
     enc = bpe_tokens_udf(_BPE_MERGES)
     return (
         words.select(F.explode(enc(F.col("word"))).alias("token"), "f")
@@ -2556,7 +2556,7 @@ def q198_phrase_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])) ELSE array() END")
         ).alias("g"),
     )
-    phrases = spark.createDataFrame([(p,) for p in _BLOCK2 + _BLOCK3], "g string")
+    phrases = local_rows_df(spark, [(p,) for p in _BLOCK2 + _BLOCK3], "g string")
     u = g2.unionAll(g3)
     hits = u.join(F.broadcast(phrases), "g")
     agg = hits.groupBy("g").agg(
@@ -2826,7 +2826,7 @@ def q206_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     ids = vocab_ids(chars, _BBPE_MERGES)
-    vocab = spark.createDataFrame(sorted(ids.items()), "token string, token_id int")
+    vocab = local_rows_df(spark, sorted(ids.items()), "token string, token_id int")
     return (
         tokens.groupBy("token")
         .agg(F.sum("f").alias("n_occurrences"))

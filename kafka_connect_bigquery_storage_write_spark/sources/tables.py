@@ -34,6 +34,25 @@ BROADCASTABLE = ("region", "nation", "supplier")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver-local rows as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the list into
+    ``defaultParallelism`` slices (32 on the bench host), so EVERY
+    downstream job pays one Python-worker round trip PER SLICE — and the
+    common persist pattern ``.coalesce(1).write`` runs those round trips
+    SERIALLY inside one task: measured 5-7 s to write a 1-row relation
+    vs 0.3 s on a single slice (the Python boundary prices per
+    partition, not per row — guide §4). Driver-local lists are small by
+    construction (centroids, codebooks, gate rows, fixture constants),
+    so one slice is always the right layout; anything that needs
+    parallelism downstream can repartition explicitly.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
