@@ -34,6 +34,18 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 from kafka_connect_bigquery_storage_write_spark.queries.hygiene import finalize as _finalize
 
 
+def _assert_multiset_equal(a_df: DataFrame, b_df: DataFrame, msg: str = "mirror must converge") -> None:
+    """ONE-action multiset equality (r14 opt): the convergence asserts ran
+    TWO ``exceptAll(...).isEmpty()`` actions, each a full double-scan of
+    both relations. Signed per-tuple counts share one scan pair and one
+    shuffle — multisets are equal iff every group's +1/-1 weights sum to
+    zero; ``groupBy`` groups NULLs together, so the check is null-safe.
+    Exactly the same acceptance set as the two-sided exceptAll."""
+    tagged = a_df.withColumn("_w", F.lit(1)).unionByName(b_df.withColumn("_w", F.lit(-1)))
+    diff = tagged.groupBy(*a_df.columns).agg(F.sum("_w").alias("_d")).filter(F.col("_d") != 0)
+    assert diff.isEmpty(), msg
+
+
 def _encode_envelope(ev: DataFrame) -> DataFrame:
     """events -> Kafka-shaped records with a JSON value payload (R1 shape)."""
     payload = F.to_json(
@@ -1229,7 +1241,7 @@ def q208_cdc_change_feed_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the replay contract, content-compared (not just counts)
     a_df, b_df = a.read(spark), b_sink.read(spark)
-    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    _assert_multiset_equal(a_df, b_df)
 
     out = (
         b_df.groupBy(F.col("event_type").alias("last_type"))
@@ -1533,7 +1545,7 @@ def q218_cdf_streaming_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert consumer.poll(spark) == 0, "cursor must mark the feed drained"
 
     a_df, b_df = a.read(spark), b_sink.read(spark)
-    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    _assert_multiset_equal(a_df, b_df)
 
     out = (
         b_df.groupBy(F.col("event_type").alias("last_type"))
@@ -1692,7 +1704,7 @@ def q220_cdc_bucketed_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert consumer.run_available_now(spark) == 4
     assert consumer.poll(spark) == 0
     a_df, b_df = a.read(spark), mirror.read(spark)
-    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    _assert_multiset_equal(a_df, b_df)
 
     # serving side: per-user event totals land bucketed on the same key,
     # so the state join reads co-located buckets
@@ -1927,9 +1939,7 @@ def q222_cdc_schema_evolution_sync(spark: SparkSession, sf_dir: str) -> DataFram
     assert applied == 4, f"expected seed+merge+evolution insert+MOR upsert, applied {applied}"
     assert consumer.poll(spark) == 0, "cursor must mark the feed drained"
     a_df, b_df = a.read(spark), b.read(spark)
-    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty(), (
-        "mirror must converge across the evolution boundary"
-    )
+    _assert_multiset_equal(a_df, b_df, "mirror must converge across the evolution boundary")
     out = (
         b_df.groupBy("o_orderstatus")
         .agg(
@@ -2012,7 +2022,7 @@ def q224_consumer_aware_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert consumer.run_available_now(spark) == 1  # the delete, reconstructed
     assert consumer.poll(spark) == 0
     a_df, b_df = a.read(spark), mirror.read(spark)
-    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    _assert_multiset_equal(a_df, b_df)
     removed = a.vacuum(retention_s=0.0)
     assert any(r.startswith("_deletes/") for r in removed), (
         "a drained feed must reclaim its delete-vector change source"
@@ -2213,7 +2223,7 @@ def q227_streaming_mor_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer = ChangeFeedConsumer(sink, mirror, keys=["user_id"], checkpoint_dir=f"{root}/ckpt")
     assert consumer.run_available_now(spark) == 4
     a_df, b_df = sink.read(spark), mirror.read(spark)
-    assert a_df.exceptAll(b_df).isEmpty() and b_df.exceptAll(a_df).isEmpty()
+    _assert_multiset_equal(a_df, b_df)
     out = (
         b_df.groupBy(F.col("event_type").alias("last_type"))
         .agg(
