@@ -2814,15 +2814,30 @@ def q235_pending_stream_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (phase, agg["n"], agg["cents"], staged, len(sink.visible_dvs()), epochs)
 
-    # PHASE-WISE availableNow runs pin the micro-batch ORDER (Spark's
-    # file source does not reliably order same-listing files — observed
-    # processing a later-mtime file first ~40% of runs in a probe; the
-    # %22-supersedes-%11 convergence depends on b2 merging AFTER b1):
-    # one write + one checkpointed restart per feed batch makes each run
-    # consume exactly the new file.
-    for b, df in enumerate([src, b1.unionByName(news), b2]):
-        env(df).coalesce(1).write.json(os.path.join(feed, f"b{b}"))
-        stream(pipe)
+    # ONE continuous stream drives the transaction's three micro-batches
+    # (r14 opt: was one availableNow RESTART per feed batch — 3 query
+    # startups on the same checkpoint; the q236 pattern). The ORDER
+    # stays pinned (Spark's file source does not reliably order
+    # same-listing files — observed processing a later-mtime file first
+    # ~40% of runs in a probe; the %22-supersedes-%11 convergence
+    # depends on b2 merging AFTER b1): each feed batch is ONE part-file
+    # (coalesce(1) — task-commit rename is atomic, a listing sees the
+    # whole file or nothing) and processAllAvailable blocks until the
+    # pipeline staged it before the next file exists. The stream-stop
+    # finalize (manual commit()) is unchanged — staging still spans
+    # micro-batches inside one open transaction.
+    os.makedirs(feed, exist_ok=True)
+    s0 = spark.readStream.schema(
+        "topic string, partition int, offset long, key string, value string"
+    ).json(os.path.join(feed, "b*"))
+    q = pipe.start_stream(s0)
+    try:
+        for b, df in enumerate([src, b1.unionByName(news), b2]):
+            env(df).coalesce(1).write.json(os.path.join(feed, f"b{b}"))
+            q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
     rows = [content_row("a_staged")]
     # invisible mid-transaction: empty feed, maintenance defers
     assert sink.changes(spark, after_batch_id=-1).count() == 0, "staged merge leaked into the feed"
