@@ -52,16 +52,35 @@ def coactivity_edges(
     ``None`` keeps exact semantics (the oracle-checked configuration at
     fixture scale uses a cap far above the fixture's max bucket).
     """
+    # materialize the membership relation ONCE: both self-join branches
+    # consume it, and without a barrier the whole upstream pipeline (scan,
+    # distinct, cap) executes once PER BRANCH — the r14 profile showed the
+    # events scan + two-exchange distinct + sort/window duplicated under
+    # the join (self-joins get no subplan reuse above the exchange)
+    memberships = memberships.localCheckpoint(eager=True)
     if max_bucket_members is not None:
-        w = Window.partitionBy(bucket).orderBy(
-            F.md5(F.concat_ws("|", F.col(bucket).cast("string"), F.col(member).cast("string"))),
-            F.col(member),
+        # the cap is a guardrail: pay the md5-rank window (a full
+        # sort-by-(bucket, md5) pass) only when some bucket actually
+        # exceeds it — one per-bucket count aggregate over the
+        # checkpointed relation decides. Kept rows are IDENTICAL either
+        # way: row_number trims nothing in a bucket at or under the cap,
+        # and an oversized bucket's md5 rank order is local to the bucket.
+        oversized = (
+            memberships.groupBy(bucket)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_members)
         )
-        memberships = (
-            memberships.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= max_bucket_members)
-            .drop("_rk")
-        )
+        if not oversized.isEmpty():
+            w = Window.partitionBy(bucket).orderBy(
+                F.md5(F.concat_ws("|", F.col(bucket).cast("string"), F.col(member).cast("string"))),
+                F.col(member),
+            )
+            memberships = (
+                memberships.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_bucket_members)
+                .drop("_rk")
+                .localCheckpoint(eager=True)
+            )
     a = memberships.select(bucket, F.col(member).alias("src"))
     b = memberships.select(bucket, F.col(member).alias("dst"))
     return a.join(b, bucket).filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
@@ -73,33 +92,43 @@ def pagerank_integer(
     damping_pct: int = 85,
     src: str = "src",
     dst: str = "dst",
+    symmetric: bool = False,
 ) -> DataFrame:
     """Integer-exact PageRank over a DIRECTED edge relation (symmetrize
     first for undirected graphs). Returns (vertex, rank_micro) with
     rank_micro an int64; every vertex appearing in ``edges`` is scored.
 
     ``damping_pct`` is the damping factor in percent (85 == 0.85) so the
-    update stays in integer arithmetic end to end.
+    update stays in integer arithmetic end to end. ``symmetric=True``
+    promises every (a,b) has its (b,a) twin (coactivity graphs), letting
+    the vertex enumeration read src alone instead of union(src, dst).
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError("damping_pct must be 0..100")
     base = MICRO * (100 - damping_pct) // 100
-    # degree is loop-invariant: join it onto the edge relation ONCE and
-    # checkpoint, so each iteration pays one join (ranks) + one
-    # aggregation instead of two joins — at fixture scale the per-round
-    # fixed cost is the whole bill, and on a cluster it removes a
-    # broadcast/shuffle of deg per round
-    edeg = edges.join(edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg")), src).localCheckpoint(eager=True)
+    # degree is loop-invariant: join it onto the edge relation ONCE,
+    # PARTITIONED BY src, and persist — the per-iteration join then
+    # requires only ClusteredDistribution(src), which the cached layout
+    # already satisfies, so each round shuffles O(V) ranks while the
+    # O(E) edge relation never moves (guide §2: remove shuffles where
+    # the data is already partitioned). A localCheckpoint here (the old
+    # form) erased the partitioning from the optimizer's view, so every
+    # round re-sorted and re-exchanged all E edges into a sort-merge
+    # join against 8-byte ranks.
+    deg = edges.groupBy(src).agg(F.count(F.lit(1)).alias("_deg"))
+    edeg = edges.repartition(F.col(src)).join(deg.hint("shuffle_hash"), src).persist()
     vertices = (
         edges.select(F.col(src).alias("vertex"))
-        .union(edges.select(F.col(dst).alias("vertex")))
-        .distinct()
-        .localCheckpoint(eager=True)  # reused every round
+        if symmetric
+        else edges.select(F.col(src).alias("vertex")).union(edges.select(F.col(dst).alias("vertex")))
     )
+    vertices = vertices.distinct().localCheckpoint(eager=True)  # reused every round
     ranks = vertices.withColumn("rank_micro", F.lit(MICRO).cast("long")).localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
-            edeg.join(ranks, edeg[src] == ranks.vertex)
+            # build the hash table on the O(V) ranks side; edeg streams
+            # from cache with its partitioning intact (no exchange, no sort)
+            edeg.join(ranks.hint("shuffle_hash"), edeg[src] == ranks.vertex)
             .select(F.col(dst).alias("vertex"), F.expr("rank_micro div _deg").alias("_c"))
             .groupBy("vertex")
             .agg(F.sum("_c").alias("_in"))
@@ -114,6 +143,7 @@ def pagerank_integer(
         stepped = stepped.localCheckpoint(eager=True)  # round-4 rule: truncate EVERY generation
         ranks.unpersist()  # release request; actual free deferred to the ContextCleaner
         ranks = stepped
+    edeg.unpersist()  # the last generation is materialized; the cache is done
     return ranks
 
 
@@ -187,6 +217,11 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
     rule: otherwise AQE re-plans the accumulated tree and lineage grows
     quadratically).
     """
+    # loop-invariant edge relation: persist PARTITIONED BY src so each
+    # hop's frontier join only shuffles the O(frontier) side — the edge
+    # relation never moves (guide §2; the localCheckpoint form hid the
+    # partitioning from the optimizer and re-exchanged all E per hop)
+    edges = edges.repartition(F.col("src")).persist()
     verts = edges.select(F.col("src").alias("vertex")).distinct()
     visited = seeds.select("vertex").distinct().join(verts, "vertex").withColumn(
         "dist", F.lit(0)
@@ -194,7 +229,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
     frontier = visited.select("vertex")
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(edges, frontier.vertex == edges.src)
+            frontier.hint("shuffle_hash").join(edges, frontier.vertex == edges.src)
             .select(F.col("dst").alias("vertex"))
             .distinct()
             .join(visited.select("vertex"), "vertex", "left_anti")
@@ -205,6 +240,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("vertex")
+    edges.unpersist()
     return visited
 
 
@@ -260,6 +296,12 @@ def kcore_peel(
     is documented here as the escalation path rather than implemented
     under this trace-producing API.
     """
+    # loop-invariant edge relation partitioned by src once: the per-round
+    # src-side semi join then never exchanges edges — only the shrinking
+    # alive relation (and the surviving-edge stream for the dst-side semi)
+    # moves (guide §2); shuffle_hash builds on the O(V) alive side instead
+    # of sort-merge-sorting the O(E) side each round
+    edges = edges.repartition(F.col("src")).persist()
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     if k is None:
         mx = deg0.agg(F.max("_d")).first()[0]
@@ -277,8 +319,8 @@ def kcore_peel(
                 f"kcore_peel exceeded max_rounds={max_rounds} (chain-shaped graph? "
                 "raise max_rounds or lower local_finish_max_edges)"
             )
-        e2 = edges.join(alive.select(F.col("v").alias("src")), "src", "left_semi").join(
-            alive.select(F.col("v").alias("dst")), "dst", "left_semi"
+        e2 = edges.join(alive.select(F.col("v").alias("src")).hint("shuffle_hash"), "src", "left_semi").join(
+            alive.select(F.col("v").alias("dst")).hint("shuffle_hash"), "dst", "left_semi"
         )
         d = e2.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).localCheckpoint(eager=True)
         n_surviving_edges = d.agg(F.sum("_d")).first()[0] or 0
@@ -301,6 +343,7 @@ def kcore_peel(
             break
         rows.append((rnd, int(stats["n"]), int(stats["s"]), int(stats["mn"]), int(stats["mx"])))
         alive = alive.join(rm, "v", "left_anti").localCheckpoint(eager=True)
+    edges.unpersist()
     spark = edges.sparkSession
     trace = local_rows_df(
         spark, rows, "round int, n_removed long, sum_ids long, min_id long, max_id long"
@@ -367,10 +410,14 @@ def bounded_sssp(
     the round bound is the termination contract, matching the oracle's
     recursion depth exactly.
     """
+    # loop-invariant edge relation partitioned by the join key once; each
+    # relaxation round shuffles only the O(V) distance relation and builds
+    # its hash table on it (guide §2 — same shape as pagerank_integer)
+    edges = edges.repartition(F.col(src)).persist()
     dist = source_df.select(F.col("v"), F.lit(0).cast("long").alias("dist")).localCheckpoint(eager=True)
     for _ in range(rounds):
         relaxed = (
-            edges.join(dist, edges[src] == dist.v)
+            edges.join(dist.hint("shuffle_hash"), edges[src] == dist.v)
             .select(F.col(dst).alias("v"), (F.col("dist") + F.col(weight)).cast("long").alias("dist"))
         )
         stepped = (
@@ -381,4 +428,5 @@ def bounded_sssp(
         )
         dist.unpersist()
         dist = stepped
+    edges.unpersist()
     return dist

@@ -67,7 +67,7 @@ def q122_pagerank_coactivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     hu = ev.select(F.date_trunc("hour", "ts").alias("h"), F.col("user_id").alias("u")).distinct()
     edges = coactivity_edges(hu, max_bucket_members=2000)
     edges = edges.localCheckpoint(eager=True)  # the loop reuses this relation every round
-    ranks = pagerank_integer(edges, iterations=_ITERS)
+    ranks = pagerank_integer(edges, iterations=_ITERS, symmetric=True)  # co-activity edges carry both directions
     return (
         ranks.select(F.col("vertex").alias("user_id"), "rank_micro")
         .orderBy(F.col("rank_micro").desc(), "user_id")

@@ -612,14 +612,22 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if not bad_keeper.isEmpty():
         raise AssertionError("q92: a dup row's keeper is itself flagged dup")
-    flagged = (
+    # ONE collect (<= 20 rows) instead of isEmpty + a second evaluation of
+    # the same limit/join pipeline inside cosine_topk (r14 opt); the
+    # collected rows re-enter as a one-slice local relation
+    flagged_rows = (
         out.filter("is_dup")
         .orderBy("vec_id")
         .limit(20)
         .join(emb, "vec_id")
         .select(F.col("vec_id").alias("query_id"), "embedding")
+        .collect()
     )
-    if not flagged.isEmpty():
+    if flagged_rows:
+        emb_type = emb.schema["embedding"].dataType.simpleString()
+        flagged = local_rows_df(
+            spark, [tuple(r) for r in flagged_rows], f"query_id long, embedding {emb_type}"
+        )
         worst = cosine_topk(emb, flagged, k=1).agg(F.min("cosine").alias("m")).first()
         if worst["m"] is None or worst["m"] < 0.4 - 1e-6:
             raise AssertionError(

@@ -1711,17 +1711,30 @@ class ManifestSinkTable:
                 hits = hits.join(self._dv_relation(spark, dvs), ["file", "pos"], "left_anti")
             rel_dir = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
             out_dir = os.path.join(self.root, rel_dir)
-            hits.coalesce(1).write.mode("overwrite").parquet(out_dir)
-            # ONE read-back action for count + distinct files (r14 opt)
-            back = spark.read.schema("file string, pos long").parquet(out_dir)
-            per_file = back.groupBy("file").agg(F.count(F.lit(1)).alias("_n")).collect()
-            n = sum(r["_n"] for r in per_file)
+            # the count + distinct-file facts the commit needs ride the
+            # write action itself as observed metrics (zero read-back
+            # actions; was write + read-back — r14 opt). repartition(1)
+            # instead of coalesce(1): coalesce collapses the ENTIRE
+            # candidate position scan into one task, while a repartition
+            # keeps the scan parallel and shuffles only the matched
+            # positions (O(batch), 16B rows) into the single output file.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            (
+                hits.observe(obs, F.count(F.lit(1)).alias("_n"), F.collect_set("file").alias("_files"))
+                .repartition(1)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            got = obs.get
+            n = got["_n"]
             if n == 0:
                 shutil.rmtree(out_dir, ignore_errors=True)
                 if marker:
                     self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return None
-            files_ref = sorted(r["file"] for r in per_file)
+            files_ref = sorted(got["_files"])
             while True:  # dv-index CAS (concurrent deleters bump past each other)
                 idx = max(self._dv_commits(), default=-1) + 1
                 created = self._atomic_create(
@@ -2540,13 +2553,24 @@ class ManifestSinkTable:
                     hits = hits.join(self._dv_relation(spark, dvs), ["file", "pos"], "left_anti")
                 rel_dv = os.path.join("_deletes", f"dv-{uuid.uuid4().hex[:12]}")
                 dv_dir = os.path.join(self.root, rel_dv)
-                hits.coalesce(1).write.mode("overwrite").parquet(dv_dir)
-                # ONE read-back action carries both facts the commit needs
-                # (total tombstone count + the distinct referenced files) —
-                # was a count job plus a distinct-collect job (r14 opt)
-                back = spark.read.schema("file string, pos long").parquet(dv_dir)
-                per_file = back.groupBy("file").agg(F.count(F.lit(1)).alias("_n")).collect()
-                n = sum(r["_n"] for r in per_file)
+                # both facts the commit needs (total tombstone count + the
+                # distinct referenced files) ride the write action itself
+                # as observed metrics — zero read-back actions (was write +
+                # one read-back, and before that write + count + collect —
+                # r14 opt). repartition(1) keeps the candidate position
+                # scan parallel (coalesce(1) serialized it into one task)
+                # and shuffles only the matched positions.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                (
+                    hits.observe(obs, F.count(F.lit(1)).alias("_n"), F.collect_set("file").alias("_files"))
+                    .repartition(1)
+                    .write.mode("overwrite")
+                    .parquet(dv_dir)
+                )
+                got = obs.get
+                n = got["_n"]
                 if n == 0:
                     shutil.rmtree(dv_dir, ignore_errors=True)
                     rel_dv = None
@@ -2572,7 +2596,7 @@ class ManifestSinkTable:
                 if marker:
                     self._atomic_create(marker, json.dumps({"op_id": op_id, "rows": 0}))
                 return (None, 0)
-            files_ref = sorted(r["file"] for r in per_file)
+            files_ref = sorted(got["_files"])
             while True:  # dv-index CAS (concurrent committers bump past each other)
                 idx = max(self._dv_commits(), default=-1) + 1
                 created = self._atomic_create(
