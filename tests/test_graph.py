@@ -62,6 +62,22 @@ def _sym(spark, pairs):
     return spark.createDataFrame(rows, "src long, dst long")
 
 
+def test_pagerank_symmetric_flag_parity(spark):
+    """symmetric=True (r14: vertex set from src alone, edge relation
+    persisted partitioned by src) must be row-identical to the default
+    union(src, dst) path on a symmetric edge relation — including a
+    vertex whose only appearance is via its mirror edge."""
+    from kafka_connect_bigquery_storage_write_spark.operators.graph import pagerank_integer
+
+    edges = _sym(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2), (4, 0)])
+    a = {(r["vertex"], r["rank_micro"]) for r in pagerank_integer(edges, iterations=3).collect()}
+    b = {
+        (r["vertex"], r["rank_micro"])
+        for r in pagerank_integer(edges, iterations=3, symmetric=True).collect()
+    }
+    assert a == b and len(a) == 5
+
+
 def test_triangle_counts_known_graphs(spark):
     """Hand-checkable graphs: K4 (every vertex in C(3,2)=3 triangles),
     a triangle with a pendant vertex, and a square (no triangles)."""
