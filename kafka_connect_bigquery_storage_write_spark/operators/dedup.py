@@ -12,7 +12,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
@@ -514,11 +514,15 @@ def connected_components(
             .agg(F.min("label").alias("nmin"))
             .select(F.col("src").alias("vertex"), "nmin")
         )
-        # carry old and new label side by side so the convergence probe is
-        # one scan of this (checkpointed) relation, not a second
-        # old-vs-new self-join per round
-        stepped = labels.join(neighbor_min, "vertex", "left").select(
-            "vertex", "label", F.least("label", "nmin").alias("_new")
+        # the convergence probe RIDES the materializing checkpoint as an
+        # observed metric — the checkpoint job already streams every row,
+        # so the changed-label count costs no extra pass (was: a separate
+        # count action re-scanning the checkpointed relation each round)
+        obs = Observation(f"cc_min_label_round_{i}")
+        stepped = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select("vertex", F.least("label", "nmin").alias("_new"), "label")
+            .observe(obs, F.sum(F.when(F.col("_new") != F.col("label"), 1).otherwise(0)).alias("changed"))
         )
         stepped = stepped.localCheckpoint(eager=True)  # materializes NOW
         # release request for the predecessor generation; on a
@@ -527,7 +531,7 @@ def connected_components(
         # peak memory can briefly hold a couple of O(V) generations
         cached.unpersist()
         cached = stepped
-        changed = stepped.filter(F.col("_new") != F.col("label")).count()
+        changed = obs.get["changed"] or 0  # None on an empty vertex set
         labels = stepped.select("vertex", F.col("_new").alias("label"))
         if changed == 0:
             converged = True
@@ -570,8 +574,8 @@ def _cc_star(
 
     Both preserve connectivity; the fixpoint is a star forest where every
     non-root points straight at its component minimum. Convergence is
-    detected as an unchanged (count, hash-sum) signature of the canonical
-    edge set — one aggregate action per round.
+    detected as an unchanged (count, xor-hash) signature of the canonical
+    edge set, observed on the checkpoint job itself (no extra action).
 
     Every round's output is EAGERLY localCheckpointed, not persisted:
     a star round nests a union, a self-join and two distincts, and with
@@ -584,37 +588,43 @@ def _cc_star(
     checkpoint — its lineage is gone; its blocks are read only while
     building round i+1).
     """
-    edges = (
+    # the (count, xor-hash) convergence signature RIDES each generation's
+    # materializing checkpoint as an observed metric — the checkpoint job
+    # already streams every edge, so the signature costs no extra pass
+    # (was: a separate aggregate action per round). XOR-fold, not sum:
+    # order-independent like sum but cannot overflow under ANSI
+    # arithmetic; duplicate cancellation is moot (set is distinct), and
+    # the count guards the all-zero corner.
+    def _observed_checkpoint(e: DataFrame, name: str) -> tuple[DataFrame, tuple[int, int]]:
+        obs = Observation(name)
+        ck = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        return ck, (m["n"], m["h"] if m["h"] is not None else 0)
+
+    edges, sig = _observed_checkpoint(
         pairs.select(
             F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
             F.least(F.col(id_a), F.col(id_b)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "cc_star_seed",
     )
     # vertex universe from the ORIGINAL pairs (roots drop out of the edge
     # relation's left side as stars form; they re-enter at label assembly)
+    # — consumed exactly once, at label assembly, so it stays LAZY: a
+    # persist+count here was one extra action for a relation never reread
     vertices = (
         pairs.select(F.col(id_a).alias("vertex"))
         .union(pairs.select(F.col(id_b).alias("vertex")))
         .distinct()
-        .persist()
     )
-    vertices.count()
-
-    def signature(e: DataFrame) -> tuple[int, int]:
-        # XOR-fold, not sum: order-independent like sum but cannot overflow
-        # under ANSI arithmetic; duplicate cancellation is moot (set is
-        # distinct), and the count guards the all-zero corner
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
-        return (row.n, row.h)
 
     cur = edges
-    sig = signature(cur)
     converged = False
     rounds = 0
     for i in range(max_iterations):
@@ -642,13 +652,13 @@ def _cc_star(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        small = small.localCheckpoint(eager=True)  # materializes NOW
+        # materializes NOW; the signature rides the same job (see above)
+        small, new_sig = _observed_checkpoint(small, f"cc_star_round_{i}")
         # release request only — see _cc min-label note: localCheckpoint
         # blocks are actually freed by the ContextCleaner on GC, so peak
         # memory can briefly hold a couple of O(V) generations
         cur.unpersist()
         cur = small
-        new_sig = signature(cur)
         if new_sig == sig:
             converged = True
             break
@@ -657,7 +667,6 @@ def _cc_star(
         info.update({"rounds": rounds, "strategy": "star"})
     if not converged:
         cur.unpersist()
-        vertices.unpersist()
         raise RuntimeError(
             f"connected_components(star) did not converge in {max_iterations} rounds; "
             "O(log^2 n) bound implies max_iterations is far too small for this input"
@@ -669,7 +678,6 @@ def _cc_star(
     )
     final = non_roots.union(roots).localCheckpoint(eager=True)
     cur.unpersist()
-    vertices.unpersist()
     return final
 
 

@@ -26,7 +26,7 @@ the accumulated tree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from kafka_connect_bigquery_storage_write_spark.sources.tables import local_rows_df
 
@@ -228,15 +228,19 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
     ).localCheckpoint(eager=True)
     frontier = visited.select("vertex")
     for hop in range(1, max_hops + 1):
+        # the emptiness probe rides the materializing checkpoint as an
+        # observed metric — no separate isEmpty() action per hop
+        obs = Observation(f"bfs_hop_{hop}")
         nxt = (
             frontier.hint("shuffle_hash").join(edges, frontier.vertex == edges.src)
             .select(F.col("dst").alias("vertex"))
             .distinct()
             .join(visited.select("vertex"), "vertex", "left_anti")
             .withColumn("dist", F.lit(hop))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        if obs.get["n"] == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("vertex")
@@ -322,8 +326,16 @@ def kcore_peel(
         e2 = edges.join(alive.select(F.col("v").alias("src")).hint("shuffle_hash"), "src", "left_semi").join(
             alive.select(F.col("v").alias("dst")).hint("shuffle_hash"), "dst", "left_semi"
         )
-        d = e2.groupBy("src").agg(F.count(F.lit(1)).alias("_d")).localCheckpoint(eager=True)
-        n_surviving_edges = d.agg(F.sum("_d")).first()[0] or 0
+        # the surviving-edge total rides the degree relation's checkpoint
+        # as an observed metric — no separate sum action per round
+        obs = Observation(f"kcore_round_{rnd}")
+        d = (
+            e2.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .observe(obs, F.sum("_d").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        n_surviving_edges = obs.get["m"] or 0
         if local_finish_max_edges is not None and n_surviving_edges <= local_finish_max_edges:
             rows.extend(_kcore_peel_local(e2, alive, k, first_round=rnd))
             rnd = len(rows) + 1  # n_rounds below reports total waves + 0

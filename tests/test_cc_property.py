@@ -66,6 +66,19 @@ def test_both_strategies_match_union_find(spark, edges):
         assert got == expected, f"{strategy}: {got} != {expected} for edges {edges}"
 
 
+def test_empty_pairs_converge_immediately(spark):
+    """Empty pair relation: the observed convergence probe sees a NULL
+    aggregate (sum/bit_xor over zero rows) — both strategies must treat
+    that as converged-empty, not loop to the iteration guard (r14: the
+    probe rides the checkpoint job as an observed metric)."""
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    for strategy in ("min_label", "star"):
+        info: dict = {}
+        got = connected_components(pairs, "id_a", "id_b", strategy=strategy, max_iterations=3, info=info).collect()
+        assert got == []
+        assert info["rounds"] == 1, f"{strategy} must converge on the first probe"
+
+
 def test_explicit_chain_exercises_multiple_rounds(spark):
     """A 24-vertex path: min-label needs many rounds (diameter-bound),
     star stays O(log^2 n); both must produce one component labeled 0."""

@@ -137,6 +137,11 @@ def test_bfs_distances_chain_and_bound(spark):
     # seed not in the graph contributes nothing
     ghost = spark.createDataFrame([(99,)], "vertex long")
     assert bfs_distances(chain, ghost, max_hops=3).count() == 0
+    # graph exhausts BEFORE the budget: the observed frontier count (r14:
+    # the emptiness probe rides the checkpoint job) must stop the loop at
+    # the empty wave, with the full chain reached
+    got3 = {r["vertex"]: r["dist"] for r in bfs_distances(chain, seeds, max_hops=50).collect()}
+    assert got3 == {i: i for i in range(6)}
 
 
 def test_kcore_peel_planted_structure(spark):
