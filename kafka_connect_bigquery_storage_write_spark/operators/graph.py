@@ -123,7 +123,10 @@ def pagerank_integer(
         else edges.select(F.col(src).alias("vertex")).union(edges.select(F.col(dst).alias("vertex")))
     )
     vertices = vertices.distinct().localCheckpoint(eager=True)  # reused every round
-    ranks = vertices.withColumn("rank_micro", F.lit(MICRO).cast("long")).localCheckpoint(eager=True)
+    # the seed ranks stay LAZY: a pure projection over the checkpointed
+    # vertices, read exactly once (round 1's contrib join) — its own eager
+    # checkpoint was one extra O(V) copy job per pagerank call
+    ranks = vertices.withColumn("rank_micro", F.lit(MICRO).cast("long"))
     for _ in range(iterations):
         contrib = (
             # build the hash table on the O(V) ranks side; edeg streams
