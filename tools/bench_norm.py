@@ -54,7 +54,9 @@ def _factor(host_cal, ref) -> float | None:
 def build() -> dict:
     rounds = {}
     for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
-        tag = re.search(r"(r\d+)", os.path.basename(path)).group(1)
+        # full suffix as the tag: BENCH_r14_c8.json (the driver's low-core
+        # scaling run) must not overwrite the r14 main-run row
+        tag = re.search(r"(r\d+(?:_[a-z0-9]+)?)", os.path.basename(path)).group(1)
         try:
             p = (json.load(open(path)) or {}).get("parsed")
         except Exception:
