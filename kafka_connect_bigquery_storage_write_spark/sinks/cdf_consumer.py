@@ -18,16 +18,30 @@ re-expressed for table-to-table replication: the "offset" is the
 TARGET's own idempotence markers, not from the cursor.
 
 Exactly-once protocol (crash-safe in every window):
-- Every apply is individually replay-idempotent in the target:
+- The worklist applies in GROUPS (round-15): a contiguous run of
+  upsert-kind commits is ONE pruned merge of the run's last-writer-wins
+  rows; a contiguous run of DV deletes is ONE keyed delete of the union
+  key set; insert commits stay per-commit (their idempotence is the
+  batch-marker grain). Every group apply is replay-idempotent in the
+  target:
   * insert batches  -> ``write_batch(rows, bid)`` (batch-marker CAS);
-  * upsert batches  -> ``merge_rows_pruned(op_id="cdf-b<bid>")``;
-  * DV deletes      -> ``merge_rows_pruned(delete=True,
-                        op_id="cdf-dv<index>")``.
+  * upsert runs     -> ``merge_rows_pruned(op_id="cdf-b<bid>")`` for a
+                       singleton, ``op_id="cdf-g<first>-<last>"`` for a
+                       run — and a replay whose run EXTENDED past the
+                       marker re-merges value-idempotently (matched keys
+                       replaced with the same winning rows);
+  * DV runs         -> ``merge_rows_pruned(delete=True,
+                        op_id="cdf-dv<index>" | "cdf-dvg<i>-<j>")``
+                       (re-deleting an already-deleted key is a no-op).
 - The cursor (atomic tmp+rename replace; the consumer exclusively owns
-  its checkpoint dir, like a streaming query's) advances only AFTER the
-  apply; a crash between apply and advance replays into the op-id
-  short-circuit. The cursor is therefore an optimization (skip re-
-  reading consumed change sets), never the correctness mechanism.
+  its checkpoint dir, like a streaming query's) advances only AFTER each
+  group's apply; a crash between apply and advance replays into the
+  op-id short-circuit (or the value-idempotent re-merge). The cursor is
+  therefore an optimization (skip re-reading consumed change sets),
+  never the correctness mechanism.
+- The vacuum lease refreshes once per applied group (was per commit;
+  ADVICE r12's rule at the new grain): the TTL must exceed one group's
+  read-and-merge.
 - DVs are tracked by INDEX, not by their as-of batch: two deletes can
   share one as-of batch id, so a batch-grain cursor alone would drop
   the second one committed after the cursor passed that id.
@@ -207,13 +221,92 @@ class ChangeFeedConsumer:
             raise RuntimeError(f"cdf consumer: merge for batch {bid} lost the CAS {self.cas_retries} times")
         return kind
 
-    def _apply_dv(self, spark: SparkSession, dv_index: int) -> None:
-        cols = [f.name for f in self.source.schema().fields]
-        rows = self.source._dv_change_rows(spark, -1, indexes={dv_index})
+    def _apply_upsert_group(self, spark: SparkSession, bids: list[int]) -> None:
+        """ONE pruned merge for a contiguous run of upsert-kind commits
+        (round-15 optimization: the per-commit loop paid one full merge
+        pass — touched-file planning, candidate rewrite, snapshot CAS —
+        per source commit; a run of non-overlapping-in-time commits is
+        one merge whose update set is the run's last-writer-wins rows).
+
+        Equivalence to the sequential per-commit applies:
+        - per key, the surviving row is the one from the HIGHEST batch id
+          in the run (``max(_cdf_bid) over key``) — exactly the row the
+          last sequential merge would have left;
+        - keys absent from the run are untouched either way;
+        - intra-batch duplicate keys still reach ``merge_rows_pruned``'s
+          own duplicate-key gate: the max-window keeps EVERY row of the
+          winning batch for a key (it does not row_number-dedup), so a
+          malformed change set raises exactly as the per-commit apply
+          did (pinned in tests/test_cdf_consumer.py).
+
+        Replay: the group op id is derived from the run's span. A crash
+        between the merge and the cursor advance replays the run —
+        same span short-circuits on the marker; an EXTENDED span (new
+        commits landed before the replay) re-merges value-idempotently
+        (matched keys replaced with the same winning rows, unmatched
+        inserted once).
+        """
+        from pyspark.sql import Window
+
+        schema = self.source.schema()
+        cols = [f.name for f in schema.fields]
+        want = set(bids)
+        rels = {
+            b: rel
+            for b, rel, _t in self.source._change_sources(min(bids) - 1)
+            if b in want
+        }
+        frames = []
+        for b in bids:
+            rel = rels.get(b)
+            if rel is None:
+                raise ValueError(
+                    f"change source for batch {b} vanished between listing and "
+                    "apply (concurrent maintenance?); re-poll against fresh state"
+                )
+            path = os.path.join(self.source.root, rel)
+            if not os.path.exists(path):
+                raise ValueError(f"change source for batch {b} was vacuumed: {rel}")
+            frames.append(
+                spark.read.schema(schema).parquet(path).select(*cols)
+                .withColumn("_cdf_bid", F.lit(b).cast("long"))
+            )
+        rows = frames[0]
+        for part in frames[1:]:
+            rows = rows.unionByName(part)
+        if len(bids) > 1:
+            w = Window.partitionBy(*self.keys)
+            rows = (
+                rows.withColumn("_cdf_max", F.max("_cdf_bid").over(w))
+                .filter(F.col("_cdf_bid") == F.col("_cdf_max"))
+            )
+        rows = rows.select(*cols).localCheckpoint(eager=True)
+        op = f"cdf-b{bids[0]}" if len(bids) == 1 else f"cdf-g{bids[0]}-{bids[-1]}"
+        for _ in range(self.cas_retries):
+            res = self.target.merge_rows_pruned(spark, rows, keys=self.keys, op_id=op)
+            if res is not None or os.path.exists(
+                os.path.join(self.target.root, "_commits", f"mrgop-{op}.marker")
+            ):
+                return
+        raise RuntimeError(
+            f"cdf consumer: merge for batches {bids[0]}..{bids[-1]} lost the CAS "
+            f"{self.cas_retries} times"
+        )
+
+    def _apply_dv(self, spark: SparkSession, dv_indexes: list[int]) -> None:
+        """ONE keyed delete for a contiguous run of DV commits: deleting
+        the union of the runs' key sets equals the sequential deletes
+        (no batch applies between them — contiguity in the ordered
+        worklist — so no delete can precede a row it should spare)."""
+        rows = self.source._dv_change_rows(spark, -1, indexes=set(dv_indexes))
         if rows is None:
             return
         keys_df = rows.select(*self.keys).distinct().localCheckpoint(eager=True)
-        op = f"cdf-dv{dv_index}"
+        op = (
+            f"cdf-dv{dv_indexes[0]}"
+            if len(dv_indexes) == 1
+            else f"cdf-dvg{dv_indexes[0]}-{dv_indexes[-1]}"
+        )
         for _ in range(self.cas_retries):
             res = self.target.merge_rows_pruned(
                 spark, keys_df, keys=self.keys, op_id=op, delete=True
@@ -224,7 +317,9 @@ class ChangeFeedConsumer:
                 os.path.join(self.target.root, "_commits", f"mrgop-{op}.marker")
             ):
                 return
-        raise RuntimeError(f"cdf consumer: DV {dv_index} delete lost the CAS {self.cas_retries} times")
+        raise RuntimeError(
+            f"cdf consumer: DV {dv_indexes} delete lost the CAS {self.cas_retries} times"
+        )
 
     def _source_position(self) -> tuple[int, frozenset[int]]:
         """(max committed/change batch id, non-mor DV indexes) — the feed
@@ -279,23 +374,54 @@ class ChangeFeedConsumer:
         # very sources it is retrying toward (round-12 review)
         self._register(cur)
         work = self._worklist(cur)
-        for _order, kind, ident in work:
-            # refresh the lease BEFORE each source read, not only at poll
-            # start and after each applied commit (_advance): one commit
-            # whose apply outlasts consumer_ttl_s would otherwise leave
-            # the registration mtime stale MID-apply, and a concurrent
-            # TTL-bounded vacuum could reclaim the very source being read
-            # (ADVICE r12). With the in-loop refresh the TTL only needs to
-            # exceed one apply's read-and-merge, not a whole worklist.
+        # change-source types drive the batching decision: contiguous
+        # upsert-kind commits fuse into ONE merge, contiguous DVs into
+        # ONE keyed delete (round-15; the per-commit loop paid a full
+        # merge pass per source commit). Insert commits stay singletons
+        # — their idempotence is the target's per-batch marker CAS, and
+        # fusing them would change the mirror's batch grain.
+        src_types = {
+            b: t
+            for b, _rel, t in self.source._change_sources(int(cur["after_batch_id"]))
+        }
+        i = 0
+        while i < len(work):
+            # refresh the lease BEFORE each group's source read (the
+            # per-commit rule of ADVICE r12, at the new grain: one
+            # refresh per applied MERGE/WRITE, so the TTL only needs to
+            # exceed one group's read-and-merge, not a whole worklist —
+            # granularity pinned in tests/test_cdf_consumer.py)
             self._register(cur)
-            if kind == "batch":
+            _order, kind, ident = work[i]
+            if kind == "dv":
+                group = [ident]
+                while i + len(group) < len(work) and work[i + len(group)][1] == "dv":
+                    group.append(work[i + len(group)][2])
+                self._apply_dv(spark, group)
+                cur["applied_dvs"] = sorted(set(cur["applied_dvs"]) | set(group))
+                for g in group:
+                    self.applied.append((g, "delete"))
+                i += len(group)
+            elif src_types.get(ident, "upsert") != "insert" and self.target.schema() is not None:
+                group = [ident]
+                while (
+                    i + len(group) < len(work)
+                    and work[i + len(group)][1] == "batch"
+                    and src_types.get(work[i + len(group)][2], "upsert") != "insert"
+                ):
+                    group.append(work[i + len(group)][2])
+                self._apply_upsert_group(spark, group)
+                cur["after_batch_id"] = group[-1]
+                for g in group:
+                    self.applied.append((g, src_types.get(g, "upsert")))
+                i += len(group)
+            else:
+                # insert commit, or the seed of an empty target (which
+                # write_batch-seeds regardless of kind): per-commit apply
                 applied_kind = self._apply_batch(spark, ident)
                 cur["after_batch_id"] = ident
                 self.applied.append((ident, applied_kind))
-            else:
-                self._apply_dv(spark, ident)
-                cur["applied_dvs"] = sorted(set(cur["applied_dvs"]) | {ident})
-                self.applied.append((ident, "delete"))
+                i += 1
             self._advance(cur)
         return len(work)
 

@@ -150,6 +150,135 @@ def test_poll_cost_reads_changes_not_table(spark, tmp_path):
     assert len(_content(tgt, spark)) == 31
 
 
+def test_contiguous_upserts_apply_as_one_merge(spark, tmp_path):
+    """Round-15 batching pin: a contiguous run of upsert commits is ONE
+    pruned merge (group op marker), the applied log stays per-commit,
+    and the mirror converges to the same state as per-commit applies."""
+    import os
+
+    src = _mk(spark, tmp_path, "src")
+    src.write_batch(_kv(spark, [(i, "a") for i in range(20)]).coalesce(1), 0)
+    _merge_logged(src, spark, _kv(spark, [(3, "U1"), (99, "N1")]), 1)
+    _merge_logged(src, spark, _kv(spark, [(3, "U2"), (7, "V")]), 2)
+    _merge_logged(src, spark, _kv(spark, [(99, "N2")]), 3)
+    assert src.delete_where_dv(spark, [("k", "==", 5)]) is not None
+    tgt = _mk(spark, tmp_path, "tgt")
+    c = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    assert c.run_available_now(spark) == 5
+    assert _content(tgt, spark) == _content(src, spark)
+    # last-writer-wins inside the run
+    got = dict(_content(tgt, spark))
+    assert got[3] == "U2" and got[99] == "N2" and got[7] == "V" and 5 not in got
+    # ONE group marker for the run, no per-commit markers
+    commits = os.listdir(os.path.join(tgt.root, "_commits"))
+    assert "mrgop-cdf-g1-3.marker" in commits
+    assert not any(m in commits for m in ("mrgop-cdf-b1.marker", "mrgop-cdf-b2.marker", "mrgop-cdf-b3.marker"))
+    # the applied log stays per-commit
+    assert [(b, k) for b, k in c.applied] == [
+        (0, "insert"), (1, "upsert"), (2, "upsert"), (3, "upsert"), (0, "delete"),
+    ]
+
+
+def test_group_replay_after_cursor_loss(spark, tmp_path):
+    """Cursor loss replays the same worklist: the group op marker must
+    short-circuit the re-merge and the mirror must stay converged."""
+    import os
+
+    src = _mk(spark, tmp_path, "src")
+    src.write_batch(_kv(spark, [(i, "a") for i in range(10)]).coalesce(1), 0)
+    _merge_logged(src, spark, _kv(spark, [(1, "U"), (50, "NEW")]), 1)
+    _merge_logged(src, spark, _kv(spark, [(2, "W")]), 2)
+    tgt = _mk(spark, tmp_path, "tgt")
+    c = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    c.run_available_now(spark)
+    want = _content(tgt, spark)
+    snaps_before = len(tgt.history())
+    os.remove(c._cursor_path())
+    c2 = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    c2.run_available_now(spark)
+    assert _content(tgt, spark) == want == _content(src, spark)
+    # marker short-circuit: the replay produced NO new target snapshot
+    assert len(tgt.history()) == snaps_before
+
+
+def test_group_extended_after_crash_converges(spark, tmp_path, monkeypatch):
+    """Crash between a group's merge and its cursor advance, with NEW
+    upstream commits landing before the retry: the replayed (extended)
+    group has a different op id, so it re-merges — and the re-merge must
+    be value-idempotent (same converged mirror)."""
+    src = _mk(spark, tmp_path, "src")
+    src.write_batch(_kv(spark, [(i, "a") for i in range(10)]).coalesce(1), 0)
+    tgt = _mk(spark, tmp_path, "tgt")
+    c = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    c.poll(spark)  # seed consumed
+    _merge_logged(src, spark, _kv(spark, [(1, "U1"), (30, "N")]), 1)
+    _merge_logged(src, spark, _kv(spark, [(2, "W")]), 2)
+    real_advance = ChangeFeedConsumer._advance
+
+    def crash_after_apply(self, cur):
+        raise RuntimeError("simulated crash between group apply and advance")
+
+    monkeypatch.setattr(ChangeFeedConsumer, "_advance", crash_after_apply)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        c.poll(spark)
+    monkeypatch.setattr(ChangeFeedConsumer, "_advance", real_advance)
+    # the group [1,2] WAS merged (marker cdf-g1-2) but the cursor never
+    # advanced; a new commit extends the replayed run to [1,2,3]
+    _merge_logged(src, spark, _kv(spark, [(1, "U2")]), 3)
+    assert c.poll(spark) == 3
+    assert c.poll(spark) == 0
+    got = dict(_content(tgt, spark))
+    assert got[1] == "U2" and got[2] == "W" and got[30] == "N"
+    assert _content(tgt, spark) == _content(src, spark)
+
+
+def test_intra_batch_dup_keys_still_raise_in_group(spark, tmp_path):
+    """The merge duplicate-key gate must survive batching: the group's
+    last-writer-wins filter keeps every row of the winning batch per
+    key, so a malformed change set (duplicate keys INSIDE one commit)
+    still reaches merge_rows_pruned's gate and raises."""
+    import pytest as _pytest
+
+    src = _mk(spark, tmp_path, "src")
+    src.write_batch(_kv(spark, [(i, "a") for i in range(10)]).coalesce(1), 0)
+    # a malformed producer logs a dup-key change set without merging it
+    assert src.log_changes(_kv(spark, [(1, "X"), (1, "Y")]).coalesce(1), 1)
+    _merge_logged(src, spark, _kv(spark, [(2, "W")]), 2)  # groups with b1
+    tgt = _mk(spark, tmp_path, "tgt")
+    c = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        c.run_available_now(spark)
+
+
+def test_lease_refresh_and_advance_per_group(spark, tmp_path, monkeypatch):
+    """ADVICE r12's lease rule at the round-15 grain, pinned: one cursor
+    advance per applied GROUP and at least one lease refresh before each
+    group's source read (the TTL contract is one group's read-and-merge)."""
+    src = _mk(spark, tmp_path, "src")
+    src.write_batch(_kv(spark, [(i, "a") for i in range(10)]).coalesce(1), 0)
+    _merge_logged(src, spark, _kv(spark, [(1, "U")]), 1)
+    _merge_logged(src, spark, _kv(spark, [(2, "V")]), 2)
+    assert src.delete_where_dv(spark, [("k", "==", 3)]) is not None
+    assert src.delete_where_dv(spark, [("k", "==", 4)]) is not None
+    tgt = _mk(spark, tmp_path, "tgt")
+    c = ChangeFeedConsumer(src, tgt, keys=["k"], checkpoint_dir=str(tmp_path / "ckpt"))
+    advances, registers = [], []
+    real_advance, real_register = ChangeFeedConsumer._advance, ChangeFeedConsumer._register
+    monkeypatch.setattr(ChangeFeedConsumer, "_advance", lambda s, cur: (advances.append(dict(cur)), real_advance(s, cur))[1])
+    monkeypatch.setattr(
+        ChangeFeedConsumer, "_register", lambda s, cur=None: (registers.append(1), real_register(s, cur))[1]
+    )
+    assert c.poll(spark) == 5  # seed + 2-merge group + 2-dv group
+    # groups: [b0], [b1,b2], [dv0,dv1] -> exactly 3 advances
+    assert len(advances) == 3
+    assert advances[-1]["after_batch_id"] == 2 and advances[-1]["applied_dvs"] == [0, 1]
+    # poll-start refresh + one per group + one inside each advance
+    assert len(registers) >= 1 + 3
+    assert _content(tgt, spark) == _content(src, spark)
+
+
 def test_vanished_batch_raises_instead_of_silent_skip(spark, tmp_path, monkeypatch):
     """ADVICE r10: a batch listed by the worklist whose change source has
     vanished by apply time (concurrent maintenance racing the poll) must
