@@ -890,16 +890,26 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame for a count + a semi-join count + another count (3 Spark
     # jobs + an eager checkpoint replaced by ONE small collect, r14 opt)
     sess_rows = [r for r in emitted if r["user_id"] >= 0]
+    sess = local_rows_df(spark, sess_rows, TIMER_SESSION_OUTPUT)
 
     # gate (a): the timer-close proof — every user's LAST event (nothing
-    # later exists to close it by arrival) terminates a closed session
-    last = {
-        (r["user_id"], r["end_us"])
-        for r in ev.groupBy("user_id").agg(F.max("us").alias("end_us")).collect()
-    }
-    n_users = len(last)
-    closed_ends = {(r["user_id"], r["end_us"]) for r in sess_rows}
-    n_timer_closed = len(last & closed_ends)
+    # later exists to close it by arrival) terminates a closed session.
+    # Aggregate-side containment (r15, VERDICT r14 #6): the per-user
+    # max-timestamp relation never leaves the executors — it left-joins
+    # the closed-session ends (driver-bounded already: they ride the
+    # memory-sink emissions) and ONE agg carries both the user count and
+    # the hit count, replacing the O(n_users) driver collect the r14 form
+    # paid. Same action count; the emission collect stays the only
+    # driver-bound step.
+    ends = sess.select("user_id", "end_us").distinct().withColumn("_hit", F.lit(1))
+    probe = (
+        ev.groupBy("user_id")
+        .agg(F.max("us").alias("end_us"))
+        .join(F.broadcast(ends), ["user_id", "end_us"], "left")
+        .agg(F.count(F.lit(1)).alias("n_users"), F.count("_hit").alias("n_hit"))
+        .first()
+    )
+    n_users, n_timer_closed = probe["n_users"], probe["n_hit"]
     if n_timer_closed != n_users:
         raise ValueError(
             f"q236 gate: {n_timer_closed}/{n_users} users' final sessions closed by "
@@ -912,7 +922,6 @@ def q236_tws_timer_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q236 gate: {n_sessions} sessions for {n_users} users — no session "
             "closed on past-gap arrival"
         )
-    sess = local_rows_df(spark, sess_rows, TIMER_SESSION_OUTPUT)
 
     out = (
         sess.withColumn(
