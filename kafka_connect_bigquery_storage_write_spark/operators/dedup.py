@@ -13,6 +13,8 @@ Scale design:
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Observation
+
+from kafka_connect_bigquery_storage_write_spark.operators.observe import observed_metrics
 from pyspark.sql import functions as F
 
 from kafka_connect_bigquery_storage_write_spark.operators.partitioning import ensure_compute_parallelism
@@ -471,6 +473,12 @@ def connected_components(
 
     ``info``, if supplied, receives {'rounds': N, 'strategy': ...}.
 
+    ``pairs`` must have a DETERMINISTIC lineage (no sampling, no
+    unstable limits): the star strategy re-evaluates it once more at
+    label assembly after the edge set was checkpointed at seed time
+    (ADVICE r14) — a nondeterministic caller should
+    ``localCheckpoint(eager=True)`` its pairs first.
+
     Returns one row per vertex that appears in ``pairs``:
     (vertex, cluster_id) with cluster_id = min vertex id of the component.
     """
@@ -531,7 +539,17 @@ def connected_components(
         # peak memory can briefly hold a couple of O(V) generations
         cached.unpersist()
         cached = stepped
-        changed = obs.get["changed"] or 0  # None on an empty vertex set
+        # bounded wait + explicit-probe fallback (ADVICE r14): a Spark
+        # that stops delivering metrics on checkpoint degrades to one
+        # extra aggregate action instead of hanging in Observation.get
+        changed = (
+            observed_metrics(
+                obs,
+                stepped,
+                F.sum(F.when(F.col("_new") != F.col("label"), 1).otherwise(0)).alias("changed"),
+            )["changed"]
+            or 0
+        )  # None on an empty vertex set
         labels = stepped.select("vertex", F.col("_new").alias("label"))
         if changed == 0:
             converged = True
@@ -602,7 +620,11 @@ def _cc_star(
             F.count(F.lit(1)).alias("n"),
             F.expr("bit_xor(xxhash64(u, v))").alias("h"),
         ).localCheckpoint(eager=True)
-        m = obs.get
+        # bounded wait + explicit-probe fallback (ADVICE r14, see
+        # operators/observe.py): never block forever on delivery
+        m = observed_metrics(
+            obs, ck, F.count(F.lit(1)).alias("n"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        )
         return ck, (m["n"], m["h"] if m["h"] is not None else 0)
 
     edges, sig = _observed_checkpoint(
@@ -617,7 +639,15 @@ def _cc_star(
     # vertex universe from the ORIGINAL pairs (roots drop out of the edge
     # relation's left side as stars form; they re-enter at label assembly)
     # — consumed exactly once, at label assembly, so it stays LAZY: a
-    # persist+count here was one extra action for a relation never reread
+    # persist+count here was one extra action for a relation never reread.
+    # DETERMINISM ASSUMPTION (ADVICE r14): the edge set above was
+    # checkpointed from ``pairs`` at seed time, while this vertex relation
+    # re-evaluates ``pairs`` at label assembly — callers must pass a
+    # deterministic ``pairs`` lineage (no sampling / unstable limits), or
+    # the recomputed vertex universe can diverge from the edge set and
+    # yield spurious or missing singleton roots. Every in-repo caller is
+    # deterministic; a nondeterministic caller should localCheckpoint its
+    # pairs first (the same rule merge_rows_pruned documents for updates).
     vertices = (
         pairs.select(F.col(id_a).alias("vertex"))
         .union(pairs.select(F.col(id_b).alias("vertex")))

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
+from kafka_connect_bigquery_storage_write_spark.operators.observe import observed_metrics
 from kafka_connect_bigquery_storage_write_spark.sources.tables import local_rows_df
 
 MICRO = 1_000_000
@@ -243,7 +244,9 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_hops: int) -> DataFram
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if obs.get["n"] == 0:
+        # bounded wait + explicit-probe fallback (ADVICE r14, see
+        # operators/observe.py): never block forever on delivery
+        if observed_metrics(obs, nxt, F.count(F.lit(1)).alias("n"))["n"] == 0:
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("vertex")
@@ -338,7 +341,7 @@ def kcore_peel(
             .observe(obs, F.sum("_d").alias("m"))
             .localCheckpoint(eager=True)
         )
-        n_surviving_edges = obs.get["m"] or 0
+        n_surviving_edges = observed_metrics(obs, d, F.sum("_d").alias("m"))["m"] or 0
         if local_finish_max_edges is not None and n_surviving_edges <= local_finish_max_edges:
             rows.extend(_kcore_peel_local(e2, alive, k, first_round=rnd))
             rnd = len(rows) + 1  # n_rounds below reports total waves + 0

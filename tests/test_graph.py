@@ -258,3 +258,30 @@ def test_bounded_sssp_revisits_vertices_for_weight_shorter_paths(spark):
     assert d2 == {0: 0, 1: 2, 2: 1, 3: 11}  # vertex 1 re-relaxed via 2
     d3 = {r["v"]: r["dist"] for r in bounded_sssp(edges, seeds, rounds=3).collect()}
     assert d3 == {0: 0, 1: 2, 2: 1, 3: 3}
+
+
+def test_observed_metrics_bounded_wait_and_fallback(spark):
+    """ADVICE r14: the checkpoint-riding convergence probes must never
+    hang if Spark stops delivering Observation metrics — the accessor
+    waits a bounded time, then recomputes via one explicit aggregate."""
+    from pyspark.sql import Observation
+
+    from kafka_connect_bigquery_storage_write_spark.operators.observe import observed_metrics
+
+    # delivered: the observed value comes back (no probe action needed)
+    obs = Observation("om_delivered")
+    ck = spark.range(7).observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    assert observed_metrics(obs, ck, F.count(F.lit(1)).alias("n"))["n"] == 7
+
+    # never attached (the no-delivery world, degenerate form): falls back
+    # to the explicit probe instead of raising/hanging
+    never = Observation("om_never_attached")
+    df = spark.range(5).localCheckpoint(eager=True)
+    assert observed_metrics(never, df, F.count(F.lit(1)).alias("n"), timeout_s=0.2)["n"] == 5
+
+    # attached but no action ever delivered metrics: bounded wait, then probe
+    stuck = Observation("om_stuck")
+    lazy = spark.range(9).observe(stuck, F.count(F.lit(1)).alias("n"))  # no action
+    probe_src = spark.range(9).localCheckpoint(eager=True)
+    assert observed_metrics(stuck, probe_src, F.count(F.lit(1)).alias("n"), timeout_s=0.2)["n"] == 9
+    del lazy
