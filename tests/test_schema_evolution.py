@@ -70,6 +70,32 @@ def test_evolution_survives_compaction_and_replay(spark, tmp_path):
     assert set(sink.read(spark).columns) == {"id", "name", "score"}
 
 
+def test_dup_key_merge_with_new_column_is_recoverable(spark, tmp_path):
+    """Pin the dup-gate/evolution ordering (VERDICT r14 #6/#7): since the
+    round-14 action fusion the duplicate-key gate rides the key-planning
+    aggregate, which runs AFTER additive evolution — so a duplicate-key
+    batch that also adds a column raises with the schema already evolved
+    but NO data changed. That state must be fully recoverable: readers
+    see null-backfilled values for the new column, and a retry with the
+    deduplicated batch merges normally."""
+    sink = _sink(tmp_path)
+    sink.write_batch(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"), 0)
+    bad = spark.createDataFrame(
+        [(1, "x", 1.0), (1, "y", 2.0)], "id long, name string, score double"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        sink.merge_rows_pruned(spark, bad, keys=["id"])
+    # evolved-no-data: the schema grew, every row survives null-backfilled
+    rows = {r.id: r for r in sink.read(spark).collect()}
+    assert set(sink.read(spark).columns) == {"id", "name", "score"}
+    assert len(rows) == 2 and rows[1].name == "a" and rows[1].score is None
+    # recovery: the deduplicated retry merges cleanly
+    fixed = spark.createDataFrame([(1, "y", 2.0)], "id long, name string, score double")
+    assert sink.merge_rows_pruned(spark, fixed, keys=["id"]) is not None
+    rows = {r.id: r for r in sink.read(spark).collect()}
+    assert rows[1].name == "y" and rows[1].score == 2.0 and rows[2].score is None
+
+
 def test_rejects_unknown_evolution_mode(tmp_path):
     with pytest.raises(ValueError, match="frozen|additive"):
         ManifestSinkTable(str(tmp_path / "t"), schema_evolution="mutable")
