@@ -490,18 +490,27 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # loop-invariant relation partitioned ONCE by the per-round join
+        # key (round 15, the Batch-7 pagerank shape applied to CC): each
+        # round's neighbor join builds its hash table on the O(V) labels
+        # side while edges stream from cache with partitioning intact —
+        # no O(E) exchange, no sort, per round. The persist fills on the
+        # seed aggregate's scan, so the old persist+count warm-up action
+        # is gone (one action saved per call).
+        .repartition(F.col("dst"))
         .persist()
     )
-    edges.count()
     # seed with propagation round 1 fused into initialization: label(v) =
     # min(v, direct neighbors) in the same groupBy that enumerates the
     # vertex set — one aggregate instead of distinct + a full loop round.
     # Cliques (the dedup shape) arrive CONVERGED; the loop then only pays
-    # its verification round.
+    # its verification round. Grouped by dst (symmetric relation: min src
+    # over dst-groups == min neighbor) so the seed REUSES the dst
+    # partitioning — no exchange.
     labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("nmin"))
-        .select(F.col("src").alias("vertex"), F.least("src", "nmin").alias("label"))
+        edges.groupBy("dst")
+        .agg(F.min("src").alias("nmin"))
+        .select(F.col("dst").alias("vertex"), F.least("dst", "nmin").alias("label"))
     )
     # every generation is EAGERLY localCheckpointed, not persisted: with
     # persist-only lineage each round's action re-plans (AQE) through the
@@ -517,7 +526,9 @@ def connected_components(
     for i in range(max_iterations):
         rounds = i + 1
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.vertex)
+            # hash table on the O(V) labels side; edges stream from cache
+            # with their dst partitioning intact (no exchange, no sort)
+            edges.join(labels.hint("shuffle_hash"), edges.dst == labels.vertex)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
             .select(F.col("src").alias("vertex"), "nmin")

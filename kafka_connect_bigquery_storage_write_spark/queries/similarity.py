@@ -599,19 +599,42 @@ def q92_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     #     assignment regression that starts flagging non-duplicates
     #     errors the driver row. (Recall-side coverage stays in pytest:
     #     flagged sets are pinned subset-of-exact / single-cluster-exact.)
-    chk = out.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.when(~F.col("is_dup") & (F.col("keeper_id") != F.col("vec_id")), 1).otherwise(0)).alias("bad_self"),
-        F.sum(F.when(F.col("is_dup") & (F.col("keeper_id") == F.col("vec_id")), 1).otherwise(0)).alias("bad_dup"),
-    ).first()
-    if chk["n"] != emb.count() or chk["bad_self"] or chk["bad_dup"]:
-        raise AssertionError(f"q92: keeper/is_dup invariants violated: {chk}")
-    bad_keeper = (
-        out.filter("is_dup")
-        .join(out.filter("is_dup").select(F.col("vec_id").alias("keeper_id")), "keeper_id", "left_semi")
+    # ONE grouped aggregate carries ALL the structural invariants (r15;
+    # was one global agg + a self-join isEmpty): per keeper group there
+    # must be exactly one self row (vec_id == keeper_id), it must be
+    # non-dup, and every other member must be dup. That set of conditions
+    # is equivalent to the old three checks on any reachable output —
+    # a non-dup pointing elsewhere is a non-dup non-self member; a dup
+    # keeping itself is a dup self row; a dup whose keeper is itself
+    # flagged sits in a group whose self row is dup — and the total
+    # member count still proves exactly-once annotation vs the corpus.
+    chk = (
+        out.groupBy("keeper_id")
+        .agg(
+            F.count(F.lit(1)).alias("members"),
+            F.sum(
+                F.when((F.col("vec_id") == F.col("keeper_id")) & ~F.col("is_dup"), 1).otherwise(0)
+            ).alias("self_ok"),
+            F.sum(F.when(F.col("vec_id") == F.col("keeper_id"), 1).otherwise(0)).alias("self_rows"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("dups"),
+        )
+        .agg(
+            F.sum("members").alias("n"),
+            F.sum(
+                F.when(
+                    ~(
+                        (F.col("self_rows") == 1)
+                        & (F.col("self_ok") == 1)
+                        & (F.col("dups") == F.col("members") - 1)
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("bad_groups"),
+        )
+        .first()
     )
-    if not bad_keeper.isEmpty():
-        raise AssertionError("q92: a dup row's keeper is itself flagged dup")
+    if chk["n"] != emb.count() or chk["bad_groups"]:
+        raise AssertionError(f"q92: keeper/is_dup invariants violated: {chk}")
     # ONE collect (<= 20 rows) instead of isEmpty + a second evaluation of
     # the same limit/join pipeline inside cosine_topk (r14 opt); the
     # collected rows re-enter as a one-slice local relation
