@@ -14,10 +14,14 @@ load_all()
 
 
 @pytest.mark.parametrize("name", sorted(ORACLE))
-def test_query_matches_oracle(spark, duck, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir)
-    spark_rows = sdf.collect()
-    spark_cols = sdf.columns
+def test_query_matches_oracle(query_surface, duck, name):
+    # one shared build+collect per query (conftest.query_surface): this
+    # test, the schema lint and the window lint were three full registry
+    # sweeps before round 15
+    q = query_surface[name]
+    if q["err"] is not None:
+        raise q["err"]
+    spark_rows, spark_cols = q["rows"], q["cols"]
 
     rel = duck.execute(ORACLE[name])
     duck_cols = [d[0] for d in rel.description]
@@ -33,9 +37,11 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
-def test_query_without_oracle_runs(spark, sf_dir, name):
-    sdf = QUERIES[name](spark, sf_dir)
-    assert sdf.count() >= 0
+def test_query_without_oracle_runs(query_surface, name):
+    q = query_surface[name]
+    if q["err"] is not None:
+        raise q["err"]
+    assert len(q["rows"]) >= 0
 
 
 def test_canonicalizer_rejects_list_cells():
@@ -46,16 +52,18 @@ def test_canonicalizer_rejects_list_cells():
         _rowset([(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["id", "vec"])
 
 
-def test_no_registered_query_emits_complex_columns(spark, sf_dir):
+def test_no_registered_query_emits_complex_columns(query_surface):
     """Every registered query's result schema must be scalar-only: the
     official driver cannot canonicalize array/map/struct cells, so a
-    complex-typed output column is a registry bug by construction."""
+    complex-typed output column is a registry bug by construction.
+    (Reads the shared per-query build — was its own full registry sweep.)"""
     import pyspark.sql.types as T
 
     offenders = {}
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        bad = [f.name for f in df.schema.fields if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
+    for name, q in query_surface.items():
+        if q["err"] is not None:
+            continue  # the query's own parity test raises it loudly
+        bad = [f.name for f in q["schema"].fields if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))]
         if bad:
             offenders[name] = bad
     assert not offenders, f"complex-typed output columns: {offenders}"

@@ -31,11 +31,9 @@ explain) are linted the same way.
 
 from __future__ import annotations
 
-import contextlib
-import io
 import re
 
-from kafka_connect_bigquery_storage_write_spark.queries import QUERIES, load_all
+from kafka_connect_bigquery_storage_write_spark.queries import load_all
 
 load_all()
 
@@ -49,16 +47,6 @@ BOUNDED_GLOBAL_WINDOW_QUERIES = {
     "q99_weighted_quota_sample",
 }
 _BOUNDED_COLUMN_MARKERS = ("_rps_pid",)
-
-
-def _fmt_plan(df) -> str:
-    stashed = getattr(df, "_kafka_connect_bigquery_storage_write_spark_plan", None)
-    if stashed is not None:
-        return stashed
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
 
 
 def _split_args(s: str) -> list[str]:
@@ -102,18 +90,18 @@ def global_windows(plan: str) -> list[str]:
     return hits
 
 
-def test_no_unbounded_global_windows(spark, sf_dir):
+def test_no_unbounded_global_windows(query_surface):
     """Every registered query's physical plan: global windows only over
-    whitelisted bounded relations. Heavy by design (builds all ~228
-    query plans, running the pipeline queries' sink work) — the
-    compensating control for the bench log's WindowExec warning noise."""
+    whitelisted bounded relations — the compensating control for the
+    bench log's WindowExec warning noise. Reads the shared per-query
+    build (conftest.query_surface) instead of sweeping the registry
+    itself (round 15: three sweeps -> one)."""
     offenders: dict[str, list[str]] = {}
-    for name, fn in QUERIES.items():
-        try:
-            plan = _fmt_plan(fn(spark, sf_dir))
-        except Exception as e:  # a broken build is its own loud failure
-            offenders[name] = [f"BUILD_ERROR: {e!r:.100}"]
+    for name, q in query_surface.items():
+        if q["err"] is not None:  # a broken build is its own loud failure
+            offenders[name] = [f"BUILD_ERROR: {q['err']!r:.100}"]
             continue
+        plan = q["plan"]
         hits = [
             h
             for h in global_windows(plan)
